@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JVM/codegen warmup: this environment pays a very large first-query
+  * cost (Janino compilation + JIT + Hadoop committer init — measured at
+  * 200s+ for the first real job, sub-second after). Running a few tiny
+  * jobs through the same machinery first keeps per-query timings honest
+  * in Bench and Verify.
+  */
+object Warmup {
+  def run(spark: SparkSession, sfDir: String): Unit = {
+    val t0 = System.nanoTime()
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    // codegen agg + broadcast join + window + sort
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("r_name").orderBy("n_name")))
+      .groupBy("r_name").agg(count(lit(1)), max("rn"))
+      .orderBy("r_name")
+      .write.mode("overwrite").format("noop").save()
+    // higher-order functions + generator + parquet write committer
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warmup").toString
+    nation
+      .withColumn("toks", filter(split(lower(col("n_name")), "_"), x => length(x) > 0))
+      .select(col("n_nationkey"), posexplode(col("toks")))
+      .write.mode("overwrite").parquet(s"$tmp/w")
+    System.err.println(f"[warmup] done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+}

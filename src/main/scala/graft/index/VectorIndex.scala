@@ -1,0 +1,82 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** O-KNN / O-THRESH / S9 — the vector index.
+  *
+  * The reference stores `(uuid, float[1024], payload)` points in Qdrant
+  * with COSINE distance (`scripts/services/qdrant_service.py:20-42`) and
+  * queries top-k=5 with score_threshold=0.5
+  * (`scripts/test.out.py:14-19`). Here the index **is** a Spark table:
+  *
+  *  - vectors are L2-normalized **at write time**, so search is a plain
+  *    dot product (dot ≡ cosine on unit vectors) — no per-row norm
+  *    recomputation on the 100 TB read path;
+  *  - top-k is `filter(θ) → orderBy(sim desc) → limit(k)`, which Catalyst
+  *    plans as `TakeOrderedAndProjectExec`: per-partition heap top-k on
+  *    executors, k-way merge on the driver — no global sort, no collect;
+  *  - all arithmetic is done in double (cast from float) so results are
+  *    stable and match the DuckDB oracle bit-for-bit after rounding.
+  */
+object VectorIndex {
+
+  /** Sum of element-wise products, evaluated sequentially per row —
+    * deterministic (no cross-row float reduction). Backed by the
+    * codegen'd [[graft.expr.VectorExpressions.DotProduct]]; the
+    * higher-order-function formulation ([[hofDot]]) computes the same
+    * value interpreted, kept as a portability reference. */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpressions.dot(a, b)
+
+  def l2Norm(a: Column): Column = graft.expr.VectorExpressions.l2Norm(a)
+
+  /** Cosine similarity between two vector columns (no normalization
+    * assumption): dot / (||a|| * ||b||), single codegen'd pass. */
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorExpressions.cosine(a, b)
+
+  /** HOF twin of [[dot]] — interpreted; same sequential arithmetic. */
+  def hofDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2-normalize an `ARRAY<FLOAT/DOUBLE>` column to unit length
+    * (as doubles). Zero vectors normalize to zero. */
+  def normalized(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n))
+      .otherwise(transform(a, x => x.cast("double")))
+  }
+
+  /** Write-time normalization: returns the frame with `embCol` replaced by
+    * its unit-normalized double form. Do this once at ingest so every
+    * search is a dot product. */
+  def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn(embCol, normalized(col(embCol)))
+
+  /** Exact brute-force top-k cosine search. `index` may be raw
+    * (`normalizedInput = false`, norms computed on the fly) or
+    * pre-normalized (the scale path). Plans as TakeOrderedAndProject. */
+  def search(
+      index: DataFrame,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5,
+      embCol: String = "embedding",
+      normalizedInput: Boolean = false): DataFrame = {
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n > 0) query.map(_ / n) else query
+    }
+    val qCol = array(qn.map(lit): _*)
+    val sim =
+      if (normalizedInput) dot(col(embCol), qCol)
+      else dot(col(embCol), qCol) / l2Norm(col(embCol))
+    index
+      .withColumn("score", sim)
+      .filter(col("score") >= threshold)
+      .orderBy(col("score").desc, col(index.columns.head))
+      .limit(k)
+  }
+}

@@ -1,0 +1,226 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1 — DOCX scan. The reference iterates a document's body paragraphs
+  * and tables in document order via python-docx
+  * (`scripts/parsers/docx_parser.py:89-95`). No Spark connector exists
+  * for DOCX, so this is a pure-Scala OOXML reader: `ZipInputStream` over
+  * the package, StAX (`javax.xml.stream`) over `word/document.xml`,
+  * emitting one block row per paragraph/table in order. Styles are
+  * resolved to display names through `word/styles.xml` (python-docx
+  * semantics — the shipped manual's localized styles resolve there), and
+  * image relationship ids through `word/_rels/document.xml.rels`.
+  *
+  * Distribution model: one task per file (`binaryFile` source →
+  * `flatMap` parse). A DOCX is a single zip — intrinsically unsplittable
+  * — so parallelism comes from the corpus, which is the 100 TB shape
+  * (many documents), not from within one file.
+  */
+object DocxReader {
+
+  /** One body block: a paragraph or a table, in document order. */
+  case class Block(
+      doc_id: String,
+      seq: Long,
+      kind: String, // "para" | "table"
+      style: String,
+      text: String,
+      table_cells: Seq[Seq[String]],
+      image_rel_ids: Seq[String])
+
+  /** A binary part of the package (images under word/media/). */
+  case class Media(doc_id: String, rel_id: String, target: String, bytes: Array[Byte])
+
+  private val WNS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+  private val RNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val out = Map.newBuilder[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out += (e.getName -> zin.readAllBytes())
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  private def newReader(xml: Array[Byte]): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, true)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+    f.createXMLStreamReader(new ByteArrayInputStream(xml))
+  }
+
+  /** styleId → display name from word/styles.xml. */
+  private[ingest] def parseStyles(xml: Array[Byte]): Map[String, String] = {
+    val map = Map.newBuilder[String, String]
+    val r = newReader(xml)
+    var curId: String = null
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "style" => curId = r.getAttributeValue(WNS, "styleId")
+            case "name" if curId != null =>
+              val v = r.getAttributeValue(WNS, "val")
+              if (v != null) { map += (curId -> v); curId = null }
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    map.result()
+  }
+
+  /** relationship id → target (e.g. media/image1.png). */
+  private[ingest] def parseRels(xml: Array[Byte]): Map[String, String] = {
+    val map = Map.newBuilder[String, String]
+    val r = newReader(xml)
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "Relationship" =>
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null) map += (id -> target)
+        case _ =>
+      }
+    }
+    r.close()
+    map.result()
+  }
+
+  /** Parse one DOCX package into ordered body blocks. */
+  def parseBytes(docId: String, bytes: Array[Byte]): Seq[Block] = {
+    val entries = zipEntries(bytes)
+    val styles = entries.get("word/styles.xml").map(parseStyles).getOrElse(Map.empty)
+    val doc = entries.getOrElse("word/document.xml",
+      return Seq.empty)
+
+    val blocks = ArrayBuffer.empty[Block]
+    val r = newReader(doc)
+    var seq = 0L
+
+    // paragraph state
+    var inPara = false
+    var paraDepth = 0 // nesting guard: paragraphs inside tables
+    var style = ""
+    var text: StringBuilder = null
+    var rels: ArrayBuffer[String] = null
+
+    // table state
+    var tableDepth = 0
+    var rows: ArrayBuffer[ArrayBuffer[String]] = null
+    var cell: StringBuilder = null
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "tbl" =>
+              tableDepth += 1
+              if (tableDepth == 1) rows = ArrayBuffer.empty
+            case "tr" if tableDepth == 1 =>
+              rows += ArrayBuffer.empty[String]
+            case "tc" if tableDepth == 1 =>
+              cell = new StringBuilder
+            case "p" =>
+              if (tableDepth == 0) {
+                inPara = true; style = ""; text = new StringBuilder
+                rels = ArrayBuffer.empty
+              }
+              paraDepth += 1
+            case "pStyle" if inPara && tableDepth == 0 =>
+              val v = r.getAttributeValue(WNS, "val")
+              if (v != null) style = styles.getOrElse(v, v)
+            case "t" =>
+              val t = r.getElementText
+              if (tableDepth >= 1 && cell != null) cell.append(t)
+              else if (inPara) text.append(t)
+            case "blip" if inPara && tableDepth == 0 =>
+              val embed = r.getAttributeValue(RNS, "embed")
+              if (embed != null) rels += embed
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "p" =>
+              paraDepth -= 1
+              if (inPara && tableDepth == 0 && paraDepth == 0) {
+                blocks += Block(docId, seq, "para", style, text.toString,
+                  Seq.empty, rels.toSeq)
+                seq += 1
+                inPara = false
+              }
+            case "tc" if tableDepth == 1 && cell != null =>
+              rows.last += cell.toString
+              cell = null
+            case "tbl" =>
+              if (tableDepth == 1) {
+                blocks += Block(docId, seq, "table", "", "",
+                  rows.map(_.toSeq).toSeq, Seq.empty)
+                seq += 1
+                rows = null
+              }
+              tableDepth -= 1
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    blocks.toSeq
+  }
+
+  /** Extract binary media parts with their relationship ids. */
+  def mediaBytes(docId: String, bytes: Array[Byte]): Seq[Media] = {
+    val entries = zipEntries(bytes)
+    val rels = entries.get("word/_rels/document.xml.rels")
+      .map(parseRels).getOrElse(Map.empty)
+    rels.toSeq.collect {
+      case (id, target) if entries.contains(s"word/$target") =>
+        Media(docId, id, target, entries(s"word/$target"))
+    }
+  }
+
+  /** Distributed scan: every `.docx` under `path` → ordered block rows
+    * `(doc_id, seq, kind, style, text, table_cells, image_rel_ids)`. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.docx")
+      .load(path)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) => parseBytes(name, bytes) }
+      .toDF()
+  }
+
+  /** Distributed media scan: `(doc_id, rel_id, target, bytes)` rows —
+    * the S8 assets source (BinaryType column). */
+  def readMedia(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.docx")
+      .load(path)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) => mediaBytes(name, bytes) }
+      .toDF()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * surface): language identification, quality scoring, token counting,
+  * document fingerprinting. All pure Column expressions — codegen'd,
+  * whole-stage-friendly, no UDFs on the hot path.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language identifier. Public common function words. */
+  val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "по", "это", "как", "из"))
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+
+  /** Per-language stopword hit count; predicted language = argmax.
+    * Returns a struct `(lang STRING, score DOUBLE)` — score is the hit
+    * ratio of the winning language's stopwords over total tokens. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val total = greatest(size(toks), lit(1)).cast("double")
+    val scored = StopwordSets.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct((hits.cast("double") / total).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word characters grouped into runs of ≤4 chars
+    * plus standalone punctuation — a deterministic proxy for a BPE
+    * tokenizer's token count (no vocab files in this environment). */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{L}{1,4}|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Quality features: struct of
+    * `(n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    * uniq_ratio)`. */
+  def qualityFeatures(c: Column, stopLang: String = "en"): Column = {
+    val toks = tokens(c)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val stop = StopwordSets(stopLang)
+    struct(
+      length(c).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nToks)
+        .as("avg_token_len"),
+      (length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+        greatest(length(c), lit(1)).cast("double")).as("punct_ratio"),
+      (size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double") / nToks)
+        .as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / nToks).as("uniq_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: combines length sanity, lexical
+    * diversity and stopword presence — the standard cheap pre-filter
+    * before expensive model-based scoring. */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    val lenOk = when(f.getField("n_tokens").between(5, 100000), 1.0).otherwise(0.3)
+    val diversity = least(f.getField("uniq_ratio") * 2.0, lit(1.0))
+    val stopOk = least(f.getField("stopword_ratio") * 5.0, lit(1.0))
+    round((lenOk * 0.4 + diversity * 0.3 + stopOk * 0.3), 4)
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase
+    * text — stable across reformatting. */
+  def fingerprint(c: Column): Column = md5(Dedup.normalizedText(c))
+
+  /** Rolling hash over the normalized token stream — an order-sensitive
+    * fingerprint (anagram-proof, unlike a token-set hash). Uses
+    * rotate-xor instead of multiply-add: shifts and xor can't trip ANSI
+    * overflow checking (Spark 4 default). */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      tokens(c), lit(0L),
+      (acc, t) =>
+        shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

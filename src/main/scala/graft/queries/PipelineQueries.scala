@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.index.VectorIndex
+import graft.ops.{ChunkText, Dedup, PairAssets, Sectionize, TextAnalysis, UniqueNames}
+
+/** Pipeline / north-star queries: vector search (the reference's flagship
+  * path, `scripts/test.out.py:14-19`), the dedup family, text analysis,
+  * and the document operators (O-SEC / O-PAIR / O-UNIQ) exercised as
+  * queries over a deterministic word-block stream derived from the
+  * `documents` table — each with a DuckDB oracle where the semantics are
+  * SQL-expressible.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared tokenization: lowercase, split on non-alphanumeric runs,
+    * drop empties. The DuckDB twin is
+    * `list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)`. */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Word-block stream: one row per token of each document, in order —
+    * the fixture over which the document operators run as real
+    * distributed queries. `seq` is 1-based to match SQL
+    * generate_subscripts. */
+  private def wordBlocks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("seq"), col("word"))
+
+  private val wordBlocksSql =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, unnest(toks) AS word,
+       |             generate_subscripts(toks, 1) AS seq FROM t)""".stripMargin
+
+  // ---------------------------------------------------------------- KNN
+
+  /** Flagship: cosine top-k=5 vector search against the embeddings
+    * table, query = vector of vec_id 0 — the reference's search shape
+    * (`test.out.py:14-19`; its θ=0.5 default lives on
+    * `VectorIndex.search`; this query uses θ=0.25, the level at which
+    * this synthetic corpus has neighbors). Brute-force exact;
+    * `filter → orderBy → limit` plans as TakeOrderedAndProjectExec
+    * (per-partition heaps; no global sort). The single-row parameter
+    * fetch for the query vector is a driver-side constant, not a data
+    * loop. */
+  private val knnTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qCol = array(q.map(lit): _*)
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("score", round(VectorIndex.cosine(col("embedding"), qCol), 4))
+      .filter(col("score") >= 0.25)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val knnTop5Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, score FROM (
+      |  SELECT v.vec_id,
+      |    round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.qe), 4) AS score
+      |  FROM embeddings v, q WHERE v.vec_id <> 0) t
+      |WHERE score >= 0.25 ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
+  /** The normalized-index fast path (vectors unit-normalized at write
+    * time, search is a pure dot product). Same semantics as knn_top5;
+    * benched, not oracled (the write-side normalization is the point). */
+  private val knnNormTop5: Q = (s, d) => {
+    val emb = VectorIndex.withNormalized(Tables.embeddings(s, d).filter(col("vec_id") =!= 0))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    VectorIndex.search(emb, q, k = 5, threshold = 0.25, normalizedInput = true)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
+  // -------------------------------------------------------------- dedup
+
+  private val dedupExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d))
+      .select("doc_id", "content_hash", "is_dup")
+      .orderBy("doc_id")
+
+  private val dedupExactSql =
+    """SELECT doc_id, content_hash, row_number()
+      |    OVER (PARTITION BY content_hash ORDER BY doc_id) > 1 AS is_dup
+      |FROM (SELECT doc_id,
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  private val dedupJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  private val dedupJaccardSql =
+    s"""WITH $wordBlocksSql,
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+       |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          GROUP BY x.doc_id, y.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = id_a
+       |JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Banded MinHash LSH candidates (xxhash64 signatures — Spark-native
+    * hash, so rows-only check; the exact Jaccard query above is the
+    * oracled twin). */
+  private val dedupMinhash: Q = (s, d) =>
+    Dedup.minHashPairs(Tables.documents(s, d), threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** 64-bit SimHash fingerprints + per-document Hamming distance to the
+    * lowest-id doc — rows-only (xxhash64-based). */
+  private val dedupSimhash: Q = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    val ref = fp.orderBy("doc_id").limit(1)
+      .select(col("simhash").as("ref_hash"))
+    fp.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("simhash"),
+        Dedup.hamming64(col("simhash"), col("ref_hash")).as("hamming_to_doc0"))
+      .orderBy("doc_id")
+  }
+
+  private val embNearDupExact: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.toDF("id_a", "e_a")
+    val b = e.toDF("id_b", "e_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", round(VectorIndex.cosine(col("e_a"), col("e_b")), 4))
+      .filter(col("score") >= 0.4)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val embNearDupExactSql =
+    """SELECT id_a, id_b, score FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 4) AS score
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+      |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  /** Sign-LSH banded variant of the above — the 100 TB path (bucketed
+    * candidates, exact cosine only inside buckets). Rows-only. */
+  private val embNearDupLsh: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("score"))
+      .orderBy("id_a", "id_b")
+
+  // ------------------------------------------------------ text analysis
+
+  private val docLangProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  private val docLangProfileSql =
+    s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       |  SUM(n_tokens) AS sum_tokens,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM (SELECT lang, n_chars, len($toksSql) AS n_tokens FROM documents) t
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val docQuality: Q = (s, d) => {
+    val t = toks(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq"),
+      (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("uniq_ratio"),
+      (aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+        size(t).cast("double")).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val docQualitySql =
+    s"""SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_uniq,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS avg_token_len
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  private val docTokens: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]"), lit(0))).as("n_subwords"))
+      .orderBy("doc_id")
+
+  private val docTokensSql =
+    s"""SELECT doc_id, len($toksSql) AS n_tokens,
+       |  len(regexp_extract_all(lower(text),
+       |      '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]')) AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val docFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val docFingerprintSql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic stopword language-ID (rows-only: the scoring struct is an
+    * engine-side expression; deterministic and unit-tested). */
+  private val docLangId: Q = (s, d) => {
+    val pred = TextAnalysis.langId(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        pred.getField("lang").as("pred_lang"),
+        round(pred.getField("score"), 4).as("pred_score"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------- document operators as queries
+
+  private val sectionsCount: Q = (s, d) => {
+    val blocks = wordBlocks(s, d)
+      .select(col("doc_id"), col("seq"),
+        when(col("word") === "table", lit("Heading 1")).otherwise(lit("Normal")).as("style"),
+        col("word").as("text"))
+    Sectionize(blocks)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sections"), sum(col("n_paragraphs")).as("n_paras"))
+      .orderBy("doc_id")
+  }
+
+  private val sectionsCountSql =
+    s"""WITH $wordBlocksSql,
+       |s AS (SELECT doc_id, seq, word,
+       |        CASE WHEN word = 'table' THEN 1 ELSE 0 END AS h,
+       |        SUM(CASE WHEN word = 'table' THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY seq) AS sid
+       |      FROM w)
+       |SELECT doc_id, COUNT(DISTINCT sid) AS n_sections, COUNT(*) AS n_paras
+       |FROM s WHERE sid > 0 AND h = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val captionPairs: Q = (s, d) => {
+    val blocks = wordBlocks(s, d)
+      .select(col("doc_id"), col("seq"),
+        when(col("word") === "window", lit("caption_figure"))
+          .when(col("word") === "row", lit("figure"))
+          .when(col("word") === "merge", lit("caption_table"))
+          .when(col("word") === "batch", lit("table"))
+          .otherwise(lit("para")).as("kind"),
+        col("word").as("text"))
+    PairAssets(blocks)
+      .select(col("doc_id"), col("cap_seq").cast("long").as("cap_seq"),
+        col("asset_seq").cast("long").as("asset_seq"), col("kind"))
+      .orderBy("doc_id", "cap_seq")
+  }
+
+  private val captionPairsSql =
+    s"""WITH $wordBlocksSql,
+       |k AS (SELECT doc_id, seq,
+       |        CASE word WHEN 'window' THEN 'caption_figure'
+       |                  WHEN 'row' THEN 'figure'
+       |                  WHEN 'merge' THEN 'caption_table'
+       |                  WHEN 'batch' THEN 'table'
+       |                  ELSE 'para' END AS kind
+       |      FROM w),
+       |armed AS (SELECT *,
+       |    max(CASE WHEN kind = 'caption_figure' THEN seq END)
+       |      OVER (PARTITION BY doc_id ORDER BY seq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pf,
+       |    max(CASE WHEN kind = 'caption_table' THEN seq END)
+       |      OVER (PARTITION BY doc_id ORDER BY seq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
+       |  FROM k),
+       |m AS (SELECT doc_id, seq AS asset_seq, kind,
+       |        CASE WHEN kind = 'figure' THEN pf ELSE pt END AS cap_seq
+       |      FROM armed WHERE kind IN ('figure', 'table')),
+       |f AS (SELECT *, row_number()
+       |        OVER (PARTITION BY doc_id, cap_seq ORDER BY asset_seq) AS rn
+       |      FROM m WHERE cap_seq IS NOT NULL)
+       |SELECT doc_id, cap_seq, asset_seq, kind FROM f WHERE rn = 1
+       |ORDER BY doc_id, cap_seq""".stripMargin
+
+  private val uniqNames: Q = (s, d) => {
+    val assets = wordBlocks(s, d)
+      .filter(col("word").isin("row", "batch") && col("doc_id") < 20)
+      .select(col("doc_id"), col("seq"), col("word").as("base"), lit(".bin").as("ext"))
+    UniqueNames(assets)
+      .select("doc_id", "seq", "filename")
+      .orderBy("doc_id", "seq")
+  }
+
+  private val uniqNamesSql =
+    s"""WITH $wordBlocksSql,
+       |a AS (SELECT doc_id, seq, word FROM w
+       |      WHERE word IN ('row', 'batch') AND doc_id < 20),
+       |r AS (SELECT doc_id, seq, word,
+       |        row_number() OVER (PARTITION BY doc_id, word ORDER BY seq) AS occ
+       |      FROM a)
+       |SELECT doc_id, seq,
+       |  CASE WHEN occ = 1 THEN word || '.bin'
+       |       ELSE word || '_' || CAST(occ - 1 AS VARCHAR) || '.bin' END AS filename
+       |FROM r ORDER BY doc_id, seq""".stripMargin
+
+  // ----------------------------------------------- chunker & embedder
+
+  /** Chunk statistics per document (rows-only: the recursive splitter is
+    * not SQL-expressible; its semantics are property-tested in
+    * ChunkTextSpec). */
+  private val chunkStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        ChunkText.chunksCol(col("text"), 200, 50).as("chunks"))
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        aggregate(col("chunks"), lit(0), (acc, c) => greatest(acc, length(c))).as("max_len"))
+      .orderBy("doc_id")
+
+  /** O-EMB pad/truncate contract (`embedder_service.py:7-9`): pad to 128
+    * with zeros / truncate to 32, plus a checksum over the truncated
+    * prefix. */
+  private val embPadTruncate: Q = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(concat(col("embedding"),
+        array_repeat(lit(0.0f), lit(128) - size(col("embedding"))))).as("padded_len"),
+      size(slice(col("embedding"), 1, 32)).as("trunc_len"),
+      round(aggregate(slice(col("embedding"), 1, 32), lit(0.0),
+        (acc, x) => acc + x.cast("double")), 4).as("trunc_sum"))
+      .orderBy("vec_id")
+
+  // (list_resize segfaults on parquet-read lists in DuckDB 1.0 —
+  // concat-comprehension padding instead)
+  private val embPadTruncateSql =
+    """SELECT vec_id,
+      |  len(embedding || [CAST(0.0 AS FLOAT) FOR x IN range(128 - len(embedding))]) AS padded_len,
+      |  len(embedding[1:32]) AS trunc_len,
+      |  round(list_sum(list_transform(embedding[1:32],
+      |        x -> CAST(x AS DOUBLE))), 4) AS trunc_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Deterministic hashing-embedder over document text (rows-only;
+    * dim/norm contract is unit-tested). */
+  private val embedDocs: Q = (s, d) => {
+    val emb = Embedder.embedColumn(
+      Tables.documents(s, d).filter(col("doc_id") < 50).select("doc_id", "text"),
+      "text", HashingEmbedder(1024))
+    emb.select(col("doc_id"), size(col("embedding")).as("dim"),
+      round(VectorIndex.l2Norm(col("embedding")), 4).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "knn_top5" -> knnTop5,
+    "knn_norm_top5" -> knnNormTop5,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "emb_neardup_exact" -> embNearDupExact,
+    "emb_neardup_lsh" -> embNearDupLsh,
+    "doc_lang_profile" -> docLangProfile,
+    "doc_quality" -> docQuality,
+    "doc_tokens" -> docTokens,
+    "doc_fingerprint" -> docFingerprint,
+    "doc_langid" -> docLangId,
+    "sections_count" -> sectionsCount,
+    "caption_pairs" -> captionPairs,
+    "uniq_names" -> uniqNames,
+    "chunk_stats" -> chunkStats,
+    "emb_pad_truncate" -> embPadTruncate,
+    "embed_docs" -> embedDocs)
+
+  val oracles: Map[String, String] = Map(
+    "knn_top5" -> knnTop5Sql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupJaccardSql,
+    "emb_neardup_exact" -> embNearDupExactSql,
+    "doc_lang_profile" -> docLangProfileSql,
+    "doc_quality" -> docQualitySql,
+    "doc_tokens" -> docTokensSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "sections_count" -> sectionsCountSql,
+    "caption_pairs" -> captionPairsSql,
+    "uniq_names" -> uniqNamesSql,
+    "emb_pad_truncate" -> embPadTruncateSql)
+}

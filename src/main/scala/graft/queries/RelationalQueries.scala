@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational query pack (SURVEY.md §2.4–§2.8): scans, filters,
+  * equi/broadcast/semi/anti/range joins, hash aggregations, rollup/cube,
+  * window functions, set operations, sorts and top-k — each with an
+  * exactly-matching DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (so result hashes
+  * match bit-for-bit):
+  *  - money sums go through `CAST(x AS DECIMAL)` before SUM — decimal
+  *    addition is exact and order-independent, so shuffle order can't
+  *    change the answer; the final value is cast back to DOUBLE;
+  *  - every output is deterministically ordered, with NULLS FIRST spelled
+  *    out in the SQL (DuckDB defaults to NULLS LAST, Spark to first);
+  *  - timestamps are emitted as epoch-microsecond BIGINTs;
+  *  - window orderings always carry a unique tie-break key.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // q01: filtered scan + projection. Filter and column pruning reach the
+  // parquet scan (PushedFilters in the formatted plan).
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // q02: TPC-H Q1-shaped aggregation (hash agg, partial+final).
+  private val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q02Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q03: broadcast equi join (customer is the small dim side).
+  private val q03: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy("c_mktsegment")
+
+  private val q03Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // q04: multi-way join down the star (lineitem⋈orders⋈customer⋈nation⋈
+  // region), dims broadcast; revenue per region/nation.
+  private val q04: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+
+  private val q04Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // q05: left-semi join (EXISTS).
+  private val q05: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val q05Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // q06: left-anti join (NOT EXISTS) — customers with no high-value
+  // order (every customer has *some* order in this synthetic data, so
+  // the unfiltered anti join would be vacuously empty).
+  private val q06: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  private val q06Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // q07: window top-N per group (row_number with full tie-break).
+  private val q07: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q07Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // q08: running-sum window (rows frame, unique ordering key).
+  private val q08: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val q08Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // q09: global top-k — Catalyst fuses orderBy+limit into
+  // TakeOrderedAndProjectExec (per-partition heaps, no global sort).
+  private val q09: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val q09Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // q10: set operations — INTERSECT (set semantics) + EXCEPT.
+  private val q10: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+    val fin  = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val both  = open.intersect(fin).select(lit("both").as("op"), col("k"))
+    val onlyO = open.except(fin).select(lit("only_open").as("op"), col("k"))
+    both.unionAll(onlyO).orderBy("op", "k")
+  }
+
+  private val q10Sql =
+    """SELECT * FROM (
+      |  SELECT 'both' AS op, k FROM (
+      |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  UNION ALL
+      |  SELECT 'only_open' AS op, k FROM (
+      |    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      |ORDER BY op, k""".stripMargin
+
+  // q11: distinct.
+  private val q11: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q11Sql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q12: rollup (grouping sets) — note NULLS FIRST to match Spark's
+  // ascending default.
+  private val q12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val q12Sql =
+    """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // q13: cube.
+  private val q13: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val q13Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // q14: CASE WHEN classifier + scalar string functions (the P4/P5/P6
+  // shapes from SURVEY §2.2) — all codegen'd built-ins.
+  private val q14: Q = (s, d) =>
+    Tables.part(s, d)
+      .withColumn("size_class",
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large"))
+      .withColumn("name_id", regexp_replace(lower(col("p_name")), "\\s+", "_"))
+      .withColumn("type_word", upper(substring_index(col("p_type"), " ", 1)))
+      .select("p_partkey", "size_class", "name_id", "type_word")
+      .orderBy("p_partkey")
+
+  private val q14Sql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_size < 10 THEN 'small'
+      |       WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+      |  regexp_replace(lower(p_name), '\s+', '_', 'g') AS name_id,
+      |  upper(split_part(p_type, ' ', 1)) AS type_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // q15: range (theta) join against a tiny in-memory band dim —
+  // broadcast nested loop, the right plan for a 4-row build side.
+  private val q15: Q = (s, d) => {
+    val bands = s.createDataFrame(Seq(
+      (900.0, 925.0), (925.0, 950.0), (950.0, 975.0), (975.0, 1000.0)))
+      .toDF("lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("lo")
+  }
+
+  private val q15Sql =
+    """SELECT lo, hi, COUNT(*) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part
+      |JOIN (VALUES (900.0, 925.0), (925.0, 950.0),
+      |             (950.0, 975.0), (975.0, 1000.0)) AS b(lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY lo, hi ORDER BY lo""".stripMargin
+
+  // q16: as-of join in event-time — for each purchase, the most recent
+  // preceding click by the same user (window fill-down; the O-PAIR
+  // pattern on the events table).
+  private val q16: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prev_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "prev_click_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q16Sql =
+    """SELECT user_id, event_id, prev_click_us FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click'
+      |                    THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin
+
+  // q17: tumbling event-time window aggregation (the batch-equivalent of
+  // the Structured Streaming windowed agg; see graft.streaming).
+  private val q17: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val q17Sql =
+    """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000 AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // q18: session windows (gap 2h) per user — batch session_window; the
+  // DuckDB oracle is the classic gaps-and-islands rewrite. New session
+  // starts when the gap is >= the timeout (matches Spark's half-open
+  // [ts, ts+gap) merge semantics).
+  private val q18: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+
+  private val q18Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start, COUNT(*) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  // q19: fuzzy matching (P12) — levenshtein + normalized similarity over
+  // all nation-name pairs (25×25; a broadcast cross product of a dim
+  // table, not a fact-table crossJoin).
+  private val q19: Q = (s, d) => {
+    val a = Tables.nation(s, d).select(col("n_name").as("name_a"))
+    val b = Tables.nation(s, d).select(col("n_name").as("name_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("sim", lit(1.0) - col("lev").cast("double") /
+        greatest(length(col("name_a")), length(col("name_b"))).cast("double"))
+      .filter(col("sim") >= 0.7)
+      .orderBy("name_a", "name_b")
+  }
+
+  private val q19Sql =
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  levenshtein(a.n_name, b.n_name) AS lev,
+      |  1.0 - levenshtein(a.n_name, b.n_name) /
+      |    CAST(greatest(length(a.n_name), length(b.n_name)) AS DOUBLE) AS sim
+      |FROM nation a, nation b
+      |WHERE a.n_name < b.n_name
+      |  AND 1.0 - levenshtein(a.n_name, b.n_name) /
+      |    CAST(greatest(length(a.n_name), length(b.n_name)) AS DOUBLE) >= 0.7
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // q20: approx_count_distinct (HLL++). No SQL oracle — DuckDB's HLL
+  // sketch differs by construction; the driver records a rows-only check.
+  private val q20: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val defs: Map[String, Q] = Map(
+    "q01_filter_scan" -> q01,
+    "q02_agg_lineitem" -> q02,
+    "q03_join_broadcast" -> q03,
+    "q04_join_star" -> q04,
+    "q05_semi_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_window_topn" -> q07,
+    "q08_window_running" -> q08,
+    "q09_topk" -> q09,
+    "q10_set_ops" -> q10,
+    "q11_distinct" -> q11,
+    "q12_rollup" -> q12,
+    "q13_cube" -> q13,
+    "q14_scalar_funcs" -> q14,
+    "q15_range_join" -> q15,
+    "q16_asof_join" -> q16,
+    "q17_tumbling_window" -> q17,
+    "q18_session_window" -> q18,
+    "q19_fuzzy_levenshtein" -> q19,
+    "q20_approx_distinct" -> q20)
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_scan" -> q01Sql,
+    "q02_agg_lineitem" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_join_star" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_window_topn" -> q07Sql,
+    "q08_window_running" -> q08Sql,
+    "q09_topk" -> q09Sql,
+    "q10_set_ops" -> q10Sql,
+    "q11_distinct" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_cube" -> q13Sql,
+    "q14_scalar_funcs" -> q14Sql,
+    "q15_range_join" -> q15Sql,
+    "q16_asof_join" -> q16Sql,
+    "q17_tumbling_window" -> q17Sql,
+    "q18_session_window" -> q18Sql,
+    "q19_fuzzy_levenshtein" -> q19Sql)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val assets = Seq(
+    ("a1", "image", Array[Byte](1, 2, 3, 4)),
+    ("a2", "video", Array[Byte](9, 8, 7, 6, 5)),
+    ("a3", "audio", Array[Byte](0, 0, 1))).toDF("asset_id", "kind", "media")
+
+  test("withFeatures appends deterministic decoded columns, keeps rows") {
+    val out = Multimodal.withFeatures(assets)
+    assert(out.count() == 3)
+    assert(out.columns.toSeq ==
+      Seq("asset_id", "kind", "media", "width", "height", "n_frames", "features"))
+    val f1 = out.filter(col("asset_id") === "a1").select("features").head().getSeq[Float](0)
+    val f1again = Multimodal.withFeatures(assets)
+      .filter(col("asset_id") === "a1").select("features").head().getSeq[Float](0)
+    assert(f1 == f1again, "stub decoder must be deterministic")
+    assert(f1.length == 64)
+    // video assets expand to multiple frames; others get exactly one
+    val frames = out.select("asset_id", "n_frames").as[(String, Int)].collect().toMap
+    assert(frames("a1") == 1 && frames("a3") == 1 && frames("a2") >= 1)
+  }
+
+  test("sampleFrames expands only videos, strided") {
+    val frames = Multimodal.sampleFrames(assets, stride = 2)
+    val byAsset = frames.groupBy("asset_id").count().as[(String, Long)].collect().toMap
+    assert(byAsset.keySet == Set("a2"))
+    val idxs = frames.select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(idxs == idxs.distinct && idxs.forall(_ % 2 == 0))
+    // every frame carries a feature vector of the decoder's dim
+    assert(frames.select(size(col("frame_features"))).as[Int].collect().forall(_ == 64))
+  }
+
+  test("resizeMeta computes clamped scale and output dims") {
+    val out = Multimodal.resizeMeta(assets, maxSide = 128)
+    out.select("width", "height", "scale", "out_width", "out_height")
+      .collect().foreach { r =>
+        val (w, h, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        assert(s <= 1.0 && s > 0.0)
+        assert(math.max(r.getInt(3), r.getInt(4)) <= 128 ||
+          s == 1.0 && math.max(w, h) <= 128)
+      }
+  }
+
+  test("asset schema round-trips through parquet with binary payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString + "/t"
+    val rows = java.util.Arrays.asList(
+      Row("x1", "image", "image/png", Array[Byte](5, 5), Row(10, 20, null)))
+    spark.createDataFrame(rows, Multimodal.assetSchema)
+      .write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    // parquet round-trip relaxes nullability; compare names and types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.assetSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val r = back.head()
+    assert(r.getAs[Array[Byte]]("media").toSeq == Seq[Byte](5, 5))
+    assert(r.getAs[Row]("meta").getInt(1) == 20)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Functions, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy for a while"),
+      (2L, "el gato y la casa de los perros en un día por la mañana"),
+      (3L, "der hund und die katze ist ein tier von dem haus")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).getField("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("token and subword counts") {
+    val df = Seq((1L, "hello world, this is sparkly!")).toDF("id", "text")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text"))).as[(Int, Int)].head()
+    assert(got._1 == 5)
+    // hell+o wor+ld , this is spar+kly ! → 10
+    assert(got._2 == 10)
+  }
+
+  test("quality score favors diverse natural text over degenerate text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L))
+    assert(got.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("scalar function pack P1-P11 behaviors") {
+    val df = Seq(("  ", "Heading 1", "Таблица 1 — размеры", "my file:name.png"))
+      .toDF("blank", "style", "caption", "fname")
+    val row = df.select(
+      Functions.nonEmptyText(col("blank")),
+      Functions.isHeading(col("style")),
+      Functions.isCaption(lit("Normal"), col("caption")),
+      Functions.captionKind(col("caption")),
+      Functions.sanitizeName(col("fname")),
+      Functions.normalizeWs(lit("a   b\t c")),
+      Functions.embedKey(lit("T"), lit("x")),
+      Functions.fileExt(col("fname"), lit("image/png"))).head()
+    assert(row.getBoolean(0) == false)
+    assert(row.getBoolean(1) == true)
+    assert(row.getBoolean(2) == true)
+    assert(row.getString(3) == "table")
+    assert(row.getString(4) == "my_file_name.png")
+    assert(row.getString(5) == "a b c")
+    assert(row.getString(6) == "T: x")
+    assert(row.getString(7) == ".png")
+  }
+
+  test("contentId is deterministic and distinct") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val ids = df.select(Functions.contentId(col("k"), col("v"))).as[String].collect()
+    assert(ids(0) == ids(1) && ids(0) != ids(2))
+  }
+
+  test("fuzzyRatio: identical 1.0, nothing shared near 0") {
+    val df = Seq(("kitten", "kitten"), ("kitten", "sitting")).toDF("a", "b")
+    val got = df.select(Functions.fuzzyRatio(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) > 0.5 && got(1) < 0.7) // lev 3 / len 7 → ~0.571
+  }
+}
