@@ -28,6 +28,19 @@ object Warmup {
       .withColumn("toks", filter(split(lower(col("n_name")), "_"), x => length(x) > 0))
       .select(col("n_nationkey"), posexplode(col("toks")))
       .write.mode("overwrite").parquet(s"$tmp/w")
+    // ScalaUDF path + aggregate/zip_with/transform interpreters + the
+    // ignoreNulls window frame — each pays a large first-use cost here
+    val idf = udf((s: String) => s.length)
+    nation
+      .withColumn("u", idf(col("n_name")))
+      .withColumn("sh", transform(sequence(lit(0), lit(3)), i => xxhash64(col("n_name"), i)))
+      .withColumn("agg", aggregate(col("sh"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+      .withColumn("z", aggregate(
+        zip_with(col("sh"), col("sh"), (x, y) => x + y), lit(0L), (a, x) => a + x))
+      .withColumn("lastnn", last(when(col("n_nationkey") % 2 === 0, col("n_nationkey")), ignoreNulls = true)
+        .over(Window.partitionBy(col("n_regionkey")).orderBy("n_nationkey")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .write.mode("overwrite").format("noop").save()
     System.err.println(f"[warmup] done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
   }
 }

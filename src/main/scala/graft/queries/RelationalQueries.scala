@@ -397,6 +397,108 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // q21: explicit grouping sets.
+  private val q21: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.groupingSets(
+      Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+      col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  private val q21Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // q22: date-part aggregation over the orders time dimension.
+  private val q22: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy("yr", "mo")
+
+  private val q22Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // q23: exact percentiles (linear interpolation — same definition in
+  // Spark `percentile` and DuckDB `quantile_cont`).
+  private val q23: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority")
+
+  private val q23Sql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q24: moment statistics computed from exact decimal sums so shuffle
+  // order can't perturb them (stddev over raw doubles would be
+  // order-sensitive in the last ulps).
+  private val q24: Q = (s, d) => {
+    val sum1 = sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    val sum2 = sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(38,4)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round((sum1 / n), 4).as("mean"),
+        round(sqrt((sum2 - sum1 * sum1 / n) / (n - lit(1.0))), 4).as("stddev"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q24Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean,
+      |  round(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      |    - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1.0)), 4) AS stddev
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // q25: ordered string aggregation (collect_set is shuffle-order
+  // nondeterministic — array_sort is mandatory; SURVEY §7 rule).
+  private val q25: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+      .orderBy("l_returnflag")
+
+  private val q25Sql =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      |  COUNT(DISTINCT l_linestatus) AS n_status
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q26: pivot (wide aggregation); oracle = FILTERed aggregates.
+  private val q26: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
+  private val q26Sql =
+    """SELECT l_returnflag,
+      |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS F,
+      |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS O,
+      |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'P') AS P
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -417,7 +519,13 @@ object RelationalQueries {
     "q17_tumbling_window" -> q17,
     "q18_session_window" -> q18,
     "q19_fuzzy_levenshtein" -> q19,
-    "q20_approx_distinct" -> q20)
+    "q20_approx_distinct" -> q20,
+    "q21_grouping_sets" -> q21,
+    "q22_date_agg" -> q22,
+    "q23_percentile" -> q23,
+    "q24_stats" -> q24,
+    "q25_string_agg" -> q25,
+    "q26_pivot" -> q26)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -438,5 +546,11 @@ object RelationalQueries {
     "q16_asof_join" -> q16Sql,
     "q17_tumbling_window" -> q17Sql,
     "q18_session_window" -> q18Sql,
-    "q19_fuzzy_levenshtein" -> q19Sql)
+    "q19_fuzzy_levenshtein" -> q19Sql,
+    "q21_grouping_sets" -> q21Sql,
+    "q22_date_agg" -> q22Sql,
+    "q23_percentile" -> q23Sql,
+    "q24_stats" -> q24Sql,
+    "q25_string_agg" -> q25Sql,
+    "q26_pivot" -> q26Sql)
 }
