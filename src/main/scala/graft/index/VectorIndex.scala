@@ -55,6 +55,25 @@ object VectorIndex {
   def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
     df.withColumn(embCol, normalized(col(embCol)))
 
+  /** S9 — persist index rows. Partitioned by `document_version` when the
+    * column exists (SURVEY §7.1 M7): version-scoped searches and
+    * re-ingests prune whole directories, and an idempotent re-ingest of
+    * one version is a partition overwrite, not a table rewrite. */
+  def write(df: DataFrame, path: String, mode: String = "append"): Unit = {
+    val w = df.write.mode(mode)
+    if (df.columns.contains("document_version"))
+      w.partitionBy("document_version").parquet(path)
+    else w.parquet(path)
+  }
+
+  /** Load the index, optionally pruned to one document version (a
+    * partition-directory read when written via [[write]]). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    version.fold(df)(v => df.filter(col("document_version") === v))
+  }
+
   /** Exact brute-force top-k cosine search. `index` may be raw
     * (`normalizedInput = false`, norms computed on the fly) or
     * pre-normalized (the scale path). Plans as TakeOrderedAndProject. */

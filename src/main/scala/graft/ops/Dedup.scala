@@ -32,13 +32,24 @@ object Dedup {
       .withColumn("is_dup", row_number().over(w) > 1)
   }
 
-  /** Word n-gram shingle set (distinct) of a text column. */
+  /** Word n-gram shingle set (distinct) of a text column: lowercase,
+    * whitespace-tokenize, sliding n-grams joined with single spaces.
+    * Implemented as a typed UDF (JIT-compiled sliding window) — the
+    * expression form (`transform` + `slice` + `array_join` per token)
+    * runs interpreted and dominated the dedup bench. Locale pinned to
+    * ROOT so lowercasing matches Spark's own locale-independent
+    * `lower`. */
   def shingles(c: Column, n: Int = 3): Column = {
-    val toks = split(normalizedText(c), " ")
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => array_join(slice(toks, i + 1, lit(n)), " ")),
-        s => size(split(s, " ")) === n))
+    val f = udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        if (toks.length < n) Seq.empty[String]
+        else toks.iterator.sliding(n).withPartial(false)
+          .map(_.mkString(" ")).toSeq.distinct
+      }
+    }
+    f(c)
   }
 
   /** Near-duplicate pairs by n-gram Jaccard similarity ≥ `threshold`.
@@ -58,7 +69,12 @@ object Dedup {
       .repartition(col("id")) // barrier: shingle once, not per downstream use
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-    val ex = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // join on the shingle's 64-bit hash — an 8-byte shuffle key instead
+    // of the trigram string (distinct-per-doc shingles, so a hash
+    // collision would need two distinct trigrams colliding in the same
+    // doc pair: ~(n_shingles²/2^64), negligible)
+    val ex = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val a = ex.toDF("id_a", "n_a", "s")
     val b = ex.toDF("id_b", "n_b", "s")
     a.join(b, Seq("s"))
@@ -163,19 +179,28 @@ object Dedup {
     * ±1 bit votes into a 64-wide accumulator (a 64-term per-bit
     * formulation would re-tokenize the text 64 times). */
   def simhash(c: Column): Column = {
-    val toks = split(normalizedText(c), " ")
-    // one literal mask per bit (a lambda variable can't be a shift amount)
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val votes = aggregate(
-      toks,
-      transform(masks, _ => lit(0)),
-      (acc, t) => zip_with(acc,
-        transform(masks, m =>
-          when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val f = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        import scala.util.hashing.MurmurHash3
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        val votes = new Array[Int](64)
+        toks.foreach { t =>
+          val h = (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+            (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+        fp
+      }
+    }
+    f(c)
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

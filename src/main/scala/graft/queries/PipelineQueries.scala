@@ -234,8 +234,10 @@ object PipelineQueries {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Heuristic stopword language-ID (rows-only: the scoring struct is an
-    * engine-side expression; deterministic and unit-tested). */
+  /** Heuristic stopword language-ID. The DuckDB twin is generated from
+    * the same `TextAnalysis.StopwordSets`, with argmax as a
+    * struct-greatest in both engines (score first, language tag as the
+    * deterministic tie-break). */
   private val docLangId: Q = (s, d) => {
     val pred = TextAnalysis.langId(col("text"))
     Tables.documents(s, d)
@@ -243,6 +245,36 @@ object PipelineQueries {
         pred.getField("lang").as("pred_lang"),
         round(pred.getField("score"), 4).as("pred_score"))
       .orderBy("doc_id")
+  }
+
+  private val docLangIdSql: String = {
+    val langs = TextAnalysis.StopwordSets.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      val list = words.map(w => s"'${w}'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($list, x))) AS h_$lang"
+    }.mkString(",\n       |  ")
+    val packs = langs.map { case (lang, _) =>
+      s"struct_pack(score := h_$lang / CAST(total AS DOUBLE), lang := '$lang')"
+    }.mkString(",\n       |    ")
+    // argmax = highest score, language tag as tie-break (DESC on both —
+    // mirrors Spark's greatest() over (score, lang) structs)
+    s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |              x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, labeled_lang, greatest(len(toks), 1) AS total,
+       |  $hitCols
+       |  FROM t),
+       |g AS (SELECT doc_id, labeled_lang, unnest([
+       |    $packs]) AS cand
+       |  FROM s),
+       |b AS (SELECT doc_id, labeled_lang, cand,
+       |  row_number() OVER (PARTITION BY doc_id
+       |                     ORDER BY cand.score DESC, cand.lang DESC) AS rn
+       |  FROM g)
+       |SELECT doc_id, labeled_lang, cand.lang AS pred_lang,
+       |  round(cand.score, 4) AS pred_score
+       |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
   // --------------------------------------- document operators as queries
@@ -408,6 +440,7 @@ object PipelineQueries {
     "doc_quality" -> docQualitySql,
     "doc_tokens" -> docTokensSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,

@@ -499,6 +499,24 @@ object RelationalQueries {
       |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'P') AS P
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q27: semi-structured JSON column access (events.props) — schema-on-
+  // read extraction pushed into a codegen'd path expression.
+  private val q27: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val q27Sql =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -525,7 +543,8 @@ object RelationalQueries {
     "q23_percentile" -> q23,
     "q24_stats" -> q24,
     "q25_string_agg" -> q25,
-    "q26_pivot" -> q26)
+    "q26_pivot" -> q26,
+    "q27_json_extract" -> q27)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -552,5 +571,6 @@ object RelationalQueries {
     "q23_percentile" -> q23Sql,
     "q24_stats" -> q24Sql,
     "q25_string_agg" -> q25Sql,
-    "q26_pivot" -> q26Sql)
+    "q26_pivot" -> q26Sql,
+    "q27_json_extract" -> q27Sql)
 }
