@@ -119,10 +119,15 @@ object DocxReader {
     var text: StringBuilder = null
     var rels: ArrayBuffer[String] = null
 
-    // table state
+    // table state. gridSpan-merged cells are repeated to fill their
+    // span — python-docx iteration semantics (the reference sees merged
+    // cells repeated, docx_etl.py:160-171). Vertically merged (vMerge
+    // continuation) cells surface as empty — a known divergence, only
+    // observable on tables using vertical merges.
     var tableDepth = 0
     var rows: ArrayBuffer[ArrayBuffer[String]] = null
     var cell: StringBuilder = null
+    var cellSpan = 1
 
     while (r.hasNext) {
       r.next() match {
@@ -135,6 +140,10 @@ object DocxReader {
               rows += ArrayBuffer.empty[String]
             case "tc" if tableDepth == 1 =>
               cell = new StringBuilder
+              cellSpan = 1
+            case "gridSpan" if tableDepth == 1 && cell != null =>
+              val v = r.getAttributeValue(WNS, "val")
+              if (v != null) cellSpan = math.max(1, v.toInt)
             case "p" =>
               if (tableDepth == 0) {
                 inPara = true; style = ""; text = new StringBuilder
@@ -164,7 +173,7 @@ object DocxReader {
                 inPara = false
               }
             case "tc" if tableDepth == 1 && cell != null =>
-              rows.last += cell.toString
+              (0 until cellSpan).foreach(_ => rows.last += cell.toString)
               cell = null
             case "tbl" =>
               if (tableDepth == 1) {

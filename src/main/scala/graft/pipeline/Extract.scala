@@ -50,6 +50,34 @@ object Extract {
       col("seq").as("asset_seq"), col("kind"), col("filename"))
   }
 
+  /** [[assets]] with figure extensions resolved from the actual media
+    * part (P11: target filename, else ".bin") instead of the ".png"
+    * default — the reference's `save_image` ext resolution
+    * (`docx_etl.py:152`). `media` comes from `DocxReader.readMedia`. */
+  def assetsWithMedia(blocks: DataFrame, media: DataFrame): DataFrame = {
+    val paired = PairAssets(
+      classify(blocks).select(
+        col("doc_id"), col("seq"), col("pair_kind").as("kind"), col("text")))
+    val rels = blocks
+      .filter(size(col("image_rel_ids")) > 0)
+      .select(col("doc_id"), col("seq").as("asset_seq"),
+        element_at(col("image_rel_ids"), 1).as("rel_id"))
+    val mediaExt = media.select(col("doc_id"), col("rel_id"),
+      Functions.fileExt(col("target"), lit(null)).as("media_ext"))
+    val withExt = paired
+      .join(rels, Seq("doc_id", "asset_seq"), "left")
+      .join(mediaExt, Seq("doc_id", "rel_id"), "left")
+      .withColumn("ext",
+        when(col("kind") === "table", lit(".csv"))
+          .otherwise(coalesce(col("media_ext"), lit(".bin"))))
+    UniqueNames(
+      withExt.select(col("doc_id"), col("asset_seq").as("seq"),
+        Functions.sanitizeName(col("caption")).as("base"), col("ext"),
+        col("cap_seq"), col("caption"), col("kind")))
+      .select(col("doc_id"), col("cap_seq"), col("caption"),
+        col("seq").as("asset_seq"), col("kind"), col("filename"))
+  }
+
   /** S7 — captioned-table cells as flat CSV-ready rows with whitespace
     * normalized (P6): `(doc_id, filename, row_idx, col_idx, cell)`. */
   def tableRows(blocks: DataFrame): DataFrame = {

@@ -75,14 +75,21 @@ object PipelineQueries {
       |WHERE score >= 0.25 ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
   /** The normalized-index fast path (vectors unit-normalized at write
-    * time, search is a pure dot product). Same semantics as knn_top5;
-    * benched, not oracled (the write-side normalization is the point). */
+    * time, search is a pure dot product). Must return the same top-5 as
+    * knn_top5 — shares its oracle. Filter/order on the rounded score so
+    * the decision boundary is bit-identical to the oracle's. */
   private val knnNormTop5: Q = (s, d) => {
     val emb = VectorIndex.withNormalized(Tables.embeddings(s, d).filter(col("vec_id") =!= 0))
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    VectorIndex.search(emb, q, k = 5, threshold = 0.25, normalizedInput = true)
-      .select(col("vec_id"), round(col("score"), 4).as("score"))
+    val qRaw = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val n = math.sqrt(qRaw.map(x => x * x).sum)
+    val qCol = array(qRaw.map(x => lit(x / n)): _*)
+    emb
+      .withColumn("score", round(VectorIndex.dot(col("embedding"), qCol), 4))
+      .filter(col("score") >= 0.25)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
   }
 
   // -------------------------------------------------------------- dedup
@@ -433,6 +440,9 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_top5" -> knnTop5Sql,
+    // the normalized-at-write fast path must produce the same answer as
+    // the on-the-fly cosine — same oracle
+    "knn_norm_top5" -> knnTop5Sql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_neardup_exact" -> embNearDupExactSql,

@@ -517,6 +517,34 @@ object RelationalQueries {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q28: multiset (ALL) set operations — bag semantics, distinct from
+  // q10's set semantics.
+  private val q28: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val highQty = li.filter(col("l_quantity") >= 30).select(col("l_partkey").as("k"))
+    val lowTax  = li.filter(col("l_tax") <= 0.04).select(col("l_partkey").as("k"))
+    highQty.intersectAll(lowTax).groupBy().agg(count(lit(1)).as("n_intersect_all"))
+      .crossJoin(
+        highQty.exceptAll(lowTax).groupBy().agg(count(lit(1)).as("n_except_all")))
+      .crossJoin(
+        highQty.unionByName(lowTax).groupBy().agg(count(lit(1)).as("n_union_all")))
+  }
+
+  private val q28Sql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+      |    INTERSECT ALL
+      |    SELECT l_partkey FROM lineitem WHERE l_tax <= 0.04)) AS n_intersect_all,
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+      |    EXCEPT ALL
+      |    SELECT l_partkey FROM lineitem WHERE l_tax <= 0.04)) AS n_except_all,
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+      |    UNION ALL
+      |    SELECT l_partkey FROM lineitem WHERE l_tax <= 0.04)) AS n_union_all""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -544,7 +572,8 @@ object RelationalQueries {
     "q24_stats" -> q24,
     "q25_string_agg" -> q25,
     "q26_pivot" -> q26,
-    "q27_json_extract" -> q27)
+    "q27_json_extract" -> q27,
+    "q28_bag_set_ops" -> q28)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -572,5 +601,6 @@ object RelationalQueries {
     "q24_stats" -> q24Sql,
     "q25_string_agg" -> q25Sql,
     "q26_pivot" -> q26Sql,
-    "q27_json_extract" -> q27Sql)
+    "q27_json_extract" -> q27Sql,
+    "q28_bag_set_ops" -> q28Sql)
 }

@@ -112,6 +112,37 @@ class DocxReaderSpec extends SparkSpec {
     assert(cells == Set((0, 0, "name"), (0, 1, "va lue"), (1, 0, "port"), (1, 1, "8080")))
   }
 
+  test("assetsWithMedia resolves figure extension from the media target") {
+    val gifPkg = docx(
+      "word/document.xml" -> documentXml,
+      "word/styles.xml" -> stylesXml,
+      "word/_rels/document.xml.rels" ->
+        relsXml.replace("media/image1.png", "media/image1.gif"),
+      "word/media/image1.gif" -> "GIFBYTES")
+    val blocks = DocxReader.parseBytes("m.docx", gifPkg).toDS().toDF()
+    val media = DocxReader.mediaBytes("m.docx", gifPkg).toDS().toDF()
+    val got = graft.pipeline.Extract.assetsWithMedia(blocks, media)
+      .select("kind", "filename").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("figure", "Figure_1_-_architecture.gif"),
+      ("table", "Table_1_-_parameters.csv")))
+  }
+
+  test("gridSpan-merged cells repeat across their span (python-docx parity)") {
+    val doc =
+      s"""<?xml version="1.0"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+         |<w:body>
+         |<w:tbl>
+         |  <w:tr><w:tc><w:tcPr><w:gridSpan w:val="2"/></w:tcPr>
+         |          <w:p><w:r><w:t>wide</w:t></w:r></w:p></w:tc>
+         |        <w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p></w:tc></w:tr>
+         |</w:tbl>
+         |</w:body></w:document>""".stripMargin
+    val blocks = DocxReader.parseBytes("g.docx", docx("word/document.xml" -> doc))
+    assert(blocks.head.table_cells == Seq(Seq("wide", "wide", "x")))
+  }
+
   test("ingest produces denormalized, unit-normalized index rows") {
     val blocks = DocxReader.parseBytes("manual.docx", pkg).toDS().toDF()
     val idx = Extract.ingest(blocks, version = "15.0",
