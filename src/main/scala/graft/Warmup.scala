@@ -36,7 +36,8 @@ object Warmup {
       .withColumn("sh", transform(sequence(lit(0), lit(3)), i => xxhash64(col("n_name"), i)))
       .withColumn("agg", aggregate(col("sh"), lit(0L), (a, x) => a.bitwiseXOR(x)))
       .withColumn("z", aggregate(
-        zip_with(col("sh"), col("sh"), (x, y) => x + y), lit(0L), (a, x) => a + x))
+        zip_with(col("sh"), col("sh"), (x, y) => x.bitwiseXOR(y)),
+        lit(0L), (a, x) => a.bitwiseXOR(x)))
       .withColumn("lastnn", last(when(col("n_nationkey") % 2 === 0, col("n_nationkey")), ignoreNulls = true)
         .over(Window.partitionBy(col("n_regionkey")).orderBy("n_nationkey")
           .rowsBetween(Window.unboundedPreceding, -1)))
