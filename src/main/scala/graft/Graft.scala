@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: session construction with the engine's
+  * recommended settings, and SQL registration of the custom functions.
+  */
+object Graft {
+
+  /** Register the engine's SQL surface on an existing session:
+    * `split_text` (LATERAL VIEW generator), `dot_product`, `l2_norm`,
+    * `cosine_similarity` (codegen expressions). */
+  def registerAll(spark: SparkSession): SparkSession = {
+    graft.expr.VectorExpressions.register(spark)
+    graft.expr.SplitTextGen.register(spark)
+    spark
+  }
+
+  /** Build a session tuned for this engine: AQE on (runtime coalescing
+    * + skew-join splitting), shuffle width matched to local cores, UTC
+    * timezone (oracle parity), functions registered. `cores` maps to
+    * `local[cores]` for local runs; on a cluster pass a master URL via
+    * `spark.master` externally and use [[registerAll]] instead. */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    registerAll(s)
+  }
+}

@@ -17,9 +17,14 @@ import graft.ops.{ChunkText, Functions, PairAssets, Sectionize, UniqueNames}
   */
 object Extract {
 
-  /** O-SEC over parsed DOCX paragraph blocks (kind == "para"). */
-  def sections(blocks: DataFrame, headingPrefix: String = "Heading"): DataFrame =
-    Sectionize(blocks.filter(col("kind") === "para"), headingPrefix)
+  /** O-SEC over parsed DOCX paragraph blocks (kind == "para"; a blocks
+    * frame without a `kind` column is treated as all-paragraphs). */
+  def sections(blocks: DataFrame, headingPrefix: String = "Heading"): DataFrame = {
+    val paras =
+      if (blocks.columns.contains("kind")) blocks.filter(col("kind") === "para")
+      else blocks
+    Sectionize(paras, headingPrefix)
+  }
 
   /** Classify raw DOCX blocks into the O-PAIR kind alphabet: caption
     * paragraphs split by figure/table intent (P3 + P4), image-bearing
@@ -91,6 +96,28 @@ object Extract {
       .select(col("doc_id"), col("filename"), col("row_idx"),
         posexplode(col("cells")).as(Seq("col_idx", "cell")))
       .withColumn("cell", Functions.normalizeWs(col("cell")))
+  }
+
+  /** D1/D3 — the reference's nested ParsedDocument(WithChunks) shape
+    * (`app.py:37-38` writes it as `out/{filename}.json`): one row per
+    * document with `paragraphs: ARRAY<STRUCT<title, text, chunks>>` in
+    * section order. `array_sort(collect_list(struct(sec_id, …)))` keeps
+    * the order stable under shuffle. */
+  def toParsedDocument(
+      blocks: DataFrame,
+      chunkSize: Int = ChunkText.DefaultChunkSize,
+      overlap: Int = ChunkText.DefaultOverlap): DataFrame = {
+    sections(blocks)
+      .withColumn("chunks", ChunkText.chunksCol(col("text"), chunkSize, overlap))
+      .groupBy(col("doc_id").as("document_name"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(
+            col("sec_id"), col("title"), col("text"), col("chunks")))),
+          p => struct(
+            p.getField("title").as("title"),
+            p.getField("text").as("text"),
+            p.getField("chunks").as("chunks"))).as("paragraphs"))
   }
 
   /** §3.1 ingest: sections → P7 embed key → 700/200 chunks → embeddings
