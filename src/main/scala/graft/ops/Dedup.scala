@@ -206,6 +206,57 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup pairs — label propagation with
+    * a driver-side convergence loop (the standard Spark formulation;
+    * GraphX does the same under the hood). Each vertex adopts the
+    * minimum component id among itself and its neighbors until no label
+    * changes. `localCheckpoint` cuts the growing lineage each round —
+    * without it the plan doubles per iteration and the job dies on plan
+    * size long before data size matters. Returns `(id, comp)`.
+    *
+    * Iterations needed = graph diameter; near-dup clusters are shallow
+    * (a dup of a dup of a dup…), so the default cap is generous. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // materialize the edge list once — `pairs` may be an expensive LSH
+    // plan, and the loop would otherwise recompute it every iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
+        .filter(col("comp") =!= col("old_comp"))
+        .limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup: given docs and their near-dup pairs, keep one
+    * representative (minimum id) per connected component; singletons
+    * (docs in no pair) always survive. */
+  def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Exact-dedup convenience: drop all but the lowest-id row per
+    * identical normalized text. */
+  def dropExactDups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exact(df, textCol, idCol).filter(!col("is_dup"))
+      .drop("content_hash", "is_dup")
+
   /** Near-dup pairs by embedding cosine ≥ `threshold`, banded by random
     * hyperplane signs (sign-LSH): vectors agreeing on a `bandBits`-bit
     * sign pattern land in the same bucket; exact cosine is computed only

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Cluster-level dedup: connected components over near-dup pairs and
+  * representative selection. */
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components merge chained pairs") {
+    // chain 1-2-3, pair 10-11, singleton 99 (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(!comps.contains(99L))
+  }
+
+  test("long chains converge (diameter > 2)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L), s"one component expected: $comps")
+  }
+
+  test("dropNearDups keeps one representative per cluster plus singletons") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a copy"), (3L, "a copy copy"),
+      (10L, "b"), (11L, "b copy"), (99L, "unique")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDups(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("end-to-end: minhash pairs -> components -> deduped corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely unrelated text about spark query engines and scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.4)
+      .select("id_a", "id_b")
+    val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L))
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L), "exact dup must fold into the cluster")
+  }
+
+  test("dropExactDups convenience") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    assert(Dedup.dropExactDups(docs).select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
