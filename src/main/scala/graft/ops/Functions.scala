@@ -90,4 +90,8 @@ object Functions {
   def fuzzyRatio(a: Column, b: Column): Column =
     lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b)).cast("double")
+
+  /** P12: phonetic match — true when both strings share a Soundex
+    * code. */
+  def soundsLike(a: Column, b: Column): Column = soundex(a) === soundex(b)
 }

@@ -15,14 +15,17 @@ class EventWindowsSpec extends SparkSpec {
   import spark.implicits._
 
   private def mkEvents(): String = {
+    // 7s cadence with a ~12min silence every 50 events, so session
+    // windows actually split (per-user gap is 35s inside a burst)
+    def ts(i: Int) = new Timestamp(1704067200000L + (i + (i / 50) * 100) * 7000L)
     val rows = (0 until 600).map { i =>
-      (i.toLong, new Timestamp(1704067200000L + i * 7000L), // 2024-01-01, 7s apart
-        (i % 5).toLong, if (i % 3 == 0) "click" else "view", i * 1.5)
+      (i.toLong, ts(i), (i % 5).toLong,
+        if (i % 3 == 0) "click" else "view", i * 1.5)
     }
     // duplicate a slice to exercise dropDuplicates
     val dups = (0 until 50).map { i =>
-      (i.toLong, new Timestamp(1704067200000L + i * 7000L),
-        (i % 5).toLong, if (i % 3 == 0) "click" else "view", i * 1.5)
+      (i.toLong, ts(i), (i % 5).toLong,
+        if (i % 3 == 0) "click" else "view", i * 1.5)
     }
     val dir = Files.createTempDirectory("graft-events").toString + "/e"
     (rows ++ dups).toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -62,5 +65,37 @@ class EventWindowsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     // duplicates were actually dropped: total events = 600 distinct ids
     assert(streamed.toSeq.map(_._3).sum == 600)
+  }
+
+  test("streaming session windows (stateful merge) match batch session_window") {
+    val dir = mkEvents()
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .groupBy(session_window(col("ts"), "60 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"), col("n"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sess_agg")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_agg").as[(Long, Long, Long)].collect().toSet
+    val batch = spark.read.parquet(dir)
+      .dropDuplicates("event_id")
+      .groupBy(session_window(col("ts"), "60 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // the gap injections must actually split sessions per user
+    assert(streamed.size > 5, s"expected multiple sessions per user: ${streamed.size}")
   }
 }

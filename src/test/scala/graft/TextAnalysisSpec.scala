@@ -71,4 +71,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == 1.0)
     assert(got(1) > 0.5 && got(1) < 0.7) // lev 3 / len 7 → ~0.571
   }
+
+  test("soundsLike matches phonetic variants") {
+    val df = Seq(("Robert", "Rupert"), ("Robert", "Alice")).toDF("a", "b")
+    val got = df.select(Functions.soundsLike(col("a"), col("b"))).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false))
+  }
 }
