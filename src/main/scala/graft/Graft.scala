@@ -16,6 +16,18 @@ object Graft {
     spark
   }
 
+  /** Register every testdata table of a scale-factor directory as a
+    * temp view, giving the full `spark.sql` surface over the corpus
+    * (the events view comes pre-converted from nanos). */
+  def registerTables(spark: SparkSession, sfDir: String): SparkSession = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    spark
+  }
+
   /** Build a session tuned for this engine: AQE on (runtime coalescing
     * + skew-join splitting), shuffle width matched to local cores, UTC
     * timezone (oracle parity), functions registered. `cores` maps to
