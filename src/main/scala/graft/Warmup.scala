@@ -42,6 +42,18 @@ object Warmup {
         .over(Window.partitionBy(col("n_regionkey")).orderBy("n_nationkey")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .write.mode("overwrite").format("noop").save()
+    // ObjectHashAggregate (collect_list) + session_window first-use
+    nation
+      .groupBy("n_regionkey")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("n_nationkey"), col("n_name")))),
+        x => x.getField("n_name")), " ").as("names"))
+      .write.mode("overwrite").format("noop").save()
+    nation
+      .withColumn("ts", expr("timestamp_micros(CAST(n_nationkey AS LONG) * 1000000)"))
+      .groupBy(session_window(col("ts"), "2 seconds"))
+      .agg(count(lit(1)))
+      .write.mode("overwrite").format("noop").save()
     System.err.println(f"[warmup] done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
   }
 }
