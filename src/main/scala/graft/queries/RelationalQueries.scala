@@ -545,6 +545,30 @@ object RelationalQueries {
       |    UNION ALL
       |    SELECT l_partkey FROM lineitem WHERE l_tax <= 0.04)) AS n_union_all""".stripMargin
 
+  // q29: correlated-subquery shape — orders 1.5× above their customer's
+  // average. Engine side: a window aggregate (one pass, no re-scan per
+  // row); oracle: the literal correlated scalar subquery. The per-group
+  // mean uses the decimal-exact sum so both engines compute identical
+  // doubles.
+  private val q29: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val q29Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -573,7 +597,8 @@ object RelationalQueries {
     "q25_string_agg" -> q25,
     "q26_pivot" -> q26,
     "q27_json_extract" -> q27,
-    "q28_bag_set_ops" -> q28)
+    "q28_bag_set_ops" -> q28,
+    "q29_correlated" -> q29)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -602,5 +627,6 @@ object RelationalQueries {
     "q25_string_agg" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_json_extract" -> q27Sql,
-    "q28_bag_set_ops" -> q28Sql)
+    "q28_bag_set_ops" -> q28Sql,
+    "q29_correlated" -> q29Sql)
 }
