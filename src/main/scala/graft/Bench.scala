@@ -34,17 +34,24 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val benchStart = System.nanoTime()
+    // second executions stop once the run has spent this much wall —
+    // keeps the whole bench bounded even if the harness enforces a
+    // timeout
+    val rerunBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toDouble
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         // best of two executions: this host exhibits rare multi-second
         // stalls (observed 100×+ outliers on otherwise sub-second
         // queries); the min of two runs reports steady-state cost
-        val runs = (1 to 2).map { _ =>
+        def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
-        timings(name) = runs.min
+        val first = once()
+        val elapsed = (System.nanoTime() - benchStart) / 1e9
+        timings(name) = if (elapsed < rerunBudgetSec) math.min(first, once()) else first
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
