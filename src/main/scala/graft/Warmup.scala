@@ -23,11 +23,13 @@ object Warmup {
       .orderBy("r_name")
       .write.mode("overwrite").format("noop").save()
     // higher-order functions + generator + parquet write committer
-    val tmp = java.nio.file.Files.createTempDirectory("graft-warmup").toString
-    nation
-      .withColumn("toks", filter(split(lower(col("n_name")), "_"), x => length(x) > 0))
-      .select(col("n_nationkey"), posexplode(col("toks")))
-      .write.mode("overwrite").parquet(s"$tmp/w")
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-warmup")
+    try {
+      nation
+        .withColumn("toks", filter(split(lower(col("n_name")), "_"), x => length(x) > 0))
+        .select(col("n_nationkey"), posexplode(col("toks")))
+        .write.mode("overwrite").parquet(s"$tmpDir/w")
+    } finally deleteRecursively(tmpDir)
     // ScalaUDF path + aggregate/zip_with/transform interpreters + the
     // ignoreNulls window frame — each pays a large first-use cost here
     val idf = udf((s: String) => s.length)
@@ -55,5 +57,15 @@ object Warmup {
       .agg(count(lit(1)))
       .write.mode("overwrite").format("noop").save()
     System.err.println(f"[warmup] done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }

@@ -38,7 +38,9 @@ final case class HashingEmbedder(dim: Int = 1024) extends Embedder {
   def embed(text: String): Array[Float] = {
     val acc = new Array[Float](dim)
     if (text != null && text.nonEmpty) {
-      val s = text.toLowerCase
+      // Locale.ROOT: locale-default lowercasing breaks cross-executor
+      // determinism (e.g. tr-TR dotless-ı), same convention as Dedup.
+      val s = text.toLowerCase(java.util.Locale.ROOT)
       // char 3-grams
       var i = 0
       while (i + 3 <= s.length) {

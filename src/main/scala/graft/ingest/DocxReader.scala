@@ -41,6 +41,18 @@ object DocxReader {
   private val WNS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
   private val RNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
+  /** python-docx BabelFish parity: Word writes the built-in heading
+    * styles into styles.xml under lowercase internal names ("heading 1"),
+    * but python-docx reports the capitalized UI alias — which is what the
+    * reference's `startswith("Heading")` gate sees
+    * (`docx_parser.py:72-73`). python-docx aliases exactly the nine
+    * heading styles and nothing else. */
+  private val babelFish: Map[String, String] =
+    (1 to 9).map(i => s"heading $i" -> s"Heading $i").toMap
+
+  @inline private def uiStyleName(internal: String): String =
+    babelFish.getOrElse(internal, internal)
+
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val out = Map.newBuilder[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -120,39 +132,58 @@ object DocxReader {
     var rels: ArrayBuffer[String] = null
 
     // table state. gridSpan-merged cells are repeated to fill their
-    // span — python-docx iteration semantics (the reference sees merged
-    // cells repeated, docx_etl.py:160-171). Vertically merged (vMerge
-    // continuation) cells surface as empty — a known divergence, only
-    // observable on tables using vertical merges.
+    // span, and vMerge continuation cells repeat the merge-origin
+    // cell's content — python-docx iteration semantics (the reference
+    // sees merged cells repeated, docx_etl.py:160-171).
     var tableDepth = 0
     var rows: ArrayBuffer[ArrayBuffer[String]] = null
     var cell: StringBuilder = null
     var cellSpan = 1
+    var cellVMergeCont = false
+    // grid column index → text of that column's current vMerge origin
+    var vMergeOrigin: scala.collection.mutable.Map[Int, String] = null
+    // structured-document-tag depth: python-docx's document.paragraphs/
+    // .tables take only DIRECT body children (`./w:p`, `./w:tbl`), so
+    // sdt-wrapped blocks (e.g. a TOC container) are invisible to the
+    // reference (`docx_parser.py:66` iterates document.paragraphs) and
+    // must be skipped here too.
+    var sdtDepth = 0
 
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
+            case "sdt" =>
+              sdtDepth += 1
             case "tbl" =>
               tableDepth += 1
-              if (tableDepth == 1) rows = ArrayBuffer.empty
-            case "tr" if tableDepth == 1 =>
+              if (tableDepth == 1) {
+                rows = if (sdtDepth == 0) ArrayBuffer.empty else null
+                vMergeOrigin = scala.collection.mutable.Map.empty
+              }
+            case "tr" if tableDepth == 1 && rows != null =>
               rows += ArrayBuffer.empty[String]
-            case "tc" if tableDepth == 1 =>
+            case "tc" if tableDepth == 1 && rows != null =>
               cell = new StringBuilder
               cellSpan = 1
+              cellVMergeCont = false
             case "gridSpan" if tableDepth == 1 && cell != null =>
               val v = r.getAttributeValue(WNS, "val")
               if (v != null) cellSpan = math.max(1, v.toInt)
+            case "vMerge" if tableDepth == 1 && cell != null =>
+              // <w:vMerge/> or val="continue" continues a vertical
+              // merge; val="restart" opens one (origin cell).
+              val v = r.getAttributeValue(WNS, "val")
+              cellVMergeCont = v == null || v == "continue"
             case "p" =>
-              if (tableDepth == 0) {
+              if (tableDepth == 0 && sdtDepth == 0) {
                 inPara = true; style = ""; text = new StringBuilder
                 rels = ArrayBuffer.empty
               }
               paraDepth += 1
             case "pStyle" if inPara && tableDepth == 0 =>
               val v = r.getAttributeValue(WNS, "val")
-              if (v != null) style = styles.getOrElse(v, v)
+              if (v != null) style = uiStyleName(styles.getOrElse(v, v))
             case "t" =>
               val t = r.getElementText
               if (tableDepth >= 1 && cell != null) cell.append(t)
@@ -164,6 +195,8 @@ object DocxReader {
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "sdt" =>
+              sdtDepth -= 1
             case "p" =>
               paraDepth -= 1
               if (inPara && tableDepth == 0 && paraDepth == 0) {
@@ -173,10 +206,16 @@ object DocxReader {
                 inPara = false
               }
             case "tc" if tableDepth == 1 && cell != null =>
-              (0 until cellSpan).foreach(_ => rows.last += cell.toString)
+              val colIdx = rows.last.size
+              val content =
+                if (cellVMergeCont) vMergeOrigin.getOrElse(colIdx, cell.toString)
+                else cell.toString
+              if (!cellVMergeCont)
+                (0 until cellSpan).foreach(i => vMergeOrigin(colIdx + i) = content)
+              (0 until cellSpan).foreach(_ => rows.last += content)
               cell = null
             case "tbl" =>
-              if (tableDepth == 1) {
+              if (tableDepth == 1 && rows != null) {
                 blocks += Block(docId, seq, "table", "", "",
                   rows.map(_.toSeq).toSeq, Seq.empty)
                 seq += 1

@@ -34,35 +34,53 @@ object Curate {
 
   /** Run the curation; returns the final index rows and the per-stage
     * attrition report. `docs` needs `(doc_id, text)`; a `lang` column is
-    * used when present, else the heuristic language-ID decides. */
+    * used when present, else the heuristic language-ID decides.
+    *
+    * Single-scan-per-stage guarantee: every stage is persisted before
+    * its attrition `.count()`, and the next stage reads the persisted
+    * parent — so at 100 TB the six report counts cost one pass over
+    * each stage's (shrinking) output, not six recomputations of the
+    * full upstream lineage. A stage is unpersisted as soon as its child
+    * is materialized; the returned index stays persisted (the caller
+    * writes it out next and may unpersist after).
+    */
   def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, Report) = {
+    import org.apache.spark.storage.StorageLevel
     val input = docs.count()
 
     val quality = docs
       .withColumn("__q", TextAnalysis.qualityScore(col("text")))
       .filter(col("__q") >= cfg.minQuality)
       .drop("__q")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nQuality = quality.count()
 
-    val langed =
+    val langed = {
       if (docs.columns.contains("lang"))
         quality.filter(col("lang").isin(cfg.languages: _*))
       else quality.filter(
         TextAnalysis.langId(col("text")).getField("lang").isin(cfg.languages: _*))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     val nLang = langed.count()
+    quality.unpersist(blocking = false)
 
-    val exact = Dedup.dropExactDups(langed)
+    val exact = Dedup.dropExactDups(langed).persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
+    langed.unpersist(blocking = false)
 
     val pairs = Dedup.minHashPairs(exact, threshold = cfg.jaccardThreshold)
       .select("id_a", "id_b")
     val deduped = Dedup.dropNearDups(exact, pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nNear = deduped.count()
+    exact.unpersist(blocking = false)
 
     val index = StreamingIngest.ingestBatch(
       deduped.select(col("doc_id").cast("string").as("doc_id"), col("text")),
       cfg.embedder, cfg.chunkSize, cfg.chunkOverlap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nChunks = index.count()
+    deduped.unpersist(blocking = false)
 
     (index, Report(input, nQuality, nLang, nExact, nNear, nChunks))
   }

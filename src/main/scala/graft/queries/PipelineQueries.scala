@@ -185,13 +185,17 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(col("n_tokens")).as("sum_tokens"),
-        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
       .orderBy("lang")
 
+  // DuckDB widens SUM(<integer>) to HUGEINT/INT128, which the driver's
+  // hasher canonicalizes differently from Spark's BIGINT — cast the
+  // aggregate itself back to BIGINT (cast must be OUTSIDE the SUM).
   private val docLangProfileSql =
-    s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       |  SUM(n_tokens) AS sum_tokens,
-       |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
        |FROM (SELECT lang, n_chars, len($toksSql) AS n_tokens FROM documents) t
        |GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -511,7 +511,7 @@ object RelationalQueries {
 
   private val q27Sql =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -569,6 +569,49 @@ object RelationalQueries {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // q30: grouped top-k via the typed TopKAggregator — bounded k-element
+  // map-side buffers (shuffle carries ≤ k rows per group) instead of the
+  // window's full per-group sort. Oracle: the row_number formulation,
+  // which DuckDB computes by actually sorting every group — same answer,
+  // different (and at 100 TB worse) plan.
+  private val q30: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, k, p) => (k, p) }
+      .agg(new graft.expr.TopKAggregator(3).toColumn)
+      .toDF("o_custkey", "topk")
+      .select(col("o_custkey"), posexplode(col("topk.items")))
+      .select(col("o_custkey"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val q30Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // q20's exact twin: COUNT(DISTINCT) with a DuckDB oracle, so the
+  // HLL++ approximation has an oracle-checked exact companion.
+  private val q20Exact: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q20ExactSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -598,7 +641,9 @@ object RelationalQueries {
     "q26_pivot" -> q26,
     "q27_json_extract" -> q27,
     "q28_bag_set_ops" -> q28,
-    "q29_correlated" -> q29)
+    "q29_correlated" -> q29,
+    "q30_grouped_topk" -> q30,
+    "q20_exact_distinct" -> q20Exact)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -628,5 +673,7 @@ object RelationalQueries {
     "q26_pivot" -> q26Sql,
     "q27_json_extract" -> q27Sql,
     "q28_bag_set_ops" -> q28Sql,
-    "q29_correlated" -> q29Sql)
+    "q29_correlated" -> q29Sql,
+    "q30_grouped_topk" -> q30Sql,
+    "q20_exact_distinct" -> q20ExactSql)
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.index.VectorIndex
+import graft.ingest.DocxReader
 import graft.ops.ChunkText
 
 /** ST1 — streaming ingestion. The reference ingests per HTTP request
@@ -63,6 +64,45 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, embedder)
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+  }
+
+  /** S5's actual shape: `.docx` files landing in `landingDir` (the
+    * reference's upload endpoint gates on the extension, `app.py:17-29`)
+    * are parsed with [[DocxReader.parseBytes]], sectionized, chunked,
+    * embedded, and appended to the vector index — the full `Extract
+    * .ingest` pipeline per micro-batch. `binaryFile` is the streaming
+    * source, so each file is one task and parallelism comes from the
+    * corpus (a DOCX zip is unsplittable). */
+  def startDocx(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      embedder: Embedder = HashingEmbedder(),
+      version: String = "1"): StreamingQuery = {
+    val files = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.docx") // the app.py extension gate
+      // streaming sources require the schema up front (no inference)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(landingDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("doc_id"),
+        col("content"))
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val blocks = batch.as[(String, Array[Byte])]
+          .flatMap { case (name, bytes) => DocxReader.parseBytes(name, bytes) }
+          .toDF()
+        graft.pipeline.Extract.ingest(blocks, version, embedder)
           .write.mode("append").parquet(indexDir)
       }
       .start()

@@ -143,6 +143,46 @@ class DocxReaderSpec extends SparkSpec {
     assert(blocks.head.table_cells == Seq(Seq("wide", "wide", "x")))
   }
 
+  test("vMerge continuation cells repeat the merge-origin content (python-docx parity)") {
+    val doc =
+      s"""<?xml version="1.0"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+         |<w:body>
+         |<w:tbl>
+         |  <w:tr><w:tc><w:tcPr><w:vMerge w:val="restart"/></w:tcPr>
+         |          <w:p><w:r><w:t>merged</w:t></w:r></w:p></w:tc>
+         |        <w:tc><w:p><w:r><w:t>a1</w:t></w:r></w:p></w:tc></w:tr>
+         |  <w:tr><w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc>
+         |        <w:tc><w:p><w:r><w:t>a2</w:t></w:r></w:p></w:tc></w:tr>
+         |  <w:tr><w:tc><w:tcPr><w:vMerge w:val="continue"/></w:tcPr><w:p/></w:tc>
+         |        <w:tc><w:p><w:r><w:t>a3</w:t></w:r></w:p></w:tc></w:tr>
+         |  <w:tr><w:tc><w:p><w:r><w:t>fresh</w:t></w:r></w:p></w:tc>
+         |        <w:tc><w:p><w:r><w:t>a4</w:t></w:r></w:p></w:tc></w:tr>
+         |</w:tbl>
+         |</w:body></w:document>""".stripMargin
+    val blocks = DocxReader.parseBytes("v.docx", docx("word/document.xml" -> doc))
+    assert(blocks.head.table_cells == Seq(
+      Seq("merged", "a1"), Seq("merged", "a2"), Seq("merged", "a3"), Seq("fresh", "a4")))
+  }
+
+  test("vMerge interacts with gridSpan: a spanned origin repeats into both columns") {
+    val doc =
+      s"""<?xml version="1.0"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+         |<w:body>
+         |<w:tbl>
+         |  <w:tr><w:tc><w:tcPr><w:gridSpan w:val="2"/><w:vMerge w:val="restart"/></w:tcPr>
+         |          <w:p><w:r><w:t>wide</w:t></w:r></w:p></w:tc>
+         |        <w:tc><w:p><w:r><w:t>b1</w:t></w:r></w:p></w:tc></w:tr>
+         |  <w:tr><w:tc><w:tcPr><w:gridSpan w:val="2"/><w:vMerge/></w:tcPr><w:p/></w:tc>
+         |        <w:tc><w:p><w:r><w:t>b2</w:t></w:r></w:p></w:tc></w:tr>
+         |</w:tbl>
+         |</w:body></w:document>""".stripMargin
+    val blocks = DocxReader.parseBytes("vg.docx", docx("word/document.xml" -> doc))
+    assert(blocks.head.table_cells == Seq(
+      Seq("wide", "wide", "b1"), Seq("wide", "wide", "b2")))
+  }
+
   test("ingest produces denormalized, unit-normalized index rows") {
     val blocks = DocxReader.parseBytes("manual.docx", pkg).toDS().toDF()
     val idx = Extract.ingest(blocks, version = "15.0",

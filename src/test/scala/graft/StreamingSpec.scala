@@ -46,6 +46,51 @@ class StreamingSpec extends SparkSpec {
     assert(top == "doc_a.txt")
   }
 
+  test("streaming DOCX ingest: landed .docx parses, sectionizes, embeds, indexes") {
+    val landing = Files.createTempDirectory("graft-landing3").toString
+    val index = Files.createTempDirectory("graft-index3").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+
+    // minimal but real OOXML package, heading written the way Word does
+    // (lowercase internal style name, resolved via styles.xml)
+    val stylesXml =
+      """<?xml version="1.0"?>
+        |<w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |  <w:style w:styleId="H1"><w:name w:val="heading 1"/></w:style>
+        |</w:styles>""".stripMargin
+    val documentXml =
+      s"""<?xml version="1.0"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+         |<w:body>
+         |<w:p><w:pPr><w:pStyle w:val="H1"/></w:pPr><w:r><w:t>Install</w:t></w:r></w:p>
+         |<w:p><w:r><w:t>${"mobile client setup steps " * 40}</w:t></w:r></w:p>
+         |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq("word/document.xml" -> documentXml, "word/styles.xml" -> stylesXml).foreach {
+      case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    Files.write(java.nio.file.Paths.get(landing, "guide.docx"), bos.toByteArray)
+    // the extension gate (app.py:17-29): non-docx files never enter
+    Files.writeString(java.nio.file.Paths.get(landing, "ignored.txt"), "not a docx")
+
+    StreamingIngest.startDocx(spark, landing, index, ckpt,
+      HashingEmbedder(64), version = "15.0").awaitTermination(120000)
+
+    val idx = spark.read.parquet(index)
+    assert(idx.count() > 1) // long section → multiple chunks
+    assert(idx.select("document_name").distinct().as[String].collect().toSeq
+      == Seq("guide.docx"))
+    assert(idx.select("paragraph_name").distinct().as[String].collect().toSeq
+      == Seq("Install"))
+    assert(idx.select("document_version").distinct().as[String].head() == "15.0")
+    val norms = idx.select(VectorIndex.l2Norm(col("embedding"))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
+  }
+
   test("streaming ingest is incremental: a second start picks up only new files") {
     val landing = Files.createTempDirectory("graft-landing2").toString
     val index = Files.createTempDirectory("graft-index2").toString + "/idx"

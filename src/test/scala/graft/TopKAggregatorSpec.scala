@@ -19,13 +19,15 @@ class TopKAggregatorSpec extends SparkSpec {
       .mapValues { case (_, k, p) => (k, p) }
       .agg(new TopKAggregator(3).toColumn)
       .collect()
-      .map { case (status, top) => status -> top.map(_._1).toSeq }
+      .map { case (status, top) => status -> top.items.map(_.id) }
       .toMap
 
-    // window oracle
+    // window oracle — explicit final sort: collect() order after a
+    // filter is not guaranteed, and groupBy preserves encounter order
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val win = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy("o_orderstatus", "rn")
       .select("o_orderstatus", "o_orderkey").as[(String, Long)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
@@ -38,6 +40,7 @@ class TopKAggregatorSpec extends SparkSpec {
     val top = data.groupByKey(_ => "all")
       .agg(new TopKAggregator(2).toColumn)
       .collect().head._2
-    assert(top == Seq((1L, 5.0), (2L, 5.0)))
+    assert(top.items == Seq(
+      TopKAggregator.Scored(1L, 5.0), TopKAggregator.Scored(2L, 5.0)))
   }
 }
