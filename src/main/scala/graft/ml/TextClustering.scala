@@ -52,4 +52,26 @@ object TextClustering {
       .setK(k).setSeed(seed)
     km.fit(withVec).transform(withVec).drop("__vec")
   }
+
+  /** [[clusterEmbeddings]] plus a `dist` column: squared euclidean
+    * distance of each row to its own cluster center. The k×dim center
+    * matrix rides the task closure (broadcast-sized); the distance is a
+    * narrow per-row transform — no extra shuffle. Accepts float or
+    * double arrays. */
+  def clusterEmbeddingsWithDist(
+      df: DataFrame,
+      embCol: String = "embedding",
+      k: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val withVec = df.withColumn("__vec", toVec(col(embCol).cast("array<double>")))
+    val model = new KMeans().setFeaturesCol("__vec").setPredictionCol("cluster")
+      .setK(k).setSeed(seed).fit(withVec)
+    val centers = model.clusterCenters
+    val distTo = udf((v: org.apache.spark.ml.linalg.Vector, c: Int) =>
+      Vectors.sqdist(v, centers(c)))
+    model.transform(withVec)
+      .withColumn("dist", distTo(col("__vec"), col("cluster")))
+      .drop("__vec")
+  }
 }

@@ -421,6 +421,24 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic RAGAS testset-candidate dataflow
+    * (`make_ragas_test.py:57-132` minus the external LLM call):
+    * documents → chunk/embed/index → scroll cap → cluster → one
+    * candidate QA row per cluster. Rows-only: KMeans clustering is not
+    * SQL-expressible; semantics are unit-tested in `TestsetGenSpec`. */
+  private val ragasTestset: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 80)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val idx = graft.streaming.StreamingIngest.ingestBatch(docs, HashingEmbedder(64))
+      .withColumnRenamed("chunk_text", "text")
+      .withColumn("document_name", col("doc_id"))
+    graft.pipeline.TestsetGen.candidates(
+      idx, limit = 60, testSize = 5, contextsPerQuestion = 3)
+      .select(col("cluster"), col("question"),
+        size(col("contexts")).as("n_contexts"), col("document_name"))
+      .orderBy("cluster")
+  }
+
   val defs: Map[String, Q] = Map(
     "knn_top5" -> knnTop5,
     "knn_norm_top5" -> knnNormTop5,
@@ -440,7 +458,8 @@ object PipelineQueries {
     "uniq_names" -> uniqNames,
     "chunk_stats" -> chunkStats,
     "emb_pad_truncate" -> embPadTruncate,
-    "embed_docs" -> embedDocs)
+    "embed_docs" -> embedDocs,
+    "ragas_testset_candidates" -> ragasTestset)
 
   val oracles: Map[String, String] = Map(
     "knn_top5" -> knnTop5Sql,
