@@ -74,6 +74,61 @@ object VectorIndex {
     version.fold(df)(v => df.filter(col("document_version") === v))
   }
 
+  /** IVF (inverted-file) ANN index: every row is assigned to one of
+    * `nlist` KMeans cells at build time. A search scores the query
+    * against the nlist centers on the driver (nlist×dim doubles — a
+    * constant) and scans only the `nprobe` nearest cells.
+    *
+    * 100 TB shape: persist `cells` with `partitionBy("cell")` — probing
+    * then PRUNES partition directories (reads ~nprobe/nlist of the
+    * index from disk) instead of filtering a full scan. With
+    * `nprobe == nlist` the search is exhaustive and must equal exact
+    * brute-force — the oracle-checked configuration (`knn_ivf_top5`);
+    * recall-vs-cost at `nprobe < nlist` is unit-tested on separable
+    * clusters (`IvfIndexSpec`). */
+  case class IvfIndex(cells: DataFrame, centers: Array[Array[Double]]) {
+    def nlist: Int = centers.length
+  }
+
+  def buildIvf(
+      index: DataFrame,
+      nlist: Int = 16,
+      embCol: String = "embedding",
+      seed: Long = 42L): IvfIndex = {
+    val (assigned, centers) =
+      graft.ml.TextClustering.kmeansAssign(index, embCol, nlist, seed)
+    IvfIndex(assigned.withColumnRenamed("cluster", "cell").drop("dist"), centers)
+  }
+
+  /** The rows of the `nprobe` cells whose centers are most cosine-similar
+    * to `query` (driver-side center scoring; cell-id tie-break). */
+  def probeCells(ivf: IvfIndex, query: Array[Double], nprobe: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val ranked = ivf.centers.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val sim = if (cn > 0 && qn > 0) dot / (cn * qn) else 0.0
+      (i, sim)
+    }
+    val chosen = ranked.sortBy { case (i, s) => (-s, i) }
+      .take(math.min(nprobe, ivf.nlist)).map(_._1)
+    ivf.cells.filter(col("cell").isin(chosen.map(Integer.valueOf): _*))
+  }
+
+  /** ANN top-k over an IVF index: probe, then the same
+    * filter → orderBy → limit TakeOrderedAndProject path as [[search]]
+    * — but over nprobe cells instead of the full index. */
+  def searchIvf(
+      ivf: IvfIndex,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5,
+      nprobe: Int = 4,
+      embCol: String = "embedding",
+      normalizedInput: Boolean = false): DataFrame =
+    search(probeCells(ivf, query, nprobe).drop("cell"), query, k, threshold,
+      embCol, normalizedInput)
+
   /** Exact brute-force top-k cosine search. `index` may be raw
     * (`normalizedInput = false`, norms computed on the fly) or
     * pre-normalized (the scale path). Plans as TakeOrderedAndProject. */

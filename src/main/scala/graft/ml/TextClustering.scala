@@ -62,7 +62,17 @@ object TextClustering {
       df: DataFrame,
       embCol: String = "embedding",
       k: Int = 10,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    kmeansAssign(df, embCol, k, seed)._1
+
+  /** KMeans fit + assignment returning both the assigned frame
+    * (`cluster`, `dist` columns added) and the k×dim cluster centers —
+    * the build step for centroid-probed structures (IVF). */
+  def kmeansAssign(
+      df: DataFrame,
+      embCol: String = "embedding",
+      k: Int = 10,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val withVec = df.withColumn("__vec", toVec(col(embCol).cast("array<double>")))
     val model = new KMeans().setFeaturesCol("__vec").setPredictionCol("cluster")
@@ -70,8 +80,9 @@ object TextClustering {
     val centers = model.clusterCenters
     val distTo = udf((v: org.apache.spark.ml.linalg.Vector, c: Int) =>
       Vectors.sqdist(v, centers(c)))
-    model.transform(withVec)
+    val assigned = model.transform(withVec)
       .withColumn("dist", distTo(col("__vec"), col("cluster")))
       .drop("__vec")
+    (assigned, centers.map(_.toArray))
   }
 }

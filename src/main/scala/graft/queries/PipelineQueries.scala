@@ -92,6 +92,25 @@ object PipelineQueries {
       .limit(5)
   }
 
+  /** The IVF ANN path in its oracle-checked configuration: probing all
+    * `nlist` cells makes the search exhaustive, so the result must be
+    * bit-identical to brute-force `knn_top5` (same oracle). The
+    * `nprobe < nlist` cost/recall trade is unit-tested (`IvfIndexSpec`)
+    * — an approximate result has no SQL oracle by nature. */
+  private val knnIvfTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qCol = array(q.map(lit): _*)
+    val ivf = VectorIndex.buildIvf(emb.filter(col("vec_id") =!= 0), nlist = 8)
+    VectorIndex.probeCells(ivf, q, nprobe = 8).drop("cell")
+      .withColumn("score", round(VectorIndex.cosine(col("embedding"), qCol), 4))
+      .filter(col("score") >= 0.25)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+  }
+
   // -------------------------------------------------------------- dedup
 
   private val dedupExact: Q = (s, d) =>
@@ -442,6 +461,7 @@ object PipelineQueries {
   val defs: Map[String, Q] = Map(
     "knn_top5" -> knnTop5,
     "knn_norm_top5" -> knnNormTop5,
+    "knn_ivf_top5" -> knnIvfTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -466,6 +486,8 @@ object PipelineQueries {
     // the normalized-at-write fast path must produce the same answer as
     // the on-the-fly cosine — same oracle
     "knn_norm_top5" -> knnTop5Sql,
+    // IVF with nprobe == nlist is exhaustive — same oracle again
+    "knn_ivf_top5" -> knnTop5Sql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_neardup_exact" -> embNearDupExactSql,

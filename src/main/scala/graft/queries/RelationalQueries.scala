@@ -599,6 +599,47 @@ object RelationalQueries {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  // q31: gap-sessionization via the window-function formulation
+  // (lag → marker → running sum = session id) — the SQL-expressible twin
+  // of the flatMapGroupsWithState operator (StatefulSessionsSpec proves
+  // the custom-state path equal to this one).
+  private val q31: Q = (s, d) =>
+    graft.streaming.StatefulSessions.sessionizeBatch(
+      Tables.events(s, d).select("user_id", "ts", "event_type", "value"),
+      gapSeconds = 900)
+      .orderBy("user_id", "start_us")
+
+  private val q31Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, us, event_type, value,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_type) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_type)
+      |              > 900000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |), sid AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_type
+      |              ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m
+      |), f AS (
+      |  SELECT *,
+      |    first_value(event_type) OVER (PARTITION BY user_id, sess_id
+      |      ORDER BY us, event_type
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+      |    last_value(event_type) OVER (PARTITION BY user_id, sess_id
+      |      ORDER BY us, event_type
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      |  FROM sid
+      |)
+      |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |  MIN(first_type) AS first_type, MIN(last_type) AS last_type
+      |FROM f GROUP BY user_id, sess_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   // q20's exact twin: COUNT(DISTINCT) with a DuckDB oracle, so the
   // HLL++ approximation has an oracle-checked exact companion.
   private val q20Exact: Q = (s, d) =>
@@ -643,6 +684,7 @@ object RelationalQueries {
     "q28_bag_set_ops" -> q28,
     "q29_correlated" -> q29,
     "q30_grouped_topk" -> q30,
+    "q31_sessionize" -> q31,
     "q20_exact_distinct" -> q20Exact)
 
   val oracles: Map[String, String] = Map(
@@ -675,5 +717,6 @@ object RelationalQueries {
     "q28_bag_set_ops" -> q28Sql,
     "q29_correlated" -> q29Sql,
     "q30_grouped_topk" -> q30Sql,
+    "q31_sessionize" -> q31Sql,
     "q20_exact_distinct" -> q20ExactSql)
 }
