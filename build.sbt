@@ -35,5 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Cyrillic-named manual)
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
+  // javax.imageio decode/encode without a display server
+  "-Djava.awt.headless=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

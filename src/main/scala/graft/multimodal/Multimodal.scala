@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing as batched `mapPartitions` stages.
   *
-  * The actual codec step is STUBBED behind [[MediaDecoder]] — no
-  * image/audio libraries exist in this environment — with a
-  * deterministic fake ([[StubDecoder]]) so the Spark-side contract
-  * (schema, batching, partitioning, row shapes) is real and tested. A
-  * production deployment plugs a JNI/JavaCV-backed decoder into the same
-  * trait; nothing else changes.
+  * The IMAGE codec is real: [[ImageIoDecoder]] decodes PNG/JPEG/GIF/BMP
+  * through the JDK's own `javax.imageio` (no external libraries), and
+  * [[resizeImages]] re-encodes scaled PNGs via `Graphics2D` — both run
+  * offline and are exercised against the reference manual's actual
+  * media parts (`ReferenceDocxSpec`). AUDIO/VIDEO codecs do not exist
+  * in the JDK, so those kinds stay STUBBED behind the same
+  * [[MediaDecoder]] trait with a deterministic fake ([[StubDecoder]]);
+  * a production deployment plugs a JNI/JavaCV-backed decoder into the
+  * trait and nothing else changes.
   *
   * Scale notes: media bytes ride executor-side only (no driver collect);
   * feature extraction is per-partition batched so a decoder can amortize
@@ -69,6 +72,99 @@ object Multimodal {
       }
       MediaFeatures(w, ht, nf, feats)
     }
+  }
+
+  /** Real image decoder on the JDK's built-in codecs (`javax.imageio`:
+    * PNG, JPEG, GIF, BMP). Features: a `grid`×`grid` cell map of mean
+    * RGB in [0,1] (`grid²·3` floats) — the classic color-layout
+    * descriptor, computed with a pixel stride that caps per-image work.
+    * Kinds without a JDK codec (audio/video) and undecodable bytes fall
+    * back to the deterministic stub at the same feature dimension. */
+  final case class ImageIoDecoder(grid: Int = 4) extends MediaDecoder {
+    val featureDim: Int = grid * grid * 3
+    private val fallback = StubDecoder(featureDim)
+
+    def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (kind != "image" || bytes == null || bytes.isEmpty)
+        return fallback.decode(kind, bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return fallback.decode(kind, bytes)
+      val w = img.getWidth
+      val h = img.getHeight
+      val feats = new Array[Float](featureDim)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid; val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+          val y0 = gy * h / grid; val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+          val step = math.max(1, math.min(x1 - x0, y1 - y0) / 8)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              n += 1
+              x += step
+            }
+            y += step
+          }
+          val base = (gy * grid + gx) * 3
+          feats(base) = (r.toDouble / n / 255.0).toFloat
+          feats(base + 1) = (g.toDouble / n / 255.0).toFloat
+          feats(base + 2) = (b.toDouble / n / 255.0).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      MediaFeatures(w, h, 1, feats)
+    }
+  }
+
+  /** Real resize stage: decode → bilinear `Graphics2D` scale to fit
+    * `maxSide` → re-encode PNG, replacing the `media` payload and
+    * appending the output dims. Non-image rows (and undecodable bytes)
+    * pass through with null dims and an untouched payload. Per-partition
+    * batched like every codec stage. */
+  def resizeImages(df: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0)
+    val schema = df.schema
+      .add(StructField("out_width", IntegerType))
+      .add(StructField("out_height", IntegerType))
+    val enc = RowEncoder.encoderFor(schema)
+    val kindIdx = df.schema.fieldIndex("kind")
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(kindIdx)
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val img =
+          if (kind != "image" || bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+          val ow = math.max(1, math.round(img.getWidth * scale).toInt)
+          val oh = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, ow, oh, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Row.fromSeq(r.toSeq.updated(mediaIdx, bos.toByteArray) ++ Seq(ow, oh))
+        }
+      }
+    }(enc)
   }
 
   /** Attach decoded metadata + feature vector to a binary asset frame.

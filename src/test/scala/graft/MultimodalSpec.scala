@@ -49,6 +49,55 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  /** A w×h PNG whose left half is pure red and right half pure blue. */
+  private def halfPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder really decodes: true dims and color-layout features") {
+    val png = halfPng(64, 32)
+    val df = Seq(("p1", "image", png), ("a1", "audio", Array[Byte](1, 2)))
+      .toDF("asset_id", "kind", "media")
+    val out = Multimodal.withFeatures(df, Multimodal.ImageIoDecoder(grid = 2))
+    val p = out.filter(col("asset_id") === "p1").head()
+    assert(p.getAs[Int]("width") == 64 && p.getAs[Int]("height") == 32)
+    val f = p.getSeq[Float](p.fieldIndex("features"))
+    assert(f.length == 12) // 2×2 grid × RGB
+    // left cells ≈ red (r≈1, b≈0), right cells ≈ blue
+    val (tlR, tlB) = (f(0), f(2))
+    val (trR, trB) = (f(3), f(5))
+    assert(tlR > 0.9f && tlB < 0.1f, s"top-left should be red: $f")
+    assert(trB > 0.9f && trR < 0.1f, s"top-right should be blue: $f")
+    // non-image kinds fall back to the stub at the same dim
+    val a = out.filter(col("asset_id") === "a1").head()
+    assert(a.getSeq[Float](a.fieldIndex("features")).length == 12)
+  }
+
+  test("resizeImages re-encodes a truly scaled PNG payload") {
+    val df = Seq(("p1", "image", halfPng(100, 50)),
+      ("t1", "audio", Array[Byte](7))).toDF("asset_id", "kind", "media")
+    val out = Multimodal.resizeImages(df, maxSide = 32).cache()
+    val p = out.filter(col("asset_id") === "p1").head()
+    assert(p.getAs[Int]("out_width") == 32 && p.getAs[Int]("out_height") == 16)
+    // the payload itself was replaced: re-decoding it yields the new dims
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p.getAs[Array[Byte]]("media")))
+    assert(resized.getWidth == 32 && resized.getHeight == 16)
+    // and the color layout survives the scale
+    assert((resized.getRGB(4, 8) >> 16 & 0xff) > 200) // left still red
+    assert((resized.getRGB(28, 8) & 0xff) > 200) // right still blue
+    // non-image rows pass through untouched
+    val t = out.filter(col("asset_id") === "t1").head()
+    assert(t.isNullAt(t.fieldIndex("out_width")))
+    assert(t.getAs[Array[Byte]]("media").toSeq == Seq[Byte](7))
+  }
+
   test("asset schema round-trips through parquet with binary payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString + "/t"
     val rows = java.util.Arrays.asList(

@@ -85,6 +85,32 @@ class ReferenceDocxSpec extends SparkSpec {
     assert(blocks.flatMap(_.image_rel_ids).toSet.subsetOf(media.map(_.rel_id).toSet))
   }
 
+  test("real image decode: the manual's PNGs through the multimodal pipeline") {
+    requireManual()
+    import graft.multimodal.Multimodal
+    val bytes = java.nio.file.Files.readAllBytes(refFile)
+    val media = DocxReader.mediaBytes(refName, bytes)
+      .filter(_.target.endsWith(".png"))
+    val assets = media.map(m => (m.rel_id, "image", m.bytes))
+      .toDF("asset_id", "kind", "media")
+
+    val decoded = Multimodal.withFeatures(assets, Multimodal.ImageIoDecoder()).cache()
+    assert(decoded.count() == 10)
+    // every PNG truly decodes: positive dims, real screenshots are wide
+    val dims = decoded.select("width", "height").as[(Int, Int)].collect()
+    assert(dims.forall { case (w, h) => w > 0 && h > 0 })
+    assert(dims.exists { case (w, _) => w > 200 }, s"dims: ${dims.toSeq}")
+    // features are real color layouts (not all-zero, within [0,1])
+    val feats = decoded.select("features").as[Seq[Float]].collect()
+    assert(feats.forall(f => f.length == 48 && f.forall(x => x >= 0f && x <= 1f)))
+    assert(feats.exists(_.exists(_ > 0.05f)))
+
+    // resize: every output fits 256 and payloads re-decode at the new dims
+    val resized = Multimodal.resizeImages(assets, maxSide = 256)
+    val outDims = resized.select("out_width", "out_height").as[(Int, Int)].collect()
+    assert(outDims.forall { case (w, h) => math.max(w, h) <= 256 && w > 0 && h > 0 })
+  }
+
   test("distributed extractor pipeline over the real manual") {
     requireManual()
     val blocks = DocxReader.read(spark, refDir).cache()
