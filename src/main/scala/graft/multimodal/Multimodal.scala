@@ -125,6 +125,81 @@ object Multimodal {
     }
   }
 
+  /** Real audio decoder on the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU — PCM). Meta mapping for audio: `width` = sample rate, `height`
+    * = channels, `nFrames` = PCM frame count. Features: `featureDim`
+    * equal-width RMS energy windows over the mono mix in [0,1] — a real
+    * loudness profile. Non-audio kinds and undecodable bytes fall back
+    * to the stub. */
+  final case class AudioWavDecoder(featureDim: Int = 16) extends MediaDecoder {
+    private val fallback = StubDecoder(featureDim)
+
+    def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (kind != "audio" || bytes == null || bytes.isEmpty)
+        return fallback.decode(kind, bytes)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        ais.close()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val channels = math.max(1, fmt.getChannels)
+        val frameBytes = bytesPerSample * channels
+        val nFrames = data.length / frameBytes
+        if (nFrames == 0 || bytesPerSample != 2)
+          return fallback.decode(kind, bytes) // contract covers 16-bit PCM
+        val feats = new Array[Float](featureDim)
+        var w = 0
+        while (w < featureDim) {
+          val f0 = w * nFrames / featureDim
+          val f1 = math.max(f0 + 1, (w + 1) * nFrames / featureDim)
+          var sumSq = 0.0
+          var f = f0
+          while (f < f1) {
+            // mono mix of the frame's channels
+            var ch = 0
+            var mix = 0.0
+            while (ch < channels) {
+              val o = f * frameBytes + ch * 2
+              val s =
+                if (fmt.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+              mix += s / 32768.0
+              ch += 1
+            }
+            mix /= channels
+            sumSq += mix * mix
+            f += 1
+          }
+          feats(w) = math.sqrt(sumSq / (f1 - f0)).toFloat
+          w += 1
+        }
+        MediaFeatures(fmt.getSampleRate.toInt, channels, nFrames, feats)
+      } catch { case _: Exception => fallback.decode(kind, bytes) }
+    }
+  }
+
+  /** Kind-routing composite: image → [[ImageIoDecoder]], audio →
+    * [[AudioWavDecoder]], everything else (video — no JDK codec) → the
+    * deterministic stub. All routes must agree on `featureDim` so the
+    * output column is uniform. */
+  final case class RoutingDecoder(
+      routes: Map[String, MediaDecoder],
+      default: MediaDecoder) extends MediaDecoder {
+    val featureDim: Int = default.featureDim
+    require(routes.values.forall(_.featureDim == featureDim),
+      "all routed decoders must share featureDim")
+    def decode(kind: String, bytes: Array[Byte]): MediaFeatures =
+      routes.getOrElse(kind, default).decode(kind, bytes)
+  }
+
+  /** The best offline decoder this JVM can offer: real image + audio
+    * codecs, stubbed video. featureDim 48 (= 4×4 RGB grid). */
+  def jdkDecoder(): MediaDecoder = RoutingDecoder(
+    Map("image" -> ImageIoDecoder(grid = 4), "audio" -> AudioWavDecoder(48)),
+    StubDecoder(48))
+
   /** Real resize stage: decode → bilinear `Graphics2D` scale to fit
     * `maxSide` → re-encode PNG, replacing the `media` payload and
     * appending the output dims. Non-image rows (and undecodable bytes)

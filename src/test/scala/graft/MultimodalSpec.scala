@@ -98,6 +98,52 @@ class MultimodalSpec extends SparkSpec {
     assert(t.getAs[Array[Byte]]("media").toSeq == Seq[Byte](7))
   }
 
+  /** 16-bit mono PCM WAV: first half silence, second half full-scale
+    * square wave at the given rate. */
+  private def halfLoudWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- nSamples / 2 until nSamples) {
+      val v: Short = if (i % 2 == 0) 30000 else -30000
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioWavDecoder really decodes: rate, channels, RMS profile") {
+    val wav = halfLoudWav(8000, 4000)
+    val df = Seq(("w1", "audio", wav)).toDF("asset_id", "kind", "media")
+    val out = Multimodal.withFeatures(df, Multimodal.AudioWavDecoder(8))
+    val r = out.head()
+    assert(r.getAs[Int]("width") == 8000) // sample rate
+    assert(r.getAs[Int]("height") == 1) // channels
+    assert(r.getAs[Int]("n_frames") == 4000)
+    val f = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f.length == 8)
+    // silent first half, loud second half
+    assert(f.take(4).forall(_ < 0.01f), s"silent half: $f")
+    assert(f.drop(4).forall(_ > 0.5f), s"loud half: $f")
+  }
+
+  test("jdkDecoder routes kinds: real image + audio, stubbed video") {
+    val df = Seq(
+      ("i", "image", halfPng(32, 32)),
+      ("a", "audio", halfLoudWav(8000, 800)),
+      ("v", "video", Array[Byte](1, 2, 3))).toDF("asset_id", "kind", "media")
+    val out = Multimodal.withFeatures(df, Multimodal.jdkDecoder()).cache()
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("i").getAs[Int]("width") == 32) // real decode
+    assert(byId("a").getAs[Int]("width") == 8000) // real decode
+    out.collect().foreach(r =>
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == 48))
+  }
+
   test("asset schema round-trips through parquet with binary payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString + "/t"
     val rows = java.util.Arrays.asList(
