@@ -113,6 +113,25 @@ object DocxReader {
     map.result()
   }
 
+  /** [[parseBytes]] that yields zero blocks on malformed packages
+    * (truncated zips, invalid XML) instead of failing the task — at
+    * corpus scale one corrupt file must not kill a 100M-file ingest.
+    * The distributed paths ([[read]], streaming ingest) use this. */
+  def parseBytesLenient(docId: String, bytes: Array[Byte]): Seq[Block] =
+    try parseBytes(docId, bytes)
+    catch { case e: Exception =>
+      System.err.println(s"[docx] skipping unparseable $docId: ${e.getMessage}")
+      Seq.empty
+    }
+
+  /** [[mediaBytes]]'s lenient twin. */
+  def mediaBytesLenient(docId: String, bytes: Array[Byte]): Seq[Media] =
+    try mediaBytes(docId, bytes)
+    catch { case e: Exception =>
+      System.err.println(s"[docx] skipping unreadable media of $docId: ${e.getMessage}")
+      Seq.empty
+    }
+
   /** Parse one DOCX package into ordered body blocks. */
   def parseBytes(docId: String, bytes: Array[Byte]): Seq[Block] = {
     val entries = zipEntries(bytes)
@@ -253,7 +272,7 @@ object DocxReader {
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
         col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (name, bytes) => parseBytes(name, bytes) }
+      .flatMap { case (name, bytes) => parseBytesLenient(name, bytes) }
       .toDF()
   }
 
@@ -268,7 +287,7 @@ object DocxReader {
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
         col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (name, bytes) => mediaBytes(name, bytes) }
+      .flatMap { case (name, bytes) => mediaBytesLenient(name, bytes) }
       .toDF()
   }
 }

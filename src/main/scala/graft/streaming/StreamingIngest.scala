@@ -100,7 +100,7 @@ object StreamingIngest {
         val s = batch.sparkSession
         import s.implicits._
         val blocks = batch.as[(String, Array[Byte])]
-          .flatMap { case (name, bytes) => DocxReader.parseBytes(name, bytes) }
+          .flatMap { case (name, bytes) => DocxReader.parseBytesLenient(name, bytes) }
           .toDF()
         graft.pipeline.Extract.ingest(blocks, version, embedder)
           .write.mode("append").parquet(indexDir)

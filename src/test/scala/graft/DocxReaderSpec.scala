@@ -183,6 +183,22 @@ class DocxReaderSpec extends SparkSpec {
       Seq("wide", "wide", "b1"), Seq("wide", "wide", "b2")))
   }
 
+  test("lenient parse: corrupt packages yield zero blocks, not task failure") {
+    val corrupt = Array[Byte](0x50, 0x4b, 3, 4, 99, 99, 99) // truncated zip
+    assert(DocxReader.parseBytesLenient("bad.docx", corrupt).isEmpty)
+    assert(DocxReader.mediaBytesLenient("bad.docx", corrupt).isEmpty)
+    val badXml = docx("word/document.xml" -> "<w:document not closed")
+    assert(DocxReader.parseBytesLenient("badxml.docx", badXml).isEmpty)
+    // and the distributed read path survives a corrupt file in the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    java.nio.file.Files.write(dir.resolve("good.docx"), pkg)
+    java.nio.file.Files.write(dir.resolve("bad.docx"), corrupt)
+    val blocks = DocxReader.read(spark, dir.toString)
+    assert(blocks.select("doc_id").distinct().as[String].collect().toSeq
+      == Seq("good.docx"))
+    assert(blocks.count() == 10)
+  }
+
   test("ingest produces denormalized, unit-normalized index rows") {
     val blocks = DocxReader.parseBytes("manual.docx", pkg).toDS().toDF()
     val idx = Extract.ingest(blocks, version = "15.0",
