@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * plumbing as batched `mapPartitions` stages.
   *
-  * The IMAGE codec is real: [[ImageIoDecoder]] decodes PNG/JPEG/GIF/BMP
-  * through the JDK's own `javax.imageio` (no external libraries), and
-  * [[resizeImages]] re-encodes scaled PNGs via `Graphics2D` — both run
-  * offline and are exercised against the reference manual's actual
-  * media parts (`ReferenceDocxSpec`). AUDIO/VIDEO codecs do not exist
-  * in the JDK, so those kinds stay STUBBED behind the same
-  * [[MediaDecoder]] trait with a deterministic fake ([[StubDecoder]]);
-  * a production deployment plugs a JNI/JavaCV-backed decoder into the
-  * trait and nothing else changes.
+  * All three codecs are real and JDK-only (no external libraries):
+  * [[ImageIoDecoder]] decodes PNG/JPEG/GIF/BMP through `javax.imageio`
+  * (exercised against the reference manual's actual media parts in
+  * `ReferenceDocxSpec`), [[AudioWavDecoder]] decodes WAV/AIFF/AU PCM
+  * through `javax.sound.sampled`, and [[VideoFrameDecoder]] +
+  * [[extractFrames]] decode animated GIF and MJPEG-in-AVI containers
+  * through [[VideoFrames]]. Containers the JDK cannot decode (MP4/H.264
+  * video, MP3/OGG audio) degrade to the deterministic [[StubDecoder]]
+  * behind the same [[MediaDecoder]] trait; a production deployment
+  * plugs a JNI/JavaCV-backed decoder into the trait and nothing else
+  * changes.
   *
   * Scale notes: media bytes ride executor-side only (no driver collect);
   * feature extraction is per-partition batched so a decoder can amortize
@@ -91,38 +93,46 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
       if (img == null) return fallback.decode(kind, bytes)
-      val w = img.getWidth
-      val h = img.getHeight
-      val feats = new Array[Float](featureDim)
-      var gy = 0
-      while (gy < grid) {
-        var gx = 0
-        while (gx < grid) {
-          val x0 = gx * w / grid; val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
-          val y0 = gy * h / grid; val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
-          val step = math.max(1, math.min(x1 - x0, y1 - y0) / 8)
-          var r = 0L; var g = 0L; var b = 0L; var n = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
-              n += 1
-              x += step
-            }
-            y += step
-          }
-          val base = (gy * grid + gx) * 3
-          feats(base) = (r.toDouble / n / 255.0).toFloat
-          feats(base + 1) = (g.toDouble / n / 255.0).toFloat
-          feats(base + 2) = (b.toDouble / n / 255.0).toFloat
-          gx += 1
-        }
-        gy += 1
-      }
-      MediaFeatures(w, h, 1, feats)
+      MediaFeatures(img.getWidth, img.getHeight, 1, gridFeatures(img, grid))
     }
+  }
+
+  /** `grid`×`grid` mean-RGB color-layout descriptor of an image in
+    * [0,1] (`grid²·3` floats), with a pixel stride that caps per-cell
+    * work. Shared by the image and video feature paths. */
+  private[multimodal] def gridFeatures(
+      img: java.awt.image.BufferedImage, grid: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val feats = new Array[Float](grid * grid * 3)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        val x0 = gx * w / grid; val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+        val y0 = gy * h / grid; val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+        val step = math.max(1, math.min(x1 - x0, y1 - y0) / 8)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            n += 1
+            x += step
+          }
+          y += step
+        }
+        val base = (gy * grid + gx) * 3
+        feats(base) = (r.toDouble / n / 255.0).toFloat
+        feats(base + 1) = (g.toDouble / n / 255.0).toFloat
+        feats(base + 2) = (b.toDouble / n / 255.0).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    feats
   }
 
   /** Real audio decoder on the JDK's `javax.sound.sampled` (WAV, AIFF,
@@ -180,10 +190,167 @@ object Multimodal {
     }
   }
 
+  /** Container-level video frame extraction on JDK-only codecs — no
+    * external libraries. Two real containers are decoded:
+    *
+    *  - **animated GIF** (`GIF87a`/`GIF89a`): `javax.imageio`'s GIF
+    *    reader iterates the image sequence; each frame's left/top
+    *    offset (from the per-frame `ImageDescriptor` metadata) is
+    *    composited onto a persistent canvas sized by the logical
+    *    screen, which is the draw-over disposal model (the dominant
+    *    case; `restoreToPrevious` is approximated by draw-over).
+    *  - **MJPEG-in-AVI** (`RIFF....AVI `): the RIFF chunk tree is
+    *    walked to the `movi` LIST and every `##dc`/`##db` stream chunk
+    *    is decoded through the same `javax.imageio` JPEG codec;
+    *    non-JPEG chunks are skipped.
+    *
+    * Other containers (MP4/H.264 etc. — no JDK codec exists) return
+    * empty, and callers fall back to the deterministic stub. */
+  object VideoFrames {
+    import java.awt.image.BufferedImage
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    private def isAvi(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    /** All frames of a supported container, in stream order; empty when
+      * the container is unsupported or undecodable. */
+    def frames(bytes: Array[Byte]): Seq[BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) Seq.empty
+      else if (isGif(bytes)) gifFrames(bytes)
+      else if (isAvi(bytes)) aviFrames(bytes)
+      else Seq.empty
+    }
+
+    private def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return Seq.empty
+        // Logical screen from stream metadata; fall back to frame 0 dims.
+        val first = reader.read(0)
+        var (sw, sh) = (first.getWidth, first.getHeight)
+        try {
+          val sm = reader.getStreamMetadata
+          if (sm != null) {
+            val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+            if (lsd.getLength > 0) {
+              val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+              sw = math.max(sw, e.getAttribute("logicalScreenWidth").toInt)
+              sh = math.max(sh, e.getAttribute("logicalScreenHeight").toInt)
+            }
+          }
+        } catch { case _: Exception => () }
+        val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
+        val g2 = canvas.createGraphics()
+        val out = Seq.newBuilder[BufferedImage]
+        var i = 0
+        while (i < n) {
+          val frame = if (i == 0) first else reader.read(i)
+          var (ox, oy) = (0, 0)
+          try {
+            val md = reader.getImageMetadata(i)
+            val root = md.getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val desc = root.getElementsByTagName("ImageDescriptor")
+            if (desc.getLength > 0) {
+              val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+              ox = e.getAttribute("imageLeftPosition").toInt
+              oy = e.getAttribute("imageTopPosition").toInt
+            }
+          } catch { case _: Exception => () }
+          g2.drawImage(frame, ox, oy, null)
+          val snap = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
+          val sg = snap.createGraphics()
+          sg.drawImage(canvas, 0, 0, null)
+          sg.dispose()
+          out += snap
+          i += 1
+        }
+        g2.dispose()
+        reader.dispose()
+        out.result()
+      } catch { case _: Exception => Seq.empty }
+      finally if (iis != null) { try iis.close() catch { case _: Exception => () } }
+    }
+
+    private def aviFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+      try {
+        val out = Seq.newBuilder[BufferedImage]
+        // RIFF/LIST headers are 12 bytes (4CC + le32 size + formType);
+        // plain chunks are 8 (4CC + le32 size), payload padded to even.
+        def le32(o: Int): Long =
+          (bytes(o) & 0xffL) | (bytes(o + 1) & 0xffL) << 8 |
+            (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
+        def fourCC(o: Int): String =
+          new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var p = start
+          while (p + 8 <= end) {
+            val id = fourCC(p)
+            val size = le32(p + 4)
+            val payload = p + 8
+            val pEnd = math.min(end.toLong, payload + size).toInt
+            if (id == "RIFF" || id == "LIST") {
+              val form = if (payload + 4 <= end) fourCC(payload) else ""
+              walk(payload + 4, pEnd, inMovi || form == "movi")
+            } else if (inMovi && id.length == 4 &&
+                (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, payload, size.toInt))
+                catch { case _: Exception => null }
+              if (img != null) out += img
+            }
+            p = payload + size.toInt + (size.toInt & 1) // pad to even
+          }
+        }
+        walk(0, bytes.length, inMovi = false)
+        out.result()
+      } catch { case _: Exception => Seq.empty }
+    }
+  }
+
+  /** Real video decoder over [[VideoFrames]] (animated GIF, MJPEG-AVI).
+    * Meta: `width`/`height` = canvas dims, `nFrames` = decoded frame
+    * count. Features: the per-frame `grid`×`grid` color-layout
+    * descriptors averaged across frames — a real global color profile
+    * of the clip. Unsupported containers (no JDK codec) and non-video
+    * kinds fall back to the deterministic stub. */
+  final case class VideoFrameDecoder(grid: Int = 4) extends MediaDecoder {
+    val featureDim: Int = grid * grid * 3
+    private val fallback = StubDecoder(featureDim)
+
+    def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      if (kind != "video") return fallback.decode(kind, bytes)
+      val fs = VideoFrames.frames(bytes)
+      if (fs.isEmpty) return fallback.decode(kind, bytes)
+      val acc = new Array[Float](featureDim)
+      fs.foreach { f =>
+        val g = gridFeatures(f, grid)
+        var i = 0
+        while (i < featureDim) { acc(i) += g(i); i += 1 }
+      }
+      var i = 0
+      while (i < featureDim) { acc(i) /= fs.length; i += 1 }
+      MediaFeatures(fs.head.getWidth, fs.head.getHeight, fs.length, acc)
+    }
+  }
+
   /** Kind-routing composite: image → [[ImageIoDecoder]], audio →
-    * [[AudioWavDecoder]], everything else (video — no JDK codec) → the
-    * deterministic stub. All routes must agree on `featureDim` so the
-    * output column is uniform. */
+    * [[AudioWavDecoder]], video → [[VideoFrameDecoder]] (GIF/MJPEG-AVI;
+    * other containers degrade to the deterministic stub). All routes
+    * must agree on `featureDim` so the output column is uniform. */
   final case class RoutingDecoder(
       routes: Map[String, MediaDecoder],
       default: MediaDecoder) extends MediaDecoder {
@@ -194,10 +361,11 @@ object Multimodal {
       routes.getOrElse(kind, default).decode(kind, bytes)
   }
 
-  /** The best offline decoder this JVM can offer: real image + audio
-    * codecs, stubbed video. featureDim 48 (= 4×4 RGB grid). */
+  /** The best offline decoder this JVM can offer: real image, audio and
+    * video (GIF/MJPEG-AVI) codecs. featureDim 48 (= 4×4 RGB grid). */
   def jdkDecoder(): MediaDecoder = RoutingDecoder(
-    Map("image" -> ImageIoDecoder(grid = 4), "audio" -> AudioWavDecoder(48)),
+    Map("image" -> ImageIoDecoder(grid = 4), "audio" -> AudioWavDecoder(48),
+      "video" -> VideoFrameDecoder(grid = 4)),
     StubDecoder(48))
 
   /** Real resize stage: decode → bilinear `Graphics2D` scale to fit
@@ -281,6 +449,49 @@ object Multimodal {
         // deterministic per-frame feature: rotate the asset features
         expr("concat(slice(features, frame_idx % size(features) + 1, size(features)), " +
           "slice(features, 1, frame_idx % size(features)))").as("frame_features"))
+  }
+
+  /** Real frame sampling: decode each video container ([[VideoFrames]]:
+    * animated GIF, MJPEG-AVI) and emit one IMAGE row per strided frame —
+    * `(asset_id, frame_idx, kind="image", mime="image/png", width,
+    * height, media=<PNG bytes>)`. The output composes directly with the
+    * image stages ([[withFeatures]] + [[ImageIoDecoder]],
+    * [[resizeImages]]), which is how a training pipeline consumes
+    * frames. Videos in a container with no JDK codec produce no rows.
+    * Batched per partition; frame bytes never touch the driver. All
+    * frames are decoded even when strided (GIF frames are delta-coded
+    * against the canvas, so skipping decode would corrupt later
+    * frames); stride only bounds what is re-encoded and emitted. */
+  def extractFrames(df: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride > 0)
+    val schema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    val idIdx = df.schema.fieldIndex("asset_id")
+    val kindIdx = df.schema.fieldIndex("kind")
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.getString(kindIdx) != "video") Iterator.empty
+        else {
+          val fs = VideoFrames.frames(r.getAs[Array[Byte]](mediaIdx))
+          val id = r.getString(idIdx)
+          Iterator.range(0, fs.length, stride).map { i =>
+            val img = fs(i)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, i, "image", "image/png", img.getWidth, img.getHeight,
+              bos.toByteArray)
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Resize contract: records target dims alongside the asset — the

@@ -131,17 +131,134 @@ class MultimodalSpec extends SparkSpec {
     assert(f.drop(4).forall(_ > 0.5f), s"loud half: $f")
   }
 
-  test("jdkDecoder routes kinds: real image + audio, stubbed video") {
+  test("jdkDecoder routes kinds: real image/audio/video, stub fallback") {
     val df = Seq(
       ("i", "image", halfPng(32, 32)),
       ("a", "audio", halfLoudWav(8000, 800)),
-      ("v", "video", Array[Byte](1, 2, 3))).toDF("asset_id", "kind", "media")
+      ("v", "video", animatedGif(24, 24, Seq(0xff0000, 0x0000ff))),
+      ("x", "video", Array[Byte](1, 2, 3))).toDF("asset_id", "kind", "media")
     val out = Multimodal.withFeatures(df, Multimodal.jdkDecoder()).cache()
     val byId = out.collect().map(r => r.getString(0) -> r).toMap
     assert(byId("i").getAs[Int]("width") == 32) // real decode
     assert(byId("a").getAs[Int]("width") == 8000) // real decode
+    assert(byId("v").getAs[Int]("width") == 24 &&
+      byId("v").getAs[Int]("n_frames") == 2) // real video decode
     out.collect().foreach(r =>
       assert(r.getSeq[Float](r.fieldIndex("features")).length == 48))
+  }
+
+  /** An animated GIF of solid-color full-canvas frames. */
+  private def animatedGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(c))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** A minimal MJPEG-in-AVI: RIFF('AVI ') → LIST('movi') → 00dc JPEG
+    * chunks. Exactly the container shape VideoFrames.aviFrames walks. */
+  private def mjpegAvi(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def jpeg(c: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(c)); g2.fillRect(0, 0, w, h); g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val movi = "movi".getBytes("US-ASCII") ++
+      colors.toArray.flatMap(c => chunk("00dc", jpeg(c)))
+    val list = "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi
+    val riffPayload = "AVI ".getBytes("US-ASCII") ++ list
+    "RIFF".getBytes("US-ASCII") ++ le32(riffPayload.length) ++ riffPayload
+  }
+
+  test("VideoFrames really decodes an animated GIF frame sequence") {
+    val gif = animatedGif(40, 20, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val fs = Multimodal.VideoFrames.frames(gif)
+    assert(fs.length == 3)
+    assert(fs.forall(f => f.getWidth == 40 && f.getHeight == 20))
+    def dominant(f: java.awt.image.BufferedImage): (Int, Int, Int) = {
+      val rgb = f.getRGB(20, 10)
+      ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    }
+    assert(dominant(fs(0))._1 > 200 && dominant(fs(0))._3 < 50, "frame 0 red")
+    assert(dominant(fs(1))._2 > 200, "frame 1 green")
+    assert(dominant(fs(2))._3 > 200 && dominant(fs(2))._1 < 50, "frame 2 blue")
+  }
+
+  test("VideoFrames really decodes MJPEG-in-AVI chunks") {
+    val avi = mjpegAvi(32, 16, Seq(0xff0000, 0x0000ff))
+    val fs = Multimodal.VideoFrames.frames(avi)
+    assert(fs.length == 2)
+    assert(fs.forall(f => f.getWidth == 32 && f.getHeight == 16))
+    assert(((fs(0).getRGB(16, 8) >> 16) & 0xff) > 180, "frame 0 red (jpeg-lossy)")
+    assert((fs(1).getRGB(16, 8) & 0xff) > 180, "frame 1 blue (jpeg-lossy)")
+    // unsupported containers yield no frames, never throw
+    assert(Multimodal.VideoFrames.frames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.VideoFrames.frames(Array.empty[Byte]).isEmpty)
+  }
+
+  test("VideoFrameDecoder: real frame count and cross-frame color profile") {
+    val gif = animatedGif(24, 24, Seq(0xff0000, 0x0000ff)) // red, blue
+    val out = Multimodal.withFeatures(
+      Seq(("v1", "video", gif)).toDF("asset_id", "kind", "media"),
+      Multimodal.VideoFrameDecoder(grid = 2))
+    val r = out.head()
+    assert(r.getAs[Int]("width") == 24 && r.getAs[Int]("height") == 24)
+    assert(r.getAs[Int]("n_frames") == 2)
+    val f = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f.length == 12)
+    // averaged over a pure-red and a pure-blue frame: r≈b≈0.5, g≈0
+    assert(math.abs(f(0) - 0.5f) < 0.1f, s"mean red: $f")
+    assert(f(1) < 0.1f, s"mean green: $f")
+    assert(math.abs(f(2) - 0.5f) < 0.1f, s"mean blue: $f")
+  }
+
+  test("extractFrames emits strided real PNG image rows that compose on") {
+    val gif = animatedGif(20, 10, Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    val df = Seq(
+      ("v1", "video", gif),
+      ("i1", "image", halfPng(8, 8)), // non-video: no frame rows
+      ("vx", "video", Array[Byte](9, 9))) // undecodable: no frame rows
+      .toDF("asset_id", "kind", "media")
+    val frames = Multimodal.extractFrames(df, stride = 2).cache()
+    assert(frames.columns.toSeq == Seq("asset_id", "frame_idx", "kind",
+      "mime", "width", "height", "media"))
+    val rows = frames.collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getString(0)).toSeq == Seq("v1", "v1"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2))
+    // the payload is a real PNG of the decoded frame
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(0).getAs[Array[Byte]]("media")))
+    assert(img0.getWidth == 20 && img0.getHeight == 10)
+    assert(((img0.getRGB(10, 5) >> 16) & 0xff) > 200, "frame 0 is the red frame")
+    // frame rows are image rows: the image feature stage runs on them as-is
+    val feats = Multimodal.withFeatures(frames, Multimodal.ImageIoDecoder(grid = 1))
+    val f2 = feats.filter(col("frame_idx") === 2).head()
+    val v = f2.getSeq[Float](f2.fieldIndex("features"))
+    assert(v(2) > 0.9f && v(0) < 0.1f, s"frame 2 decodes blue through ImageIoDecoder: $v")
   }
 
   test("asset schema round-trips through parquet with binary payload") {
