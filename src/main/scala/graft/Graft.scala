@@ -29,16 +29,20 @@ object Graft {
   }
 
   /** Build a session tuned for this engine: AQE on (runtime coalescing
-    * + skew-join splitting), shuffle width matched to local cores, UTC
-    * timezone (oracle parity), functions registered. `cores` maps to
-    * `local[cores]` for local runs; on a cluster pass a master URL via
-    * `spark.master` externally and use [[registerAll]] instead. */
+    * + skew-join splitting), runtime bloom-filter join pruning on (a
+    * selective dim predicate prunes the fact side before its shuffle —
+    * engagement proven in `AdaptiveExecSpec`), shuffle width matched to
+    * local cores, UTC timezone (oracle parity), functions registered.
+    * `cores` maps to `local[cores]` for local runs; on a cluster pass a
+    * master URL via `spark.master` externally and use [[registerAll]]
+    * instead. */
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
