@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.index.VectorIndex
-import graft.ops.{ChunkText, Dedup, PairAssets, Sectionize, TextAnalysis, UniqueNames}
+import graft.ops.{ChunkText, Dedup, PairAssets, Sectionize, TextAnalysis, TextSanitize, UniqueNames}
 
 /** Pipeline / north-star queries: vector search (the reference's flagship
   * path, `scripts/test.out.py:14-19`), the dedup family, text analysis,
@@ -264,6 +264,39 @@ object PipelineQueries {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII-mask curation pass ([[TextSanitize.maskPii]]). The corpus text
+    * is synthetic word soup with no natural PII, so the query plants a
+    * deterministic email/URL/IPv4/phone span per document (a pure
+    * function of `doc_id`, identical in the oracle) and the engines
+    * must agree on the fully masked text — a cross-engine check of the
+    * whole regex pipeline, not just of no-ops. */
+  private val docPiiScrub: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val dirty = concat(
+      col("text"),
+      lit(" contact user"), id, lit("@example.com via https://ex.org/d/"), id,
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 or call +1 (555) 000-"), id)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextSanitize.maskPii(dirty).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val docPiiScrubSql =
+    s"""WITH dirty AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR) ||
+       |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |  '.7 or call +1 (555) 000-' || CAST(doc_id AS VARCHAR) AS t
+       |  FROM documents)
+       |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+       |  regexp_replace(t,
+       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       |    '\\+\\d[\\d() -]{6,}\\d', '<PHONE>', 'g') AS clean_text
+       |FROM dirty ORDER BY doc_id""".stripMargin
+
   /** Heuristic stopword language-ID. The DuckDB twin is generated from
     * the same `TextAnalysis.StopwordSets`, with argmax as a
     * struct-greatest in both engines (score first, language tag as the
@@ -472,6 +505,7 @@ object PipelineQueries {
     "doc_quality" -> docQuality,
     "doc_tokens" -> docTokens,
     "doc_fingerprint" -> docFingerprint,
+    "doc_pii_scrub" -> docPiiScrub,
     "doc_langid" -> docLangId,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -495,6 +529,7 @@ object PipelineQueries {
     "doc_quality" -> docQualitySql,
     "doc_tokens" -> docTokensSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "doc_pii_scrub" -> docPiiScrubSql,
     "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
