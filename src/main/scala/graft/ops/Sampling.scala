@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `rand()`-based sampling is nondeterministic across retries,
+  * speculative tasks and engine versions — at 100 TB that means a
+  * re-run ships a *different corpus*. Both operators here key the
+  * sampling decision on a content hash of a stable id instead:
+  * the same row set comes out on every run, on any cluster layout,
+  * and on any engine that agrees on md5 (which is how the DuckDB
+  * oracle checks them bit-for-bit).
+  *
+  *  - [[hashSample]]: Bernoulli ~fraction sample, decided per-row from
+  *    the hash prefix — scan-local, no shuffle, no state.
+  *  - [[stratifiedTake]]: exactly `perStratum` rows per stratum,
+  *    hash-priority ordered — one window shuffle on the stratum key;
+  *    parallelism scales with stratum count. The hash priority makes
+  *    it a uniform without-replacement draw per stratum, not a
+  *    "first N by id" bias.
+  */
+object Sampling {
+
+  /** Deterministic per-row priority: lowercase hex md5 of the key's
+    * string form. Hex strings compare lexicographically in hash order
+    * on every engine — no numeric parsing needed. */
+  def hashPriority(key: Column): Column = md5(key.cast("string"))
+
+  /** Bernoulli sample keeping ~`fraction` of rows, decided by the
+    * first 4 hex chars of the key hash (65536 buckets). Deterministic
+    * in the key: re-runs and other engines select the identical rows. */
+  def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    if (fraction >= 1.0) df
+    else {
+      val threshold = f"${math.round(fraction * 65536).toInt}%04x"
+      df.filter(substring(hashPriority(col(key)), 1, 4) < lit(threshold))
+    }
+  }
+
+  /** Exactly `min(perStratum, |stratum|)` rows per stratum, drawn in
+    * hash-priority order with the key as tie-break. */
+  def stratifiedTake(
+      df: DataFrame,
+      strata: String,
+      key: String,
+      perStratum: Int): DataFrame = {
+    require(perStratum > 0)
+    val w = Window.partitionBy(col(strata))
+      .orderBy(hashPriority(col(key)), col(key))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+}

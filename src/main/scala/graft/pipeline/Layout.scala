@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Write-side data layout for the 100 TB corpus: partitioned, sorted,
@@ -59,5 +59,52 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(mode)
       .parquet(dir)
+  }
+
+  /** Z-order (Morton) value: interleave the low `bits` bits of each
+    * column round-robin — bit `i` of column `j` lands at position
+    * `i * n + j`. Rows close in z-value are close in EVERY clustered
+    * dimension, so sorting by it gives multi-dimensional locality where
+    * a single-column sort only localizes its first column.
+    *
+    * Pure shift/and/or `Column` expression — codegen'd, and safe under
+    * Spark 4 ANSI mode (no arithmetic that can overflow). Inputs must
+    * be non-negative integers that fit `bits` bits (pre-bucket
+    * continuous values, e.g. `width_bucket` or a fixed quantization);
+    * values above the range fold into the top bucket via the bit mask.
+    * `bits * n` must stay ≤ 63. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n > 0 && bits > 0 && bits * n <= 63,
+      s"bits*cols must fit a positive long, got $bits*$n")
+    var acc: Column = lit(0L)
+    for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+      acc = acc.bitwiseOR(shiftleft(
+        shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j))
+    acc
+  }
+
+  /** Write `df` globally clustered by the z-order of `clusterCols` into
+    * `numFiles` range-partitioned files: `repartitionByRange` on the
+    * z-value splits the curve into contiguous segments (one per file),
+    * and the within-file sort orders each segment. Every file then
+    * covers a small bounding box in all clustered dimensions — a
+    * multi-dimensional range predicate prunes to the few files whose
+    * box intersects it (row-group stats do the same within files).
+    * The locality win over a single-column sort is asserted
+    * quantitatively in `LayoutSpec`. */
+  def writeClustered(
+      df: DataFrame,
+      dir: String,
+      clusterCols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16,
+      mode: String = "overwrite"): Unit = {
+    require(numFiles > 0)
+    df.withColumn("__graft_z", zValue(clusterCols.map(col), bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(mode).parquet(dir)
   }
 }

@@ -297,6 +297,33 @@ object PipelineQueries {
        |    '\\+\\d[\\d() -]{6,}\\d', '<PHONE>', 'g') AS clean_text
        |FROM dirty ORDER BY doc_id""".stripMargin
 
+  /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
+    * prefix of `doc_id`, so the oracle selects the identical rows. */
+  private val docSampleHash: Q = (s, d) =>
+    graft.ops.Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val docSampleHashSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified take: 10 docs per language in
+    * hash-priority order (uniform without-replacement per stratum). */
+  private val docSampleStratified: Q = (s, d) =>
+    graft.ops.Sampling.stratifiedTake(Tables.documents(s, d), "lang", "doc_id", 10)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  private val docSampleStratifiedSql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
+
   /** Heuristic stopword language-ID. The DuckDB twin is generated from
     * the same `TextAnalysis.StopwordSets`, with argmax as a
     * struct-greatest in both engines (score first, language tag as the
@@ -506,6 +533,8 @@ object PipelineQueries {
     "doc_tokens" -> docTokens,
     "doc_fingerprint" -> docFingerprint,
     "doc_pii_scrub" -> docPiiScrub,
+    "doc_sample_hash" -> docSampleHash,
+    "doc_sample_stratified" -> docSampleStratified,
     "doc_langid" -> docLangId,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -530,6 +559,8 @@ object PipelineQueries {
     "doc_tokens" -> docTokensSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_pii_scrub" -> docPiiScrubSql,
+    "doc_sample_hash" -> docSampleHashSql,
+    "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,

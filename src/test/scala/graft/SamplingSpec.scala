@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("hashSample is deterministic, key-stable and ~fraction sized") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same key, same fraction → identical sample")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.1 && a.size < n * 0.45,
+      s"~25% of $n expected, got ${a.size}")
+    // nested property: a smaller fraction selects a subset
+    val small = Sampling.hashSample(docs, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a), "hash thresholds nest")
+  }
+
+  test("stratifiedTake draws exactly perStratum per stratum, stable") {
+    val out = Sampling.stratifiedTake(docs, "lang", "doc_id", 7)
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(7L, n), s"$lang: ${sizes(lang)}")
+    }
+    // not a "first N by id" draw: some selected id exceeds the N-th id
+    val en = out.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val firstN = docs.filter(col("lang") === "en").orderBy("doc_id")
+      .limit(7).select("doc_id").as[Long].collect().toSet
+    assert(en != firstN, "hash priority must differ from id order")
+  }
+
+  test("registered sampling queries run and respect their shapes") {
+    val strat = SparkEntry.queries("doc_sample_stratified")(spark, sf0001)
+    assert(strat.columns.toSeq == Seq("lang", "doc_id"))
+    assert(strat.groupBy("lang").count().as[(String, Long)]
+      .collect().forall(_._2 <= 10))
+    val hash = SparkEntry.queries("doc_sample_hash")(spark, sf0001)
+    assert(hash.count() > 0)
+  }
+}
