@@ -9,10 +9,14 @@ object Graft {
 
   /** Register the engine's SQL surface on an existing session:
     * `split_text` (LATERAL VIEW generator), `dot_product`, `l2_norm`,
-    * `cosine_similarity` (codegen expressions). */
+    * `cosine_similarity` (codegen expressions), and the curation
+    * functions (`mask_pii`, `sanitize_text`, `quality_score`,
+    * `lang_id`, `token_count`, `fingerprint`, `hash_priority`,
+    * `z_value`, …) — see `graft.ops.CurationFunctions`. */
   def registerAll(spark: SparkSession): SparkSession = {
     graft.expr.VectorExpressions.register(spark)
     graft.expr.SplitTextGen.register(spark)
+    graft.ops.CurationFunctions.register(spark)
     spark
   }
 

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Session-aware conversion: runs the classic ColumnNode →
+    * Expression converter, so `functions._` Columns (which build lazy
+    * ColumnNodes in Spark 4) become real catalyst trees the analyzer
+    * can resolve — required when injecting Column-API compositions
+    * into the FunctionRegistry. */
+  def toExpr(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 }

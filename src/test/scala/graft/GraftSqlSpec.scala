@@ -43,4 +43,38 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head()
     assert(events == 1000L)
   }
+
+  test("curation functions answer pure SQL, same trees as the Column API") {
+    Graft.registerAll(spark)
+    Graft.registerTables(spark, sf0001)
+
+    val masked = spark.sql(
+      "SELECT mask_pii('mail a@b.co at 10.1.1.1 via https://x.y')").head().getString(0)
+    assert(masked == "mail <EMAIL> at <IP> via <URL>")
+
+    val sanitized = spark.sql(
+      """SELECT sanitize_text('keep me\nall rights reserved\nvisit https://x.y')""")
+      .head().getString(0)
+    assert(sanitized == "keep me\nvisit <URL>")
+
+    // SQL results equal the Column-API results row-for-row
+    import org.apache.spark.sql.functions._
+    val sqlScores = spark.sql(
+      """SELECT doc_id, quality_score(text) AS q, token_count(text) AS n,
+        |  fingerprint(text) AS fp, lang_id(text).lang AS pl,
+        |  hash_priority(doc_id) AS hp
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+    val apiScores = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      graft.ops.TextAnalysis.qualityScore(col("text")).as("q"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("n"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.ops.TextAnalysis.langId(col("text")).getField("lang").as("pl"),
+      graft.ops.Sampling.hashPriority(col("doc_id")).as("hp"))
+      .orderBy("doc_id").collect()
+    assert(sqlScores.toSeq == apiScores.toSeq)
+
+    val z = spark.sql("SELECT z_value(5, 3)").head().getLong(0)
+    assert(z == 27L) // matches LayoutSpec's interleave fixture
+  }
 }
