@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.index.VectorIndex
-import graft.ops.{ChunkText, Dedup, PairAssets, Sectionize, TextAnalysis, TextSanitize, UniqueNames}
+import graft.ops.{ChunkText, Dedup, Packing, PairAssets, Sectionize, TextAnalysis, TextSanitize, UniqueNames}
 
 /** Pipeline / north-star queries: vector search (the reference's flagship
   * path, `scripts/test.out.py:14-19`), the dedup family, text analysis,
@@ -324,6 +324,25 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
 
+  /** Contiguous-fill sequence packing into 4000-char bins per language
+    * shard (`Packing.packContiguous`), summarized per bin. */
+  private val docPackBins: Q = (s, d) => {
+    val packed = Packing.packContiguous(
+      Tables.documents(s, d), "lang", "doc_id", "n_chars", 4000L)
+    Packing.binStats(packed, "lang", "n_chars")
+      .orderBy("lang", "bin_id")
+  }
+
+  private val docPackBinsSql =
+    """WITH c AS (SELECT lang, doc_id, n_chars,
+      |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      |  FROM documents)
+      |SELECT lang,
+      |  CAST(FLOOR((cum - n_chars) / 4000.0) AS BIGINT) AS bin_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bin_weight
+      |FROM c GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin
+
   /** Heuristic stopword language-ID. The DuckDB twin is generated from
     * the same `TextAnalysis.StopwordSets`, with argmax as a
     * struct-greatest in both engines (score first, language tag as the
@@ -535,6 +554,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrub,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
+    "doc_pack_bins" -> docPackBins,
     "doc_langid" -> docLangId,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -561,6 +581,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
+    "doc_pack_bins" -> docPackBinsSql,
     "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,

@@ -69,6 +69,62 @@ object StreamingIngest {
       .start()
   }
 
+  /** Incremental dedup ingest: like [[start]], but each micro-batch is
+    * exact-deduplicated *within the batch* (first doc per content hash
+    * wins) and *against everything already ingested* — a left-anti
+    * join on `content_hash` against the persistent corpus — before the
+    * survivors append to both the corpus (`corpusDir`: doc_id,
+    * content_hash, text) and the vector index (`indexDir`, via
+    * [[ingestBatch]]). Re-landing an old file, or the same content
+    * under a new name, is a no-op — the idempotence a 100 TB
+    * continuously-fed corpus needs, without which every re-delivery
+    * inflates the training set.
+    *
+    * Scale: the anti-join shuffles 16-byte hashes, never text; the
+    * corpus side prunes to its `content_hash` column (parquet column
+    * pruning). State lives in the corpus parquet itself — no growing
+    * stream-state store, and a crashed query resumes from the
+    * checkpoint with the corpus as its dedup memory. */
+  def startDeduped(
+      spark: SparkSession,
+      landingDir: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      embedder: Embedder = HashingEmbedder()): StreamingQuery = {
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .load(landingDir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc_id"),
+        col("value").as("text"))
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val inBatch = graft.ops.Dedup.exact(batch)
+          .filter(!col("is_dup")).drop("is_dup")
+        val existing =
+          try s.read.parquet(corpusDir).select("content_hash").distinct()
+          catch { case _: org.apache.spark.sql.AnalysisException => null }
+        // localCheckpoint (eager) cuts the lineage BEFORE the corpus
+        // append: the anti-join must not re-execute against the corpus
+        // it just grew, or the index write would see its own batch as
+        // already-ingested and drop it
+        val fresh = (if (existing == null) inBatch
+          else inBatch.join(existing, Seq("content_hash"), "left_anti"))
+          .localCheckpoint(true)
+        fresh.select("doc_id", "content_hash", "text")
+          .write.mode("append").parquet(corpusDir)
+        ingestBatch(fresh.select("doc_id", "text"), embedder)
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+  }
+
   /** S5's actual shape: `.docx` files landing in `landingDir` (the
     * reference's upload endpoint gates on the extension, `app.py:17-29`)
     * are parsed with [[DocxReader.parseBytes]], sectionized, chunked,

@@ -46,6 +46,46 @@ class StreamingSpec extends SparkSpec {
     assert(top == "doc_a.txt")
   }
 
+  test("incremental dedup ingest: re-landed and renamed content is a no-op") {
+    val landing = Files.createTempDirectory("graft-landing-d").toString
+    val corpus = Files.createTempDirectory("graft-corpus-d").toString + "/c"
+    val index = Files.createTempDirectory("graft-index-d").toString + "/idx"
+    def ckpt() = Files.createTempDirectory("graft-ckpt-d").toString
+
+    val textA = "alpha document body with sufficient words " * 20
+    val textB = "beta document body with different words " * 20
+    val textC = "gamma document body entirely new content " * 20
+    Files.writeString(java.nio.file.Paths.get(landing, "a.txt"), textA)
+    Files.writeString(java.nio.file.Paths.get(landing, "b.txt"), textB)
+    // same content as a.txt under a different name: intra-batch dup
+    Files.writeString(java.nio.file.Paths.get(landing, "a_copy.txt"), textA)
+
+    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt(),
+      HashingEmbedder(64)).awaitTermination(60000)
+
+    val c1 = spark.read.parquet(corpus)
+    assert(c1.count() == 2, "one of the two identical docs must survive")
+    assert(c1.select("content_hash").distinct().count() == 2)
+
+    // second delivery: b.txt re-landed under a new name (cross-batch
+    // dup) plus one genuinely new doc
+    Files.writeString(java.nio.file.Paths.get(landing, "b_again.txt"), textB)
+    Files.writeString(java.nio.file.Paths.get(landing, "c.txt"), textC)
+    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt(),
+      HashingEmbedder(64)).awaitTermination(60000)
+
+    val c2 = spark.read.parquet(corpus)
+    assert(c2.select("content_hash").distinct().count() == 3,
+      "only the new content may enter the corpus")
+    assert(c2.count() == 3, s"corpus rows: ${c2.count()}")
+    // the index grew only by the new doc's chunks
+    val idxDocs = spark.read.parquet(index)
+      .select("doc_id").distinct().as[String].collect().toSet
+    assert(idxDocs.intersect(Set("b_again.txt")).isEmpty,
+      "re-delivered content must not re-index")
+    assert(idxDocs.contains("c.txt"))
+  }
+
   test("streaming DOCX ingest: landed .docx parses, sectionizes, embeds, indexes") {
     val landing = Files.createTempDirectory("graft-landing3").toString
     val index = Files.createTempDirectory("graft-index3").toString + "/idx"
