@@ -107,6 +107,83 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  // ------------------------------------------------- int8 quantization
+
+  /** Called from generated code: max |x| of a numeric array (the
+    * symmetric int8 quantization scale). */
+  def maxAbsOf(a: ArrayData, isFloat: Boolean): Double = {
+    var m = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = math.abs(getD(a, isFloat, i)); if (x > m) m = x; i += 1 }
+    m
+  }
+
+  /** Called from generated code: symmetric int8 quantization —
+    * `round(x / scale * 127)` per element (zero vector → zero bytes). */
+  def quantizeOf(a: ArrayData, isFloat: Boolean, scale: Double): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.round(getD(a, isFloat, i) / scale * 127.0).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Called from generated code: integer dot product of two signed-int8
+    * vectors — the quantized-index scoring kernel (pure int ALU work,
+    * 4× less memory traffic than the float path). */
+  def byteDotOf(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Max |x| of a numeric array. */
+  case class MaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      maxAbsOf(v.asInstanceOf[ArrayData], isFloat(child.dataType))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val f = isFloat(child.dataType)
+      defineCodeGen(ctx, ev, a => s"graft.expr.VectorExpressions.maxAbsOf($a, $f)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Symmetric int8 quantization of a numeric array at a given scale. */
+  case class QuantizeInt8(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def nullSafeEval(v: Any, s: Any): Any =
+      quantizeOf(v.asInstanceOf[ArrayData], isFloat(left.dataType),
+        s.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val f = isFloat(left.dataType)
+      defineCodeGen(ctx, ev, (a, s) =>
+        s"graft.expr.VectorExpressions.quantizeOf($a, $f, $s)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Integer dot product of two int8-quantized vectors (BINARY). */
+  case class ByteDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      byteDotOf(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.expr.VectorExpressions.byteDotOf($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // ----------------------------------------------------- Column wrappers
 
   private def e(c: Column): Expression = Bridge.toExpr(c)
@@ -114,6 +191,11 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = Bridge.toColumn(DotProduct(e(a), e(b)))
   def l2Norm(a: Column): Column = Bridge.toColumn(L2Norm(e(a)))
   def cosine(a: Column, b: Column): Column = Bridge.toColumn(CosineSimilarity(e(a), e(b)))
+  def maxAbs(a: Column): Column = Bridge.toColumn(MaxAbs(e(a)))
+  def quantizeInt8(a: Column, scale: Column): Column =
+    Bridge.toColumn(QuantizeInt8(e(a), e(scale)))
+  def byteDot(a: Column, b: Column): Column =
+    Bridge.toColumn(ByteDotProduct(e(a), e(b)))
 
   /** Register `dot_product`, `l2_norm`, `cosine_similarity` for SQL use.
     * SQL literal arrays arrive as ARRAY<DECIMAL>; a cast to

@@ -55,6 +55,52 @@ object VectorIndex {
   def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
     df.withColumn(embCol, normalized(col(embCol)))
 
+  /** Write-time int8 scalar quantization: appends `qembedding` (BINARY,
+    * one signed byte per dimension) and `qscale` (the per-vector
+    * max-|x| symmetric scale). A 1024-d float vector is 4 KB; its int8
+    * form is 1 KB — at 100 TB the quantized index is the one that fits
+    * in the page cache, and the scoring kernel becomes pure integer ALU
+    * work (`ByteDotProduct`, codegen'd). Quantize AFTER
+    * [[withNormalized]] so the reconstructed dot approximates cosine.
+    * Keep the float column for the re-rank tier or drop it for a
+    * pure-int8 index. */
+  def withQuantized(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val scaled = df.withColumn("qscale",
+      graft.expr.VectorExpressions.maxAbs(col(embCol)))
+    scaled.withColumn("qembedding",
+      graft.expr.VectorExpressions.quantizeInt8(col(embCol), col("qscale")))
+  }
+
+  /** Approximate top-k search over an int8-quantized index
+    * ([[withQuantized]] over normalized vectors): score =
+    * `byteDot(qv, qq) · qscale · |q|∞ / 127²` ≈ cosine. Same
+    * TakeOrderedAndProject shape as [[search]]; the scan reads 1 byte
+    * per dimension instead of 4. Quantization error is ~1/255 per
+    * element — rank inversions only between near-tied neighbors, which
+    * the float re-rank tier (exact [[search]] over the top-k·4
+    * candidates) removes; `QuantizedIndexSpec` measures recall. */
+  def searchQuantized(
+      index: DataFrame,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n > 0) query.map(_ / n) else query
+    }
+    val qs = qn.map(math.abs).foldLeft(0.0)(math.max)
+    val qb = if (qs == 0.0) qn.map(_ => 0.toByte)
+      else qn.map(x => math.round(x / qs * 127.0).toByte)
+    val factor = qs / (127.0 * 127.0)
+    index
+      .withColumn("score",
+        graft.expr.VectorExpressions.byteDot(col("qembedding"), lit(qb)) *
+          col("qscale") * lit(factor))
+      .filter(col("score") >= threshold)
+      .orderBy(col("score").desc, col(index.columns.head))
+      .limit(k)
+  }
+
   /** S9 — persist index rows. Partitioned by `document_version` when the
     * column exists (SURVEY §7.1 M7): version-scoped searches and
     * re-ingests prune whole directories, and an idempotent re-ingest of

@@ -111,6 +111,20 @@ object PipelineQueries {
       .limit(5)
   }
 
+  /** The int8-quantized index path (rows-only: quantized scores differ
+    * from exact cosine in the 3rd decimal by design; recall and error
+    * budget are unit-measured in `QuantizedIndexSpec`). */
+  private val knnQuantTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = VectorIndex.withQuantized(
+      VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0)))
+      .select("vec_id", "qembedding", "qscale")
+    VectorIndex.searchQuantized(idx, q, k = 5, threshold = 0.25)
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+  }
+
   // -------------------------------------------------------------- dedup
 
   private val dedupExact: Q = (s, d) =>
@@ -541,6 +555,7 @@ object PipelineQueries {
     "knn_top5" -> knnTop5,
     "knn_norm_top5" -> knnNormTop5,
     "knn_ivf_top5" -> knnIvfTop5,
+    "knn_quantized_top5" -> knnQuantTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
