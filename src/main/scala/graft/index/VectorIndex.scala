@@ -101,6 +101,42 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Two-tier search: the int8 tier scans cheaply for `k · overfetch`
+    * candidates, the float tier re-scores exactly those rows and
+    * returns the final top-k. With an overfetch covering the
+    * quantization error band (default 4×), the result equals exact
+    * [[search]] — which is how `knn_quantized_rerank_top5` shares the
+    * brute-force oracle. At 100 TB the exact tier touches only
+    * `k · overfetch` vectors, so the 4-byte-per-dim payload is read
+    * for a few dozen rows instead of the whole index.
+    *
+    * `index` needs the float `embCol` AND the [[withQuantized]]
+    * columns; the id column is `index.columns.head`. */
+  def searchReranked(
+      index: DataFrame,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5,
+      embCol: String = "embedding",
+      overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1)
+    val idCol = index.columns.head
+    val candidates = searchQuantized(index, query, k * overfetch,
+      threshold = -1.0) // exact threshold applies at the re-rank tier
+      .select(col(idCol), col(embCol))
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n > 0) query.map(_ / n) else query
+    }
+    val qCol = array(qn.map(lit): _*)
+    candidates
+      .withColumn("score", round(dot(col(embCol), qCol), 4))
+      .filter(col("score") >= threshold)
+      .select(idCol, "score")
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** S9 — persist index rows. Partitioned by `document_version` when the
     * column exists (SURVEY §7.1 M7): version-scoped searches and
     * re-ingests prune whole directories, and an idempotent re-ingest of

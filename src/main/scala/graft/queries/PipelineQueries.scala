@@ -125,6 +125,19 @@ object PipelineQueries {
       .select(col("vec_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Two-tier search: int8 candidates re-ranked exactly — must equal
+    * brute-force `knn_top5` bit-for-bit (shares its oracle), proving
+    * the quantized tier plus re-rank loses nothing. */
+  private val knnQuantRerankTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = VectorIndex.withQuantized(
+      VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0)))
+      .select("vec_id", "embedding", "qembedding", "qscale")
+    VectorIndex.searchReranked(idx, q, k = 5, threshold = 0.25)
+  }
+
   // -------------------------------------------------------------- dedup
 
   private val dedupExact: Q = (s, d) =>
@@ -556,6 +569,7 @@ object PipelineQueries {
     "knn_norm_top5" -> knnNormTop5,
     "knn_ivf_top5" -> knnIvfTop5,
     "knn_quantized_top5" -> knnQuantTop5,
+    "knn_quantized_rerank_top5" -> knnQuantRerankTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -586,6 +600,7 @@ object PipelineQueries {
     "knn_norm_top5" -> knnTop5Sql,
     // IVF with nprobe == nlist is exhaustive — same oracle again
     "knn_ivf_top5" -> knnTop5Sql,
+    "knn_quantized_rerank_top5" -> knnTop5Sql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_neardup_exact" -> embNearDupExactSql,

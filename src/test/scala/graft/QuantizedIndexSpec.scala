@@ -54,6 +54,14 @@ class QuantizedIndexSpec extends SparkSpec {
     assert(approx.head._1 == exact.head._1)
   }
 
+  test("two-tier rerank equals exact brute-force search bit-for-bit") {
+    val exact = SparkEntry.queries("knn_top5")(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    val reranked = SparkEntry.queries("knn_quantized_rerank_top5")(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(reranked == exact, s"rerank $reranked vs exact $exact")
+  }
+
   test("byte dot kernel matches the float dot after dequantization") {
     val q = VectorIndex.withQuantized(VectorIndex.withNormalized(emb.limit(20)))
       .select("vec_id", "embedding", "qembedding", "qscale")
