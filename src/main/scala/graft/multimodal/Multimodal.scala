@@ -215,26 +215,32 @@ object Multimodal {
       b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
-    /** All frames of a supported container, in stream order; empty when
-      * the container is unsupported or undecodable. */
-    def frames(bytes: Array[Byte]): Seq[BufferedImage] = {
-      if (bytes == null || bytes.isEmpty) Seq.empty
+    /** All frames of a supported container, in stream order, as a LAZY
+      * iterator — at most one decoded frame (plus the GIF compositing
+      * canvas) is live at a time, so a long video never materializes
+      * `nFrames × canvas` heap inside a task. Empty when the container
+      * is unsupported or undecodable; never throws (decode errors end
+      * the iteration). */
+    def frames(bytes: Array[Byte]): Iterator[BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) Iterator.empty
       else if (isGif(bytes)) gifFrames(bytes)
       else if (isAvi(bytes)) aviFrames(bytes)
-      else Seq.empty
+      else Iterator.empty
     }
 
-    private def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    private def gifFrames(bytes: Array[Byte]): Iterator[BufferedImage] = {
       var iis: javax.imageio.stream.ImageInputStream = null
+      def closeQuietly(): Unit =
+        if (iis != null) { try iis.close() catch { case _: Exception => () }; iis = null }
       try {
         iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Seq.empty
+        if (!readers.hasNext) { closeQuietly(); return Iterator.empty }
         val reader = readers.next()
         reader.setInput(iis, false, false)
         val n = reader.getNumImages(true)
-        if (n <= 0) return Seq.empty
+        if (n <= 0) { closeQuietly(); return Iterator.empty }
         // Logical screen from stream metadata; fall back to frame 0 dims.
         val first = reader.read(0)
         var (sw, sh) = (first.getWidth, first.getHeight)
@@ -253,40 +259,56 @@ object Multimodal {
         } catch { case _: Exception => () }
         val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
         val g2 = canvas.createGraphics()
-        val out = Seq.newBuilder[BufferedImage]
-        var i = 0
-        while (i < n) {
-          val frame = if (i == 0) first else reader.read(i)
-          var (ox, oy) = (0, 0)
-          try {
-            val md = reader.getImageMetadata(i)
-            val root = md.getAsTree("javax_imageio_gif_image_1.0")
-              .asInstanceOf[org.w3c.dom.Element]
-            val desc = root.getElementsByTagName("ImageDescriptor")
-            if (desc.getLength > 0) {
-              val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
-              ox = e.getAttribute("imageLeftPosition").toInt
-              oy = e.getAttribute("imageTopPosition").toInt
+        new Iterator[BufferedImage] {
+          private var i = 0
+          private var done = false
+          private def finish(): Unit = if (!done) {
+            done = true
+            try { g2.dispose(); reader.dispose() } catch { case _: Exception => () }
+            closeQuietly()
+          }
+          def hasNext: Boolean = !done && i < n
+          def next(): BufferedImage = {
+            if (!hasNext) throw new NoSuchElementException("gif frames")
+            try {
+              val frame = if (i == 0) first else reader.read(i)
+              var (ox, oy) = (0, 0)
+              try {
+                val md = reader.getImageMetadata(i)
+                val root = md.getAsTree("javax_imageio_gif_image_1.0")
+                  .asInstanceOf[org.w3c.dom.Element]
+                val desc = root.getElementsByTagName("ImageDescriptor")
+                if (desc.getLength > 0) {
+                  val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+                  ox = e.getAttribute("imageLeftPosition").toInt
+                  oy = e.getAttribute("imageTopPosition").toInt
+                }
+              } catch { case _: Exception => () }
+              g2.drawImage(frame, ox, oy, null)
+              val snap = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
+              val sg = snap.createGraphics()
+              sg.drawImage(canvas, 0, 0, null)
+              sg.dispose()
+              i += 1
+              if (i >= n) finish()
+              snap
+            } catch {
+              case _: Exception =>
+                finish()
+                throw new NoSuchElementException("gif decode failed")
             }
-          } catch { case _: Exception => () }
-          g2.drawImage(frame, ox, oy, null)
-          val snap = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
-          val sg = snap.createGraphics()
-          sg.drawImage(canvas, 0, 0, null)
-          sg.dispose()
-          out += snap
-          i += 1
+          }
         }
-        g2.dispose()
-        reader.dispose()
-        out.result()
-      } catch { case _: Exception => Seq.empty }
-      finally if (iis != null) { try iis.close() catch { case _: Exception => () } }
+      } catch { case _: Exception => closeQuietly(); Iterator.empty }
     }
 
-    private def aviFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    private def aviFrames(bytes: Array[Byte]): Iterator[BufferedImage] = {
+      // Pass 1 (cheap, no decode): walk the RIFF tree and collect the
+      // movi stream-chunk ranges. Depth-capped — a crafted file of
+      // nothing but nested LIST headers would otherwise recurse
+      // bytes/12 deep and StackOverflowError past every handler.
+      val chunks = Seq.newBuilder[(Int, Int)]
       try {
-        val out = Seq.newBuilder[BufferedImage]
         // RIFF/LIST headers are 12 bytes (4CC + le32 size + formType);
         // plain chunks are 8 (4CC + le32 size), payload padded to even.
         def le32(o: Int): Long =
@@ -294,7 +316,8 @@ object Multimodal {
             (bytes(o + 2) & 0xffL) << 16 | (bytes(o + 3) & 0xffL) << 24
         def fourCC(o: Int): String =
           new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+          if (depth > 32) return // real AVI nests 2-3 levels
           var p = start
           while (p + 8 <= end) {
             val id = fourCC(p)
@@ -303,21 +326,22 @@ object Multimodal {
             val pEnd = math.min(end.toLong, payload + size).toInt
             if (id == "RIFF" || id == "LIST") {
               val form = if (payload + 4 <= end) fourCC(payload) else ""
-              walk(payload + 4, pEnd, inMovi || form == "movi")
+              walk(payload + 4, pEnd, inMovi || form == "movi", depth + 1)
             } else if (inMovi && id.length == 4 &&
                 (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
-              val img =
-                try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes, payload, size.toInt))
-                catch { case _: Exception => null }
-              if (img != null) out += img
+              chunks += ((payload, size.toInt))
             }
             p = payload + size.toInt + (size.toInt & 1) // pad to even
           }
         }
-        walk(0, bytes.length, inMovi = false)
-        out.result()
-      } catch { case _: Exception => Seq.empty }
+        walk(0, bytes.length, inMovi = false, depth = 0)
+      } catch { case _: Exception => return Iterator.empty }
+      // Pass 2: decode lazily, one chunk at a time; bad chunks skip.
+      chunks.result().iterator.flatMap { case (off, len) =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len)))
+        catch { case _: Exception => None }
+      }
     }
   }
 
@@ -334,16 +358,22 @@ object Multimodal {
     def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
       if (kind != "video") return fallback.decode(kind, bytes)
       val fs = VideoFrames.frames(bytes)
-      if (fs.isEmpty) return fallback.decode(kind, bytes)
+      // streaming fold: one frame live at a time, never the whole clip
       val acc = new Array[Float](featureDim)
+      var count = 0
+      var w = 0
+      var h = 0
       fs.foreach { f =>
+        if (count == 0) { w = f.getWidth; h = f.getHeight }
         val g = gridFeatures(f, grid)
         var i = 0
         while (i < featureDim) { acc(i) += g(i); i += 1 }
+        count += 1
       }
+      if (count == 0) return fallback.decode(kind, bytes)
       var i = 0
-      while (i < featureDim) { acc(i) /= fs.length; i += 1 }
-      MediaFeatures(fs.head.getWidth, fs.head.getHeight, fs.length, acc)
+      while (i < featureDim) { acc(i) /= count; i += 1 }
+      MediaFeatures(w, h, count, acc)
     }
   }
 
@@ -480,15 +510,16 @@ object Multimodal {
       rows.flatMap { r =>
         if (r.getString(kindIdx) != "video") Iterator.empty
         else {
-          val fs = VideoFrames.frames(r.getAs[Array[Byte]](mediaIdx))
           val id = r.getString(idIdx)
-          Iterator.range(0, fs.length, stride).map { i =>
-            val img = fs(i)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Row(id, i, "image", "image/png", img.getWidth, img.getHeight,
-              bos.toByteArray)
-          }
+          // lazy frame iterator: all frames decode (GIF deltas demand
+          // it) but only strided ones re-encode, one at a time
+          VideoFrames.frames(r.getAs[Array[Byte]](mediaIdx)).zipWithIndex
+            .collect { case (img, i) if i % stride == 0 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(id, i, "image", "image/png", img.getWidth, img.getHeight,
+                bos.toByteArray)
+            }
         }
       }
     }(enc)

@@ -22,7 +22,10 @@ object CurationFunctions {
     val reg = spark.sessionState.functionRegistry
     def one(name: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
       reg.createOrReplaceTempFunction(name,
-        es => Bridge.toExpr(spark, f(Bridge.toColumn(es.head))), "scala_udf")
+        es => {
+          require(es.size == 1, s"$name takes exactly one argument, got ${es.size}")
+          Bridge.toExpr(spark, f(Bridge.toColumn(es.head)))
+        }, "scala_udf")
 
     one("mask_pii")(TextSanitize.maskPii)
     one("strip_boilerplate")(TextSanitize.stripBoilerplate)

@@ -34,11 +34,11 @@ object Sampling {
     * in the key: re-runs and other engines select the identical rows. */
   def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
-    if (fraction >= 1.0) df
-    else {
-      val threshold = f"${math.round(fraction * 65536).toInt}%04x"
-      df.filter(substring(hashPriority(col(key)), 1, 4) < lit(threshold))
-    }
+    val n = math.round(fraction * 65536).toInt
+    // n == 65536 would render a 5-char threshold ("10000") that the
+    // 4-char lexicographic compare mangles — treat it as keep-all
+    if (n >= 65536) df
+    else df.filter(substring(hashPriority(col(key)), 1, 4) < lit(f"$n%04x"))
   }
 
   /** Exactly `min(perStratum, |stratum|)` rows per stratum, drawn in

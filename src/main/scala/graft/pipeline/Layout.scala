@@ -48,10 +48,16 @@ object Layout {
       mode: String = "overwrite"): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition > 0)
-    val spread = pmod(
-      if (sortCols.nonEmpty) hash(sortCols.map(col): _*)
-      else hash(monotonically_increasing_id()),
-      lit(filesPerPartition))
+    // the spread key must be deterministic per ROW CONTENT: a
+    // nondeterministic key (monotonically_increasing_id, rand) changes
+    // on stage retry, and a repartition on a changed key can duplicate
+    // or drop rows when only some map tasks recompute
+    val spreadCols =
+      if (sortCols.nonEmpty) sortCols
+      else df.columns.filterNot(partitionCols.contains).toSeq
+    val spread =
+      if (spreadCols.isEmpty) lit(0)
+      else pmod(hash(spreadCols.map(col): _*), lit(filesPerPartition))
     df.repartition(partitionCols.map(col) :+ spread: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
@@ -71,16 +77,21 @@ object Layout {
     * Spark 4 ANSI mode (no arithmetic that can overflow). Inputs must
     * be non-negative integers that fit `bits` bits (pre-bucket
     * continuous values, e.g. `width_bucket` or a fixed quantization);
-    * values above the range fold into the top bucket via the bit mask.
+    * out-of-range values are CLAMPED into `[0, 2^bits - 1]` (an
+    * unclamped low-bit extraction would wrap 2^bits back onto 0 and
+    * scatter overflow rows across the bottom of the curve).
     * `bits * n` must stay ≤ 63. */
   def zValue(cols: Seq[Column], bits: Int = 16): Column = {
     val n = cols.length
     require(n > 0 && bits > 0 && bits * n <= 63,
       s"bits*cols must fit a positive long, got $bits*$n")
+    val top = (1L << bits) - 1L
     var acc: Column = lit(0L)
-    for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+    for (i <- 0 until bits; (c, j) <- cols.zipWithIndex) {
+      val clamped = greatest(lit(0L), least(c.cast("long"), lit(top)))
       acc = acc.bitwiseOR(shiftleft(
-        shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j))
+        shiftrightunsigned(clamped, i).bitwiseAND(lit(1L)), i * n + j))
+    }
     acc
   }
 

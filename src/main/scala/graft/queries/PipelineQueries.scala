@@ -135,7 +135,7 @@ object PipelineQueries {
     val idx = VectorIndex.withQuantized(
       VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0)))
       .select("vec_id", "embedding", "qembedding", "qscale")
-    VectorIndex.searchReranked(idx, q, k = 5, threshold = 0.25)
+    VectorIndex.searchReranked(idx, q, k = 5, threshold = 0.25, overfetch = 8)
   }
 
   // -------------------------------------------------------------- dedup

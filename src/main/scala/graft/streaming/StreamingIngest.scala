@@ -83,8 +83,15 @@ object StreamingIngest {
     * Scale: the anti-join shuffles 16-byte hashes, never text; the
     * corpus side prunes to its `content_hash` column (parquet column
     * pruning). State lives in the corpus parquet itself — no growing
-    * stream-state store, and a crashed query resumes from the
-    * checkpoint with the corpus as its dedup memory. */
+    * stream-state store.
+    *
+    * Crash safety (exactly-once): both outputs land in
+    * `batch_id=<id>` subdirectories written with OVERWRITE, so a batch
+    * that crashed between the corpus and index writes is simply
+    * rewritten on retry; and the dedup memory EXCLUDES the current
+    * batch's own subdirectory, so the retry does not see its first
+    * attempt's rows and drop the batch. Corpus, index and checkpoint
+    * form one unit — restart with the same checkpoint. */
   def startDeduped(
       spark: SparkSession,
       landingDir: String,
@@ -103,24 +110,26 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val inBatch = graft.ops.Dedup.exact(batch)
           .filter(!col("is_dup")).drop("is_dup")
-        val existing =
-          try s.read.parquet(corpusDir).select("content_hash").distinct()
-          catch { case _: org.apache.spark.sql.AnalysisException => null }
+        val memory =
+          try Some(s.read.parquet(corpusDir)
+            .filter(col("batch_id") =!= batchId) // not a crashed attempt of us
+            .select("content_hash").distinct())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
         // localCheckpoint (eager) cuts the lineage BEFORE the corpus
-        // append: the anti-join must not re-execute against the corpus
+        // write: the anti-join must not re-execute against the corpus
         // it just grew, or the index write would see its own batch as
         // already-ingested and drop it
-        val fresh = (if (existing == null) inBatch
-          else inBatch.join(existing, Seq("content_hash"), "left_anti"))
+        val fresh = memory
+          .fold(inBatch)(m => inBatch.join(m, Seq("content_hash"), "left_anti"))
           .localCheckpoint(true)
         fresh.select("doc_id", "content_hash", "text")
-          .write.mode("append").parquet(corpusDir)
+          .write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
         ingestBatch(fresh.select("doc_id", "text"), embedder)
-          .write.mode("append").parquet(indexDir)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
       }
       .start()
   }

@@ -196,7 +196,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("VideoFrames really decodes an animated GIF frame sequence") {
     val gif = animatedGif(40, 20, Seq(0xff0000, 0x00ff00, 0x0000ff))
-    val fs = Multimodal.VideoFrames.frames(gif)
+    val fs = Multimodal.VideoFrames.frames(gif).toSeq
     assert(fs.length == 3)
     assert(fs.forall(f => f.getWidth == 40 && f.getHeight == 20))
     def dominant(f: java.awt.image.BufferedImage): (Int, Int, Int) = {
@@ -210,7 +210,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("VideoFrames really decodes MJPEG-in-AVI chunks") {
     val avi = mjpegAvi(32, 16, Seq(0xff0000, 0x0000ff))
-    val fs = Multimodal.VideoFrames.frames(avi)
+    val fs = Multimodal.VideoFrames.frames(avi).toSeq
     assert(fs.length == 2)
     assert(fs.forall(f => f.getWidth == 32 && f.getHeight == 16))
     assert(((fs(0).getRGB(16, 8) >> 16) & 0xff) > 180, "frame 0 red (jpeg-lossy)")

@@ -50,7 +50,9 @@ class StreamingSpec extends SparkSpec {
     val landing = Files.createTempDirectory("graft-landing-d").toString
     val corpus = Files.createTempDirectory("graft-corpus-d").toString + "/c"
     val index = Files.createTempDirectory("graft-index-d").toString + "/idx"
-    def ckpt() = Files.createTempDirectory("graft-ckpt-d").toString
+    // one checkpoint across both starts: corpus, index and checkpoint
+    // form a unit (batch ids key the idempotent subdir writes)
+    val ckpt = Files.createTempDirectory("graft-ckpt-d").toString
 
     val textA = "alpha document body with sufficient words " * 20
     val textB = "beta document body with different words " * 20
@@ -60,7 +62,7 @@ class StreamingSpec extends SparkSpec {
     // same content as a.txt under a different name: intra-batch dup
     Files.writeString(java.nio.file.Paths.get(landing, "a_copy.txt"), textA)
 
-    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt(),
+    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt,
       HashingEmbedder(64)).awaitTermination(60000)
 
     val c1 = spark.read.parquet(corpus)
@@ -71,7 +73,7 @@ class StreamingSpec extends SparkSpec {
     // dup) plus one genuinely new doc
     Files.writeString(java.nio.file.Paths.get(landing, "b_again.txt"), textB)
     Files.writeString(java.nio.file.Paths.get(landing, "c.txt"), textC)
-    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt(),
+    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt,
       HashingEmbedder(64)).awaitTermination(60000)
 
     val c2 = spark.read.parquet(corpus)
