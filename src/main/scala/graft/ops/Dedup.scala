@@ -88,6 +88,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Train→eval contamination detection: for each eval document, the
+    * fraction of its distinct n-gram shingles that appear ANYWHERE in
+    * the train corpus (containment, not pairwise Jaccard — an eval doc
+    * stitched together from several train docs is still contaminated).
+    * Returns `(idCol, containment)` for eval docs at or above
+    * `threshold` (applied to the 4-dp-rounded value for oracle-stable
+    * decision boundaries).
+    *
+    * Scale shape: the train side reduces to DISTINCT 8-byte shingle
+    * hashes once (no per-pair work, no doc×doc join); the eval side
+    * joins against that set and aggregates per doc. At 100 TB the
+    * train shingle set is the big-but-bounded side and the join
+    * shuffles hashes only — text never moves. */
+  def contamination(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def shingleHashes(df: DataFrame) = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .repartition(col("id")) // barrier: shingle once (see ngramJaccardPairs)
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+    val trainSet = shingleHashes(train).select("s").distinct()
+    shingleHashes(evalDf)
+      .join(trainSet, Seq("s"))
+      .groupBy("id", "n_sh")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("containment",
+        round(col("m").cast("double") / col("n_sh").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id").as(idCol), col("containment"))
+  }
+
   /** MinHash signature: for each of `numHashes` permutations, the
     * minimum permuted hash over the shingle set. Implemented as a typed
     * UDF with a JIT-compiled hot loop — the pure-expression form

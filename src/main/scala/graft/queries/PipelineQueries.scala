@@ -176,6 +176,43 @@ object PipelineQueries {
        |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Train/eval contamination: sources src0–src9 are "train",
+    * src10–src19 "eval"; an eval doc is flagged when ≥50% of its
+    * trigram shingles appear anywhere in the train split. */
+  private val dedupContamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("src", expr("CAST(substr(source, 4, 8) AS INT)"))
+    Dedup.contamination(
+      docs.filter(col("src") < 10),
+      docs.filter(col("src") >= 10),
+      threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val dedupContaminationSql =
+    """WITH d AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, src, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d),
+      |sh AS (SELECT DISTINCT a.doc_id, a.src,
+      |         a.word || ' ' || b.word || ' ' || c.word AS s
+      |       FROM w a
+      |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+      |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+      |train AS (SELECT DISTINCT s FROM sh WHERE src < 10),
+      |e AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh WHERE src >= 10
+      |      GROUP BY doc_id),
+      |hit AS (SELECT sh.doc_id, COUNT(*) AS m
+      |        FROM sh JOIN train USING (s) WHERE src >= 10
+      |        GROUP BY sh.doc_id)
+      |SELECT e.doc_id,
+      |  round(CAST(m AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) AS containment
+      |FROM e JOIN hit USING (doc_id)
+      |WHERE round(CAST(m AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) >= 0.5
+      |ORDER BY doc_id""".stripMargin
+
   /** Banded MinHash LSH candidates (xxhash64 signatures — Spark-native
     * hash, so rows-only check; the exact Jaccard query above is the
     * oracled twin). */
@@ -572,6 +609,7 @@ object PipelineQueries {
     "knn_quantized_rerank_top5" -> knnQuantRerankTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_contamination" -> dedupContamination,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "emb_neardup_exact" -> embNearDupExact,
@@ -603,6 +641,7 @@ object PipelineQueries {
     "knn_quantized_rerank_top5" -> knnTop5Sql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
+    "dedup_contamination" -> dedupContaminationSql,
     "emb_neardup_exact" -> embNearDupExactSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

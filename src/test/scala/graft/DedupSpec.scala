@@ -69,4 +69,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rh(1L) != rh(2L))
   }
+
+  test("contamination flags eval docs by train-shingle containment") {
+    val train = Seq((1L, "a b c d e f"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val evalDf = Seq(
+      (10L, "a b c d e f"), // every trigram in train → 1.0
+      (11L, "a b c q r s t u v"), // 1 of 7 trigrams → ~0.14, below θ
+      (12L, "p p p p")) // no overlap
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.contamination(train, evalDf, threshold = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(10L), s"flagged: $out")
+    assert(out(10L) == 1.0)
+    // below-threshold doc is measurable at a lower θ
+    val loose = graft.ops.Dedup.contamination(train, evalDf, threshold = 0.1)
+      .as[(Long, Double)].collect().toMap
+    assert(loose.keySet == Set(10L, 11L))
+    assert(loose(11L) < 0.2)
+  }
 }
