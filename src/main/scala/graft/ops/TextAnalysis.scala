@@ -75,6 +75,40 @@ object TextAnalysis {
     round((lenOk * 0.4 + diversity * 0.3 + stopOk * 0.3), 4)
   }
 
+  /** Repetition signals per document (the Gopher/C4 quality-filter
+    * family): `top_trigram_frac` — the share of the document's word
+    * trigrams taken by its single most frequent trigram (boilerplate
+    * and template spam score high), and `uniq_trigram_ratio` — distinct
+    * trigrams over total (low = loops/copy-paste). Docs with fewer
+    * than 3 tokens produce no row.
+    *
+    * Relational shape: explode trigrams → two hash aggregations keyed
+    * by `idCol` — parallelism scales with document count, no
+    * driver-side text processing. Output is rounded to 4 dp for
+    * oracle-stable comparison (`doc_repetition`). */
+  def repetitionProfile(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    // guard: sequence(1, 0) counts DOWN in Spark, and ANSI element_at
+    // throws on out-of-range — short docs must yield null (explode
+    // then drops them), never a descending index range
+    val tri = df.select(
+      col(idCol),
+      explode(when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .as("tri"))
+    tri.groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(
+        round(max(col("n")).cast("double") / sum(col("n")).cast("double"), 4)
+          .as("top_trigram_frac"),
+        round(count(lit(1)).cast("double") / sum(col("n")).cast("double"), 4)
+          .as("uniq_trigram_ratio"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text — stable across reformatting. */
   def fingerprint(c: Column): Column = md5(Dedup.normalizedText(c))

@@ -388,6 +388,25 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
 
+  /** Gopher/C4-style repetition signals per document. */
+  private val docRepetition: Q = (s, d) =>
+    TextAnalysis.repetitionProfile(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  private val docRepetitionSql =
+    s"""WITH $wordBlocksSql,
+       |tri AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS tri
+       |        FROM w a
+       |        JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |        JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |cnt AS (SELECT doc_id, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+       |    AS top_trigram_frac,
+       |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 4)
+       |    AS uniq_trigram_ratio
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Contiguous-fill sequence packing into 4000-char bins per language
     * shard (`Packing.packContiguous`), summarized per bin. */
   private val docPackBins: Q = (s, d) => {
@@ -622,6 +641,7 @@ object PipelineQueries {
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
+    "doc_repetition" -> docRepetition,
     "doc_langid" -> docLangId,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -651,6 +671,7 @@ object PipelineQueries {
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
+    "doc_repetition" -> docRepetitionSql,
     "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,

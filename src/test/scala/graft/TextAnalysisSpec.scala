@@ -77,4 +77,19 @@ class TextAnalysisSpec extends SparkSpec {
     val got = df.select(Functions.soundsLike(col("a"), col("b"))).as[Boolean].collect()
     assert(got.toSeq == Seq(true, false))
   }
+
+  test("repetitionProfile: template spam scores high, prose scores low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now " * 30), // one trigram dominates
+      (2L, "the quick brown fox jumps over a lazy dog near the riverbank today"),
+      (3L, "a b")) // <3 tokens: no row
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionProfile(df)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 > 0.4, s"spam top-trigram: ${out(1L)}")
+    assert(out(1L)._2 < 0.1, s"spam uniq ratio: ${out(1L)}")
+    assert(out(2L)._1 < 0.15 && out(2L)._2 == 1.0, s"prose: ${out(2L)}")
+  }
 }
