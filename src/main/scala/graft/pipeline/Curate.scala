@@ -8,8 +8,9 @@ import graft.ops.{Dedup, TextAnalysis}
 import graft.streaming.StreamingIngest
 
 /** End-to-end training-corpus curation — the composition the north star
-  * is about: filter junk, collapse exact and near duplicates, keep the
-  * target languages, then chunk/embed/index what survives.
+  * is about: sanitize (boilerplate/PII), filter junk and repetition
+  * spam, collapse exact and near duplicates, keep the target
+  * languages, then chunk/embed/index what survives.
   *
   * Every stage is the operator implemented elsewhere in this engine;
   * this module only sequences them, and reports per-stage row counts so
@@ -26,11 +27,17 @@ object Curate {
       jaccardThreshold: Double = 0.5,
       chunkSize: Int = 700,
       chunkOverlap: Int = 200,
-      embedder: Embedder = HashingEmbedder())
+      embedder: Embedder = HashingEmbedder(),
+      /** strip boilerplate lines + mask PII before anything else —
+        * also makes dedup robust to boilerplate-only differences */
+      sanitize: Boolean = true,
+      /** drop docs whose top trigram exceeds this share (repetition /
+        * template spam); 1.0 disables the stage */
+      maxTopTrigramFrac: Double = 1.0)
 
   case class Report(
-      input: Long, afterQuality: Long, afterLang: Long,
-      afterExact: Long, afterNearDup: Long, chunks: Long)
+      input: Long, afterQuality: Long, afterRepetition: Long,
+      afterLang: Long, afterExact: Long, afterNearDup: Long, chunks: Long)
 
   /** Run the curation; returns the final index rows and the per-stage
     * attrition report. `docs` needs `(doc_id, text)`; a `lang` column is
@@ -48,21 +55,39 @@ object Curate {
     import org.apache.spark.storage.StorageLevel
     val input = docs.count()
 
-    val quality = docs
+    val cleaned =
+      if (cfg.sanitize)
+        docs.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
+      else docs
+
+    val quality = cleaned
       .withColumn("__q", TextAnalysis.qualityScore(col("text")))
       .filter(col("__q") >= cfg.minQuality)
       .drop("__q")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nQuality = quality.count()
 
+    // repetition screen after the cheap per-row filter (it explodes
+    // trigrams); left_anti keeps short docs the profile yields no row for
+    val repetition = {
+      if (cfg.maxTopTrigramFrac >= 1.0) quality
+      else quality.join(
+        TextAnalysis.repetitionProfile(quality)
+          .filter(col("top_trigram_frac") > cfg.maxTopTrigramFrac)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val nRepetition = repetition.count()
+    quality.unpersist(blocking = false)
+
     val langed = {
       if (docs.columns.contains("lang"))
-        quality.filter(col("lang").isin(cfg.languages: _*))
-      else quality.filter(
+        repetition.filter(col("lang").isin(cfg.languages: _*))
+      else repetition.filter(
         TextAnalysis.langId(col("text")).getField("lang").isin(cfg.languages: _*))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     val nLang = langed.count()
-    quality.unpersist(blocking = false)
+    repetition.unpersist(blocking = false)
 
     val exact = Dedup.dropExactDups(langed).persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
@@ -82,6 +107,6 @@ object Curate {
     val nChunks = index.count()
     deduped.unpersist(blocking = false)
 
-    (index, Report(input, nQuality, nLang, nExact, nNear, nChunks))
+    (index, Report(input, nQuality, nRepetition, nLang, nExact, nNear, nChunks))
   }
 }

@@ -2,8 +2,9 @@ package graft
 
 import graft.pipeline.Curate
 
-/** The full curation composition: quality → language → exact dedup →
-  * near-dup dedup → chunk/embed/index, with per-stage attrition. */
+/** The full curation composition: sanitize → quality → repetition →
+  * language → exact dedup → near-dup dedup → chunk/embed/index, with
+  * per-stage attrition. */
 class CurateSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,16 +16,20 @@ class CurateSpec extends SparkSpec {
       (3L, good + " indeed it is", "en"),    // near dup of 1
       (4L, "spam spam spam spam spam spam spam spam", "en"), // low quality
       (5L, "el gato y la casa de los perros en un día por la mañana y el sol", "es"), // wrong lang
-      (6L, "a completely different quality document about the engines of analytics and the data they process every day", "en"))
+      (6L, "a completely different quality document about the engines of analytics and the data they process every day"
+        + "\nCopyright 2024 MegaCorp. All rights reserved.", "en"), // boilerplate line sanitized away
+      (7L, "the cat sat on the mat " * 15, "en")) // passes quality, repetition spam
       .toDF("doc_id", "text", "lang")
 
     val (index, report) = Curate.run(docs,
       Curate.Config(minQuality = 0.5, languages = Seq("en"),
         jaccardThreshold = 0.4, chunkSize = 60, chunkOverlap = 15,
-        embedder = graft.embed.HashingEmbedder(64)))
+        embedder = graft.embed.HashingEmbedder(64),
+        maxTopTrigramFrac = 0.12))
 
-    assert(report.input == 6)
-    assert(report.afterQuality == 5, s"$report")   // spam dropped
+    assert(report.input == 7)
+    assert(report.afterQuality == 6, s"$report")   // spam dropped
+    assert(report.afterRepetition == 5, s"$report") // template spam dropped
     assert(report.afterLang == 4, s"$report")      // spanish dropped
     assert(report.afterExact == 3, s"$report")     // exact dup dropped
     assert(report.afterNearDup == 2, s"$report")   // near dup folded
@@ -32,6 +37,9 @@ class CurateSpec extends SparkSpec {
 
     val kept = index.select("doc_id").distinct().as[String].collect().toSet
     assert(kept == Set("1", "6"))
+    // the sanitize stage removed doc 6's boilerplate before indexing
+    val chunkTexts = index.select("chunk_text").as[String].collect()
+    assert(chunkTexts.forall(!_.toLowerCase.contains("copyright")))
     // index rows are the standard ingest shape, unit-normalized
     assert(index.columns.toSeq ==
       Seq("id", "doc_id", "chunk_idx", "chunk_text", "embedding"))
