@@ -91,16 +91,17 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     val t = tokens(col(textCol))
-    // guard: sequence(1, 0) counts DOWN in Spark, and ANSI element_at
-    // throws on out-of-range — short docs must yield null (explode
-    // then drops them), never a descending index range
-    val tri = df.select(
-      col(idCol),
-      explode(when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-        .as("tri"))
+    // JIT'd sliding-window UDF, not transform/element_at — the
+    // interpreted-HOF form costs ~3 lambda dispatches per token and
+    // measured ~10× slower at sf0.1 (the same trap as minhash; see
+    // Dedup.minhashSignature). Short docs yield an empty list and
+    // explode drops them.
+    val triList = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < 3) Seq.empty[String]
+      else toks.iterator.sliding(3).withPartial(false)
+        .map(_.mkString(" ")).toSeq
+    }
+    val tri = df.select(col(idCol), explode(triList(t)).as("tri"))
     tri.groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol)).agg(
         round(max(col("n")).cast("double") / sum(col("n")).cast("double"), 4)

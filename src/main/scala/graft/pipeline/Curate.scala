@@ -39,6 +39,21 @@ object Curate {
       input: Long, afterQuality: Long, afterRepetition: Long,
       afterLang: Long, afterExact: Long, afterNearDup: Long, chunks: Long)
 
+  /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
+    * corpus: the quality threshold is the `(1 - rate)` quantile of the
+    * corpus's quality-score distribution, computed with
+    * `approx_percentile` (one pass, mergeable sketch — no sort, no
+    * collect; at 100 TB an exact percentile would be a full global
+    * sort for a number that only needs 3 digits). Calibrate on a
+    * [[graft.ops.Sampling.hashSample]] of the corpus when even one
+    * sketch pass is too much. */
+  def calibrateQuality(docs: DataFrame, targetKeepRate: Double): Double = {
+    require(targetKeepRate > 0.0 && targetKeepRate <= 1.0)
+    docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(expr(s"approx_percentile(q, ${1.0 - targetKeepRate}, 1000)"))
+      .head().getDouble(0)
+  }
+
   /** Run the curation; returns the final index rows and the per-stage
     * attrition report. `docs` needs `(doc_id, text)`; a `lang` column is
     * used when present, else the heuristic language-ID decides.

@@ -44,4 +44,18 @@ class CurateSpec extends SparkSpec {
     assert(index.columns.toSeq ==
       Seq("id", "doc_id", "chunk_idx", "chunk_text", "embedding"))
   }
+
+  test("calibrateQuality picks a threshold that keeps ~the target rate") {
+    val docs = Tables.documents(spark, sf0001)
+    val theta = Curate.calibrateQuality(docs, targetKeepRate = 0.8)
+    val total = docs.count().toDouble
+    val kept = docs.filter(
+      graft.ops.TextAnalysis.qualityScore(org.apache.spark.sql.functions.col("text")) >= theta
+    ).count().toDouble
+    val rate = kept / total
+    assert(rate >= 0.6 && rate <= 1.0, s"theta=$theta keeps $rate")
+    // tighter target keeps fewer (or equal, for coarse distributions)
+    val thetaStrict = Curate.calibrateQuality(docs, targetKeepRate = 0.2)
+    assert(thetaStrict >= theta)
+  }
 }
