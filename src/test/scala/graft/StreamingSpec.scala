@@ -88,6 +88,41 @@ class StreamingSpec extends SparkSpec {
     assert(idxDocs.contains("c.txt"))
   }
 
+  test("dedup ingest crash-retry: a half-finished batch rewrites, no loss") {
+    val landing = Files.createTempDirectory("graft-landing-r").toString
+    val corpus = Files.createTempDirectory("graft-corpus-r").toString + "/c"
+    val index = Files.createTempDirectory("graft-index-r").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-ckpt-r").toString
+
+    val textA = "alpha retry document with plenty of words " * 20
+    val textB = "beta retry document with other words " * 20
+    Files.writeString(java.nio.file.Paths.get(landing, "a.txt"), textA)
+    Files.writeString(java.nio.file.Paths.get(landing, "b.txt"), textB)
+
+    // simulate a crashed first attempt of batch 0: the corpus subdir
+    // was written (even partially — here only doc a) but the index
+    // write never happened and the checkpoint never committed
+    Seq(("a.txt", graft.ops.Dedup.exact(
+        Seq(("a.txt", textA)).toDF("doc_id", "text"))
+        .select("content_hash").as[String].head(), textA))
+      .toDF("doc_id", "content_hash", "text")
+      .write.parquet(s"$corpus/batch_id=0")
+    assert(spark.read.parquet(corpus).count() == 1)
+
+    // the retry (fresh checkpoint → this IS batch 0 again) must not
+    // treat its own crashed leftovers as already-ingested
+    StreamingIngest.startDeduped(spark, landing, corpus, index, ckpt,
+      HashingEmbedder(64)).awaitTermination(60000)
+
+    val c = spark.read.parquet(corpus)
+    assert(c.count() == 2, s"both docs must survive the retry: ${c.count()}")
+    assert(c.select("content_hash").distinct().count() == 2)
+    val idxDocs = spark.read.parquet(index)
+      .select("doc_id").distinct().as[String].collect().toSet
+    assert(idxDocs == Set("a.txt", "b.txt"),
+      s"index must cover the whole batch after retry: $idxDocs")
+  }
+
   test("streaming DOCX ingest: landed .docx parses, sectionizes, embeds, indexes") {
     val landing = Files.createTempDirectory("graft-landing3").toString
     val index = Files.createTempDirectory("graft-index3").toString + "/idx"
