@@ -67,6 +67,30 @@ object Layout {
       .parquet(dir)
   }
 
+  /** Bucketed table write: hash-bucket (and sort) rows by the join key
+    * at write time, so every subsequent equi-join or aggregation on
+    * that key between same-bucketed tables is co-partitioned — ZERO
+    * shuffle of either side at read time (asserted on the physical
+    * plan in `TypedApiSpec`). This is the write-side answer to the
+    * most expensive recurring shuffle in a pipeline: at 100 TB,
+    * bucketing fact tables on their join key once replaces a
+    * full-table exchange in every downstream join. Bucket metadata
+    * lives in the catalog, hence `saveAsTable`. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKey: String,
+      buckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: String = "overwrite"): Unit = {
+    require(buckets > 0)
+    val sorted = sortCols match {
+      case head +: tail => df.write.bucketBy(buckets, bucketKey).sortBy(head, tail: _*)
+      case _ => df.write.bucketBy(buckets, bucketKey).sortBy(bucketKey)
+    }
+    sorted.mode(mode).saveAsTable(table)
+  }
+
   /** Z-order (Morton) value: interleave the low `bits` bits of each
     * column round-robin — bit `i` of column `j` lands at position
     * `i * n + j`. Rows close in z-value are close in EVERY clustered

@@ -42,12 +42,10 @@ class TypedApiSpec extends SparkSpec {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    Tables.orders(spark, sf0001)
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.lineitem(spark, sf0001)
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
+    graft.pipeline.Layout.writeBucketed(
+      Tables.orders(spark, sf0001), "b_orders", "o_orderkey", buckets = 4)
+    graft.pipeline.Layout.writeBucketed(
+      Tables.lineitem(spark, sf0001), "b_lineitem", "l_orderkey", buckets = 4)
 
     // the sf0.001 tables are broadcast-sized; turn broadcasting off so
     // the join actually exercises the bucket co-partitioning
