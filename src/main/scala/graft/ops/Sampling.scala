@@ -41,6 +41,52 @@ object Sampling {
     else df.filter(substring(hashPriority(col(key)), 1, 4) < lit(f"$n%04x"))
   }
 
+  /** Deterministic corpus mixing: subsample sources so the output
+    * matches `targets` proportions (e.g. 50% web / 30% code / 20%
+    * papers) at the LARGEST feasible size — the scarcest source
+    * relative to its target caps the total, everything else
+    * downsamples to fit. Selection is [[hashSample]]-style per source
+    * (hash-prefix threshold), so the mix is reproducible and nested
+    * across re-runs.
+    *
+    * Cost: one small `groupBy(source).count()` (rows = #sources) to
+    * derive fractions on the driver, then a single scan-local filtered
+    * pass joined against a broadcast threshold table — no shuffle of
+    * the corpus itself. Sources absent from `targets` are dropped.
+    * Proportions are exact in expectation; per-source counts deviate
+    * by hash-bucket granularity (~1/65536). */
+  def mixture(
+      df: DataFrame,
+      sourceCol: String,
+      key: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0))
+    val norm = {
+      val z = targets.values.sum
+      targets.map { case (s, w) => s -> w / z }
+    }
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = norm.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no target source present in the data")
+    // the scarcest source relative to its target caps the total size
+    val total = present.map { case (s, t) => counts(s) / t }.min
+    val thresholds = present.toSeq.map { case (s, t) =>
+      val frac = math.min(1.0, total * t / counts(s))
+      val n = math.min(65536L, math.round(frac * 65536)).toInt
+      // "KEEP" sentinel for full sources — a 5-char hex bound would
+      // compare lexicographically against 4-char prefixes and break
+      (s, if (n >= 65536) "KEEP" else f"$n%04x")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tdf = broadcast(thresholds.toDF(sourceCol, "__thresh"))
+    df.join(tdf, sourceCol)
+      .filter(col("__thresh") === "KEEP" ||
+        substring(hashPriority(col(key)), 1, 4) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Exactly `min(perStratum, |stratum|)` rows per stratum, drawn in
     * hash-priority order with the key as tie-break. */
   def stratifiedTake(

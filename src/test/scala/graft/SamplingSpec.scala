@@ -47,4 +47,30 @@ class SamplingSpec extends SparkSpec {
     val hash = SparkEntry.queries("doc_sample_hash")(spark, sf0001)
     assert(hash.count() > 0)
   }
+
+  test("mixture hits target proportions at the largest feasible size") {
+    val rows =
+      (1 to 1000).map(i => (s"w$i", "web")) ++
+      (1 to 500).map(i => (s"c$i", "code")) ++
+      (1 to 100).map(i => (s"p$i", "papers")) ++
+      (1 to 50).map(i => (s"x$i", "untargeted"))
+    val df = rows.toDF("id", "source")
+    val targets = Map("web" -> 0.5, "code" -> 0.3, "papers" -> 0.2)
+    val out = Sampling.mixture(df, "source", "id", targets).cache()
+
+    // papers is the scarcest source: 100 / 0.2 caps the mix at ~500
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySource.contains("untargeted"))
+    assert(bySource("papers") == 100, s"scarce source kept whole: $bySource")
+    val total = bySource.values.sum.toDouble
+    targets.foreach { case (s, t) =>
+      val got = bySource(s) / total
+      assert(math.abs(got - t) < 0.06, s"$s: got $got, want $t ($bySource)")
+    }
+    // deterministic: identical selection on a second run
+    val again = Sampling.mixture(df, "source", "id", targets)
+      .select("id").as[String].collect().toSet
+    assert(again == out.select("id").as[String].collect().toSet)
+  }
 }
