@@ -388,6 +388,16 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
 
+  /** Deterministic corpus mixing over the language column (rows-only:
+    * the per-source thresholds derive from driver-side counts whose
+    * double rounding is not worth replicating in SQL; proportions and
+    * determinism are unit-measured in `SamplingSpec`). */
+  private val docMixture: Q = (s, d) =>
+    graft.ops.Sampling.mixture(Tables.documents(s, d), "lang", "doc_id",
+      Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Gopher/C4-style repetition signals per document. */
   private val docRepetition: Q = (s, d) =>
     TextAnalysis.repetitionProfile(Tables.documents(s, d))
@@ -642,6 +652,7 @@ object PipelineQueries {
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
     "doc_repetition" -> docRepetition,
+    "doc_mixture" -> docMixture,
     "doc_langid" -> docLangId,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,

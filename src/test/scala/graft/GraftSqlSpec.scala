@@ -76,5 +76,10 @@ class GraftSqlSpec extends SparkSpec {
 
     val z = spark.sql("SELECT z_value(5, 3)").head().getLong(0)
     assert(z == 27L) // matches LayoutSpec's interleave fixture
+
+    // wrong arity is an analysis-time error, not a silent truncation
+    intercept[Exception](spark.sql("SELECT token_count()").collect())
+    intercept[Exception](spark.sql("SELECT mask_pii('a', 'b')").collect())
+    intercept[Exception](spark.sql("SELECT z_value(1)").collect())
   }
 }
