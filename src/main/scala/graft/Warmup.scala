@@ -44,6 +44,14 @@ object Warmup {
         .over(Window.partitionBy(col("n_regionkey")).orderBy("n_nationkey")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .write.mode("overwrite").format("noop").save()
+    // custom codegen expressions (cosine/dot/quantize/byte-dot) first-use
+    nation
+      .withColumn("v", array(lit(0.6), lit(0.8)))
+      .withColumn("s", graft.expr.VectorExpressions.maxAbs(col("v")))
+      .withColumn("q", graft.expr.VectorExpressions.quantizeInt8(col("v"), col("s")))
+      .withColumn("bd", graft.expr.VectorExpressions.byteDot(col("q"), col("q")))
+      .withColumn("cs", graft.expr.VectorExpressions.cosine(col("v"), col("v")))
+      .write.mode("overwrite").format("noop").save()
     // ObjectHashAggregate (collect_list) + session_window first-use
     nation
       .groupBy("n_regionkey")
