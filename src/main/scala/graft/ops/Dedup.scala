@@ -115,7 +115,13 @@ object Dedup {
       .filter(col("n_sh") > 0)
       .select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
       .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
-    val trainSet = shingleHashes(train).select("s").distinct()
+    // train side needs only the distinct hash set — no per-doc counts,
+    // no repartition barrier (shingle arrays never shuffle; the only
+    // exchange is the 8-byte-hash distinct)
+    val trainSet = train
+      .select(explode(shingles(col(textCol), n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+      .distinct()
     shingleHashes(evalDf)
       .join(trainSet, Seq("s"))
       .groupBy("id", "n_sh")

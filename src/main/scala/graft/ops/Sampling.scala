@@ -65,8 +65,11 @@ object Sampling {
       val z = targets.values.sum
       targets.map { case (s, w) => s -> w / z }
     }
-    val counts = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // source values compare as strings throughout (targets keys are
+    // strings), so a non-string source column must not crash the
+    // driver-side collect or skew the join
+    val counts = df.groupBy(col(sourceCol).cast("string").as(sourceCol)).count()
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val present = norm.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no target source present in the data")
     // the scarcest source relative to its target caps the total size
@@ -80,11 +83,11 @@ object Sampling {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val tdf = broadcast(thresholds.toDF(sourceCol, "__thresh"))
-    df.join(tdf, sourceCol)
+    val tdf = broadcast(thresholds.toDF("__src", "__thresh"))
+    df.join(tdf, col(sourceCol).cast("string") === col("__src"))
       .filter(col("__thresh") === "KEEP" ||
         substring(hashPriority(col(key)), 1, 4) < col("__thresh"))
-      .drop("__thresh")
+      .drop("__src", "__thresh")
   }
 
   /** Exactly `min(perStratum, |stratum|)` rows per stratum, drawn in

@@ -85,12 +85,18 @@ object TextAnalysis {
     * Relational shape: explode trigrams → two hash aggregations keyed
     * by `idCol` — parallelism scales with document count, no
     * driver-side text processing. Output is rounded to 4 dp for
-    * oracle-stable comparison (`doc_repetition`). */
+    * oracle-stable comparison (`doc_repetition`).
+    *
+    * `tokensOf` lets the caller pin the tokenizer to whatever its
+    * oracle/consumer uses (the registered query passes the ASCII
+    * `[^a-z0-9]+` splitter to match its DuckDB twin exactly; the
+    * default is this module's Unicode-word tokenizer). */
   def repetitionProfile(
       df: org.apache.spark.sql.DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val t = tokens(col(textCol))
+      idCol: String = "doc_id",
+      tokensOf: Column => Column = tokens): org.apache.spark.sql.DataFrame = {
+    val t = tokensOf(col(textCol))
     // JIT'd sliding-window UDF, not transform/element_at — the
     // interpreted-HOF form costs ~3 lambda dispatches per token and
     // measured ~10× slower at sf0.1 (the same trap as minhash; see

@@ -47,11 +47,22 @@ object Curate {
     * sort for a number that only needs 3 digits). Calibrate on a
     * [[graft.ops.Sampling.hashSample]] of the corpus when even one
     * sketch pass is too much. */
-  def calibrateQuality(docs: DataFrame, targetKeepRate: Double): Double = {
+  def calibrateQuality(
+      docs: DataFrame,
+      targetKeepRate: Double,
+      sanitize: Boolean = true): Double = {
     require(targetKeepRate > 0.0 && targetKeepRate <= 1.0)
-    docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+    // score the same text run() will score: with the default
+    // sanitize=true, calibrating on raw text would shift the realized
+    // keep rate (boilerplate/PII change quality scores)
+    val scored =
+      if (sanitize)
+        docs.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
+      else docs
+    val row = scored.select(TextAnalysis.qualityScore(col("text")).as("q"))
       .agg(expr(s"approx_percentile(q, ${1.0 - targetKeepRate}, 1000)"))
-      .head().getDouble(0)
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0) // empty corpus keeps all
   }
 
   /** Run the curation; returns the final index rows and the per-stage
@@ -83,17 +94,22 @@ object Curate {
     val nQuality = quality.count()
 
     // repetition screen after the cheap per-row filter (it explodes
-    // trigrams); left_anti keeps short docs the profile yields no row for
-    val repetition = {
-      if (cfg.maxTopTrigramFrac >= 1.0) quality
+    // trigrams); left_anti keeps short docs the profile yields no row
+    // for. When the stage is disabled, `repetition` IS `quality` —
+    // re-persisting and unpersisting the alias would evict the shared
+    // cache and force the language stage to recompute the whole
+    // upstream lineage (the single-scan guarantee would silently break)
+    val repetitionActive = cfg.maxTopTrigramFrac < 1.0
+    val repetition =
+      if (!repetitionActive) quality
       else quality.join(
         TextAnalysis.repetitionProfile(quality)
           .filter(col("top_trigram_frac") > cfg.maxTopTrigramFrac)
           .select("doc_id"),
         Seq("doc_id"), "left_anti")
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    val nRepetition = repetition.count()
-    quality.unpersist(blocking = false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRepetition = if (repetitionActive) repetition.count() else nQuality
+    if (repetitionActive) quality.unpersist(blocking = false)
 
     val langed = {
       if (docs.columns.contains("lang"))

@@ -190,8 +190,11 @@ object PipelineQueries {
   }
 
   private val dedupContaminationSql =
+    // tokenizer mirrors Dedup.shingles EXACTLY (lower.trim.split(\s+),
+    // punctuation stays inside tokens) — not the word-character toks()
+    // the other oracles use; a \s+ split is what the Spark side does
     """WITH d AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src,
-      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
       |                x -> len(x) > 0) AS toks
       |  FROM documents),
       |w AS (SELECT doc_id, src, unnest(toks) AS word,
@@ -400,7 +403,8 @@ object PipelineQueries {
 
   /** Gopher/C4-style repetition signals per document. */
   private val docRepetition: Q = (s, d) =>
-    TextAnalysis.repetitionProfile(Tables.documents(s, d))
+    TextAnalysis.repetitionProfile(Tables.documents(s, d),
+      tokensOf = c => toks(c)) // pin to the oracle's [^a-z0-9]+ tokenizer
       .orderBy("doc_id")
 
   private val docRepetitionSql =
