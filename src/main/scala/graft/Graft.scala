@@ -15,6 +15,7 @@ object Graft {
     * `z_value`, …) — see `graft.ops.CurationFunctions`. */
   def registerAll(spark: SparkSession): SparkSession = {
     graft.expr.VectorExpressions.register(spark)
+    graft.expr.TopKExpr.register(spark)
     graft.expr.SplitTextGen.register(spark)
     graft.ops.CurationFunctions.register(spark)
     spark

@@ -259,17 +259,28 @@ object Multimodal {
         } catch { case _: Exception => () }
         val canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_RGB)
         val g2 = canvas.createGraphics()
+        // Pre-decoding iterator: hasNext buffers the next composited
+        // frame and returns false when a mid-stream frame fails to
+        // decode (truncated/corrupt GIF) — next() never throws after a
+        // true hasNext, which keeps the "never throws, decode errors
+        // end the iteration" contract under flatMap/foreach consumers.
+        // Resources (reader, stream, canvas graphics) are released as
+        // soon as the LAST frame is buffered, not on consumption; a
+        // consumer that abandons the iterator mid-stream leaves only
+        // heap objects for GC (the source is an in-memory byte array —
+        // no OS handles are held).
         new Iterator[BufferedImage] {
           private var i = 0
           private var done = false
+          private var pending: BufferedImage = null
           private def finish(): Unit = if (!done) {
             done = true
             try { g2.dispose(); reader.dispose() } catch { case _: Exception => () }
             closeQuietly()
           }
-          def hasNext: Boolean = !done && i < n
-          def next(): BufferedImage = {
-            if (!hasNext) throw new NoSuchElementException("gif frames")
+          def hasNext: Boolean = pending != null || advance()
+          private def advance(): Boolean = {
+            if (done || i >= n) { finish(); return false }
             try {
               val frame = if (i == 0) first else reader.read(i)
               var (ox, oy) = (0, 0)
@@ -290,13 +301,18 @@ object Multimodal {
               sg.drawImage(canvas, 0, 0, null)
               sg.dispose()
               i += 1
-              if (i >= n) finish()
-              snap
+              pending = snap
+              if (i >= n) finish() // snap is an independent copy; free eagerly
+              true
             } catch {
-              case _: Exception =>
-                finish()
-                throw new NoSuchElementException("gif decode failed")
+              case _: Exception => finish(); false
             }
+          }
+          def next(): BufferedImage = {
+            if (!hasNext) throw new NoSuchElementException("gif frames")
+            val out = pending
+            pending = null
+            out
           }
         }
       } catch { case _: Exception => closeQuietly(); Iterator.empty }
@@ -319,19 +335,28 @@ object Multimodal {
         def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
           if (depth > 32) return // real AVI nests 2-3 levels
           var p = start
-          while (p + 8 <= end) {
+          var ok = true
+          while (ok && p + 8 <= end) {
             val id = fourCC(p)
-            val size = le32(p + 4)
+            val size = le32(p + 4) // unsigned — never negative, may exceed Int
             val payload = p + 8
-            val pEnd = math.min(end.toLong, payload + size).toInt
+            // A crafted/corrupt size must not stall or rewind the walk:
+            // clamp the declared extent to the enclosing chunk, and
+            // bail out unless the cursor strictly advances (size
+            // arithmetic is done in Long, so 0xFFFFFFF8-style values
+            // can't wrap to a smaller/equal Int offset).
+            val pEnd = math.min(end.toLong, payload.toLong + size).toInt
             if (id == "RIFF" || id == "LIST") {
               val form = if (payload + 4 <= end) fourCC(payload) else ""
               walk(payload + 4, pEnd, inMovi || form == "movi", depth + 1)
             } else if (inMovi && id.length == 4 &&
-                (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
-              chunks += ((payload, size.toInt))
+                (id.endsWith("dc") || id.endsWith("db")) &&
+                size > 0 && pEnd > payload) {
+              chunks += ((payload, pEnd - payload))
             }
-            p = payload + size.toInt + (size.toInt & 1) // pad to even
+            val pNew = payload.toLong + size + (size & 1L) // pad to even
+            if (pNew <= p || pNew > Int.MaxValue) ok = false
+            else p = pNew.toInt
           }
         }
         walk(0, bytes.length, inMovi = false, depth = 0)

@@ -569,21 +569,20 @@ object RelationalQueries {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
-  // q30: grouped top-k via the typed TopKAggregator — bounded k-element
-  // map-side buffers (shuffle carries ≤ k rows per group) instead of the
-  // window's full per-group sort. Oracle: the row_number formulation,
-  // which DuckDB computes by actually sorting every group — same answer,
-  // different (and at 100 TB worse) plan.
+  // q30: grouped top-k via the native `top_k` TypedImperativeAggregate
+  // (graft.expr.TopK) — bounded k-element map-side buffers (shuffle
+  // carries ≤ k rows per group) instead of the window's full per-group
+  // sort, and the per-row path is two primitive reads + a bounded array
+  // insert on InternalRows (no object encoder — the typed
+  // TopKAggregator twin pays product-encoder ser/de on every input
+  // row). Oracle: the row_number formulation, which DuckDB computes by
+  // actually sorting every group — same answer, different (and at
+  // 100 TB worse) plan.
   private val q30: Q = (s, d) => {
-    import s.implicits._
     Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, k, p) => (k, p) }
-      .agg(new graft.expr.TopKAggregator(3).toColumn)
-      .toDF("o_custkey", "topk")
-      .select(col("o_custkey"), posexplode(col("topk.items")))
+      .groupBy(col("o_custkey"))
+      .agg(graft.expr.TopKExpr.topK(col("o_orderkey"), col("o_totalprice"), 3).as("topk"))
+      .select(col("o_custkey"), posexplode(col("topk")))
       .select(col("o_custkey"),
         (col("pos") + 1).cast("long").as("rn"),
         col("col.id").as("o_orderkey"),

@@ -45,10 +45,35 @@ object StatefulSessions {
 
   private def usOf(t: Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
 
-  /** The per-key state function: fold the batch's events (sorted by
-    * event time) into the open session, emitting every session closed by
-    * a gap; keep the still-open one in state with an event-time timeout
-    * at last + gap (fires once the watermark passes it). */
+  /** Merge two gap-adjacent (or overlapping) sessions — exact aggregate
+    * combination, boundary types resolved by the batch twin's
+    * `(ts, event_type)` ordering. */
+  private def combine(a: OpenSession, b: OpenSession): OpenSession = {
+    val firstType =
+      if (a.startUs < b.startUs ||
+        (a.startUs == b.startUs && a.firstType <= b.firstType)) a.firstType
+      else b.firstType
+    val lastType =
+      if (a.lastUs > b.lastUs ||
+        (a.lastUs == b.lastUs && a.lastType >= b.lastType)) a.lastType
+      else b.lastType
+    OpenSession(math.min(a.startUs, b.startUs), math.max(a.lastUs, b.lastUs),
+      a.n + b.n, a.sum + b.sum, firstType, lastType)
+  }
+
+  /** The per-key state function. The batch's events (sorted by event
+    * time) are first folded into gap-separated sessions among
+    * themselves; the open session carried in state is then merged into
+    * that sorted timeline, so a late event arriving BEFORE the open
+    * session (cross-micro-batch disorder within the watermark) extends
+    * it backward — startUs/firstType adjust — or forms its own earlier
+    * session, exactly as `sessionizeBatch` would assign it. All
+    * sessions but the last close and emit; the last stays open with an
+    * event-time timeout at last + gap (fires once the watermark passes
+    * it). Residual divergence from the batch twin: an event whose
+    * session was ALREADY emitted in a prior trigger can't reopen it
+    * (append-mode streaming has no retraction); the watermark bounds
+    * how late such an event can be. */
   private def stateFn(gapMs: Long)(
       uid: Long,
       events: Iterator[Event],
@@ -58,28 +83,41 @@ object StatefulSessions {
       state.remove()
       Iterator.single(out)
     } else {
+      val gapUs = gapMs * 1000
       val sorted = events.toArray.sortBy(e => (usOf(e.ts), e.event_type))
-      val closed = ArrayBuffer.empty[Session]
-      var open = state.getOption
+      // 1. Sessionize the batch's own events (sorted, so a linear fold).
+      val batchSessions = ArrayBuffer.empty[OpenSession]
       for (e <- sorted) {
         val us = usOf(e.ts)
-        open match {
-          case Some(s) if us - s.lastUs <= gapMs * 1000 =>
-            open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1,
-              sum = s.sum + e.value, lastType = e.event_type))
-          case Some(s) =>
-            closed += toSession(uid, s)
-            open = Some(OpenSession(us, us, 1, e.value, e.event_type, e.event_type))
-          case None =>
-            open = Some(OpenSession(us, us, 1, e.value, e.event_type, e.event_type))
+        val one = OpenSession(us, us, 1, e.value, e.event_type, e.event_type)
+        if (batchSessions.nonEmpty && us - batchSessions.last.lastUs <= gapUs)
+          batchSessions(batchSessions.length - 1) = combine(batchSessions.last, one)
+        else batchSessions += one
+      }
+      // 2. Insert the state session into start-order, then sweep-merge
+      //    gap-adjacent neighbors (the state span may bridge several).
+      state.getOption.foreach { s =>
+        val at = batchSessions.indexWhere(_.startUs > s.startUs) match {
+          case -1 => batchSessions.length
+          case i => i
         }
+        batchSessions.insert(at, s)
       }
-      open.foreach { s =>
-        state.update(s)
+      val merged = ArrayBuffer.empty[OpenSession]
+      for (s <- batchSessions) {
+        if (merged.nonEmpty && s.startUs - merged.last.lastUs <= gapUs)
+          merged(merged.length - 1) = combine(merged.last, s)
+        else merged += s
+      }
+      // 3. Close everything but the still-growing tail session.
+      if (merged.isEmpty) Iterator.empty
+      else {
+        val open = merged.remove(merged.length - 1)
+        state.update(open)
         // close when the watermark passes the gap after the last event
-        state.setTimeoutTimestamp(s.lastUs / 1000 + gapMs)
+        state.setTimeoutTimestamp(open.lastUs / 1000 + gapMs)
+        merged.iterator.map(toSession(uid, _))
       }
-      closed.iterator
     }
   }
 

@@ -261,6 +261,69 @@ class MultimodalSpec extends SparkSpec {
     assert(v(2) > 0.9f && v(0) < 0.1f, s"frame 2 decodes blue through ImageIoDecoder: $v")
   }
 
+  test("truncated/corrupt GIFs end iteration cleanly, never throw") {
+    val gif = animatedGif(40, 20, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val whole = Multimodal.VideoFrames.frames(gif).toSeq
+    assert(whole.length == 3)
+    // every truncation point: some prefix of the frames (possibly none),
+    // no exception from hasNext/next even under full drain
+    (1 until gif.length by 7).foreach { cut =>
+      val fs = Multimodal.VideoFrames.frames(gif.take(cut)).toSeq
+      assert(fs.length <= 3, s"cut=$cut")
+    }
+    // random byte corruption mid-stream: same contract
+    val rnd = new scala.util.Random(42)
+    (0 until 50).foreach { trial =>
+      val mutated = gif.clone()
+      (0 until 5).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      Multimodal.VideoFrames.frames(mutated).foreach(_ => ()) // must not throw
+      assert(true, s"trial=$trial")
+    }
+    // a decode failure surfaced through hasNext also ends the
+    // flatMap-driven extractFrames path without failing the task
+    val truncated = gif.take(gif.length * 2 / 3)
+    val df = Seq(("vt", "video", truncated)).toDF("asset_id", "kind", "media")
+    Multimodal.extractFrames(df).collect() // must not throw
+  }
+
+  test("corrupt AVI chunk sizes cannot stall or rewind the RIFF walk") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def avi(moviBody: Array[Byte]): Array[Byte] = {
+      val movi = "movi".getBytes("US-ASCII") ++ moviBody
+      val list = "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi
+      val payload = "AVI ".getBytes("US-ASCII") ++ list
+      "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    }
+    // size 0xFFFFFFF8: as a signed Int this is -8, which used to make
+    // the cursor not advance (p_new == p) — an infinite loop, no throw
+    val stall = avi("00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++
+      Array.fill[Byte](64)(0))
+    assert(Multimodal.VideoFrames.frames(stall).isEmpty)
+    // size that rewinds the cursor (larger wrap)
+    val rewind = avi("00dc".getBytes("US-ASCII") ++ le32(0xFFFFFF00L) ++
+      Array.fill[Byte](64)(0))
+    assert(Multimodal.VideoFrames.frames(rewind).isEmpty)
+    // declared size overruns the file: clamped to the enclosing chunk,
+    // the (undecodable) clamped payload is skipped, no throw
+    val overrun = avi("00dc".getBytes("US-ASCII") ++ le32(1 << 30) ++
+      Array.fill[Byte](16)(0))
+    assert(Multimodal.VideoFrames.frames(overrun).isEmpty)
+    // random header corruption of a real file: always terminates
+    val good = mjpegAvi(16, 8, Seq(0xff0000, 0x0000ff))
+    val rnd = new scala.util.Random(7)
+    (0 until 100).foreach { _ =>
+      val mutated = good.clone()
+      (0 until 4).foreach { _ =>
+        mutated(rnd.nextInt(math.min(64, mutated.length))) = rnd.nextInt(256).toByte
+      }
+      Multimodal.VideoFrames.frames(mutated).foreach(_ => ()) // must not throw/hang
+    }
+  }
+
   test("asset schema round-trips through parquet with binary payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString + "/t"
     val rows = java.util.Arrays.asList(

@@ -52,6 +52,47 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(twin.size > 10)
   }
 
+  test("cross-batch late events extend the open session backward (batch-twin parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000)
+    val mem = MemoryStream[Event]
+    val q = StatefulSessions.sessionize(
+        mem.toDS().withWatermark("ts", "2 hours"), gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      // batch 1 opens session [1000s..1010s] for user 1
+      mem.addData(Event(1, t(1000), "a", 1.0), Event(1, t(1010), "b", 2.0))
+      q.processAllAvailable()
+      // batch 2 arrives OUT OF ORDER across the trigger boundary:
+      //  - t=960s is 40s before the open session's start → merges
+      //    backward (startUs and firstType must adjust)
+      //  - t=800s is gap-separated from everything → its own session
+      mem.addData(Event(1, t(960), "z", 4.0), Event(1, t(800), "y", 5.0))
+      q.processAllAvailable()
+      val early = spark.table("sess_late").as[Session].collect().map(canon).toSet
+      assert(early == Set((1L, 800000000L, 800000000L, 1L, 5.0, "y", "y")), early)
+      // two more triggers: advance the watermark past 1010s+gap so the
+      // open session times out (timeouts fire the trigger AFTER the
+      // watermark moves)
+      mem.addData(Event(2, t(20000), "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, t(20010), "x", 0.0))
+      q.processAllAvailable()
+      val user1 = spark.table("sess_late").as[Session]
+        .filter(_.user_id == 1).collect().map(canon).toSet
+      val twin = StatefulSessions.sessionizeBatch(
+        Seq((1L, t(1000), "a", 1.0), (1L, t(1010), "b", 2.0),
+          (1L, t(960), "z", 4.0), (1L, t(800), "y", 5.0))
+          .toDF("user_id", "ts", "event_type", "value"), gapSeconds = 60)
+        .as[Session].collect().map(canon).toSet
+      assert(user1 == twin, s"streamed=$user1 twin=$twin")
+      // the backward-extended session really carries the late boundary
+      assert(user1.contains((1L, 960000000L, 1010000000L, 3L, 7.0, "z", "b")))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions matching the batch twin") {
     val dir = mkEvents()
     val schema = spark.read.parquet(dir).schema
