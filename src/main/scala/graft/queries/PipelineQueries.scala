@@ -391,15 +391,48 @@ object PipelineQueries {
       |  FROM documents) t
       |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
 
-  /** Deterministic corpus mixing over the language column (rows-only:
-    * the per-source thresholds derive from driver-side counts whose
-    * double rounding is not worth replicating in SQL; proportions and
-    * determinism are unit-measured in `SamplingSpec`). */
+  /** Deterministic corpus mixing over the language column. */
+  private val docMixtureTargets = Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2)
+
   private val docMixture: Q = (s, d) =>
     graft.ops.Sampling.mixture(Tables.documents(s, d), "lang", "doc_id",
-      Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2))
+      docMixtureTargets)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** Oracle twin of `Sampling.mixture`'s driver arithmetic
+    * (`Sampling.scala:63-89`), CTE-for-line: normalized target weights
+    * (embedded as round-trip-exact double literals computed by the SAME
+    * Scala normalization the engine runs), per-source counts, the
+    * scarcest-source total cap, the 65536-bucket threshold with its
+    * floor(x+0.5) rounding and "KEEP" sentinel, and the md5-prefix
+    * filter. Both engines then run identical IEEE-754 ops in identical
+    * order, so the selected row set is bit-for-bit the same. */
+  private val docMixtureSql = {
+    val z = docMixtureTargets.values.sum
+    val vals = docMixtureTargets.toSeq
+      .map { case (src, w) => s"('$src', CAST(${w / z} AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH tgt(src, w) AS (VALUES $vals),
+       |cnt AS (SELECT CAST(lang AS VARCHAR) AS src, COUNT(*) AS c
+       |        FROM documents GROUP BY 1),
+       |present AS (SELECT t.src, t.w, c.c FROM tgt t JOIN cnt c ON c.src = t.src),
+       |tot AS (SELECT MIN(CAST(c AS DOUBLE) / w) AS total FROM present),
+       |thr AS (
+       |  SELECT src,
+       |    CASE WHEN n >= 65536 THEN 'KEEP' ELSE printf('%04x', n) END AS thresh
+       |  FROM (SELECT p.src,
+       |          LEAST(65536, CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+       |            (SELECT total FROM tot) * p.w / CAST(p.c AS DOUBLE))
+       |            * 65536 + 0.5) AS BIGINT)) AS n
+       |        FROM present p) q)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d
+       |JOIN thr ON CAST(d.lang AS VARCHAR) = thr.src
+       |WHERE thr.thresh = 'KEEP'
+       |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thresh
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Gopher/C4-style repetition signals per document. */
   private val docRepetition: Q = (s, d) =>
@@ -687,6 +720,7 @@ object PipelineQueries {
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
     "doc_repetition" -> docRepetitionSql,
+    "doc_mixture" -> docMixtureSql,
     "doc_langid" -> docLangIdSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
