@@ -182,6 +182,36 @@ object VectorIndex {
     IvfIndex(assigned.withColumnRenamed("cluster", "cell").drop("dist"), centers)
   }
 
+  /** Persist an IVF index as a directory pair:
+    * `<path>/cells` — the assigned rows, `partitionBy("cell")` so a
+    * probe of the reloaded index PRUNES partition directories (reads
+    * ~nprobe/nlist of the bytes — the `numFiles` scan metric proves it
+    * in `IvfIndexSpec`); `<path>/centers` — an nlist-row sidecar of
+    * `(cell, center)` (nlist×dim doubles, a constant independent of
+    * corpus size). The index survives the building session: search
+    * clusters need only the path. */
+  def writeIvf(ivf: IvfIndex, path: String, mode: String = "overwrite"): Unit = {
+    ivf.cells.write.mode(mode).partitionBy("cell").parquet(path + "/cells")
+    val spark = ivf.cells.sparkSession
+    import spark.implicits._
+    ivf.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1) // nlist rows — one tiny sidecar file
+      .write.mode(mode).parquet(path + "/centers")
+  }
+
+  /** Reload a persisted IVF index. Centers (a constant-size sidecar)
+    * are collected to the driver — the same place [[probeCells]] needs
+    * them; cells stay a lazy partition-pruned parquet scan. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(path + "/centers")
+      .select("cell", "center").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(path + "/cells"), centers)
+  }
+
   /** The rows of the `nprobe` cells whose centers are most cosine-similar
     * to `query` (driver-side center scoring; cell-id tie-break). */
   def probeCells(ivf: IvfIndex, query: Array[Double], nprobe: Int): DataFrame = {

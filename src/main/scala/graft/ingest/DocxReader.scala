@@ -53,15 +53,48 @@ object DocxReader {
   @inline private def uiStyleName(internal: String): String =
     babelFish.getOrElse(internal, internal)
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Per-entry inflation cap. Zip headers declare sizes but liars are
+    * cheap: a "zip bomb" part compresses kilobytes into gigabytes and
+    * would OOM the executor through `readAllBytes`. The cap bounds the
+    * ACTUALLY inflated bytes (headers are never trusted); 256 MiB is
+    * far beyond any real OOXML part. */
+  private[graft] val MaxEntryBytes: Int = 256 << 20
+
+  /** Word caps tables at 63 columns; a crafted `gridSpan` of 2^30 would
+    * otherwise OOM via merged-cell replication. Generous headroom. */
+  private val MaxGridSpan = 512
+
+  private def readCapped(zin: ZipInputStream, cap: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(8192)
+    val tmp = new Array[Byte](64 * 1024)
+    var n = zin.read(tmp)
+    while (n >= 0) {
+      if (buf.size + n > cap)
+        throw new java.io.IOException(s"zip entry inflates past $cap bytes")
+      buf.write(tmp, 0, n)
+      n = zin.read(tmp)
+    }
+    buf.toByteArray
+  }
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] =
+    zipEntries(bytes, MaxEntryBytes, salvage = false)
+
+  /** `salvage = true` keeps the entries inflated before the first
+    * failure (truncated archive, bombing entry) instead of failing the
+    * whole package — the lenient corpus-ingest mode. */
+  private[graft] def zipEntries(
+      bytes: Array[Byte], cap: Int, salvage: Boolean): Map[String, Array[Byte]] = {
     val out = Map.newBuilder[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory) out += (e.getName -> zin.readAllBytes())
-        e = zin.getNextEntry
-      }
+      try {
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) out += (e.getName -> readCapped(zin, cap))
+          e = zin.getNextEntry
+        }
+      } catch { case e: Exception => if (!salvage) throw e }
     } finally zin.close()
     out.result()
   }
@@ -113,29 +146,47 @@ object DocxReader {
     map.result()
   }
 
-  /** [[parseBytes]] that yields zero blocks on malformed packages
-    * (truncated zips, invalid XML) instead of failing the task — at
-    * corpus scale one corrupt file must not kill a 100M-file ingest.
-    * The distributed paths ([[read]], streaming ingest) use this. */
+  /** [[parseBytes]] for corpus-scale ingest: malformed packages
+    * (truncated zips, invalid XML, bombing entries) must not fail the
+    * task — at 100 TB one corrupt file cannot kill a 100M-file ingest.
+    * SALVAGES rather than discards: zip entries inflated before the
+    * corruption point are kept, and blocks parsed before a mid-stream
+    * XML failure are returned (a truncated document.xml still yields
+    * its leading paragraphs). Returns empty only when nothing at all
+    * was recoverable. The distributed paths ([[read]], streaming
+    * ingest) use this. */
   def parseBytesLenient(docId: String, bytes: Array[Byte]): Seq[Block] =
-    try parseBytes(docId, bytes)
+    try parseImpl(docId, zipEntries(bytes, MaxEntryBytes, salvage = true),
+      salvage = true)
     catch { case e: Exception =>
       System.err.println(s"[docx] skipping unparseable $docId: ${e.getMessage}")
       Seq.empty
     }
 
-  /** [[mediaBytes]]'s lenient twin. */
+  /** [[mediaBytes]]'s lenient twin: media parts recovered before the
+    * corruption point are kept. */
   def mediaBytesLenient(docId: String, bytes: Array[Byte]): Seq[Media] =
-    try mediaBytes(docId, bytes)
+    try mediaImpl(docId, zipEntries(bytes, MaxEntryBytes, salvage = true),
+      salvage = true)
     catch { case e: Exception =>
       System.err.println(s"[docx] skipping unreadable media of $docId: ${e.getMessage}")
       Seq.empty
     }
 
-  /** Parse one DOCX package into ordered body blocks. */
-  def parseBytes(docId: String, bytes: Array[Byte]): Seq[Block] = {
-    val entries = zipEntries(bytes)
-    val styles = entries.get("word/styles.xml").map(parseStyles).getOrElse(Map.empty)
+  /** Parse one DOCX package into ordered body blocks (strict: malformed
+    * packages throw — use [[parseBytesLenient]] on untrusted corpora). */
+  def parseBytes(docId: String, bytes: Array[Byte]): Seq[Block] =
+    parseImpl(docId, zipEntries(bytes), salvage = false)
+
+  private def parseImpl(
+      docId: String,
+      entries: Map[String, Array[Byte]],
+      salvage: Boolean): Seq[Block] = {
+    val styles =
+      try entries.get("word/styles.xml").map(parseStyles).getOrElse(Map.empty)
+      catch { case e: Exception =>
+        if (salvage) Map.empty[String, String] else throw e
+      }
     val doc = entries.getOrElse("word/document.xml",
       return Seq.empty)
 
@@ -168,6 +219,10 @@ object DocxReader {
     // must be skipped here too.
     var sdtDepth = 0
 
+    // In salvage mode a mid-stream XML failure (truncated entry, byte
+    // corruption) ends the walk and returns the blocks accumulated so
+    // far; strict mode propagates it.
+    try {
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
@@ -188,7 +243,11 @@ object DocxReader {
               cellVMergeCont = false
             case "gridSpan" if tableDepth == 1 && cell != null =>
               val v = r.getAttributeValue(WNS, "val")
-              if (v != null) cellSpan = math.max(1, v.toInt)
+              // toIntOption + clamp: a corrupt or hostile span value
+              // must neither throw nor replicate a cell 2^30 times
+              if (v != null) v.toIntOption.foreach { s =>
+                cellSpan = math.min(math.max(1, s), MaxGridSpan)
+              }
             case "vMerge" if tableDepth == 1 && cell != null =>
               // <w:vMerge/> or val="continue" continues a vertical
               // merge; val="restart" opens one (origin cell).
@@ -246,15 +305,26 @@ object DocxReader {
         case _ =>
       }
     }
-    r.close()
+    } catch { case e: Exception => if (!salvage) throw e }
+    finally { try r.close() catch { case _: Exception => () } }
     blocks.toSeq
   }
 
-  /** Extract binary media parts with their relationship ids. */
-  def mediaBytes(docId: String, bytes: Array[Byte]): Seq[Media] = {
-    val entries = zipEntries(bytes)
-    val rels = entries.get("word/_rels/document.xml.rels")
-      .map(parseRels).getOrElse(Map.empty)
+  /** Extract binary media parts with their relationship ids (strict —
+    * see [[mediaBytesLenient]]). */
+  def mediaBytes(docId: String, bytes: Array[Byte]): Seq[Media] =
+    mediaImpl(docId, zipEntries(bytes), salvage = false)
+
+  private def mediaImpl(
+      docId: String,
+      entries: Map[String, Array[Byte]],
+      salvage: Boolean): Seq[Media] = {
+    val rels =
+      try entries.get("word/_rels/document.xml.rels")
+        .map(parseRels).getOrElse(Map.empty)
+      catch { case e: Exception =>
+        if (salvage) Map.empty[String, String] else throw e
+      }
     rels.toSeq.collect {
       case (id, target) if entries.contains(s"word/$target") =>
         Media(docId, id, target, entries(s"word/$target"))

@@ -49,6 +49,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(probedRows < df.count())
   }
 
+  test("persisted IVF round-trips and a probe prunes partition directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = clustered()
+    val built = VectorIndex.buildIvf(df, nlist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString + "/idx"
+    VectorIndex.writeIvf(built, dir)
+
+    val ivf = VectorIndex.loadIvf(spark, dir)
+    assert(ivf.nlist == 3)
+    assert(ivf.centers.map(_.toSeq).toSeq == built.centers.map(_.toSeq).toSeq,
+      "sidecar centers survive the round trip in cell order")
+
+    // reloaded search ≡ in-memory search ≡ brute force (exhaustive probe)
+    val q = Array(1.0, 0.1, 0.0, 0.05, 0.0, 0.1)
+    val exact = VectorIndex.search(df, q, k = 7, threshold = 0.0)
+      .select("vec_id").as[Long].collect().toSeq
+    val ann = VectorIndex.searchIvf(ivf, q, k = 7, threshold = 0.0, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann == exact)
+
+    // nprobe=1 on the reloaded index touches ONLY the probed cell's
+    // files — directory pruning via the numFiles scan metric, the
+    // LayoutSpec standard of proof
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val cellDirs = new java.io.File(dir + "/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val totalFiles = cellDirs.map(d => parquetFiles(d).size).sum
+    assert(cellDirs.length == 3 && totalFiles > cellDirs.length / 2,
+      "need >1 cell directory for pruning to matter")
+
+    val probed = VectorIndex.probeCells(ivf, q, nprobe = 1)
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      s"cell filter must reach the scan as a partition filter: ${scan.metadata}")
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"probe read $readFiles of $totalFiles files; must prune directories")
+    val maxCellFiles = cellDirs.map(d => parquetFiles(d).size).max
+    assert(readFiles <= maxCellFiles,
+      s"probe read $readFiles files; one cell has at most $maxCellFiles")
+  }
+
   test("cells partition the corpus and partitionBy(cell) prunes on probe") {
     val df = clustered()
     val ivf = VectorIndex.buildIvf(df, nlist = 3)
