@@ -33,25 +33,34 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ranges  = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val benchStart = System.nanoTime()
-    // second executions stop once the run has spent this much wall —
-    // keeps the whole bench bounded even if the harness enforces a
-    // timeout
-    val rerunBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toDouble
+    // re-executions stop once the run has spent this much wall — keeps the
+    // whole bench bounded even if the harness enforces a timeout. Two full
+    // passes over all queries cost ~80 s at sf0.1, so 1200 s leaves room
+    // for a third pass on stall-hit queries.
+    val rerunBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
+    def withinBudget: Boolean = (System.nanoTime() - benchStart) / 1e9 < rerunBudgetSec
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        // best of two executions: this host exhibits rare multi-second
-        // stalls (observed 100×+ outliers on otherwise sub-second
-        // queries); the min of two runs reports steady-state cost
+        // best of N executions: this host exhibits rare multi-second stalls
+        // (observed 100×+ outliers on otherwise sub-second queries). The
+        // min over runs reports steady-state cost; when the first two runs
+        // disagree by >2× a stall hit one of them, so a third run breaks
+        // the tie. Per-query (min,max,runs) is emitted so a stall is
+        // visible in the artifact itself rather than masquerading as a
+        // regression.
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val first = once()
-        val elapsed = (System.nanoTime() - benchStart) / 1e9
-        timings(name) = if (elapsed < rerunBudgetSec) math.min(first, once()) else first
+        val runs = scala.collection.mutable.ArrayBuffer(once())
+        if (withinBudget) runs += once()
+        if (runs.size == 2 && runs.max > 2 * runs.min && withinBudget) runs += once()
+        timings(name) = runs.min
+        ranges(name) = (runs.min, runs.max, runs.size)
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
@@ -59,10 +68,12 @@ object Bench {
     }
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val rs = ranges.map { case (k, (mn, mx, n)) =>
+      s""""${esc(k)}":{"min":$mn,"max":$mx,"runs":$n}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ranges":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

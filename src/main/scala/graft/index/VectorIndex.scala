@@ -189,26 +189,39 @@ object VectorIndex {
     * in `IvfIndexSpec`); `<path>/centers` — an nlist-row sidecar of
     * `(cell, center)` (nlist×dim doubles, a constant independent of
     * corpus size). The index survives the building session: search
-    * clusters need only the path. */
-  def writeIvf(ivf: IvfIndex, path: String, mode: String = "overwrite"): Unit = {
-    ivf.cells.write.mode(mode).partitionBy("cell").parquet(path + "/cells")
+    * clusters need only the path.
+    *
+    * A rebuild in place is OVERWRITE by definition — there is no append
+    * mode. Appending cells assigned under a NEW KMeans run into
+    * directories keyed by the OLD build's cell ids silently skews every
+    * probe (rows land in cells whose center no longer describes them),
+    * and a second sidecar write would duplicate center rows. Both
+    * directories are overwritten together; [[loadIvf]] additionally
+    * rejects any half-rebuilt layout. */
+  def writeIvf(ivf: IvfIndex, path: String): Unit = {
+    ivf.cells.write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
     val spark = ivf.cells.sparkSession
     import spark.implicits._
     ivf.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
       .coalesce(1) // nlist rows — one tiny sidecar file
-      .write.mode(mode).parquet(path + "/centers")
+      .write.mode("overwrite").parquet(path + "/centers")
   }
 
   /** Reload a persisted IVF index. Centers (a constant-size sidecar)
     * are collected to the driver — the same place [[probeCells]] needs
-    * them; cells stay a lazy partition-pruned parquet scan. */
+    * them; cells stay a lazy partition-pruned parquet scan. Refuses a
+    * sidecar with duplicate or missing cell ids — the signature of an
+    * append/crash mid-rebuild, which would misdirect every probe. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val centers = spark.read.parquet(path + "/centers")
+    val rows = spark.read.parquet(path + "/centers")
       .select("cell", "center").collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val ids = rows.map(_.getInt(0)).sorted
+    require(ids.toSeq == (0 until ids.length),
+      s"corrupt IVF sidecar at $path/centers: cell ids ${ids.take(8).mkString(",")}… " +
+        "are not exactly 0..nlist-1 — an index rebuild must overwrite, never append")
+    val centers = rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     IvfIndex(spark.read.parquet(path + "/cells"), centers)
   }
 

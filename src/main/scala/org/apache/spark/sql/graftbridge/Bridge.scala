@@ -20,4 +20,10 @@ object Bridge {
     * into the FunctionRegistry. */
   def toExpr(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** Drain the Spark listener bus (`private[spark]` in core) — lets
+    * tests make listener-based assertions deterministic instead of
+    * sleeping. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -48,14 +48,21 @@ class DocxFuzzSpec extends AnyFunSuite {
   test("every truncation point of the real manual parses without throwing") {
     val bytes = manual()
     val full = DocxReader.parseBytesLenient("m.docx", bytes)
-    assert(full.size > 2000, s"baseline manual parse: ${full.size} blocks")
+    // On a well-formed package salvage mode must be a no-op: identical
+    // blocks to the strict parser (table-cell paragraphs fold into their
+    // table block, so this is ~1.1k blocks for the manual's 2.3k w:p).
+    assert(full == DocxReader.parseBytes("m.docx", bytes),
+      "lenient parse must equal strict parse on the intact manual")
+    assert(full.size > 1000, s"baseline manual parse: ${full.size} blocks")
+    val fullMedia = DocxReader.mediaBytesLenient("m.docx", bytes)
+    assert(fullMedia.size == DocxReader.mediaBytes("m.docx", bytes).size)
     val cuts = (1 until 20).map(i => bytes.length.toLong * i / 20).map(_.toInt) ++
       Seq(1, 2, 3, 4, 29, 511, bytes.length - 1, bytes.length - 7)
     cuts.foreach { cut =>
       val blocks = DocxReader.parseBytesLenient("m.docx", bytes.take(cut))
       assert(blocks.size <= full.size, s"cut=$cut")
       val media = DocxReader.mediaBytesLenient("m.docx", bytes.take(cut))
-      assert(media.size <= 16, s"cut=$cut media")
+      assert(media.size <= fullMedia.size, s"cut=$cut media")
     }
   }
 
