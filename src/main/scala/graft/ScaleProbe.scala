@@ -33,6 +33,9 @@ object ScaleProbe {
     val names = if (args.nonEmpty) args.toSeq else defaultQueries
     val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    require(sfDirs.nonEmpty, "no sf dirs found under /root/testdata")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,36 +45,35 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try Warmup.run(spark, sfDirs.head)
-    catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
+    try {
+      try Warmup.run(spark, sfDirs.head)
+      catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
 
-    val qs = SparkEntry.queries
-    // times(query)(sfDir) = best-of-3 seconds
-    val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
-    names.foreach { name =>
-      val fn = qs.getOrElse(name, sys.error(s"unknown query $name"))
-      val perSf = sfDirs.map { dir =>
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, dir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+      val qs = SparkEntry.queries
+      // times(query)(sfDir) = best-of-3 seconds (SteadyState.runsOf shares
+      // the Bench measurement policy: min over runs, re-run failures keep
+      // the successful timings)
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+      names.foreach { name =>
+        val fn = qs(name)
+        val perSf = sfDirs.map { dir =>
+          val runs = SteadyState.runsOf(() => SteadyState.timeOnce(fn(spark, dir)), 3)
+          System.err.println(f"[probe] $name%-24s $dir%-24s best=${runs.min}%.3f all=${runs.map(r => f"$r%.2f").mkString(",")}")
+          dir -> runs.min
         }
-        System.err.println(f"[probe] $name%-24s $dir%-24s best=${runs.min}%.3f all=${runs.map(r => f"$r%.2f").mkString(",")}")
-        dir -> runs.min
+        times(name) = perSf
       }
-      times(name) = perSf
-    }
 
-    def slope(t1: Double, t2: Double): Double = math.log10(t2 / t1) // per 10× data
-    val json = times.map { case (name, perSf) =>
-      val ts = perSf.map(_._2)
-      val slopes =
-        if (ts.size == 3) s""","slope_001_01":${slope(ts(0), ts(1))},"slope_01_1":${slope(ts(1), ts(2))}"""
-        else ""
-      val sfFields = perSf.map { case (d, t) => s""""${d.split('/').last}":$t""" }.mkString(",")
-      s""""$name":{$sfFields$slopes}"""
-    }.mkString("{", ",", "}")
-    println(json)
-    spark.stop()
+      def slope(t1: Double, t2: Double): Double = math.log10(t2 / t1) // per 10× data
+      val json = times.map { case (name, perSf) =>
+        val ts = perSf.map(_._2)
+        val slopes =
+          if (ts.size == 3) s""","slope_001_01":${slope(ts(0), ts(1))},"slope_01_1":${slope(ts(1), ts(2))}"""
+          else ""
+        val sfFields = perSf.map { case (d, t) => s""""${d.split('/').last}":$t""" }.mkString(",")
+        s""""$name":{$sfFields$slopes}"""
+      }.mkString("{", ",", "}")
+      println(json)
+    } finally spark.stop()
   }
 }

@@ -23,7 +23,8 @@ object Bridge {
 
   /** Drain the Spark listener bus (`private[spark]` in core) — lets
     * tests make listener-based assertions deterministic instead of
-    * sleeping. */
+    * sleeping. Bounded wait: a wedged listener should fail the test
+    * with a diagnosable timeout, not hang the suite forever. */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000)
 }

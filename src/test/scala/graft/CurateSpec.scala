@@ -76,15 +76,25 @@ class CurateSpec extends SparkSpec {
 
     val scannedRows = new java.util.concurrent.atomic.AtomicLong
     // AQE wraps finished subtrees in leaf QueryStageExec nodes (children
-    // = Nil), so the traversal must step into stage.plan explicitly
-    def fileScanRows(p: SparkPlan): Long = p.collect {
-      case f: FileSourceScanExec =>
-        f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-      case a: AdaptiveSparkPlanExec => fileScanRows(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScanRows(q.plan)
-    }.sum
+    // = Nil), so the traversal must step into stage.plan explicitly.
+    // Scan nodes are deduped by identity: with exchange/stage reuse
+    // (ReusedExchangeExec pointing at an already-counted stage) the same
+    // FileSourceScanExec — and its metric — can be reachable via more
+    // than one path, and double-counting would trip the 2×N bound on
+    // plans that are actually scan-economical.
+    def fileScanRows(root: SparkPlan): Long = {
+      val counted = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      def go(p: SparkPlan): Long = p.collect {
+        case f: FileSourceScanExec if counted.add(f) =>
+          f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec if counted.add(b) =>
+          b.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+      }.sum
+      go(root)
+    }
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         scannedRows.addAndGet(fileScanRows(qe.executedPlan))
