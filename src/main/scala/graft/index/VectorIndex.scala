@@ -94,8 +94,8 @@ object VectorIndex {
     val factor = qs / (127.0 * 127.0)
     index
       .withColumn("score",
-        graft.expr.VectorExpressions.byteDot(col("qembedding"), lit(qb)) *
-          col("qscale") * lit(factor))
+        round(graft.expr.VectorExpressions.byteDot(col("qembedding"), lit(qb)) *
+          col("qscale") * lit(factor), 4))
       .filter(col("score") >= threshold)
       .orderBy(col("score").desc, col(index.columns.head))
       .limit(k)

@@ -219,19 +219,28 @@ object Dedup {
     * (+1 for a set bit, −1 for unset); the sign of each bit-sum forms the
     * fingerprint. Near-dups have small Hamming distance.
     *
-    * Single pass over the tokens: one `aggregate` folds every token's
+    * Single pass over the tokens: one JIT'd loop folds every token's
     * ±1 bit votes into a 64-wide accumulator (a 64-term per-bit
-    * formulation would re-tokenize the text 64 times). */
+    * formulation would re-tokenize the text 64 times).
+    *
+    * The per-token 64-bit hash is the big-endian first 8 bytes of
+    * `md5(token)` — engine-neutral arithmetic (any SQL engine's `md5`
+    * yields the same hex), which is what lets `dedup_simhash` carry a
+    * DuckDB hash-compared oracle instead of a rows-only check. Empty
+    * tokens are dropped, so null/blank text fingerprints to 0. */
   def simhash(c: Column): Column = {
     val f = udf { (text: String) =>
       if (text == null) 0L
       else {
-        import scala.util.hashing.MurmurHash3
-        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+          .split("\\s+").filter(_.nonEmpty)
         val votes = new Array[Int](64)
         toks.foreach { t =>
-          val h = (MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
-            (MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

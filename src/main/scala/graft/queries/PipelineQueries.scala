@@ -111,9 +111,12 @@ object PipelineQueries {
       .limit(5)
   }
 
-  /** The int8-quantized index path (rows-only: quantized scores differ
-    * from exact cosine in the 3rd decimal by design; recall and error
-    * budget are unit-measured in `QuantizedIndexSpec`). */
+  /** The int8-quantized index path. The quantized score is NOT cosine —
+    * it's `byteDot · qscale · |q|∞ / 127²` — but it IS deterministic
+    * integer-and-fixed-point arithmetic, so the oracle replays the exact
+    * same quantization (`floor(x/scale·127 + 0.5)`, the `math.round`
+    * convention) and integer dot in DuckDB CTEs. Recall-vs-exact and the
+    * error budget stay unit-measured in `QuantizedIndexSpec`. */
   private val knnQuantTop5: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0)
@@ -122,8 +125,51 @@ object PipelineQueries {
       VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0)))
       .select("vec_id", "qembedding", "qscale")
     VectorIndex.searchQuantized(idx, q, k = 5, threshold = 0.25)
-      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .select("vec_id", "score")
   }
+
+  /** Mirrors [[VectorIndex.withNormalized]] → [[VectorIndex.withQuantized]]
+    * → [[VectorIndex.searchQuantized]] arithmetic step for step:
+    * unit-normalize (left-to-right double sums both engines), symmetric
+    * int8 quantization with `floor(x + 0.5)` rounding (Scala
+    * `math.round`'s convention — DuckDB's `round()` half-away-from-zero
+    * differs on negative .5 boundaries, so it is NOT used for the
+    * quantizer), exact integer dot, then `score = dot·qscale·qs/127²`
+    * rounded to 4 with filter/order on the rounded value. */
+  private val knnQuantTop5Sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id <> 0),
+      |n AS (SELECT vec_id, e,
+      |             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |nn AS (SELECT vec_id,
+      |              CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+      |                   ELSE e END AS en FROM n),
+      |sc AS (SELECT vec_id, en,
+      |              list_max(list_transform(en, x -> abs(x))) AS qscale FROM nn),
+      |qv AS (SELECT vec_id, qscale,
+      |              CASE WHEN qscale <> 0
+      |                   THEN list_transform(en, x -> floor(x / qscale * 127.0 + 0.5))
+      |                   ELSE list_transform(en, x -> 0.0) END AS q
+      |       FROM sc),
+      |qr AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+      |       FROM embeddings WHERE vec_id = 0),
+      |qn AS (SELECT CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0
+      |                   THEN list_transform(e,
+      |                        x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+      |                   ELSE e END AS en
+      |       FROM qr),
+      |qq AS (SELECT en, list_max(list_transform(en, x -> abs(x))) AS qs FROM qn),
+      |qqv AS (SELECT qs,
+      |               CASE WHEN qs <> 0
+      |                    THEN list_transform(en, x -> floor(x / qs * 127.0 + 0.5))
+      |                    ELSE list_transform(en, x -> 0.0) END AS q
+      |        FROM qq)
+      |SELECT vec_id, score FROM (
+      |  SELECT v.vec_id,
+      |         round(list_dot_product(v.q, w.q) * v.qscale * (w.qs / 16129.0), 4)
+      |           AS score
+      |  FROM qv v CROSS JOIN qqv w) t
+      |WHERE score >= 0.25 ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
   /** Two-tier search: int8 candidates re-ranked exactly — must equal
     * brute-force `knn_top5` bit-for-bit (shares its oracle), proving
@@ -224,7 +270,8 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
 
   /** 64-bit SimHash fingerprints + per-document Hamming distance to the
-    * lowest-id doc — rows-only (xxhash64-based). */
+    * lowest-id doc. Oracle-checked: the per-token hash is the big-endian
+    * first 8 bytes of md5, so DuckDB can replay the identical bit votes. */
   private val dedupSimhash: Q = (s, d) => {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -235,6 +282,43 @@ object PipelineQueries {
         Dedup.hamming64(col("simhash"), col("ref_hash")).as("hamming_to_doc0"))
       .orderBy("doc_id")
   }
+
+  /** Mirrors [[Dedup.simhash]] bit for bit: same `\s+` tokenizer as the
+    * contamination oracle (empty tokens dropped), per-token 64-bit hash
+    * = first 16 md5 hex chars (bit b lives in hex position
+    * `16 - b/4`, within-nibble shift `b%4`), ±1 votes per bit over
+    * duplicate-preserving tokens, sign → fingerprint. Bit 63 contributes
+    * Long.MIN_VALUE so the BIGINT wraps exactly like the JVM long;
+    * docs with no tokens fingerprint to 0 via the LEFT JOIN. */
+  private val dedupSimhashSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, substr(md5(unnest(toks)), 1, 16) AS h FROM d),
+      |bits AS (
+      |  SELECT doc_id, g.b AS b,
+      |         SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                                substr(h, 16 - CAST(g.b // 4 AS INT), 1)) - 1)
+      |                        >> CAST(g.b % 4 AS INT)) & 1 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM tok CROSS JOIN generate_series(0, 63) AS g(b)
+      |  GROUP BY doc_id, g.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0 THEN
+      |                CASE WHEN b = 63 THEN -9223372036854775808
+      |                     ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+      |              ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |allfp AS (
+      |  SELECT doc_id, COALESCE(f.simhash, 0) AS simhash
+      |  FROM documents LEFT JOIN fp f USING (doc_id)),
+      |ref AS (SELECT simhash AS ref_hash FROM allfp ORDER BY doc_id LIMIT 1)
+      |SELECT a.doc_id, a.simhash,
+      |       CAST(bit_count(xor(a.simhash, ref.ref_hash)) AS INT) AS hamming_to_doc0
+      |FROM allfp a, ref ORDER BY a.doc_id""".stripMargin
 
   private val embNearDupExact: Q = (s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -707,6 +791,8 @@ object PipelineQueries {
     // IVF with nprobe == nlist is exhaustive — same oracle again
     "knn_ivf_top5" -> knnTop5Sql,
     "knn_quantized_rerank_top5" -> knnTop5Sql,
+    "knn_quantized_top5" -> knnQuantTop5Sql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_contamination" -> dedupContaminationSql,
