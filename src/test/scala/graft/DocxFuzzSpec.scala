@@ -66,16 +66,51 @@ class DocxFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("random byte corruption of the real manual never throws") {
+  // Corruption can at worst UNFOLD structure — a broken <w:tbl> open tag
+  // turns cell paragraphs that would fold into one table block into
+  // standalone paragraph blocks — so the hard ceiling on salvaged blocks
+  // is the manual's paragraph population (block count + every table
+  // cell), not its folded block count. Media entries can only be lost or
+  // renamed by corruption, never minted, so that bound stays exact.
+  private def blockCeiling(full: Seq[DocxReader.Block]): Int =
+    full.map(b => 1 + b.table_cells.map(_.size).sum).sum
+
+  test("random byte corruption of the real manual never throws and stays within bounds") {
     val bytes = manual()
+    val full = DocxReader.parseBytesLenient("m.docx", bytes)
+    val fullMedia = DocxReader.mediaBytesLenient("m.docx", bytes)
+    val ceiling = blockCeiling(full)
     val rnd = new scala.util.Random(1337)
     (0 until 40).foreach { trial =>
       val mutated = bytes.clone()
       (0 until 8).foreach { _ =>
         mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
       }
-      DocxReader.parseBytesLenient(s"t$trial.docx", mutated)
-      DocxReader.mediaBytesLenient(s"t$trial.docx", mutated)
+      val blocks = DocxReader.parseBytesLenient(s"t$trial.docx", mutated)
+      assert(blocks.size <= ceiling, s"trial=$trial blocks=${blocks.size}")
+      val media = DocxReader.mediaBytesLenient(s"t$trial.docx", mutated)
+      assert(media.size <= fullMedia.size, s"trial=$trial media=${media.size}")
+    }
+  }
+
+  test("a single flipped byte at each truncation sample offset stays within bounds") {
+    // Same 20 sample offsets the truncation test cuts at (VERDICT r5 ask
+    // #5) — deterministic (bit-complement, no RNG), one flip per trial,
+    // exercising corruption in every region of the package: local
+    // headers, deflate streams, the media blobs, the central directory.
+    val bytes = manual()
+    val full = DocxReader.parseBytesLenient("m.docx", bytes)
+    val fullMedia = DocxReader.mediaBytesLenient("m.docx", bytes)
+    val ceiling = blockCeiling(full)
+    val offsets = (1 until 20).map(i => (bytes.length.toLong * i / 20).toInt) ++
+      Seq(0, 1, 29, 511, bytes.length - 1, bytes.length - 7)
+    offsets.foreach { off =>
+      val mutated = bytes.clone()
+      mutated(off) = (~mutated(off)).toByte
+      val blocks = DocxReader.parseBytesLenient(s"f$off.docx", mutated)
+      assert(blocks.size <= ceiling, s"off=$off blocks=${blocks.size}")
+      val media = DocxReader.mediaBytesLenient(s"f$off.docx", mutated)
+      assert(media.size <= fullMedia.size, s"off=$off media=${media.size}")
     }
   }
 

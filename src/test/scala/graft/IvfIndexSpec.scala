@@ -96,6 +96,37 @@ class IvfIndexSpec extends SparkSpec {
       s"probe read $readFiles files; one cell has at most $maxCellFiles")
   }
 
+  test("loadIvf rejects a corrupt sidecar: duplicate or missing cell ids") {
+    // The signature of an append or a crash mid-rebuild (VERDICT r5 ask
+    // #4): a sidecar whose cell ids are not exactly 0..nlist-1 would
+    // misdirect every probe, so loadIvf must refuse it loudly.
+    val built = VectorIndex.buildIvf(clustered(), nlist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-corrupt")
+      .toString + "/idx"
+    VectorIndex.writeIvf(built, dir)
+    val good = spark.read.parquet(dir + "/centers")
+      .select("cell", "center").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    def writeCenters(rows: Seq[(Int, Seq[Double])]): Unit =
+      rows.toDF("cell", "center").coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/centers")
+
+    // duplicated cell id — what a second (appending) sidecar write leaves
+    writeCenters(good :+ good.head)
+    val dup = intercept[IllegalArgumentException](VectorIndex.loadIvf(spark, dir))
+    assert(dup.getMessage.contains("overwrite, never append"),
+      s"guard message names the contract: ${dup.getMessage}")
+
+    // missing cell id — a half-written rebuild
+    writeCenters(good.filterNot(_._1 == 1))
+    val miss = intercept[IllegalArgumentException](VectorIndex.loadIvf(spark, dir))
+    assert(miss.getMessage.contains("not exactly 0..nlist-1"))
+
+    // restoring the sidecar makes the index loadable again
+    writeCenters(good)
+    assert(VectorIndex.loadIvf(spark, dir).nlist == 3)
+  }
+
   test("cells partition the corpus and partitionBy(cell) prunes on probe") {
     val df = clustered()
     val ivf = VectorIndex.buildIvf(df, nlist = 3)
