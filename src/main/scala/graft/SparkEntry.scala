@@ -10,8 +10,9 @@ import graft.queries.{PipelineQueries, RelationalQueries}
   * pack over the TPC-H-ish tables and the pipeline/north-star pack
   * (vector search, dedup family, text analysis, document operators).
   * `oracleSql` carries a DuckDB-equivalent for every SQL-expressible
-  * query; engine-native ops (hash embedder, recursive chunker, xxhash64
-  * MinHash/SimHash, LSH candidates) are registered without an oracle and
+  * query — including the md5-based MinHash-LSH and SimHash paths;
+  * engine-native ops (hash embedder, recursive chunker, sign-LSH
+  * banding, HLL sketches, KMeans) are registered without an oracle and
   * covered by unit/property tests instead.
   */
 object SparkEntry {

@@ -137,17 +137,26 @@ object Dedup {
     * UDF with a JIT-compiled hot loop — the pure-expression form
     * (`transform(seq, i -> array_min(transform(sh, s -> xxhash64(s, i))))`)
     * runs interpreted at ~4 lambda dispatches per hash and was measured
-    * 10× slower at sf0.1. Deterministic: base 64-bit hash per shingle
-    * (two seeded MurmurHash3 halves), then `numHashes` universal-hash
-    * permutations `a_i * h + b_i` of that base — one hash computation
-    * per shingle regardless of signature width. */
+    * 10× slower at sf0.1. Deterministic AND engine-neutral: the base
+    * 64-bit hash per shingle is the big-endian first 8 bytes of
+    * `md5(shingle)` (same convention as [[simhash]] — any SQL engine's
+    * `md5` yields the same value), then `numHashes` universal-hash
+    * permutations `(2i+1) * h + i * φ64` of that base with two's-
+    * complement wraparound — one digest per shingle regardless of
+    * signature width, and every downstream value is replayable in a
+    * DuckDB CTE (which is what gives `dedup_minhash_lsh` a hash-compared
+    * oracle instead of a rows-only check). md5 costs ~2× an xxhash64
+    * base; at 100 TB swap the base hash for xxhash64 if oracle parity
+    * is not needed — the signature/banding algebra is unchanged. */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column = {
     val f = udf { (sh: Seq[String]) =>
-      import scala.util.hashing.MurmurHash3
+      val md = java.security.MessageDigest.getInstance("MD5")
       val sig = Array.fill(numHashes)(Long.MaxValue)
       sh.foreach { s =>
-        val h = (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
-          (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
         var i = 0
         while (i < numHashes) {
           // odd multiplier + seed-indexed offset: a distinct affine
@@ -192,12 +201,19 @@ object Dedup {
       .repartition(col("id")) // barrier: signature computed exactly once
     // band join and dedup carry only (id, band) — the 32-wide signature
     // arrays never enter the pair shuffle; they're joined back onto the
-    // (small) candidate set afterwards
+    // (small) candidate set afterwards. The band key is the band's slot
+    // values themselves (comma-joined), not a murmur hash of them:
+    // collision-free, so "same bucket" means EXACTLY "all rowsPerBand
+    // minhashes equal" — the semantics a SQL oracle can replay. The key
+    // is ~rowsPerBand×20 bytes on the wire; at 100 TB wrap it in
+    // xxhash64(...) to shuffle 8 bytes at a 2^-64 false-candidate risk.
     val banded = sig.select(
       col("id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          b => concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              _.cast("string")))))
         .as(Seq("band_idx", "band_hash")))
     val a = banded.toDF("id_a", "band_idx", "band_hash")
     val b = banded.toDF("id_b", "band_idx", "band_hash")

@@ -262,12 +262,71 @@ object PipelineQueries {
       |WHERE round(CAST(m AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) >= 0.5
       |ORDER BY doc_id""".stripMargin
 
-  /** Banded MinHash LSH candidates (xxhash64 signatures — Spark-native
-    * hash, so rows-only check; the exact Jaccard query above is the
-    * oracled twin). */
+  /** Banded MinHash LSH candidates. Oracle-checked: the base hash is
+    * the big-endian first 8 bytes of md5(shingle) and the band key is
+    * the band's slot values themselves, so DuckDB can replay the exact
+    * signature algebra (affine permutations with 64-bit wraparound in
+    * HUGEINT, signed MIN, band grouping, matching-slot fraction). The
+    * exact Jaccard query above remains the semantic twin proving LSH
+    * recall; this oracle proves the LSH computation itself. */
   private val dedupMinhash: Q = (s, d) =>
     Dedup.minHashPairs(Tables.documents(s, d), threshold = 0.2)
       .orderBy("id_a", "id_b")
+
+  /** Mirrors [[Dedup.minhashSignature]] + [[Dedup.minHashPairs]] bit for
+    * bit. `h` is the unsigned value of md5's first 16 hex chars (nibble ×
+    * 16^(16-j) in HUGEINT); slot i's permutation is
+    * `(h·(2i+1) + i·11400714819323198485) mod 2^64` re-signed to BIGINT
+    * before MIN (two's-complement order, exactly the JVM long compare);
+    * a band bucket is equality of all 4 ordered slot values; est_jaccard
+    * is the matching-slot fraction over candidates sharing any band. */
+  private val dedupMinhashLshSql = {
+    val pows = (1 to 16).map(j => s"($j, ${BigInt(16).pow(16 - j)})").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, unnest(toks) AS word,
+       |        generate_subscripts(toks, 1) AS seq FROM d),
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |shx AS (SELECT doc_id, s, md5(s) AS hx FROM sh),
+       |pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |hu AS (SELECT doc_id, s, CAST(SUM(
+       |         CAST(strpos('0123456789abcdef',
+       |                     substr(hx, CAST(p.j AS INT), 1)) - 1 AS HUGEINT)
+       |         * p.w) AS HUGEINT) AS h
+       |       FROM shx CROSS JOIN pows p GROUP BY doc_id, s),
+       |perm AS (
+       |  SELECT doc_id, i AS slot,
+       |    CAST(CASE WHEN pm >= 9223372036854775808
+       |              THEN pm - 18446744073709551616 ELSE pm END AS BIGINT) AS p
+       |  FROM (
+       |    SELECT hu.doc_id, g.i AS i,
+       |      (hu.h * (2 * g.i + 1) + g.i * 11400714819323198485)
+       |        % 18446744073709551616 AS pm
+       |    FROM hu CROSS JOIN generate_series(0, 31) AS g(i)) t),
+       |sig AS (SELECT doc_id, slot, MIN(p) AS p FROM perm GROUP BY doc_id, slot),
+       |band AS (SELECT doc_id, CAST(slot // 4 AS INT) AS band_idx,
+       |           string_agg(CAST(p AS VARCHAR), ',' ORDER BY slot) AS key
+       |         FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM band a JOIN band b
+       |           ON a.band_idx = b.band_idx AND a.key = b.key
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          CAST(SUM(CASE WHEN sa.p = sb.p THEN 1 ELSE 0 END) AS DOUBLE) / 32
+       |            AS est_jaccard
+       |        FROM cand c
+       |        JOIN sig sa ON sa.doc_id = c.id_a
+       |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
+       |        GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** 64-bit SimHash fingerprints + per-document Hamming distance to the
     * lowest-id doc. Oracle-checked: the per-token hash is the big-endian
@@ -793,6 +852,7 @@ object PipelineQueries {
     "knn_quantized_rerank_top5" -> knnTop5Sql,
     "knn_quantized_top5" -> knnQuantTop5Sql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_contamination" -> dedupContaminationSql,
