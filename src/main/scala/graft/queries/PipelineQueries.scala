@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.index.VectorIndex
-import graft.ops.{ChunkText, Dedup, Packing, PairAssets, Sectionize, TextAnalysis, TextSanitize, UniqueNames}
+import graft.ops.{ChunkText, Dedup, Packing, PairAssets, Sectionize, TextAnalysis, TextSanitize, TextSearch, UniqueNames}
 
 /** Pipeline / north-star queries: vector search (the reference's flagship
   * path, `scripts/test.out.py:14-19`), the dedup family, text analysis,
@@ -810,6 +810,99 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  // ------------------------------------------------------- text search
+
+  /** Fixed keyword query for the BM25 retrieval surface — mid-frequency
+    * corpus vocabulary so scores spread on tf and dl, not just df. */
+  private val bm25Terms = Seq("vector", "stream", "window", "hash")
+
+  /** BM25 top-10 keyword retrieval over documents. Fixed-point per-term
+    * weights (see [[TextSearch]]) make the per-doc sum an integer
+    * reduction — deterministic across partitions and engines. */
+  private val docBm25Top10: Q = (s, d) =>
+    TextSearch.bm25TopK(Tables.documents(s, d), bm25Terms, 10)
+
+  /** Mirrors [[TextSearch.bm25]] operation for operation: same
+    * tokenizer, ln-based Robertson idf, k1=1.2 / b=0.75 saturation, and
+    * the same `round(w·10^4)` fixed-pointing before the per-doc sum.
+    * Every arithmetic step is CAST to DOUBLE so DuckDB's DECIMAL
+    * literal typing can't diverge from Spark's double math. */
+  private def bm25Ctes(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // interpolate the Scala-computed doubles: Double.toString round-trips,
+    // so DuckDB parses back the bit-identical constant Spark folds in
+    val k1p1 = (k1 + 1).toString
+    val omb = (1 - b).toString
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |lens AS (SELECT doc_id, len(toks) AS dl FROM d),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d) x
+       |       WHERE term IN ($inList)
+       |       GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |wfp AS (SELECT tf.doc_id,
+       |         CAST(round(
+       |           (ln(1.0 + CAST(s.n_docs - q.df + 0.5 AS DOUBLE)
+       |                     / CAST(q.df + 0.5 AS DOUBLE))
+       |            * (CAST(tf.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE))
+       |            / (CAST(tf.tf AS DOUBLE)
+       |               + CAST($k1 AS DOUBLE)
+       |                 * (CAST($omb AS DOUBLE)
+       |                    + CAST($b AS DOUBLE) * CAST(tf.dl AS DOUBLE) / s.avgdl)))
+       |           * CAST(10000 AS DOUBLE)) AS BIGINT) AS w_fp
+       |       FROM tf JOIN dfreq q USING (term) CROSS JOIN stats s),
+       |bm AS (SELECT doc_id, CAST(SUM(w_fp) AS DOUBLE) / 10000 AS score
+       |       FROM wfp GROUP BY doc_id)""".stripMargin
+  }
+
+  private val docBm25Top10Sql =
+    s"""WITH ${bm25Ctes(bm25Terms)}
+       |SELECT doc_id, score FROM bm
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval: BM25 top-50 ⊕ cosine-KNN top-50 fused by
+    * reciprocal-rank fusion (k=60), top-10 by fused score. The fusion
+    * window is bounded by the per-list truncation, not corpus size;
+    * contributions are fixed-pointed at 9 digits so the fuse sum is an
+    * integer reduction (engine- and order-independent). vec_id is the
+    * fixture's embedding id for doc_id (both 0-based over the same
+    * rows); vec 0 is the query vector, as in knn_top5. */
+  private val docHybridRrf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qCol = array(q.map(lit): _*)
+    val cosList = emb.filter(col("vec_id") =!= 0)
+      .withColumn("score", round(VectorIndex.cosine(col("embedding"), qCol), 4))
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val bmList = TextSearch.bm25(Tables.documents(s, d), bm25Terms)
+    TextSearch.rrfFuse(Seq(
+        TextSearch.rankTopN(bmList, 50),
+        TextSearch.rankTopN(cosList, 50)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val docHybridRrfSql =
+    s"""WITH ${bm25Ctes(bm25Terms)},
+       |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |           FROM (SELECT doc_id, score FROM bm
+       |                 ORDER BY score DESC, doc_id LIMIT 50) t1),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       |      FROM embeddings WHERE vec_id = 0),
+       |cs AS (SELECT v.vec_id AS doc_id,
+       |         round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), q.qe), 4) AS score
+       |       FROM embeddings v, q WHERE v.vec_id <> 0),
+       |csrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |           FROM (SELECT doc_id, score FROM cs
+       |                 ORDER BY score DESC, doc_id LIMIT 50) t2),
+       |u AS (SELECT doc_id, CAST(round(1e9 / (60 + rank)) AS BIGINT) AS c_fp FROM bmrank
+       |      UNION ALL
+       |      SELECT doc_id, CAST(round(1e9 / (60 + rank)) AS BIGINT) AS c_fp FROM csrank)
+       |SELECT doc_id, CAST(SUM(c_fp) AS DOUBLE) / 1e9 AS rrf_score
+       |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "knn_top5" -> knnTop5,
     "knn_norm_top5" -> knnNormTop5,
@@ -834,6 +927,8 @@ object PipelineQueries {
     "doc_repetition" -> docRepetition,
     "doc_mixture" -> docMixture,
     "doc_langid" -> docLangId,
+    "doc_bm25_top10" -> docBm25Top10,
+    "doc_hybrid_rrf_top10" -> docHybridRrf,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
     "uniq_names" -> uniqNames,
@@ -868,6 +963,8 @@ object PipelineQueries {
     "doc_repetition" -> docRepetitionSql,
     "doc_mixture" -> docMixtureSql,
     "doc_langid" -> docLangIdSql,
+    "doc_bm25_top10" -> docBm25Top10Sql,
+    "doc_hybrid_rrf_top10" -> docHybridRrfSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,
