@@ -326,11 +326,20 @@ object Dedup {
     exact(df, textCol, idCol).filter(!col("is_dup"))
       .drop("content_hash", "is_dup")
 
-  /** Near-dup pairs by embedding cosine ≥ `threshold`, banded by random
+  /** Near-dup pairs by embedding cosine ≥ `threshold`, banded by
     * hyperplane signs (sign-LSH): vectors agreeing on a `bandBits`-bit
     * sign pattern land in the same bucket; exact cosine is computed only
-    * inside buckets. `planes` are deterministic pseudo-random hyperplanes
-    * derived from the seed. */
+    * inside buckets.
+    *
+    * The hyperplanes are ±1-valued — the SimHash construction, a valid
+    * sign-LSH family — with signs derived engine-neutrally from md5:
+    * component `j` of plane `p` is bit `j mod 64` of the big-endian
+    * first 8 bytes of `md5("plane-<p>-<j/64>")`. Signs are computed on
+    * the RAW vector (`sign⟨v,plane⟩` is scale-invariant, so no
+    * normalization pass), and candidates are scored with plain cosine —
+    * the same arithmetic as the exact all-pairs twin. md5-replayable
+    * planes + shared scoring are what give `emb_neardup_lsh` a DuckDB
+    * hash-compared oracle instead of a rows-only check. */
   def embeddingNearDupPairs(
       df: DataFrame,
       embCol: String = "embedding",
@@ -340,21 +349,30 @@ object Dedup {
       numBands: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     import graft.index.VectorIndex
-    val rng = new scala.util.Random(42)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def planeBlock(p: Int, blk: Int): Long = {
+      val d = md.digest(s"plane-$p-$blk".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h
+    }
     val planes: Array[Array[Double]] =
-      Array.fill(numBands * bandBits)(Array.fill(dim)(rng.nextGaussian()))
-    // sign of <v, plane> is scale-invariant, so computing it on the
-    // normalized vector is equivalent and saves a second array column
-    val signBit: Array[Column] = planes.map { p =>
-      (VectorIndex.dot(col("e"), array(p.map(lit): _*)) >= 0).cast("int")
+      Array.tabulate(numBands * bandBits) { p =>
+        Array.tabulate(dim) { j =>
+          if (((planeBlock(p, j / 64) >>> (j % 64)) & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    val signBit: Array[Column] = planes.map { pl =>
+      (VectorIndex.dot(col("e"), array(pl.map(lit): _*)) >= 0).cast("int")
     }
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("", signBit.slice(b * bandBits, (b + 1) * bandBits): _*)
     }
-    val normed = df
-      .select(col(idCol).as("id"), VectorIndex.normalized(col(embCol)).as("e"))
-      .repartition(col("id")) // barrier: normalize once
-    val banded = normed.select(col("id"), col("e"),
+    val vecs = df
+      .select(col(idCol).as("id"), transform(col(embCol), _.cast("double")).as("e"))
+      .repartition(col("id")) // barrier: cast once, shared by banding and scoring
+    val banded = vecs.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
     // candidate dedup on bare ids; vectors join back after (they never
     // ride the pair shuffle)
@@ -363,9 +381,9 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .join(normed.toDF("id_a", "e_a"), "id_a")
-      .join(normed.toDF("id_b", "e_b"), "id_b")
-      .withColumn("cos", VectorIndex.dot(col("e_a"), col("e_b")))
+      .join(vecs.toDF("id_a", "e_a"), "id_a")
+      .join(vecs.toDF("id_b", "e_b"), "id_b")
+      .withColumn("cos", VectorIndex.cosine(col("e_a"), col("e_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

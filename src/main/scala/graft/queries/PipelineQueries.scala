@@ -399,11 +399,60 @@ object PipelineQueries {
       |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** Sign-LSH banded variant of the above — the 100 TB path (bucketed
-    * candidates, exact cosine only inside buckets). Rows-only. */
+    * candidates, exact cosine only inside buckets). Oracle-checked: the
+    * ±1 hyperplanes are md5-derived (see [[Dedup.embeddingNearDupPairs]])
+    * so DuckDB replays the banding bit for bit. */
   private val embNearDupLsh: Q = (s, d) =>
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("score"))
       .orderBy("id_a", "id_b")
+
+  /** Mirrors the sign-LSH banding: plane p's 64 component signs are the
+    * bits of md5('plane-<p>-0') (big-endian first 8 bytes, recovered as
+    * an unsigned HUGEINT so bit extraction is shift-free `(h // 2^b) % 2`);
+    * per-(vector, plane) dot = Σ ±component; a band bucket is the 8-bit
+    * ordered sign string; candidates sharing any bucket are scored with
+    * cosine and filtered at the unrounded threshold, as the Spark side
+    * does. */
+  private val embNearDupLshSql = {
+    val pows16 = (1 to 16).map(j => s"($j, ${BigInt(16).pow(16 - j)})").mkString(", ")
+    val pows2 = (0 to 63).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
+    s"""WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |              generate_subscripts(embedding, 1) AS j
+       |            FROM embeddings),
+       |ph AS (SELECT g.p AS p,
+       |         md5('plane-' || CAST(g.p AS VARCHAR) || '-0') AS hx
+       |       FROM generate_series(0, 31) AS g(p)),
+       |pows16 AS (SELECT * FROM (VALUES $pows16) AS n(j, w)),
+       |pows2 AS (SELECT * FROM (VALUES $pows2) AS n(b, w)),
+       |hu AS (SELECT p, CAST(SUM(
+       |         CAST(strpos('0123456789abcdef',
+       |                     substr(hx, CAST(n.j AS INT), 1)) - 1 AS HUGEINT)
+       |         * n.w) AS HUGEINT) AS h
+       |       FROM ph CROSS JOIN pows16 n GROUP BY p),
+       |bits AS (SELECT hu.p, bp.b, CAST((hu.h // bp.w) % 2 AS INT) AS bit
+       |         FROM hu CROSS JOIN pows2 bp),
+       |dotb AS (SELECT ev.vec_id, bits.p,
+       |           SUM(CASE WHEN bits.bit = 1 THEN ev.x ELSE -ev.x END) AS dot
+       |         FROM ev JOIN bits ON bits.b = ev.j - 1
+       |         GROUP BY ev.vec_id, bits.p),
+       |bk AS (SELECT vec_id, CAST(p // 8 AS INT) AS band_idx,
+       |         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+       |                    '' ORDER BY p) AS key
+       |       FROM dotb GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bk a JOIN bk b
+       |           ON a.band_idx = b.band_idx AND a.key = b.key
+       |          AND a.vec_id < b.vec_id),
+       |sc AS (SELECT c.id_a, c.id_b,
+       |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                CAST(eb.embedding AS DOUBLE[])) AS cos
+       |       FROM cand c
+       |       JOIN embeddings ea ON ea.vec_id = c.id_a
+       |       JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, round(cos, 4) AS score FROM sc
+       |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ------------------------------------------------------ text analysis
 
@@ -952,6 +1001,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_contamination" -> dedupContaminationSql,
     "emb_neardup_exact" -> embNearDupExactSql,
+    "emb_neardup_lsh" -> embNearDupLshSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
     "doc_tokens" -> docTokensSql,
