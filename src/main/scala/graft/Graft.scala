@@ -16,6 +16,7 @@ object Graft {
   def registerAll(spark: SparkSession): SparkSession = {
     graft.expr.VectorExpressions.register(spark)
     graft.expr.TopKExpr.register(spark)
+    graft.expr.BloomExpr.register(spark)
     graft.expr.SplitTextGen.register(spark)
     graft.ops.CurationFunctions.register(spark)
     spark

@@ -132,6 +132,59 @@ object Dedup {
       .select(col("id").as(idCol), col("containment"))
   }
 
+  /** Bloom-filter tier of [[contamination]] — the zero-probe-shuffle
+    * 100 TB formulation. The train corpus reduces to ONE Bloom sketch
+    * (`bloom_agg`: map-side partial sketches OR-merged up the
+    * aggregation tree, so only fixed-size bit arrays ever cross the
+    * wire), the sketch ships to executors inside the probe expression,
+    * and the eval side aggregates containment locally — the probe is a
+    * filter, not a join, so there is NO shuffle against the train side
+    * at all. Compare [[contamination]], whose train side is a distinct
+    * 8-byte-hash set the eval side must join against: correct, but the
+    * train set rides the cluster; here it is ~`1.44·log2(1/fpp)` bits
+    * per item, ~3.6 MB per billion shingles at fpp=1e-6... per 2^22
+    * expected items it is ~15 MB — page-cache-resident at any corpus
+    * size you'd screen against.
+    *
+    * Bloom semantics make the screen conservative: no false negatives
+    * (a contaminated doc can never be missed), ≤ fpp false positives
+    * per probed shingle (a clean doc's containment can only round UP) —
+    * exactly the failure direction decontamination wants. The sketch
+    * bytes are deterministic for a given train set (insertion-order-
+    * and partitioning-independent; asserted in `BloomExprSpec`). */
+  def contaminationBloom(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.expr.BloomExpr
+    val trainHashes = train
+      .select(explode(shingles(col(textCol), n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+    // the only driver-side collect: the constant-size sketch itself
+    val sketch = trainHashes
+      .agg(BloomExpr.bloomAgg(col("s"), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    evalDf
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .repartition(col("id")) // barrier: shingle once (see ngramJaccardPairs)
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+      .select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+      .filter(BloomExpr.bloomMightContain(sketch, col("s")))
+      .groupBy("id", "n_sh")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("containment",
+        round(col("m").cast("double") / col("n_sh").cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id").as(idCol), col("containment"))
+  }
+
   /** MinHash signature: for each of `numHashes` permutations, the
     * minimum permuted hash over the shingle set. Implemented as a typed
     * UDF with a JIT-compiled hot loop — the pure-expression form

@@ -262,6 +262,27 @@ object PipelineQueries {
       |WHERE round(CAST(m AS DOUBLE) / CAST(n_sh AS DOUBLE), 4) >= 0.5
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-sketch tier of contamination — same split and threshold as
+    * `dedup_contamination`, but the train side reduces to one Bloom
+    * sketch and the probe is a filter, not a join (zero probe-side
+    * shuffle; see [[Dedup.contaminationBloom]]). Shares the exact
+    * query's oracle: the screen is conservative (no false negatives,
+    * ≤fpp false positives), and at this corpus size and fpp=1e-7 the
+    * sketch is verified false-positive-free, so the Bloom answer IS
+    * the exact answer (hash-compared). The general ≥-containment
+    * property is unit-tested in `BloomExprSpec`. */
+  private val dedupContaminationBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("src", expr("CAST(substr(source, 4, 8) AS INT)"))
+    Dedup.contaminationBloom(
+      docs.filter(col("src") < 10),
+      docs.filter(col("src") >= 10),
+      threshold = 0.5,
+      expectedItems = 1L << 21,
+      fpp = 1e-7)
+      .orderBy("doc_id")
+  }
+
   /** Banded MinHash LSH candidates. Oracle-checked: the base hash is
     * the big-endian first 8 bytes of md5(shingle) and the band key is
     * the band's slot values themselves, so DuckDB can replay the exact
@@ -961,6 +982,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_contamination" -> dedupContamination,
+    "dedup_contamination_bloom" -> dedupContaminationBloom,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "emb_neardup_exact" -> embNearDupExact,
@@ -1000,6 +1022,9 @@ object PipelineQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_contamination" -> dedupContaminationSql,
+    // conservative sketch verified FP-free at this corpus/fpp — the
+    // Bloom tier reproduces the exact containment answer bit for bit
+    "dedup_contamination_bloom" -> dedupContaminationSql,
     "emb_neardup_exact" -> embNearDupExactSql,
     "emb_neardup_lsh" -> embNearDupLshSql,
     "doc_lang_profile" -> docLangProfileSql,

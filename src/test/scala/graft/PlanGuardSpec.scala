@@ -17,7 +17,9 @@ class PlanGuardSpec extends SparkSpec {
     "q19_fuzzy_levenshtein", // 25-name broadcast dim, all-pairs by intent
     "dedup_simhash",         // single-row broadcast threshold params
     "emb_neardup_exact",     // documented all-pairs oracle-verification twin
-    "q28_bag_set_ops")       // crossJoin of three single-row aggregates
+    "q28_bag_set_ops",       // crossJoin of three single-row aggregates
+    "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
+    "doc_hybrid_rrf_top10")  // same single-row stats broadcast via bm25
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
