@@ -118,6 +118,42 @@ object TextAnalysis {
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercase
     * text — stable across reformatting. */
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — public heuristics): word
+    * count bounds, mean-word-length band, minimum alphabetic-word
+    * fraction, minimum stopword hits. Returns a struct of the measured
+    * features plus the `passes` conjunction. All integer counts with
+    * one final division each — exact, order-independent arithmetic, so
+    * the rule decisions replay bit-identically in a SQL oracle.
+    *
+    * 100 TB shape: pure codegen'd Column expressions over one scan,
+    * embarrassingly parallel; compose with [[repetitionProfile]] (the
+    * repetition rules of the same paper) for the full filter. */
+  def gopherRules(
+      c: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val toks = tokens(c)
+    val nW = size(toks)
+    val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(nW, lit(1)).cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") /
+      greatest(nW, lit(1)).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(StopwordSets("en").map(lit): _*)))
+    struct(
+      nW.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac >= minAlphaFrac && stopHits >= minStopHits).as("passes"))
+  }
+
   def fingerprint(c: Column): Column = md5(Dedup.normalizedText(c))
 
   /** Rolling hash over the normalized token stream — an order-sensitive

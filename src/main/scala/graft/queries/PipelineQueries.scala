@@ -880,6 +880,37 @@ object PipelineQueries {
       .orderBy("cluster")
   }
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) per document: the
+    * measured features plus the pass/fail conjunction. Integer counts
+    * with one exact rational division each — the rule decisions are
+    * bit-deterministic across engines. */
+  private val docGopher: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.alpha_frac"), col("g.stop_hits"), col("g.passes"))
+      .orderBy("doc_id")
+
+  private val docGopherSql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+      |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS af,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, round(mean_len, 4) AS mean_word_len,
+      |  round(af, 4) AS alpha_frac, stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0
+      |   AND mean_len <= 10.0 AND af >= 0.8 AND stop_hits >= 2) AS passes
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- text search
 
   /** Fixed keyword query for the BM25 retrieval surface — mid-frequency
@@ -1000,6 +1031,7 @@ object PipelineQueries {
     "doc_langid" -> docLangId,
     "doc_bm25_top10" -> docBm25Top10,
     "doc_hybrid_rrf_top10" -> docHybridRrf,
+    "doc_gopher_filter" -> docGopher,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
     "uniq_names" -> uniqNames,
@@ -1040,6 +1072,7 @@ object PipelineQueries {
     "doc_langid" -> docLangIdSql,
     "doc_bm25_top10" -> docBm25Top10Sql,
     "doc_hybrid_rrf_top10" -> docHybridRrfSql,
+    "doc_gopher_filter" -> docGopherSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,

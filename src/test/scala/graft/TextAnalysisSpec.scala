@@ -92,4 +92,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < 0.1, s"spam uniq ratio: ${out(1L)}")
     assert(out(2L)._1 < 0.15 && out(2L)._2 == 1.0, s"prose: ${out(2L)}")
   }
+
+  test("gopherRules gates each heuristic independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog sat in a warm home today"), // all rules pass
+      (2L, "a b"),                                          // too few words
+      (3L, "zz xx qq ww rr tt yy uu ii oo"),                // zero stopword hits
+      (4L, "12345 67890 11111 22222 33333 44444 55555 66666")) // alpha_frac 0
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherRules(col("text"),
+          minWords = 5, minMeanLen = 2.0).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.alpha_frac"), col("g.stop_hits"), col("g.passes"))
+      .as[(Long, Int, Double, Double, Int, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._6, s"doc 1 should pass: ${got(1L)}")
+    assert(got(1L)._2 === 11 && got(1L)._5 === 5)
+    assert(got(1L)._3 === math.rint(34.0 / 11 * 1e4) / 1e4)
+    assert(!got(2L)._6 && got(2L)._2 === 2)
+    assert(!got(3L)._6 && got(3L)._5 === 0)
+    assert(!got(4L)._6 && got(4L)._4 === 0.0)
+  }
 }
