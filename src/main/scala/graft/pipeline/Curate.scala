@@ -33,7 +33,12 @@ object Curate {
       sanitize: Boolean = true,
       /** drop docs whose top trigram exceeds this share (repetition /
         * template spam); 1.0 disables the stage */
-      maxTopTrigramFrac: Double = 1.0)
+      maxTopTrigramFrac: Double = 1.0,
+      /** also require the Gopher rule conjunction
+        * ([[TextAnalysis.gopherRules]] `passes`, paper-default bounds)
+        * — fused into the quality stage's scan, so enabling it adds a
+        * predicate, not a pass; attrition lands in `afterQuality` */
+      gopherGate: Boolean = false)
 
   case class Report(
       input: Long, afterQuality: Long, afterRepetition: Long,
@@ -86,7 +91,11 @@ object Curate {
         docs.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
       else docs
 
-    val quality = cleaned
+    val gated =
+      if (cfg.gopherGate)
+        cleaned.filter(TextAnalysis.gopherRules(col("text")).getField("passes"))
+      else cleaned
+    val quality = gated
       .withColumn("__q", TextAnalysis.qualityScore(col("text")))
       .filter(col("__q") >= cfg.minQuality)
       .drop("__q")

@@ -45,6 +45,20 @@ class CurateSpec extends SparkSpec {
       Seq("id", "doc_id", "chunk_idx", "chunk_text", "embedding"))
   }
 
+  test("gopherGate drops rule-violating docs inside the quality stage") {
+    // both docs clear 50 words; doc 2 has zero stopword hits → gopher fail
+    val withStops = ("the data engine reads a table and it scans the rows " * 6).trim
+    val noStops = ("zz xx qq ww rr tt yy uu ii oo pp ll kk " * 5).trim
+    val docs = Seq((1L, withStops, "en"), (2L, noStops, "en"))
+      .toDF("doc_id", "text", "lang")
+    def runWith(gate: Boolean) = Curate.run(docs,
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64), gopherGate = gate))._2
+    assert(runWith(false).afterQuality == 2)
+    assert(runWith(true).afterQuality == 1) // gate fused into the same stage
+  }
+
   test("calibrateQuality picks a threshold that keeps ~the target rate") {
     val docs = Tables.documents(spark, sf0001)
     val theta = Curate.calibrateQuality(docs, targetKeepRate = 0.8)
