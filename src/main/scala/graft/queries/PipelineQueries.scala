@@ -270,7 +270,9 @@ object PipelineQueries {
     * ≤fpp false positives), and at this corpus size and fpp=1e-7 the
     * sketch is verified false-positive-free, so the Bloom answer IS
     * the exact answer (hash-compared). The general ≥-containment
-    * property is unit-tested in `BloomExprSpec`. */
+    * property is unit-tested in `BloomExprSpec`. Sketch sized to the
+    * fixture (≤~500k train shingles at sf0.1): 1M expected × fpp 1e-6
+    * ≈ 3.6 MB — the constant that ships with the plan. */
   private val dedupContaminationBloom: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("src", expr("CAST(substr(source, 4, 8) AS INT)"))
@@ -278,8 +280,8 @@ object PipelineQueries {
       docs.filter(col("src") < 10),
       docs.filter(col("src") >= 10),
       threshold = 0.5,
-      expectedItems = 1L << 21,
-      fpp = 1e-7)
+      expectedItems = 1L << 20,
+      fpp = 1e-6)
       .orderBy("doc_id")
   }
 
