@@ -440,4 +440,61 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Corpus-level duplicated-passage removal — the C4 rule (Raffel et
+    * al. 2020, §2.2: "we discarded any three-sentence span occurring
+    * more than once") re-expressed over fixed-width token windows,
+    * since this corpus has no sentence boundaries: segment each
+    * document's normalized token stream into consecutive
+    * non-overlapping `segTokens`-token passages, count how many
+    * DISTINCT documents each passage text occurs in, and drop every
+    * passage appearing in `maxDocs`-or-more documents (license
+    * headers, navigation chrome, template spam). Returns one row per
+    * document that has ≥1 token:
+    * `(idCol, n_segs, n_dropped, clean_text)` — `clean_text` re-joins
+    * the surviving passages in order ("" when everything was
+    * boilerplate).
+    *
+    * 100 TB shape: three shuffles, each on a bounded key — (doc, seg)
+    * for the order-safe passage concat, the 16-byte passage md5 for
+    * the corpus-frequency count (map-side combined, one row per
+    * distinct passage), and the doc id for reassembly. No all-pairs
+    * anywhere; the boilerplate-frequency side is broadcast-sized
+    * whenever boilerplate is rare. The `array_sort(collect_list(...))`
+    * concats are mandatory for determinism after a shuffle (same
+    * argument as [[Sectionize]]). Passage identity is exact text
+    * equality (md5 key), so the `doc_passage_dedup` DuckDB oracle
+    * replays it bit-for-bit.
+    */
+  def stripDuplicatePassages(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      segTokens: Int = 10,
+      maxDocs: Int = 2): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(maxDocs > 1, "maxDocs < 2 would drop every passage")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val words = df
+      .select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "word")))
+    val segs = words
+      .groupBy(col("id"), floor(col("pos") / segTokens).cast("int").as("seg"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("seg_text"))
+      .withColumn("seg_hash", md5(col("seg_text")))
+    val freq = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("id")).as("n_docs"))
+    val kept = segs.join(freq, "seg_hash").filter(col("n_docs") < maxDocs)
+    val perDoc = segs.groupBy("id").agg(count(lit(1)).as("n_segs"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          x => x.getField("seg_text")), " ").as("clean_text"))
+    perDoc.join(keptAgg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

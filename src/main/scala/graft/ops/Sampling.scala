@@ -104,4 +104,31 @@ object Sampling {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Per-group row cap as a native bounded aggregate — the per-domain
+    * document cap of web-corpus curation (CommonCrawl-style per-host
+    * limits), keeping exactly `min(n, |group|)` rows per group in a
+    * deterministic uniform draw. Returns `(groupCol, rn, idCol)` with
+    * `rn` 1-based in draw order.
+    *
+    * Same selection semantics as [[stratifiedTake]], different physical
+    * shape: instead of a window (full per-group sort; every row rides
+    * the shuffle), the draw runs through the bounded-buffer `top_k`
+    * TypedImperativeAggregate, so map-side partials carry at most `n`
+    * (id, priority) pairs per group — at 100 TB the difference between
+    * shuffling the corpus and shuffling the winners. The priority is
+    * the first 13 md5 hex chars of the id as an exact 52-bit integer in
+    * a double (no precision loss, so `top_k`'s (score DESC, id ASC)
+    * order replays exactly as SQL `ROW_NUMBER() OVER (ORDER BY pri
+    * DESC, id)` — the `doc_source_cap` oracle).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val pri = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(graft.expr.TopKExpr.topK(col(idCol).cast("long"), pri, n).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as(idCol))
+  }
 }

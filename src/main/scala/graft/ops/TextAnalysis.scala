@@ -156,6 +156,55 @@ object TextAnalysis {
 
   def fingerprint(c: Column): Column = md5(Dedup.normalizedText(c))
 
+  /** Character-trigram language-model score — the CCNet-style
+    * perplexity proxy (Wenzek et al. 2020 use a KenLM 5-gram model; no
+    * model files ship in this environment, so the profile is trained
+    * from the corpus itself): per-language add-one-smoothed trigram
+    * frequencies over the normalized text, then each document scored by
+    * the mean log10 probability of its trigrams under its own
+    * language's profile. Very negative scores mark out-of-distribution
+    * text (mojibake, wrong-language spans, binary junk) — the standard
+    * cheap filter tier before model-based scoring. Returns
+    * `(idCol, n_tri, avg_logp)` for documents with ≥1 trigram;
+    * `avg_logp` rounds to 4 dp (the only FP reduction).
+    *
+    * 100 TB shape: the profile is one map-side-combined aggregation
+    * keyed by (lang, trigram) — bounded by charset³ per language, NOT
+    * corpus size — and broadcast-joinable at scoring time; documents
+    * ride the shuffle as per-doc trigram COUNTS, never positions. The
+    * smoothing vocabulary V is a 1-row aggregate crossJoin-broadcast,
+    * not a driver collect. The trigram slide is a JIT'd UDF for the
+    * same reason as [[repetitionProfile]] (interpreted HOFs cost ~3
+    * lambda dispatches per element).
+    */
+  def charTrigramLm(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val triList = udf { (s: String) =>
+      if (s == null || s.length < 3) Seq.empty[String]
+      else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    }
+    val tri = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+      explode(triList(Dedup.normalizedText(col(textCol)))).as("tri"))
+    val triCounts = tri.groupBy("id", "lang", "tri").agg(count(lit(1)).as("c"))
+    val profile = triCounts.groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
+    val langTot = profile.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    val vocabDf = profile.agg(countDistinct(col("tri")).as("vv"))
+    triCounts.join(profile, Seq("lang", "tri"))
+      .join(langTot, "lang")
+      .crossJoin(broadcast(vocabDf))
+      .groupBy("id")
+      .agg(
+        sum(col("c")).cast("long").as("n_tri"),
+        round(
+          sum(col("c") * log10((col("cnt") + 1).cast("double") /
+            (col("tot") + col("vv")).cast("double"))) / sum(col("c")),
+          4).as("avg_logp"))
+      .select(col("id").as(idCol), col("n_tri"), col("avg_logp"))
+  }
+
   /** Rolling hash over the normalized token stream — an order-sensitive
     * fingerprint (anagram-proof, unlike a token-set hash). Uses
     * rotate-xor instead of multiply-add: shifts and xor can't trip ANSI

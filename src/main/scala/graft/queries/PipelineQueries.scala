@@ -913,6 +913,94 @@ object PipelineQueries {
       |   AND mean_len <= 10.0 AND af >= 0.8 AND stop_hits >= 2) AS passes
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level duplicated-passage removal (the C4 span rule over
+    * 10-token windows): passages occurring in ≥2 distinct documents are
+    * boilerplate and get stripped; output is the cleaned text plus
+    * per-doc segment accounting. Pure string/integer semantics — the
+    * oracle replays the segmentation, the distinct-doc frequency and
+    * the ordered reassembly exactly. */
+  private val docPassageDedup: Q = (s, d) =>
+    Dedup.stripDuplicatePassages(Tables.documents(s, d),
+      segTokens = 10, maxDocs = 2)
+      .orderBy("doc_id")
+
+  private val docPassageDedupSql =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d),
+      |seg AS (SELECT doc_id, CAST((seq - 1) // 10 AS INT) AS seg,
+      |          string_agg(word, ' ' ORDER BY seq) AS seg_text
+      |        FROM w GROUP BY 1, 2),
+      |freq AS (SELECT seg_text, COUNT(DISTINCT doc_id) AS n_docs
+      |         FROM seg GROUP BY 1),
+      |kept AS (SELECT s.doc_id, s.seg, s.seg_text
+      |         FROM seg s JOIN freq f USING (seg_text) WHERE f.n_docs < 2),
+      |per AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY 1),
+      |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(seg_text, ' ' ORDER BY seg) AS clean_text
+      |       FROM kept GROUP BY 1)
+      |SELECT p.doc_id, p.n_segs,
+      |  p.n_segs - COALESCE(ka.n_kept, 0) AS n_dropped,
+      |  COALESCE(ka.clean_text, '') AS clean_text
+      |FROM per p LEFT JOIN ka USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
+  /** Per-source document cap (5 per source) through the native
+    * bounded-buffer `top_k` aggregate — the aggregate-shaped twin of
+    * the window-shaped `doc_sample_stratified`. The md5-prefix priority
+    * is an exact 52-bit integer in a double, so the oracle's
+    * `ROW_NUMBER() ... ORDER BY pri DESC, doc_id` replays `top_k`'s
+    * (score DESC, id ASC) order bit-for-bit. */
+  private val docSourceCap: Q = (s, d) =>
+    graft.ops.Sampling.capPerGroup(Tables.documents(s, d), "source", "doc_id", 5)
+      .orderBy("source", "rn")
+
+  private val docSourceCapSql = {
+    // priority = unsigned value of md5's first 13 hex chars (nibble
+    // weights 16^(13-j)), same HUGEINT-sum trick as the minhash oracle
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |pri AS (SELECT source, doc_id, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS DOUBLE) AS pri
+       |  FROM documents CROSS JOIN pows p GROUP BY source, doc_id),
+       |r AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+       |        PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+       |      FROM pri)
+       |SELECT source, rn, doc_id FROM r WHERE rn <= 5
+       |ORDER BY source, rn""".stripMargin
+  }
+
+  /** CCNet-style char-trigram LM score per document (profile trained
+    * from the corpus itself, per language; add-one smoothing over the
+    * global trigram vocabulary). */
+  private val docTrigramLm: Q = (s, d) =>
+    TextAnalysis.charTrigramLm(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  private val docTrigramLmSql =
+    """WITH d AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+      |  FROM documents),
+      |idx AS (SELECT doc_id, lang, s,
+      |          unnest(range(1, len(s) - 1)) AS i FROM d),
+      |tri AS (SELECT doc_id, lang, substr(s, CAST(i AS INT), 3) AS tri
+      |        FROM idx),
+      |tc AS (SELECT doc_id, lang, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3),
+      |prof AS (SELECT lang, tri, SUM(c) AS cnt FROM tc GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tri) AS vv FROM prof)
+      |SELECT tc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+      |  round(SUM(CAST(c AS DOUBLE) * log10(CAST(cnt + 1 AS DOUBLE)
+      |          / CAST(tot + vv AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4)
+      |    AS avg_logp
+      |FROM tc JOIN prof USING (lang, tri) JOIN tot USING (lang) CROSS JOIN v
+      |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin
+
   // ------------------------------------------------------- text search
 
   /** Fixed keyword query for the BM25 retrieval surface — mid-frequency
@@ -1034,6 +1122,9 @@ object PipelineQueries {
     "doc_bm25_top10" -> docBm25Top10,
     "doc_hybrid_rrf_top10" -> docHybridRrf,
     "doc_gopher_filter" -> docGopher,
+    "doc_passage_dedup" -> docPassageDedup,
+    "doc_source_cap" -> docSourceCap,
+    "doc_trigram_lm" -> docTrigramLm,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
     "uniq_names" -> uniqNames,
@@ -1075,6 +1166,9 @@ object PipelineQueries {
     "doc_bm25_top10" -> docBm25Top10Sql,
     "doc_hybrid_rrf_top10" -> docHybridRrfSql,
     "doc_gopher_filter" -> docGopherSql,
+    "doc_passage_dedup" -> docPassageDedupSql,
+    "doc_source_cap" -> docSourceCapSql,
+    "doc_trigram_lm" -> docTrigramLmSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,

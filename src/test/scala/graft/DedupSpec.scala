@@ -88,4 +88,20 @@ class DedupSpec extends SparkSpec {
     assert(loose.keySet == Set(10L, 11L))
     assert(loose(11L) < 0.2)
   }
+
+  test("stripDuplicatePassages drops cross-document boilerplate passages") {
+    val boiler = "all rights reserved worldwide"
+    val df = Seq(
+      (1L, s"$boiler unique one two three"),
+      (2L, s"ALL  Rights RESERVED Worldwide other words here now"), // normalizes to boiler
+      (3L, "completely fresh text body only"), // 5 tokens → full seg + partial tail
+      (4L, s"  $boiler "))                     // all boilerplate → ""
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.stripDuplicatePassages(df, segTokens = 4, maxDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, "unique one two three")))
+    assert(got(2L) == ((2L, 2L, 1L, "other words here now")))
+    assert(got(3L) == ((3L, 2L, 0L, "completely fresh text body only")))
+    assert(got(4L) == ((4L, 1L, 1L, "")))
+  }
 }

@@ -19,7 +19,8 @@ class PlanGuardSpec extends SparkSpec {
     "emb_neardup_exact",     // documented all-pairs oracle-verification twin
     "q28_bag_set_ops",       // crossJoin of three single-row aggregates
     "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
-    "doc_hybrid_rrf_top10")  // same single-row stats broadcast via bm25
+    "doc_hybrid_rrf_top10",  // same single-row stats broadcast via bm25
+    "doc_trigram_lm")        // single-row smoothing-vocab V broadcast
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -73,4 +73,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[String].collect().toSet
     assert(again == out.select("id").as[String].collect().toSet)
   }
+
+  test("capPerGroup caps each group at n and matches the window twin") {
+    val out = Sampling.capPerGroup(docs, "source", "doc_id", 5)
+    val sizes = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    full.foreach { case (src, n) =>
+      assert(sizes(src) == math.min(5L, n), s"$src: ${sizes.get(src)}")
+    }
+    // the bounded-aggregate path must pick the exact rows (and ranks)
+    // the row_number window formulation picks under the same priority
+    val pri = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(pri.desc, col("doc_id"))
+    val twin = docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("source", "rn", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val got = out.select("source", "rn", "doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == twin)
+  }
 }

@@ -115,4 +115,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(3L)._6 && got(3L)._5 === 0)
     assert(!got(4L)._6 && got(4L)._4 === 0.0)
   }
+
+  test("charTrigramLm scores in-distribution text above junk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat  sat on the hat"), // double space → normalized
+      (3L, "en", "zqxj vkpw qqzz xjvk"),
+      (4L, "de", "der hund und der mond"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.TextAnalysis.charTrigramLm(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    assert(got(1L)._2 == "the cat sat on the mat".length - 2L)
+    assert(got(2L)._2 == "the cat sat on the hat".length - 2L)
+    assert(got.values.forall(_._3 < 0.0), "log-probs are negative")
+    // docs sharing the corpus's frequent trigrams outscore unique junk
+    assert(got(1L)._3 > got(3L)._3, s"$got")
+    assert(got(2L)._3 > got(3L)._3)
+  }
 }
