@@ -437,10 +437,12 @@ object PipelineQueries {
     * ordered sign string; candidates sharing any bucket are scored with
     * cosine and filtered at the unrounded threshold, as the Spark side
     * does. */
-  private val embNearDupLshSql = {
+  /** The sign-LSH CTE body (through candidate scoring `sc`), shared by
+    * the pair oracle below and the `emb_semantic_dedup` closure oracle. */
+  private val embLshCtes = {
     val pows16 = (1 to 16).map(j => s"($j, ${BigInt(16).pow(16 - j)})").mkString(", ")
     val pows2 = (0 to 63).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
-    s"""WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+    s"""ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |              generate_subscripts(embedding, 1) AS j
        |            FROM embeddings),
        |ph AS (SELECT g.p AS p,
@@ -472,10 +474,87 @@ object PipelineQueries {
        |                                CAST(eb.embedding AS DOUBLE[])) AS cos
        |       FROM cand c
        |       JOIN embeddings ea ON ea.vec_id = c.id_a
-       |       JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |       JOIN embeddings eb ON eb.vec_id = c.id_b)""".stripMargin
+  }
+
+  private val embNearDupLshSql =
+    s"""WITH $embLshCtes
        |SELECT id_a, id_b, round(cos, 4) AS score FROM sc
        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  /** Cluster-level text dedup end-to-end: the oracle-checked n-gram
+    * Jaccard pair graph → connected components (iterative min-label
+    * propagation, [[Dedup.connectedComponents]]) → survivors = the
+    * minimum-id representative per component plus every singleton. The
+    * oracle replays the same graph closure as a DuckDB WITH RECURSIVE
+    * transitive reachability and applies the identical min-id rule —
+    * the distributed loop and the recursive CTE must agree row-for-row. */
+  private val dedupClusterSurvivors: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+    Dedup.dropNearDups(docs, pairs)
+      .select("doc_id")
+      .orderBy("doc_id")
   }
+
+  private val dedupClusterSurvivorsSql =
+    s"""WITH RECURSIVE $wordBlocksSql,
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pj AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |       GROUP BY x.doc_id, y.doc_id),
+       |pr AS (SELECT id_a, id_b FROM pj
+       |       JOIN cnt ca ON ca.doc_id = id_a
+       |       JOIN cnt cb ON cb.doc_id = id_b
+       |       WHERE CAST(common AS DOUBLE)
+       |             / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+       |losers AS (SELECT id FROM comp WHERE comp < id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup-shaped embedding dedup (Abbas et al. 2023 cluster
+    * semantic dedup, with deterministic sign-LSH cells instead of
+    * KMeans): the oracle-checked sign-LSH near-dup pair graph →
+    * connected components → full assignment `(vec_id, rep, survives)`
+    * for EVERY vector (singletons are their own rep). Same recursive
+    * closure oracle as the text variant, over the LSH candidate CTEs. */
+  private val embSemanticDedup: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
+    val comps = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("rep"),
+        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("survives"))
+      .orderBy("vec_id")
+  }
+
+  private val embSemanticDedupSql =
+    s"""WITH RECURSIVE $embLshCtes,
+       |pr AS (SELECT id_a, id_b FROM sc WHERE cos >= 0.4),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+       |SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS rep,
+       |  COALESCE(c.comp, e.vec_id) = e.vec_id AS survives
+       |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
@@ -1108,6 +1187,8 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "emb_neardup_exact" -> embNearDupExact,
     "emb_neardup_lsh" -> embNearDupLsh,
+    "dedup_cluster_survivors" -> dedupClusterSurvivors,
+    "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
     "doc_tokens" -> docTokens,
@@ -1152,6 +1233,8 @@ object PipelineQueries {
     "dedup_contamination_bloom" -> dedupContaminationSql,
     "emb_neardup_exact" -> embNearDupExactSql,
     "emb_neardup_lsh" -> embNearDupLshSql,
+    "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
+    "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
     "doc_tokens" -> docTokensSql,

@@ -54,4 +54,18 @@ class DedupClusterSpec extends SparkSpec {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     assert(Dedup.dropExactDups(docs).select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("emb_semantic_dedup assignment is a consistent component labeling") {
+    val out = SparkEntry.queries("emb_semantic_dedup")(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(out.length == n, "one row per vector")
+    val rep = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, r, survives) =>
+      assert(r <= id, s"rep is the component minimum: $id -> $r")
+      assert(survives == (r == id))
+      assert(rep(r) == r, s"a representative represents itself: $r -> ${rep(r)}")
+    }
+    assert(out.exists(!_._3), "fixture contains at least one near-dup cluster")
+  }
 }
