@@ -8,9 +8,10 @@ import graft.ops.{Dedup, TextAnalysis}
 import graft.streaming.StreamingIngest
 
 /** End-to-end training-corpus curation — the composition the north star
-  * is about: sanitize (boilerplate/PII), filter junk and repetition
-  * spam, collapse exact and near duplicates, keep the target
-  * languages, then chunk/embed/index what survives.
+  * is about: sanitize (boilerplate/PII), strip cross-document duplicate
+  * passages, filter junk, repetition spam and out-of-distribution text,
+  * collapse exact and near duplicates, keep the target languages, then
+  * chunk/embed/index what survives.
   *
   * Every stage is the operator implemented elsewhere in this engine;
   * this module only sequences them, and reports per-stage row counts so
@@ -38,11 +39,24 @@ object Curate {
         * ([[TextAnalysis.gopherRules]] `passes`, paper-default bounds)
         * — fused into the quality stage's scan, so enabling it adds a
         * predicate, not a pass; attrition lands in `afterQuality` */
-      gopherGate: Boolean = false)
+      gopherGate: Boolean = false,
+      /** corpus-level duplicated-passage removal
+        * ([[Dedup.stripDuplicatePassages]], the C4 span rule) before
+        * the per-row filters; rewrites `text` to the surviving
+        * passages (whitespace/case-normalized) and drops documents
+        * that were pure boilerplate */
+      passageDedup: Boolean = false,
+      passageSegTokens: Int = 10,
+      passageMaxDocs: Int = 2,
+      /** drop docs whose [[TextAnalysis.charTrigramLm]] mean log10
+        * trigram probability falls below this floor (out-of-
+        * distribution text); NegativeInfinity disables the stage */
+      minTrigramLogProb: Double = Double.NegativeInfinity)
 
   case class Report(
-      input: Long, afterQuality: Long, afterRepetition: Long,
-      afterLang: Long, afterExact: Long, afterNearDup: Long, chunks: Long)
+      input: Long, afterPassage: Long, afterQuality: Long,
+      afterRepetition: Long, afterLm: Long, afterLang: Long,
+      afterExact: Long, afterNearDup: Long, chunks: Long)
 
   /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
     * corpus: the quality threshold is the `(1 - rate)` quantile of the
@@ -91,16 +105,33 @@ object Curate {
         docs.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
       else docs
 
+    // corpus-level passage dedup first: it rewrites text, so every
+    // downstream score/filter/dedup sees the de-boilerplated corpus
+    // (the C4 ordering). A doc whose every passage was boilerplate
+    // leaves as an empty string and is dropped here.
+    val passaged =
+      if (!cfg.passageDedup) cleaned
+      else cleaned.drop("text")
+        .join(
+          Dedup.stripDuplicatePassages(cleaned,
+            segTokens = cfg.passageSegTokens, maxDocs = cfg.passageMaxDocs)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id")
+        .filter(length(col("text")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPassage = if (cfg.passageDedup) passaged.count() else input
+
     val gated =
       if (cfg.gopherGate)
-        cleaned.filter(TextAnalysis.gopherRules(col("text")).getField("passes"))
-      else cleaned
+        passaged.filter(TextAnalysis.gopherRules(col("text")).getField("passes"))
+      else passaged
     val quality = gated
       .withColumn("__q", TextAnalysis.qualityScore(col("text")))
       .filter(col("__q") >= cfg.minQuality)
       .drop("__q")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nQuality = quality.count()
+    if (cfg.passageDedup) passaged.unpersist(blocking = false)
 
     // repetition screen after the cheap per-row filter (it explodes
     // trigrams); left_anti keeps short docs the profile yields no row
@@ -120,14 +151,36 @@ object Curate {
     val nRepetition = if (repetitionActive) repetition.count() else nQuality
     if (repetitionActive) quality.unpersist(blocking = false)
 
+    // trigram-LM floor before the language filter: the profile trains
+    // per-language over everything still alive, and each doc is scored
+    // under its own language — CCNet's ordering. left_anti on the
+    // failers keeps docs too short to produce a trigram.
+    val lmActive = cfg.minTrigramLogProb > Double.NegativeInfinity
+    val lmed =
+      if (!lmActive) repetition
+      else {
+        val lmInput =
+          if (repetition.columns.contains("lang")) repetition
+          else repetition.withColumn("lang",
+            TextAnalysis.langId(col("text")).getField("lang"))
+        repetition.join(
+          TextAnalysis.charTrigramLm(lmInput)
+            .filter(col("avg_logp") < cfg.minTrigramLogProb)
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val nLm = if (lmActive) lmed.count() else nRepetition
+    if (lmActive) repetition.unpersist(blocking = false)
+
     val langed = {
       if (docs.columns.contains("lang"))
-        repetition.filter(col("lang").isin(cfg.languages: _*))
-      else repetition.filter(
+        lmed.filter(col("lang").isin(cfg.languages: _*))
+      else lmed.filter(
         TextAnalysis.langId(col("text")).getField("lang").isin(cfg.languages: _*))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     val nLang = langed.count()
-    repetition.unpersist(blocking = false)
+    lmed.unpersist(blocking = false)
 
     val exact = Dedup.dropExactDups(langed).persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
@@ -147,6 +200,7 @@ object Curate {
     val nChunks = index.count()
     deduped.unpersist(blocking = false)
 
-    (index, Report(input, nQuality, nRepetition, nLang, nExact, nNear, nChunks))
+    (index, Report(input, nPassage, nQuality, nRepetition, nLm, nLang,
+      nExact, nNear, nChunks))
   }
 }

@@ -59,6 +59,46 @@ class CurateSpec extends SparkSpec {
     assert(runWith(true).afterQuality == 1) // gate fused into the same stage
   }
 
+  test("passageDedup and the trigram-LM floor gate their stages") {
+    // 7 tokens; deliberately NOT a TextSanitize boilerplate marker —
+    // this stage catches the cross-document repeats sanitize's
+    // line-pattern list does not know about
+    val boiler = "shared navigation header present on every page"
+    val body1 = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the field"
+    val body2 = "a completely different document about the engines of analytics and the data they process every day"
+    val docs = Seq(
+      (1L, s"$boiler $body1", "en"),
+      (2L, s"$boiler $body2", "en"),
+      (3L, boiler, "en"),                                  // pure boilerplate
+      (4L, "zqxjv kpwqz qqzzx jvkpw zzqqx pwzzq xjvkq wqzzp zxjvk pwqzz", "en")) // OOD junk
+      .toDF("doc_id", "text", "lang")
+    def runWith(passage: Boolean, lmFloor: Double) = Curate.run(docs,
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64),
+        jaccardThreshold = 0.95,
+        passageDedup = passage, passageSegTokens = 7,
+        minTrigramLogProb = lmFloor))._2
+    // passage stage off: everything flows through untouched
+    val base = runWith(passage = false, lmFloor = Double.NegativeInfinity)
+    assert(base.afterPassage == 4 && base.afterLm == base.afterRepetition, s"$base")
+    // passage stage on: the shared 7-token header occurs in 3 docs →
+    // stripped everywhere; doc 3 (pure boilerplate) leaves the corpus
+    val p = runWith(passage = true, lmFloor = Double.NegativeInfinity)
+    assert(p.afterPassage == 3, s"$p")
+    // LM floor on: junk doc 4's trigrams are ~unique in the corpus →
+    // lower mean logp than the english prose. Floor = midpoint between
+    // the junk score and the worst prose score, so the assertion pins
+    // the gate's behavior, not a magic constant.
+    val scores = graft.ops.TextAnalysis.charTrigramLm(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val worstProse = Seq(1L, 2L, 3L).map(scores).min
+    assert(scores(4L) < worstProse, s"junk must score lowest: $scores")
+    val lm = runWith(passage = false, lmFloor = (scores(4L) + worstProse) / 2)
+    assert(lm.afterLm == 3, s"$lm")
+    assert(lm.afterRepetition == 4, s"$lm") // dropped at the LM stage, not before
+  }
+
   test("calibrateQuality picks a threshold that keeps ~the target rate") {
     val docs = Tables.documents(spark, sf0001)
     val theta = Curate.calibrateQuality(docs, targetKeepRate = 0.8)
