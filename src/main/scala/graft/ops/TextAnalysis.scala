@@ -192,17 +192,22 @@ object TextAnalysis {
     val profile = triCounts.groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
     val langTot = profile.groupBy("lang").agg(sum(col("cnt")).as("tot"))
     val vocabDf = profile.agg(countDistinct(col("tri")).as("vv"))
-    triCounts.join(profile, Seq("lang", "tri"))
-      .join(langTot, "lang")
-      .crossJoin(broadcast(vocabDf))
-      .groupBy("id")
+    // the smoothing denominator is constant per language, so the score
+    // decomposes as Σc·log10(cnt+1)/Σc − log10(tot+V): only the bounded
+    // (lang,tri) profile rides the wide per-trigram join; the per-lang
+    // scalars attach AFTER the per-doc reduction (a #docs-row join,
+    // not a #trigrams-row one). The oracle replays this exact
+    // decomposition so the FP path matches step for step.
+    triCounts.join(broadcast(profile), Seq("lang", "tri"))
+      .groupBy("id", "lang")
       .agg(
         sum(col("c")).cast("long").as("n_tri"),
-        round(
-          sum(col("c") * log10((col("cnt") + 1).cast("double") /
-            (col("tot") + col("vv")).cast("double"))) / sum(col("c")),
-          4).as("avg_logp"))
-      .select(col("id").as(idCol), col("n_tri"), col("avg_logp"))
+        sum(col("c") * log10((col("cnt") + 1).cast("double"))).as("__sumlp"))
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(vocabDf))
+      .select(col("id").as(idCol), col("n_tri"),
+        round(col("__sumlp") / col("n_tri") -
+          log10((col("tot") + col("vv")).cast("double")), 4).as("avg_logp"))
   }
 
   /** Rolling hash over the normalized token stream — an order-sensitive

@@ -1072,13 +1072,15 @@ object PipelineQueries {
       |tc AS (SELECT doc_id, lang, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3),
       |prof AS (SELECT lang, tri, SUM(c) AS cnt FROM tc GROUP BY 1, 2),
       |tot AS (SELECT lang, SUM(cnt) AS tot FROM prof GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT tri) AS vv FROM prof)
-      |SELECT tc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
-      |  round(SUM(CAST(c AS DOUBLE) * log10(CAST(cnt + 1 AS DOUBLE)
-      |          / CAST(tot + vv AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4)
-      |    AS avg_logp
-      |FROM tc JOIN prof USING (lang, tri) JOIN tot USING (lang) CROSS JOIN v
-      |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin
+      |v AS (SELECT COUNT(DISTINCT tri) AS vv FROM prof),
+      |per AS (SELECT tc.doc_id, tc.lang, CAST(SUM(c) AS BIGINT) AS n_tri,
+      |          SUM(CAST(c AS DOUBLE) * log10(CAST(cnt + 1 AS DOUBLE))) AS sumlp
+      |        FROM tc JOIN prof USING (lang, tri) GROUP BY tc.doc_id, tc.lang)
+      |SELECT doc_id, n_tri,
+      |  round(sumlp / CAST(n_tri AS DOUBLE)
+      |        - log10(CAST(tot + vv AS DOUBLE)), 4) AS avg_logp
+      |FROM per JOIN tot USING (lang) CROSS JOIN v
+      |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- text search
 
