@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: exactly (sfDir, outDir); extra names are a
+    // builder-local filter for iterating on a single query
+    val Array(sfDir, outDir, only @ _*) = args
+    require(only.forall(SparkEntry.queries.contains),
+      s"unknown queries: ${only.filterNot(SparkEntry.queries.contains).mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +21,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     try Warmup.run(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

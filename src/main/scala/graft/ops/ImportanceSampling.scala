@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", NeurIPS 2023): score
+  * every document by how much more likely its hashed-n-gram bag is
+  * under a *target* distribution (e.g. the English slice, a quality
+  * gate, a curated corpus) than under the raw-corpus distribution,
+  * then draw k documents without replacement with probability
+  * proportional to that importance weight (Gumbel-top-k).
+  *
+  * All arithmetic that crosses a reduction is fixed-point integer:
+  * per-bucket log-weights and the per-document Gumbel perturbation are
+  * rounded to 10^-6 *before* the per-doc sums, so the final key is an
+  * exact BIGINT — deterministic under any partitioning, and replayable
+  * step-for-step by the DuckDB oracle (`doc_dsir_sample`). Randomness
+  * is md5-derived from the document id (the house [[Sampling]] rule:
+  * no `rand()`, a re-run ships the same corpus).
+  *
+  * 100 TB shape: the bucket profile is bounded by `buckets` rows
+  * (default 4096) regardless of corpus size — it broadcasts. Documents
+  * ride two bounded shuffles: the (id, bucket) feature pre-aggregation
+  * (keys ≤ docs×buckets, compressed map-side) and the per-doc weight
+  * reduction. Selection is a global top-k — TakeOrderedAndProject
+  * (per-partition heaps), not a global sort. No driver-side state.
+  */
+object ImportanceSampling {
+
+  val defaultBuckets = 4096
+  /** Fixed-point scale: log-weights keep 6 decimal digits. */
+  private val fp = 1e6
+  /** 2^52 — md5 13-hex-char prefix range; exact in a double. */
+  private val hashRange = 4503599627370496.0
+  /** ln(10), shared with the oracle SQL as an interpolated literal. */
+  val ln10: Double = math.log(10.0)
+
+  /** First 13 hex chars of md5 as an exact 52-bit non-negative long. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Hashed unigram+bigram features: one row per (id, flag, bucket)
+    * with occurrence count `c`. Bigrams are space-joined adjacent
+    * token pairs (the DSIR paper's feature space). */
+  def features(
+      df: DataFrame,
+      targetPred: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = defaultBuckets): DataFrame = {
+    val toks = TextSearch.tokens(col(textCol))
+    val bigrams = when(size(col("__toks")) >= 2,
+      zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), targetPred.as("is_t"), toks.as("__toks"))
+      .select(col("id"), col("is_t"),
+        explode(concat(col("__toks"), bigrams)).as("gram"))
+      .groupBy(col("id"), col("is_t"),
+        pmod(md5Long(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-document fixed-point log-importance weight
+    * `(id, n_feat, logw)` with
+    * `logw = Σ_b c_b·round(10^6·log10((cnt_t(b)+1)/(cnt_r(b)+1)))
+    *         + n_feat·round(10^6·log10((tot_r+B)/(tot_t+B)))`
+    * — add-one smoothed bucket n-gram models of the target slice vs
+    * the raw corpus, with the constant smoothing denominators
+    * decomposed out of the wide join exactly like
+    * [[TextAnalysis.charTrigramLm]]. Positive = more target-like. */
+  def weights(
+      df: DataFrame,
+      targetPred: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = defaultBuckets): DataFrame = {
+    val feat = features(df, targetPred, textCol, idCol, buckets)
+    val prof = feat.groupBy("bucket").agg(
+      sum(col("c")).as("cnt_r"),
+      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("cnt_t"))
+    val profW = prof.select(col("bucket"),
+      round((log10((col("cnt_t") + 1).cast("double")) -
+        log10((col("cnt_r") + 1).cast("double"))) * fp).cast("long").as("wgt"))
+    // per-language… no: per-corpus scalar — the smoothing denominators
+    // are global, so they attach after the per-doc reduction as one
+    // broadcast 1-row cross join, never riding the per-bucket join
+    val kconst = prof.agg(
+      round((log10((sum(col("cnt_r")) + buckets).cast("double")) -
+        log10((sum(col("cnt_t")) + buckets).cast("double"))) * fp)
+        .cast("long").as("kk"))
+    feat.join(broadcast(profW), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c")).cast("long").as("n_feat"),
+        sum(col("c") * col("wgt")).as("__sumw"))
+      .crossJoin(broadcast(kconst))
+      .select(col("id").as(idCol), col("n_feat"),
+        (col("__sumw") + col("n_feat") * col("kk")).as("logw"))
+  }
+
+  /** Gumbel-top-k draw of `k` documents with probability proportional
+    * to the importance weight: key = logw + Gumbel(0,1)/ln(10), both
+    * in fixed-point log10 units, perturbation md5-seeded by id.
+    * Returns `(idCol, n_feat, dsir_key)` in key-descending order. */
+  def sample(
+      df: DataFrame,
+      targetPred: Column,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = defaultBuckets): DataFrame = {
+    require(k > 0)
+    val u = (md5Long(concat(lit("dsir|"), col(idCol).cast("string")))
+      .cast("double") + 0.5) / hashRange
+    // ln(10) as a Scala-folded constant: Double.toString round-trips, so
+    // the oracle interpolates the bit-identical literal (see ln10Sql)
+    val gum = round(-log(-log(u)) / ImportanceSampling.ln10 * fp).cast("long")
+    weights(df, targetPred, textCol, idCol, buckets)
+      .select(col(idCol), col("n_feat"),
+        (col("logw") + gum).as("dsir_key"))
+      .orderBy(col("dsir_key").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.index.VectorIndex
-import graft.ops.{ChunkText, Dedup, Packing, PairAssets, Sectionize, TextAnalysis, TextSanitize, TextSearch, UniqueNames}
+import graft.ops.{ChunkText, Dedup, ImportanceSampling, Packing, PairAssets, Sectionize, TextAnalysis, TextSanitize, TextSearch, UniqueNames}
 
 /** Pipeline / north-star queries: vector search (the reference's flagship
   * path, `scripts/test.out.py:14-19`), the dedup family, text analysis,
@@ -1082,6 +1082,59 @@ object PipelineQueries {
       |FROM per JOIN tot USING (lang) CROSS JOIN v
       |ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
+    * with probability proportional to how target-like (target = the
+    * English slice) their hashed unigram+bigram bag is vs the raw
+    * corpus. Fixed-point integer keys end-to-end — the oracle replays
+    * the bucket models, the decomposed smoothing constant and the
+    * md5-seeded Gumbel perturbation exactly. */
+  private val docDsirSample: Q = (s, d) =>
+    ImportanceSampling.sample(Tables.documents(s, d),
+      col("lang") === "en", k = 100)
+
+  private val docDsirSampleSql = {
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    val b = ImportanceSampling.defaultBuckets
+    val ln10 = ImportanceSampling.ln10
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |d AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks
+       |      FROM documents),
+       |g AS (SELECT doc_id, is_t, unnest(list_concat(toks,
+       |        list_transform(range(1, len(toks)),
+       |                       i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |      FROM d),
+       |gc AS (SELECT doc_id, is_t, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |gb AS (SELECT doc_id, is_t, c, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(gram), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) % $b AS bucket
+       |  FROM gc CROSS JOIN pows p GROUP BY doc_id, is_t, gram, c),
+       |feat AS (SELECT doc_id, is_t, bucket, SUM(c) AS c FROM gb GROUP BY 1, 2, 3),
+       |prof AS (SELECT bucket, SUM(c) AS cnt_r,
+       |           SUM(CASE WHEN is_t THEN c ELSE 0 END) AS cnt_t
+       |         FROM feat GROUP BY 1),
+       |pw AS (SELECT bucket, CAST(round((log10(CAST(cnt_t + 1 AS DOUBLE))
+       |           - log10(CAST(cnt_r + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS wgt
+       |       FROM prof),
+       |kc AS (SELECT CAST(round((log10(CAST(SUM(cnt_r) + $b AS DOUBLE))
+       |           - log10(CAST(SUM(cnt_t) + $b AS DOUBLE))) * 1000000) AS BIGINT) AS kk
+       |       FROM prof),
+       |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+       |          SUM(c * wgt) AS sumw
+       |        FROM feat JOIN pw USING (bucket) GROUP BY doc_id),
+       |gum AS (SELECT doc_id, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) AS h
+       |  FROM per CROSS JOIN pows p GROUP BY doc_id),
+       |gk AS (SELECT doc_id, CAST(round(-ln(-ln((CAST(h AS DOUBLE) + 0.5)
+       |           / 4503599627370496.0)) / $ln10 * 1000000) AS BIGINT) AS gum
+       |       FROM gum)
+       |SELECT per.doc_id, n_feat, sumw + n_feat * kk + gum AS dsir_key
+       |FROM per CROSS JOIN kc JOIN gk USING (doc_id)
+       |ORDER BY dsir_key DESC, per.doc_id LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------------------- text search
 
   /** Fixed keyword query for the BM25 retrieval surface — mid-frequency
@@ -1208,6 +1261,7 @@ object PipelineQueries {
     "doc_passage_dedup" -> docPassageDedup,
     "doc_source_cap" -> docSourceCap,
     "doc_trigram_lm" -> docTrigramLm,
+    "doc_dsir_sample" -> docDsirSample,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
     "uniq_names" -> uniqNames,
@@ -1254,6 +1308,7 @@ object PipelineQueries {
     "doc_passage_dedup" -> docPassageDedupSql,
     "doc_source_cap" -> docSourceCapSql,
     "doc_trigram_lm" -> docTrigramLmSql,
+    "doc_dsir_sample" -> docDsirSampleSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,
