@@ -172,6 +172,38 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Called from generated code: asymmetric-distance (ADC) scoring of a
+    * PQ code against a per-query lookup table. `table` is the flat
+    * m×ksub array of `dot(querySub_i, codebook_i(j))` built once per
+    * query on the driver; the per-row work is `m` array lookups — no
+    * float multiply at all, and the scanned payload is m bytes/vector
+    * (64-d float = 256 B → 8 B at m=8). */
+  def adcOf(code: Array[Byte], table: ArrayData, ksub: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < code.length) {
+      s += table.getDouble(i * ksub + (code(i) & 0xFF))
+      i += 1
+    }
+    s
+  }
+
+  /** ADC lookup-sum of a PQ code (BINARY) against a flat m×ksub double
+    * table; `ksub` is the per-subspace codebook size (row stride). */
+  case class PqAdc(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      adcOf(l.asInstanceOf[Array[Byte]], r.asInstanceOf[ArrayData], ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.expr.VectorExpressions.adcOf($a, $b, $ksub)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Integer dot product of two int8-quantized vectors (BINARY). */
   case class ByteDotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -196,6 +228,8 @@ object VectorExpressions {
     Bridge.toColumn(QuantizeInt8(e(a), e(scale)))
   def byteDot(a: Column, b: Column): Column =
     Bridge.toColumn(ByteDotProduct(e(a), e(b)))
+  def pqAdc(code: Column, table: Column, ksub: Int): Column =
+    Bridge.toColumn(PqAdc(e(code), e(table), ksub))
 
   /** Register `dot_product`, `l2_norm`, `cosine_similarity` for SQL use.
     * SQL literal arrays arrive as ARRAY<DECIMAL>; a cast to

@@ -51,12 +51,18 @@ object Curate {
       /** drop docs whose [[TextAnalysis.charTrigramLm]] mean log10
         * trigram probability falls below this floor (out-of-
         * distribution text); NegativeInfinity disables the stage */
-      minTrigramLogProb: Double = Double.NegativeInfinity)
+      minTrigramLogProb: Double = Double.NegativeInfinity,
+      /** final DSIR selection ([[graft.ops.ImportanceSampling]]): keep
+        * `dsirK` survivors drawn ∝ importance weight against
+        * `dsirTarget` (None → uniform weights, i.e. a deterministic
+        * uniform without-replacement draw); 0 disables the stage */
+      dsirK: Int = 0,
+      dsirTarget: Option[org.apache.spark.sql.Column] = None)
 
   case class Report(
       input: Long, afterPassage: Long, afterQuality: Long,
       afterRepetition: Long, afterLm: Long, afterLang: Long,
-      afterExact: Long, afterNearDup: Long, chunks: Long)
+      afterExact: Long, afterNearDup: Long, afterDsir: Long, chunks: Long)
 
   /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
     * corpus: the quality threshold is the `(1 - rate)` quantile of the
@@ -193,14 +199,31 @@ object Curate {
     val nNear = deduped.count()
     exact.unpersist(blocking = false)
 
+    // DSIR selection last: weights should reflect the cleaned,
+    // deduplicated corpus (a near-dup cluster would otherwise vote for
+    // itself in the raw-corpus model). left_semi on the winners keeps
+    // all survivor columns; the two DSIR aggregations read the
+    // persisted parent, preserving the single-scan guarantee.
+    val dsirActive = cfg.dsirK > 0
+    val selected =
+      if (!dsirActive) deduped
+      else deduped.join(
+        graft.ops.ImportanceSampling.sample(
+          deduped, cfg.dsirTarget.getOrElse(lit(true)), cfg.dsirK)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDsir = if (dsirActive) selected.count() else nNear
+    if (dsirActive) deduped.unpersist(blocking = false)
+
     val index = StreamingIngest.ingestBatch(
-      deduped.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+      selected.select(col("doc_id").cast("string").as("doc_id"), col("text")),
       cfg.embedder, cfg.chunkSize, cfg.chunkOverlap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nChunks = index.count()
-    deduped.unpersist(blocking = false)
+    selected.unpersist(blocking = false)
 
     (index, Report(input, nPassage, nQuality, nRepetition, nLm, nLang,
-      nExact, nNear, nChunks))
+      nExact, nNear, nDsir, nChunks))
   }
 }

@@ -184,6 +184,30 @@ object PipelineQueries {
     VectorIndex.searchReranked(idx, q, k = 5, threshold = 0.25, overfetch = 8)
   }
 
+  /** Certified two-tier PQ search: 8-byte ADC codes + the per-row
+    * reconstruction-error certificate select the candidates, the float
+    * tier re-ranks exactly — equal to brute-force `knn_top5` BY
+    * CONSTRUCTION (Cauchy-Schwarz; see
+    * [[VectorIndex.searchPqCertified]]), so it shares the exact oracle.
+    * Codebooks train on a deterministic half-sample, the FAISS-style
+    * train-on-sample discipline. ADC-only recall is unit-measured
+    * (`PqIndexSpec`). */
+  private val knnPqRerankTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val base = VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0))
+      .select("vec_id", "embedding")
+    // 6 Lloyd iterations: codebook quality only moves the candidate
+    // count, never the answer (the certificate guarantees exactness) —
+    // don't pay convergence tail for a correctness query
+    val cb = VectorIndex.trainPqBooks(
+      graft.ops.Sampling.hashSample(base, "vec_id", 0.5), m = 8, ksub = 16,
+      maxIter = 6)
+    val idx = VectorIndex.withPqCodes(base, cb)
+    VectorIndex.searchPqCertified(idx, cb, q, k = 5, threshold = 0.25)
+  }
+
   // -------------------------------------------------------------- dedup
 
   private val dedupExact: Q = (s, d) =>
@@ -1234,6 +1258,7 @@ object PipelineQueries {
     "knn_ivf_top5" -> knnIvfTop5,
     "knn_quantized_top5" -> knnQuantTop5,
     "knn_quantized_rerank_top5" -> knnQuantRerankTop5,
+    "knn_pq_rerank_top5" -> knnPqRerankTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_contamination" -> dedupContamination,
@@ -1278,6 +1303,7 @@ object PipelineQueries {
     // IVF with nprobe == nlist is exhaustive — same oracle again
     "knn_ivf_top5" -> knnTop5Sql,
     "knn_quantized_rerank_top5" -> knnTop5Sql,
+    "knn_pq_rerank_top5" -> knnTop5Sql,
     "knn_quantized_top5" -> knnQuantTop5Sql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -45,6 +45,41 @@ class CurateSpec extends SparkSpec {
       Seq("id", "doc_id", "chunk_idx", "chunk_text", "embedding"))
   }
 
+  test("dsirK selects k survivors, importance-biased toward the target") {
+    // 12 clean docs: half "alpha" vocabulary, half "zulu" vocabulary —
+    // with a dsirTarget on the alpha docs the draw should be dominated
+    // by them; with dsirK=0 the stage is off and afterDsir == afterNearDup
+    val docs = (
+      (1 to 6).map(i => (i.toLong,
+        s"alpha beta gamma delta epsilon zeta eta theta unique$i words here", "en")) ++
+      (7 to 12).map(i => (i.toLong,
+        s"zulu yankee xray whiskey victor uniform tango sierra unique$i words here", "en"))
+    ).toDF("doc_id", "text", "lang")
+    // jaccardThreshold 0.9: same-vocabulary fixture docs sit near 0.6
+    // pairwise similarity and must all survive the near-dup stage
+    def cfg(k: Int, tgt: Option[org.apache.spark.sql.Column]) =
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        jaccardThreshold = 0.9, chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64),
+        dsirK = k, dsirTarget = tgt)
+
+    val off = Curate.run(docs, cfg(0, None))._2
+    assert(off.afterDsir == off.afterNearDup, s"$off")
+
+    val (index, on) = Curate.run(docs,
+      cfg(4, Some(org.apache.spark.sql.functions.col("text").contains("alpha"))))
+    assert(on.afterNearDup == 12 && on.afterDsir == 4, s"$on")
+    val kept = index.select("doc_id").distinct().as[String].collect().map(_.toLong)
+    assert(kept.length == 4)
+    assert(kept.count(_ <= 6L) >= 3,
+      s"importance bias must favor target docs, kept ${kept.sorted.mkString(",")}")
+    // deterministic: same config, same survivors
+    val again = Curate.run(docs,
+      cfg(4, Some(org.apache.spark.sql.functions.col("text").contains("alpha"))))._1
+      .select("doc_id").distinct().as[String].collect().map(_.toLong)
+    assert(kept.sorted.sameElements(again.sorted))
+  }
+
   test("gopherGate drops rule-violating docs inside the quality stage") {
     // both docs clear 50 words; doc 2 has zero stopword hits → gopher fail
     val withStops = ("the data engine reads a table and it scans the rows " * 6).trim

@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "q28_bag_set_ops",       // crossJoin of three single-row aggregates
     "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
     "doc_hybrid_rrf_top10",  // same single-row stats broadcast via bm25
-    "doc_trigram_lm")        // single-row smoothing-vocab V broadcast
+    "doc_trigram_lm",        // single-row smoothing-vocab V broadcast
+    "doc_dsir_sample")       // single-row smoothing-constant broadcast
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
