@@ -51,6 +51,8 @@ object Warmup {
       .withColumn("q", graft.expr.VectorExpressions.quantizeInt8(col("v"), col("s")))
       .withColumn("bd", graft.expr.VectorExpressions.byteDot(col("q"), col("q")))
       .withColumn("cs", graft.expr.VectorExpressions.cosine(col("v"), col("v")))
+      .withColumn("adc", graft.expr.VectorExpressions.pqAdc(
+        lit(Array[Byte](0, 1)), typedLit(Seq(0.1, 0.2, 0.3, 0.4)), 2))
       .write.mode("overwrite").format("noop").save()
     // ObjectHashAggregate (collect_list) + session_window first-use
     nation

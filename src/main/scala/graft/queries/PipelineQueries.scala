@@ -1159,6 +1159,49 @@ object PipelineQueries {
        |ORDER BY dsir_key DESC, per.doc_id LIMIT 100""".stripMargin
   }
 
+  /** One-pass table profile of the documents table — per-column nulls,
+    * exact distincts, numeric min/max/mean, string length stats, all in
+    * a single aggregation over a single scan, unpivoted to long form.
+    * Ordered for a stable compare. */
+  private val tableProfile: Q = (s, d) =>
+    graft.ops.Profile.profile(Tables.documents(s, d))
+      .orderBy("col_name", "metric")
+
+  /** The oracle mirrors the single-agg-then-unpivot shape: one wide CTE
+    * of every metric, then a UNION ALL branch per (column, metric) —
+    * means are one IEEE division of a decimal-exact sum by the count in
+    * both engines. */
+  private val tableProfileSql = {
+    def numBlock(c: String) = Seq(
+      s"count" -> s"CAST(count($c) AS DOUBLE)",
+      s"nulls" -> s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+      s"n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
+      s"min" -> s"CAST(min($c) AS DOUBLE)",
+      s"max" -> s"CAST(max($c) AS DOUBLE)",
+      s"mean" -> s"round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6)")
+    def strBlock(c: String) = Seq(
+      s"count" -> s"CAST(count($c) AS DOUBLE)",
+      s"nulls" -> s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+      s"n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
+      s"min_len" -> s"CAST(min(len($c)) AS DOUBLE)",
+      s"max_len" -> s"CAST(max(len($c)) AS DOUBLE)",
+      s"avg_len" -> s"round(CAST(sum(CAST(len($c) AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6)")
+    val blocks =
+      Seq("doc_id" -> numBlock("doc_id"), "text" -> strBlock("text"),
+        "lang" -> strBlock("lang"), "source" -> strBlock("source"),
+        "n_chars" -> numBlock("n_chars"))
+    val wide = blocks.flatMap { case (c, ms) =>
+      ms.map { case (m, e) => s"$e AS ${c}__$m" } }.mkString(",\n  ")
+    val branches = blocks.flatMap { case (c, ms) =>
+      ms.map { case (m, _) =>
+        s"SELECT '$c' AS col_name, '$m' AS metric, ${c}__$m AS value FROM w" } }
+    s"""WITH w AS (SELECT
+       |  $wide
+       |FROM documents)
+       |${branches.mkString("\n UNION ALL ")}
+       |ORDER BY col_name, metric""".stripMargin
+  }
+
   // ------------------------------------------------------- text search
 
   /** Fixed keyword query for the BM25 retrieval surface — mid-frequency
@@ -1287,6 +1330,7 @@ object PipelineQueries {
     "doc_source_cap" -> docSourceCap,
     "doc_trigram_lm" -> docTrigramLm,
     "doc_dsir_sample" -> docDsirSample,
+    "table_profile" -> tableProfile,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
     "uniq_names" -> uniqNames,
@@ -1335,6 +1379,7 @@ object PipelineQueries {
     "doc_source_cap" -> docSourceCapSql,
     "doc_trigram_lm" -> docTrigramLmSql,
     "doc_dsir_sample" -> docDsirSampleSql,
+    "table_profile" -> tableProfileSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
     "uniq_names" -> uniqNamesSql,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("alpha"), Some(10.0)),
+    (2L, Some("bee"), None),
+    (3L, None, Some(30.0)),
+    (4L, Some("alpha"), Some(20.0))
+  ).toDF("id", "name", "score")
+
+  test("profiles every column with the right metrics and exact values") {
+    val p = Profile.profile(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p(("id", "count")) == 4.0 && p(("id", "nulls")) == 0.0)
+    assert(p(("id", "n_distinct")) == 4.0)
+    assert(p(("id", "min")) == 1.0 && p(("id", "max")) == 4.0)
+    assert(p(("id", "mean")) == 2.5)
+    assert(p(("name", "count")) == 3.0 && p(("name", "nulls")) == 1.0)
+    assert(p(("name", "n_distinct")) == 2.0)
+    assert(p(("name", "min_len")) == 3.0 && p(("name", "max_len")) == 5.0)
+    // (5 + 3 + 5) / 3 = 4.333333
+    assert(p(("name", "avg_len")) == 4.333333)
+    assert(p(("score", "count")) == 3.0 && p(("score", "nulls")) == 1.0)
+    assert(p(("score", "mean")) == 20.0)
+  }
+
+  test("all metrics ride one scan: a single aggregate over the source") {
+    // count the FileSourceScan-free shape: profiling a local frame plans
+    // exactly one pass — no per-column re-aggregation of the source
+    val plan = Profile.profile(df).queryExecution.optimizedPlan.toString
+    val localScans = "LocalRelation".r.findAllIn(plan).length
+    assert(localScans == 1, s"expected one source scan, plan:\n$plan")
+  }
+
+  test("approximate variant swaps exact distincts for HLL") {
+    val p = Profile.profile(df, exact = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // HLL on 4 tiny values is exact in practice; the point is it runs
+    assert(p(("id", "n_distinct")) == 4.0)
+    val plan = Profile.profile(df, exact = false)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"),
+      "sketch variant must not expand for multi-distinct")
+  }
+
+  test("registered table_profile has the contract shape") {
+    val out = SparkEntry.queries("table_profile")(spark, sf0001)
+    assert(out.columns.toSeq == Seq("col_name", "metric", "value"))
+    val rows = out.collect()
+    assert(rows.length == 30, s"5 documents columns x 6 metrics, got ${rows.length}")
+  }
+}
