@@ -91,7 +91,7 @@ object Bpe {
     * ("aaa" with merge (a,a) → "aa","a"). The `skip` flag marks "the
     * previous symbol was just consumed by a merge", preventing the
     * merged token from immediately re-merging. */
-  private def mergePair(syms: Column, a: String, b: String): Column = {
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column = {
     val zero = struct(
       array().cast("array<string>").as("out"), lit(false).as("skip"))
     val step = (acc: Column, s: Column) => {

@@ -79,26 +79,40 @@ object ImportanceSampling {
       idCol: String = "doc_id",
       buckets: Int = defaultBuckets): DataFrame = {
     val feat = features(df, targetPred, textCol, idCol, buckets)
+    // Pass 1 — the bucket models. The profile is bounded by `buckets`
+    // rows no matter the corpus size, so it is collected (the same
+    // constant-size-collect class as the IVF centers sidecar) and the
+    // per-bucket fixed-point weights + the global smoothing constant
+    // fold on the driver. Without this, profile/totals/scoring are
+    // three separate lineage branches over the same explode — three
+    // corpus scans where two suffice.
     val prof = feat.groupBy("bucket").agg(
       sum(col("c")).as("cnt_r"),
       sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("cnt_t"))
-    val profW = prof.select(col("bucket"),
-      round((log10((col("cnt_t") + 1).cast("double")) -
-        log10((col("cnt_r") + 1).cast("double"))) * fp).cast("long").as("wgt"))
-    // per-language… no: per-corpus scalar — the smoothing denominators
-    // are global, so they attach after the per-doc reduction as one
-    // broadcast 1-row cross join, never riding the per-bucket join
-    val kconst = prof.agg(
-      round((log10((sum(col("cnt_r")) + buckets).cast("double")) -
-        log10((sum(col("cnt_t")) + buckets).cast("double"))) * fp)
-        .cast("long").as("kk"))
+      .collect()
+    // HALF_UP, not math.round (= floor(x+0.5)): the weights are
+    // negative, and Spark's round()/DuckDB's round() both round half
+    // AWAY from zero — the driver fold must use the same convention
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def w(cntT: Long, cntR: Long): Long =
+      halfUp((math.log10(cntT + 1.0) - math.log10(cntR + 1.0)) * fp)
+    val (totR, totT) =
+      prof.foldLeft((0L, 0L)) { case ((r, t), row) =>
+        (r + row.getLong(1), t + row.getLong(2)) }
+    val kk = halfUp(
+      (math.log10(totR.toDouble + buckets) - math.log10(totT.toDouble + buckets)) * fp)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profW = prof.map(r => (r.getLong(0), w(r.getLong(2), r.getLong(1))))
+      .toSeq.toDF("bucket", "wgt")
+    // Pass 2 — score every document against the broadcast weight table
     feat.join(broadcast(profW), Seq("bucket"))
       .groupBy("id")
       .agg(sum(col("c")).cast("long").as("n_feat"),
         sum(col("c") * col("wgt")).as("__sumw"))
-      .crossJoin(broadcast(kconst))
       .select(col("id").as(idCol), col("n_feat"),
-        (col("__sumw") + col("n_feat") * col("kk")).as("logw"))
+        (col("__sumw") + col("n_feat") * lit(kk)).as("logw"))
   }
 
   /** Gumbel-top-k draw of `k` documents with probability proportional
