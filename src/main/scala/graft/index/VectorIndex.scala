@@ -318,15 +318,22 @@ object VectorIndex {
     val dim = train.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val spark = train.sparkSession
-    // (sub, v): every vector contributes one dsub-dim row per subspace
-    val subs = train.select(posexplode(
-      array((0 until m).map(i =>
-        slice(col(embCol), lit(i * dsub + 1), lit(dsub)).cast("array<double>")): _*))
-      .as(Seq("sub", "v")))
+    // (sub, v): every vector contributes one dsub-dim row per subspace;
+    // null embeddings carry no training signal and would NPE the
+    // assign closure — drop them here (withPqCodes keeps such rows,
+    // with null code/certificate)
+    val subs = train
+      .filter(col(embCol).isNotNull)
+      .select(posexplode(
+        array((0 until m).map(i =>
+          slice(col(embCol), lit(i * dsub + 1), lit(dsub)).cast("array<double>")): _*))
+        .as(Seq("sub", "v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // deterministic init: ksub lowest-hash subvectors per subspace
+      // deterministic init: ksub lowest-hash subvectors per subspace.
+      // The window's parallelism is capped at m tasks — fine here
+      // because `train` is a bounded sample BY CONTRACT (see scaladoc:
+      // codebooks train on a hashSample, not the corpus)
       val pri = md5(concat_ws("|", lit(seed), col("sub"), col("v").cast("string")))
       val init = subs
         .withColumn("__rn", row_number().over(
@@ -342,8 +349,14 @@ object VectorIndex {
         require(books(i)(j) != null,
           s"subspace $i has fewer than $ksub distinct training rows")
 
+      // decimal-exact center update: a plain double avg() depends on
+      // partial-sum order, so two rebuilds of the SAME data under
+      // different partitioning could learn different codebooks; the
+      // decimal sum is order-independent and one final division makes
+      // the centers bit-identical on any layout
       val avgCols = (0 until dsub).map(d =>
-        avg(element_at(col("v"), d + 1)).as(s"c$d"))
+        (sum(element_at(col("v"), d + 1).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as(s"c$d"))
       var iter = 0
       while (iter < maxIter) {
         val centers = books.map(_.clone()) // closure snapshot
@@ -398,29 +411,35 @@ object VectorIndex {
       cb: PqCodebooks,
       embCol: String = "embedding"): DataFrame = {
     val (books, m, ksub, dsub) = (cb.books, cb.m, cb.ksub, cb.dsub)
+    // null-safe like the int8 tier's expressions: a null embedding gets
+    // a null code/certificate (dropped by the search filters), never a
+    // task-killing NPE
     val encode = udf { (v: Seq[Double]) =>
-      val out = new Array[Byte](m)
-      var errSq = 0.0
-      var i = 0
-      while (i < m) {
-        var best = 0
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < ksub) {
-          val c = books(i)(j)
-          var s = 0.0
-          var d = 0
-          while (d < dsub) {
-            val diff = v(i * dsub + d) - c(d); s += diff * diff; d += 1
+      if (v == null) None
+      else {
+        val out = new Array[Byte](m)
+        var errSq = 0.0
+        var i = 0
+        while (i < m) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            val c = books(i)(j)
+            var s = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = v(i * dsub + d) - c(d); s += diff * diff; d += 1
+            }
+            if (s < bestD) { bestD = s; best = j }
+            j += 1
           }
-          if (s < bestD) { bestD = s; best = j }
-          j += 1
+          out(i) = best.toByte
+          errSq += bestD
+          i += 1
         }
-        out(i) = best.toByte
-        errSq += bestD
-        i += 1
+        Some((out, math.sqrt(errSq)))
       }
-      (out, math.sqrt(errSq))
     }
     index
       .withColumn("__pq", encode(col(embCol).cast("array<double>")))
@@ -457,10 +476,13 @@ object VectorIndex {
     * `|q·v − adc| ≤ ‖q‖·‖v − v̂‖ = pqerr` for a unit query, so any row
     * with true score ≥ θ must have `adc ≥ θ − pqerr`. The candidate
     * filter keeps exactly those rows (plus 1e-4 slack for the 4-decimal
-    * ADC rounding), the float tier re-scores them exactly, and the
-    * result provably equals brute-force [[search]] at the same θ —
-    * which is how `knn_pq_rerank_top5` shares the exact oracle no
-    * matter how coarse the codebooks are. Pruning power is the
+    * ADC rounding), the float tier re-scores them, and the result
+    * provably equals brute-force search under the ROUNDED-score
+    * convention (`round(dot, 4)` filter/order with id tie-break — the
+    * `knn_top5` registered-query convention, which is how
+    * `knn_pq_rerank_top5` shares the exact oracle no matter how coarse
+    * the codebooks are; raw-score [[search]] can differ from any
+    * rounded variant for rows within 5e-5 of θ or of each other). Pruning power is the
     * data-dependent part (the certificate never lies, but a weak
     * codebook admits more candidates): the m-byte ADC scan always pays
     * 32× less I/O than float, and the float tier touches only the

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * no `rand()`, a re-run ships the same corpus).
   *
   * 100 TB shape: the bucket profile is bounded by `buckets` rows
-  * (default 4096) regardless of corpus size — it broadcasts. Documents
-  * ride two bounded shuffles: the (id, bucket) feature pre-aggregation
-  * (keys ≤ docs×buckets, compressed map-side) and the per-doc weight
-  * reduction. Selection is a global top-k — TakeOrderedAndProject
-  * (per-partition heaps), not a global sort. No driver-side state.
+  * (default 4096) regardless of corpus size — its pass aggregates
+  * occurrences straight to bucket grain (≤ buckets map-side-combined
+  * keys on the wire) and the folded weight table broadcasts back. The
+  * scoring pass rides two bounded shuffles: the (id, bucket) feature
+  * pre-aggregation (keys ≤ docs×buckets, compressed map-side) and the
+  * per-doc weight reduction. Selection is a global top-k —
+  * TakeOrderedAndProject (per-partition heaps), not a global sort.
+  * Driver state is the bounded profile only.
   */
 object ImportanceSampling {
 
@@ -40,15 +43,15 @@ object ImportanceSampling {
   private def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
-  /** Hashed unigram+bigram features: one row per (id, flag, bucket)
-    * with occurrence count `c`. Bigrams are space-joined adjacent
-    * token pairs (the DSIR paper's feature space). */
-  def features(
+  /** One row per hashed n-gram occurrence: `(id, is_t, bucket)`.
+    * Unigrams + space-joined adjacent bigrams (the DSIR paper's
+    * feature space). */
+  private def occurrences(
       df: DataFrame,
       targetPred: Column,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      buckets: Int = defaultBuckets): DataFrame = {
+      textCol: String,
+      idCol: String,
+      buckets: Int): DataFrame = {
     val toks = TextSearch.tokens(col(textCol))
     val bigrams = when(size(col("__toks")) >= 2,
       zip_with(
@@ -59,10 +62,21 @@ object ImportanceSampling {
     df.select(col(idCol).as("id"), targetPred.as("is_t"), toks.as("__toks"))
       .select(col("id"), col("is_t"),
         explode(concat(col("__toks"), bigrams)).as("gram"))
-      .groupBy(col("id"), col("is_t"),
+      .select(col("id"), col("is_t"),
         pmod(md5Long(col("gram")), lit(buckets.toLong)).as("bucket"))
-      .agg(count(lit(1)).as("c"))
   }
+
+  /** Hashed unigram+bigram features: one row per (id, flag, bucket)
+    * with occurrence count `c`. */
+  def features(
+      df: DataFrame,
+      targetPred: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = defaultBuckets): DataFrame =
+    occurrences(df, targetPred, textCol, idCol, buckets)
+      .groupBy("id", "is_t", "bucket")
+      .agg(count(lit(1)).as("c"))
 
   /** Per-document fixed-point log-importance weight
     * `(id, n_feat, logw)` with
@@ -78,17 +92,19 @@ object ImportanceSampling {
       textCol: String = "text",
       idCol: String = "doc_id",
       buckets: Int = defaultBuckets): DataFrame = {
-    val feat = features(df, targetPred, textCol, idCol, buckets)
-    // Pass 1 — the bucket models. The profile is bounded by `buckets`
-    // rows no matter the corpus size, so it is collected (the same
-    // constant-size-collect class as the IVF centers sidecar) and the
-    // per-bucket fixed-point weights + the global smoothing constant
-    // fold on the driver. Without this, profile/totals/scoring are
-    // three separate lineage branches over the same explode — three
-    // corpus scans where two suffice.
-    val prof = feat.groupBy("bucket").agg(
-      sum(col("c")).as("cnt_r"),
-      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("cnt_t"))
+    // Pass 1 — the bucket models, aggregated STRAIGHT to bucket grain
+    // (≤ `buckets` map-side-combined keys ride the shuffle, not
+    // docs×buckets). The profile is bounded by `buckets` rows no matter
+    // the corpus size, so it is collected (the same constant-size-
+    // collect class as the IVF centers sidecar) and the per-bucket
+    // fixed-point weights + the global smoothing constant fold on the
+    // driver. Without this, profile/totals/scoring are three separate
+    // lineage branches over the same explode — three corpus scans
+    // where two suffice.
+    val prof = occurrences(df, targetPred, textCol, idCol, buckets)
+      .groupBy("bucket").agg(
+        count(lit(1)).as("cnt_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
       .collect()
     // HALF_UP, not math.round (= floor(x+0.5)): the weights are
     // negative, and Spark's round()/DuckDB's round() both round half
@@ -106,13 +122,23 @@ object ImportanceSampling {
     import spark.implicits._
     val profW = prof.map(r => (r.getLong(0), w(r.getLong(2), r.getLong(1))))
       .toSeq.toDF("bucket", "wgt")
-    // Pass 2 — score every document against the broadcast weight table
-    feat.join(broadcast(profW), Seq("bucket"))
+    // Pass 2 — score every document against the broadcast weight table.
+    // Documents with NO extractable n-grams (e.g. non-[a-z0-9] scripts)
+    // produce no feature rows; the left join from the id column keeps
+    // them at logw = 0 (empty product ⇒ importance ratio 1) so a
+    // uniform or off-feature draw can still select them instead of
+    // silently excluding them.
+    val scored = features(df, targetPred, textCol, idCol, buckets)
+      .join(broadcast(profW), Seq("bucket"))
       .groupBy("id")
       .agg(sum(col("c")).cast("long").as("n_feat"),
         sum(col("c") * col("wgt")).as("__sumw"))
-      .select(col("id").as(idCol), col("n_feat"),
-        (col("__sumw") + col("n_feat") * lit(kk)).as("logw"))
+    df.select(col(idCol))
+      .join(scored.withColumnRenamed("id", "__sid"),
+        col(idCol) === col("__sid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("__sumw") + col("n_feat") * lit(kk), lit(0L)).as("logw"))
   }
 
   /** Gumbel-top-k draw of `k` documents with probability proportional

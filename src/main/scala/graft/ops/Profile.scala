@@ -32,35 +32,46 @@ object Profile {
     * value)` with `value` DOUBLE (means rounded to 6). */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cols = df.schema.fields
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
     def nd(c: Column): Column =
       if (exact) count_distinct(c) else approx_count_distinct(c)
     def meanOf(c: Column): Column =
       round(sum(c.cast("decimal(38,6)")).cast("double") / count(c), 6)
-    val aggs: Seq[Column] = cols.flatMap { f =>
-      val c = col(f.name)
+    // (col, metric, agg) triples; aliases below are synthetic (m0, m1,
+    // …) so column names containing quotes/backticks/separators can't
+    // corrupt the unpivot mapping
+    val metrics: Seq[(String, String, Column)] = cols.toSeq.flatMap { f =>
+      // backtick-quote the reference (doubling literal backticks), so
+      // names containing dots/backticks resolve as one attribute
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val base = Seq(
-        count(c).cast("double").as(s"${f.name}||count"),
-        sum(when(c.isNull, 1L).otherwise(0L)).cast("double").as(s"${f.name}||nulls"),
-        nd(c).cast("double").as(s"${f.name}||n_distinct"))
+        (f.name, "count", count(c).cast("double")),
+        (f.name, "nulls", sum(when(c.isNull, 1L).otherwise(0L)).cast("double"))) ++
+        // map columns are not comparable: no distinct-count for them
+        (f.dataType match {
+          case _: org.apache.spark.sql.types.MapType => Nil
+          case _ => Seq((f.name, "n_distinct", nd(c).cast("double")))
+        })
       f.dataType match {
         case _: NumericType => base ++ Seq(
-          min(c).cast("double").as(s"${f.name}||min"),
-          max(c).cast("double").as(s"${f.name}||max"),
-          meanOf(c).as(s"${f.name}||mean"))
+          (f.name, "min", min(c).cast("double")),
+          (f.name, "max", max(c).cast("double")),
+          (f.name, "mean", meanOf(c)))
         case StringType => base ++ Seq(
-          min(length(c)).cast("double").as(s"${f.name}||min_len"),
-          max(length(c)).cast("double").as(s"${f.name}||max_len"),
-          meanOf(length(c)).as(s"${f.name}||avg_len"))
+          (f.name, "min_len", min(length(c)).cast("double")),
+          (f.name, "max_len", max(length(c)).cast("double")),
+          (f.name, "avg_len", meanOf(length(c))))
         case _ => base
       }
-    }.toSeq
+    }
+    val aggs = metrics.zipWithIndex.map { case ((_, _, a), i) => a.as(s"m$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single row: stack(n, 'col', 'metric', value, ...)
-    val pieces = wide.columns.map { name =>
-      val Array(c, m) = name.split("\\|\\|", 2)
-      s"'${c.replace("'", "''")}', '${m.replace("'", "''")}', `$name`"
+    def q(s: String): String = s"'${s.replace("'", "''")}'"
+    val pieces = metrics.zipWithIndex.map { case ((c, m, _), i) =>
+      s"${q(c)}, ${q(m)}, m$i"
     }
     wide.select(expr(
-      s"stack(${wide.columns.length}, ${pieces.mkString(", ")}) AS (col_name, metric, value)"))
+      s"stack(${metrics.length}, ${pieces.mkString(", ")}) AS (col_name, metric, value)"))
   }
 }

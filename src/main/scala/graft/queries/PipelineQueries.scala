@@ -1146,17 +1146,21 @@ object PipelineQueries {
        |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
        |          SUM(c * wgt) AS sumw
        |        FROM feat JOIN pw USING (bucket) GROUP BY doc_id),
+       |base AS (SELECT dd.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
+       |           COALESCE(p.sumw + p.n_feat * kc.kk, 0) AS w0
+       |         FROM documents dd LEFT JOIN per p ON dd.doc_id = p.doc_id
+       |         CROSS JOIN kc),
        |gum AS (SELECT doc_id, CAST(SUM(
        |    CAST(strpos('0123456789abcdef',
        |          substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), CAST(p.j AS INT), 1)) - 1
        |      AS BIGINT) * p.w) AS BIGINT) AS h
-       |  FROM per CROSS JOIN pows p GROUP BY doc_id),
+       |  FROM base CROSS JOIN pows p GROUP BY doc_id),
        |gk AS (SELECT doc_id, CAST(round(-ln(-ln((CAST(h AS DOUBLE) + 0.5)
        |           / 4503599627370496.0)) / $ln10 * 1000000) AS BIGINT) AS gum
        |       FROM gum)
-       |SELECT per.doc_id, n_feat, sumw + n_feat * kk + gum AS dsir_key
-       |FROM per CROSS JOIN kc JOIN gk USING (doc_id)
-       |ORDER BY dsir_key DESC, per.doc_id LIMIT 100""".stripMargin
+       |SELECT base.doc_id, n_feat, w0 + gum AS dsir_key
+       |FROM base JOIN gk USING (doc_id)
+       |ORDER BY dsir_key DESC, base.doc_id LIMIT 100""".stripMargin
   }
 
   /** One-pass table profile of the documents table — per-column nulls,

@@ -20,8 +20,10 @@ class PlanGuardSpec extends SparkSpec {
     "q28_bag_set_ops",       // crossJoin of three single-row aggregates
     "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
     "doc_hybrid_rrf_top10",  // same single-row stats broadcast via bm25
-    "doc_trigram_lm",        // single-row smoothing-vocab V broadcast
-    "doc_dsir_sample")       // single-row smoothing-constant broadcast
+    "doc_trigram_lm")        // single-row smoothing-vocab V broadcast
+  // doc_dsir_sample is deliberately NOT exempt: its smoothing constant
+  // folds into a projection literal, so any cartesian/BNLJ appearing in
+  // its plan is a regression this guard must catch
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

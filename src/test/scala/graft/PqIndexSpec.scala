@@ -104,6 +104,32 @@ class PqIndexSpec extends SparkSpec {
     assert(reranked == exact, s"rerank $reranked vs exact $exact")
   }
 
+  test("training is bit-deterministic under repartitioning") {
+    // decimal-exact center updates: the same training rows must learn
+    // the same codebooks on any partitioning (a plain double avg would
+    // drift in the last bits and flip near-tied assignments)
+    val a = VectorIndex.trainPqBooks(base, m = 8, ksub = 16, maxIter = 4)
+    val b = VectorIndex.trainPqBooks(base.repartition(7), m = 8, ksub = 16,
+      maxIter = 4)
+    for (i <- 0 until a.m; j <- 0 until a.ksub)
+      assert(a.books(i)(j).sameElements(b.books(i)(j)), s"book($i)($j)")
+  }
+
+  test("null embeddings get null codes, never a task-killing NPE") {
+    val withNull = base.unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<double>")))
+    val (_, cb) = built
+    val coded = VectorIndex.withPqCodes(withNull, cb)
+    assert(coded.filter(col("vec_id") === 999999L)
+      .select(col("pqcode").isNull, col("pqerr").isNull)
+      .head() == org.apache.spark.sql.Row(true, true))
+    // and the certified search silently drops it
+    val res = VectorIndex.searchPqCertified(coded, cb, query, k = 5,
+      threshold = 0.1).collect()
+    assert(!res.exists(_.getLong(0) == 999999L))
+  }
+
   test("encode is deterministic under repartitioning") {
     val (_, cb) = built
     val a = VectorIndex.withPqCodes(base, cb)

@@ -49,6 +49,16 @@ class ProfileSpec extends SparkSpec {
       "sketch variant must not expand for multi-distinct")
   }
 
+  test("map columns degrade to count/nulls; hostile names don't corrupt") {
+    val hostile = Seq((1L, Map("k" -> 1), "x"), (2L, Map("k" -> 2), "y"))
+      .toDF("id", "m", "a||b`c'd")
+    val p = Profile.profile(hostile).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p(("m", "count")) == 2.0 && p(("m", "nulls")) == 0.0)
+    assert(!p.contains(("m", "n_distinct")), "maps are not comparable")
+    assert(p(("a||b`c'd", "n_distinct")) == 2.0, p.keys.toString)
+  }
+
   test("registered table_profile has the contract shape") {
     val out = SparkEntry.queries("table_profile")(spark, sf0001)
     assert(out.columns.toSeq == Seq("col_name", "metric", "value"))
