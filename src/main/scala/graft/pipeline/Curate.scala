@@ -59,6 +59,40 @@ object Curate {
       dsirK: Int = 0,
       dsirTarget: Option[org.apache.spark.sql.Column] = None)
 
+  /** Published-pipeline presets: each maps a documented curation recipe
+    * onto this engine's stage flags, so "run C4 over this corpus" is
+    * one line. Thresholds follow the papers where stated; quality/LM
+    * floors that the papers tune per-corpus are left at permissive
+    * defaults and should be calibrated with [[calibrateQuality]] /
+    * a held-out [[graft.ops.TextAnalysis.charTrigramLm]] percentile.
+    *
+    *  - [[c4Config]] — Raffel et al. 2020 §2.2: boilerplate line
+    *    removal (sanitize), three-sentence/duplicated-span rule
+    *    (passage dedup over 10-token windows), English-only, exact +
+    *    near dedup.
+    *  - [[refinedWebConfig]] — Penedo et al. 2023: quality gates via
+    *    Gopher rules + repetition screens, then strict MinHash
+    *    deduplication (their §3.3 "aggressive" 0.8 Jaccard band).
+    *  - [[ccnetConfig]] — Wenzek et al. 2020: language ID + per-language
+    *    LM perplexity floor (char-trigram proxy here) + exact dedup.
+    */
+  def c4Config: Config = Config(
+    minQuality = 0.0, languages = Seq("en"),
+    sanitize = true, passageDedup = true,
+    passageSegTokens = 10, passageMaxDocs = 2,
+    jaccardThreshold = 0.5)
+
+  def refinedWebConfig: Config = Config(
+    minQuality = 0.0, languages = Seq("en"),
+    sanitize = true, gopherGate = true,
+    maxTopTrigramFrac = 0.18, // Rae et al. table A1 top-2-gram band
+    jaccardThreshold = 0.8)
+
+  def ccnetConfig(minLogProb: Double = -3.5): Config = Config(
+    minQuality = 0.0, languages = Seq("en", "fr", "de", "es", "zh"),
+    sanitize = true, minTrigramLogProb = minLogProb,
+    jaccardThreshold = 1.0) // CCNet dedups exact (paragraph hash), not near
+
   case class Report(
       input: Long, afterPassage: Long, afterQuality: Long,
       afterRepetition: Long, afterLm: Long, afterLang: Long,

@@ -80,6 +80,37 @@ class CurateSpec extends SparkSpec {
     assert(kept.sorted.sameElements(again.sorted))
   }
 
+  test("published-pipeline presets map onto the stage flags") {
+    val boiler = "subscribe to our newsletter for daily updates and offers today"
+    val docs = Seq(
+      (1L, s"the data engine reads a table and it scans all the rows quickly. $boiler", "en"),
+      (2L, s"a different document about the streaming runtime and its windows. $boiler", "en"),
+      (3L, "zz xx qq ww rr tt yy uu ii oo pp ll kk mm nn bb vv cc dd ff " * 3, "en"),
+      (4L, "el gato y la casa de los perros en un día por la mañana y el sol", "es"))
+      .toDF("doc_id", "text", "lang")
+    val emb = graft.embed.HashingEmbedder(64)
+
+    // C4: the shared boilerplate passage is cross-doc duplicated → stripped
+    val (c4Idx, c4) = Curate.run(docs,
+      Curate.c4Config.copy(chunkSize = 60, chunkOverlap = 15, embedder = emb))
+    assert(c4.afterPassage <= c4.input && c4.afterLang < c4.afterPassage, s"$c4")
+    val texts = c4Idx.select("chunk_text").as[String].collect()
+    assert(texts.forall(!_.contains("newsletter")),
+      "duplicated passage must not reach the index")
+
+    // RefinedWeb: the no-stopword junk doc dies at the fused Gopher gate
+    val rw = Curate.run(docs,
+      Curate.refinedWebConfig.copy(chunkSize = 60, chunkOverlap = 15,
+        embedder = emb))._2
+    assert(rw.afterQuality < rw.input, s"$rw")
+
+    // CCNet: multilingual — the Spanish doc survives the language stage
+    val cc = Curate.run(docs,
+      Curate.ccnetConfig(minLogProb = Double.NegativeInfinity)
+        .copy(chunkSize = 60, chunkOverlap = 15, embedder = emb))._2
+    assert(cc.afterLang == cc.afterLm, s"es must survive ccnet: $cc")
+  }
+
   test("gopherGate drops rule-violating docs inside the quality stage") {
     // both docs clear 50 words; doc 2 has zero stopword hits → gopher fail
     val withStops = ("the data engine reads a table and it scans the rows " * 6).trim
