@@ -90,6 +90,27 @@ object Sampling {
       .drop("__src", "__thresh")
   }
 
+  /** Temperature-flattened corpus mixing (the T5/PaLM recipe): output
+    * source proportions follow `count^alpha` — `alpha = 1` keeps the
+    * natural mix, `alpha → 0` approaches uniform-over-sources, the
+    * usual 0.3–0.7 band up-weights scarce sources without drowning the
+    * head. Reduces to [[mixture]] with `targets = counts^alpha`
+    * (computed from the same one tiny `groupBy(source).count()`), so it
+    * inherits the scan-local hash-threshold selection: reproducible,
+    * nested, no corpus shuffle. */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String,
+      key: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
+    val counts = df.groupBy(col(sourceCol).cast("string").as(sourceCol)).count()
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    mixture(df, sourceCol, key,
+      counts.map { case (s, c) => s -> math.pow(c.toDouble, alpha) })
+  }
+
   /** Exactly `min(perStratum, |stratum|)` rows per stratum, drawn in
     * hash-priority order with the key as tie-break. */
   def stratifiedTake(

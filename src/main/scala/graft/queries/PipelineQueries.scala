@@ -752,6 +752,43 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Temperature-flattened mixing (count^0.5 proportions) over the
+    * skewed language column (en ≈ 3× the others, so the flattening
+    * genuinely subsamples — the near-uniform `source` column would
+    * select everything and never exercise the threshold path) — the
+    * T5/PaLM scarce-source up-weighting. The oracle recomputes the
+    * pow/normalize/threshold pipeline in SQL; the only cross-engine
+    * risk is a threshold bucket landing within one double ulp of a
+    * rounding boundary (~2^-40 per source). */
+  private val docMixtureTemp: Q = (s, d) =>
+    graft.ops.Sampling.temperatureMixture(
+      Tables.documents(s, d), "lang", "doc_id", alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val docMixtureTempSql =
+    """WITH cnt AS (SELECT CAST(lang AS VARCHAR) AS src, COUNT(*) AS c
+      |        FROM documents GROUP BY 1),
+      |z AS (SELECT SUM(pow(CAST(c AS DOUBLE), 0.5)) AS z FROM cnt),
+      |present AS (SELECT src, c,
+      |              pow(CAST(c AS DOUBLE), 0.5) / (SELECT z FROM z) AS w
+      |            FROM cnt),
+      |tot AS (SELECT MIN(CAST(c AS DOUBLE) / w) AS total FROM present),
+      |thr AS (
+      |  SELECT src,
+      |    CASE WHEN n >= 65536 THEN 'KEEP' ELSE printf('%04x', n) END AS thresh
+      |  FROM (SELECT p.src,
+      |          LEAST(65536, CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+      |            (SELECT total FROM tot) * p.w / CAST(p.c AS DOUBLE))
+      |            * 65536 + 0.5) AS BIGINT)) AS n
+      |        FROM present p) q)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d
+      |JOIN thr ON CAST(d.lang AS VARCHAR) = thr.src
+      |WHERE thr.thresh = 'KEEP'
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thresh
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Gopher/C4-style repetition signals per document. */
   private val docRepetition: Q = (s, d) =>
     TextAnalysis.repetitionProfile(Tables.documents(s, d),
@@ -1326,6 +1363,7 @@ object PipelineQueries {
     "doc_pack_bins" -> docPackBins,
     "doc_repetition" -> docRepetition,
     "doc_mixture" -> docMixture,
+    "doc_mixture_temperature" -> docMixtureTemp,
     "doc_langid" -> docLangId,
     "doc_bm25_top10" -> docBm25Top10,
     "doc_hybrid_rrf_top10" -> docHybridRrf,
@@ -1375,6 +1413,7 @@ object PipelineQueries {
     "doc_pack_bins" -> docPackBinsSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_mixture" -> docMixtureSql,
+    "doc_mixture_temperature" -> docMixtureTempSql,
     "doc_langid" -> docLangIdSql,
     "doc_bm25_top10" -> docBm25Top10Sql,
     "doc_hybrid_rrf_top10" -> docHybridRrfSql,

@@ -48,6 +48,30 @@ class SamplingSpec extends SparkSpec {
     assert(hash.count() > 0)
   }
 
+  test("temperatureMixture flattens toward uniform as alpha drops") {
+    val rows =
+      (1 to 1600).map(i => (s"w$i", "web")) ++
+      (1 to 400).map(i => (s"c$i", "code")) ++
+      (1 to 100).map(i => (s"p$i", "papers"))
+    val df = rows.toDF("id", "source")
+    def shares(alpha: Double): Map[String, Double] = {
+      val out = Sampling.temperatureMixture(df, "source", "id", alpha)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val tot = out.values.sum.toDouble
+      out.map { case (s, n) => s -> n / tot }
+    }
+    // alpha=1 keeps the natural 16:4:1 mix intact (no subsampling)
+    val natural = shares(1.0)
+    assert(math.abs(natural("web") - 1600.0 / 2100) < 0.01, natural.toString)
+    // alpha=0.5 moves proportions toward sqrt-counts 4:2:1
+    val flat = shares(0.5)
+    assert(flat("web") < natural("web") && flat("papers") > natural("papers"),
+      s"natural=$natural flat=$flat")
+    assert(math.abs(flat("web") - 4.0 / 7) < 0.05, flat.toString)
+    // deterministic
+    assert(shares(0.5) == flat)
+  }
+
   test("mixture hits target proportions at the largest feasible size") {
     val rows =
       (1 to 1000).map(i => (s"w$i", "web")) ++
