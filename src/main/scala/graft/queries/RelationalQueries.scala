@@ -652,6 +652,60 @@ object RelationalQueries {
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q32: the GENERAL-case range join — q15's band join is the right plan
+  // for a 4-row dimension (broadcast nested loop), but at a realistic
+  // band count the product is the scale-killer. [[graft.ops.RangeJoin]]
+  // rewrites point-in-interval as an equi-join on `floor(value/w)` bins
+  // (interval side exploded to covered bins), which Catalyst plans as a
+  // plain hash join; the exact predicate is re-applied post-join.
+  // 96 overlapping 12.5-wide bands over events.value — each event lands
+  // in ≤3 bands, and PlanGuardSpec proves no BNLJ/cartesian appears.
+  private val q32: Q = (s, d) => {
+    val bands = s.range(96).select(
+      col("id").as("band_id"),
+      (col("id") * 5.0).as("lo"),
+      (col("id") * 5.0 + 12.5).as("hi"))
+    graft.ops.RangeJoin
+      .binnedPointJoin(Tables.events(s, d), "value", bands, "lo", "hi", 5.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("band_id")
+  }
+
+  private val q32Sql =
+    """SELECT band_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (SELECT i AS band_id, i*5.0 AS lo, i*5.0 + 12.5 AS hi
+      |      FROM generate_series(0, 95) AS t(i)) b
+      |  ON value >= lo AND value < hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  // q33: the Misra–Gries heavy-hitters sketch (native mergeable
+  // TypedImperativeAggregate, k-bounded map-side state — the sketch
+  // sibling of q20's HLL and the Bloom contamination tier). k=256
+  // exceeds the gate scale's 150 distinct users, so NO decrement round
+  // fires in any partial and the summary is provably EXACT counts
+  // (count_lo == count_hi == true count) under any partitioning — which
+  // is what the plain GROUP BY oracle pins. At bench scale (1500 users)
+  // the same query exercises the bounded-error regime; the ε = N/(k+1)
+  // bracketing there is property-tested in HeavyHittersSpec.
+  private val q33: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.expr.HeavyHittersExpr.heavyHitters(col("user_id"), 256).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.item").as("item"),
+        col("e.count_lo").as("count_lo"), col("e.count_hi").as("count_hi"))
+      .orderBy("event_type", "item")
+
+  private val q33Sql =
+    """SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+      |  COUNT(*) AS count_lo, COUNT(*) AS count_hi
+      |FROM events GROUP BY event_type, user_id
+      |ORDER BY event_type, item""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -684,7 +738,9 @@ object RelationalQueries {
     "q29_correlated" -> q29,
     "q30_grouped_topk" -> q30,
     "q31_sessionize" -> q31,
-    "q20_exact_distinct" -> q20Exact)
+    "q20_exact_distinct" -> q20Exact,
+    "q32_binned_range_join" -> q32,
+    "q33_heavy_hitters" -> q33)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -717,5 +773,7 @@ object RelationalQueries {
     "q29_correlated" -> q29Sql,
     "q30_grouped_topk" -> q30Sql,
     "q31_sessionize" -> q31Sql,
-    "q20_exact_distinct" -> q20ExactSql)
+    "q20_exact_distinct" -> q20ExactSql,
+    "q32_binned_range_join" -> q32Sql,
+    "q33_heavy_hitters" -> q33Sql)
 }
