@@ -682,6 +682,85 @@ object PipelineQueries {
        |    '\\+\\d[\\d() -]{6,}\\d', '<PHONE>', 'g') AS clean_text
        |FROM dirty ORDER BY doc_id""".stripMargin
 
+  /** URL extraction → RFC 3986 canonicalization → per-domain profile
+    * ([[graft.ops.UrlOps]] — the URL-dedup front door of every published
+    * web pipeline). Like `doc_pii_scrub`, the word-soup corpus has no
+    * natural URLs, so three messy variants are planted per document
+    * (uppercase scheme/host + www + default port + tracking params +
+    * fragment; userinfo + non-default port + trailing slash; a clean
+    * twin of the first that must COLLAPSE to the same canonical form) —
+    * the oracle replays the entire regex/sort algebra in DuckDB and the
+    * engines must agree on every domain's URL and distinct-canonical
+    * counts. */
+  private val docUrlDomains: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val k7 = (col("doc_id") % 7).cast("string")
+    val k3 = (col("doc_id") % 3).cast("string")
+    val planted = concat(col("text"),
+      lit(" see HTTPS://WWW.Site"), k7, lit(".COM:443/Docs/"), id,
+      lit("/?utm_source=feed&b=2&a=1#frag and http://user:pw@cdn"), k3,
+      lit(".example.org:8080/lib/ mirrored at https://Site"), k7,
+      lit(".com/Docs/"), id, lit("?a=1&b=2."))
+    Tables.documents(s, d)
+      .select(explode(graft.ops.UrlOps.extractUrls(planted)).as("url"))
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("url")).as("curl"))
+      .withColumn("domain", graft.ops.UrlOps.urlHost(col("curl")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), count_distinct(col("curl")).as("n_canonical"))
+      .orderBy("domain")
+  }
+
+  private val docUrlDomainsSql =
+    """WITH planted AS (
+      |  SELECT text || ' see HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.COM:443/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |    '/?utm_source=feed&b=2&a=1#frag and http://user:pw@cdn' ||
+      |    CAST(doc_id % 3 AS VARCHAR) ||
+      |    '.example.org:8080/lib/ mirrored at https://Site' ||
+      |    CAST(doc_id % 7 AS VARCHAR) ||
+      |    '.com/Docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2.' AS t
+      |  FROM documents),
+      |urls AS (
+      |  SELECT unnest(regexp_extract_all(t, '(?i)https?://[^\s]+')) AS url
+      |  FROM planted),
+      |parts AS (
+      |  SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      |      '#.*$', ''), '[.,;:!?)\]]+$', '') AS rest
+      |  FROM urls),
+      |comp AS (
+      |  SELECT scheme,
+      |    regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+      |    regexp_replace(rest, '^[^/?]+', '') AS pathq
+      |  FROM parts),
+      |hosts AS (
+      |  SELECT scheme, pathq,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'http'
+      |             THEN regexp_replace(lower(regexp_replace(hostport, '^[^@/]*@', '')), ':80$', '')
+      |           WHEN scheme = 'https'
+      |             THEN regexp_replace(lower(regexp_replace(hostport, '^[^@/]*@', '')), ':443$', '')
+      |           ELSE lower(regexp_replace(hostport, '^[^@/]*@', '')) END,
+      |      '^www\.', '') AS host
+      |  FROM comp),
+      |comps AS (
+      |  SELECT scheme, host,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+      |    COALESCE(list_aggr(list_sort(list_filter(str_split(
+      |      regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=.*)?$'))),
+      |      'string_agg', '&'), '') AS p
+      |  FROM hosts),
+      |final AS (
+      |  SELECT scheme || '://' || host || path ||
+      |      CASE WHEN p = '' THEN '' ELSE '?' || p END AS curl,
+      |    regexp_replace(host, ':[0-9]+$', '') AS domain
+      |  FROM comps)
+      |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT curl) AS n_canonical
+      |FROM final GROUP BY domain ORDER BY domain""".stripMargin
+
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
     * prefix of `doc_id`, so the oracle selects the identical rows. */
   private val docSampleHash: Q = (s, d) =>
@@ -1358,6 +1437,7 @@ object PipelineQueries {
     "doc_tokens" -> docTokens,
     "doc_fingerprint" -> docFingerprint,
     "doc_pii_scrub" -> docPiiScrub,
+    "doc_url_domains" -> docUrlDomains,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
@@ -1408,6 +1488,7 @@ object PipelineQueries {
     "doc_tokens" -> docTokensSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_pii_scrub" -> docPiiScrubSql,
+    "doc_url_domains" -> docUrlDomainsSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
