@@ -1,0 +1,264 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE (upsert/delete), time travel and compaction over
+  * hash-bucketed parquet — the transactional-lakehouse core (the public
+  * Delta Lake / Iceberg design: Armbrust et al., VLDB 2020) rebuilt on
+  * nothing but parquet files plus a tiny manifest, so a mutable
+  * 100 TB corpus table needs no extra library.
+  *
+  * Layout at `dir/`:
+  *  - `v<N>/__graft_bucket=<b>/part-*.parquet` — data files, hash-
+  *    bucketed on the merge key (`pmod(hash(key), nBuckets)`);
+  *  - `_v<N>.manifest` — text lines `bucket<TAB>relative/file`; the
+  *    FIRST line is `#nbuckets<TAB>n`. A version IS its manifest: the
+  *    file set is immutable once committed.
+  *
+  * The properties that make this the right 100 TB shape:
+  *  - **Merge cost ∝ touched buckets, not table size.** Only buckets
+  *    containing update keys are read and rewritten; every other
+  *    bucket's files are carried into the new manifest BY REFERENCE
+  *    (asserted in `MergeTableSpec` — untouched paths are identical).
+  *  - **Commit is one file rename.** Data lands under `v<N+1>/` first;
+  *    readers resolve the latest `_v*.manifest`, so a writer dying
+  *    mid-merge leaves orphan data files but a fully consistent table
+  *    (the previous version). Rename-as-commit is the classic
+  *    single-writer protocol; concurrent writers would need a lock
+  *    service on top, exactly as in the published designs.
+  *  - **Time travel is free**: every version's manifest (and the files
+  *    it references) stays until [[vacuum]] reclaims them.
+  *  - **Driver state is O(buckets + files)** — manifest lines, never
+  *    rows. The touched-bucket set is the only collect (≤ nBuckets
+  *    ints).
+  *
+  * Update batches must be unique on the merge key (checked with one
+  * bounded aggregation unless `validate=false`); deletes ride the
+  * batch as a boolean column.
+  */
+object MergeTable {
+
+  private val Bucket = "__graft_bucket"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_v$v.manifest")
+
+  /** Versions present at `dir`, ascending (empty if not a table). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_v") && s.endsWith(".manifest") =>
+        s.stripPrefix("_v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not a MergeTable (no _v*.manifest)")
+    vs.last
+  }
+
+  private case class Manifest(nBuckets: Int, entries: Map[Int, Seq[String]])
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, v))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val header = lines.head.split("\t")
+    require(header(0) == "#nbuckets", s"corrupt manifest _v$v at $dir")
+    val entries = lines.tail.map { l =>
+      val Array(b, p) = l.split("\t", 2)
+      b.toInt -> p
+    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+    Manifest(header(1).toInt, entries)
+  }
+
+  /** Rename-as-commit: the manifest appears atomically or not at all. */
+  private def commitManifest(
+      spark: SparkSession, dir: String, v: Int, m: Manifest): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/._v$v.manifest.tmp")
+    val body = (s"#nbuckets\t${m.nBuckets}" +:
+      m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
+        ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(f.rename(tmp, manifestPath(dir, v)),
+      s"commit of _v$v failed at $dir (already exists?)")
+  }
+
+  /** List the data files a fresh `v<N>` directory produced, per bucket. */
+  private def listWritten(
+      spark: SparkSession, dir: String, v: Int): Map[Int, Seq[String]] = {
+    val f = fs(spark, dir)
+    val vDir = new Path(s"$dir/v$v")
+    if (!f.exists(vDir)) Map.empty
+    else f.listStatus(vDir).toSeq.filter(_.isDirectory).flatMap { bDir =>
+      val b = bDir.getPath.getName.stripPrefix(s"$Bucket=").toInt
+      f.listStatus(bDir.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => b -> s"v$v/$Bucket=$b/${s.getPath.getName}")
+    }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
+  }
+
+  private def withBucket(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.withColumn(Bucket, pmod(hash(col(keyCol)), lit(n)))
+
+  /** Next writable version: past both the latest COMMITTED manifest and
+    * any orphan `v<N>/` data directory a dead writer left behind. */
+  private def nextVersion(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val dataVs = f.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toInt }
+    (versions(spark, dir) ++ dataVs).max + 1
+  }
+
+  /** Plain-file read with partition inference OFF — the `k=v` bucket
+    * directory names must NOT become an inferred partition column
+    * (mixed-version file lists would have no consistent structure). */
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(files: _*)
+
+  /** One writer task per bucket (hash-partitioned on the bucket value),
+    * so each bucket directory gets a bounded file count. */
+  private def writeVersion(df: DataFrame, dir: String, v: Int, n: Int): Unit =
+    df.repartition(n, col(Bucket))
+      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$v")
+
+  /** Create version 1 from `df`. */
+  def create(
+      spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
+      nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0)
+    require(versions(spark, dir).isEmpty, s"$dir already is a MergeTable")
+    writeVersion(withBucket(df, keyCol, nBuckets), dir, 1, nBuckets)
+    commitManifest(spark, dir, 1, Manifest(nBuckets, listWritten(spark, dir, 1)))
+  }
+
+  /** Read a version (default: latest) as a DataFrame. */
+  def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val files = m.entries.values.flatten.toSeq.sorted.map(p => s"$dir/$p")
+    require(files.nonEmpty, s"version $v of $dir is empty")
+    readFiles(spark, files)
+  }
+
+  /** The bucket → data-file index of a version (relative paths) — the
+    * observable CoW contract: after a merge, untouched buckets' entries
+    * are IDENTICAL to the previous version's. */
+  def fileIndex(
+      spark: SparkSession, dir: String, version: Int = -1): Map[Int, Seq[String]] = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    readManifest(spark, dir, v).entries.map { case (b, ps) => b -> ps.sorted }
+  }
+
+  /** MERGE `updates` into the table: rows whose key exists are replaced,
+    * new keys are inserted, and rows flagged true in `deleteCol` are
+    * removed. Only buckets containing update keys are rewritten.
+    * Returns the committed version. */
+  def merge(
+      spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
+      deleteCol: Option[String] = None, validate: Boolean = true): Int = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    if (validate) {
+      val dup = updates.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"updates are not unique on $keyCol")
+    }
+    val upd = withBucket(updates, keyCol, m.nBuckets).persist()
+    try {
+      val touched = upd.select(Bucket).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded by nBuckets
+      val oldFiles = touched.toSeq.sorted
+        .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+      val inserts = deleteCol match {
+        case Some(dc) => upd.filter(!col(dc)).drop(dc)
+        case None => upd
+      }
+      val merged = if (oldFiles.isEmpty) inserts else {
+        val base = withBucket(readFiles(spark, oldFiles), keyCol, m.nBuckets)
+        base.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(inserts)
+      }
+      val nv = nextVersion(spark, dir)
+      writeVersion(merged, dir, nv, m.nBuckets)
+      val written = listWritten(spark, dir, nv)
+      val entries = (m.entries -- touched) ++
+        touched.toSeq.sorted.map(b => b -> written.getOrElse(b, Seq.empty))
+          .filter(_._2.nonEmpty)
+      commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries))
+      nv
+    } finally upd.unpersist()
+  }
+
+  /** Rewrite every bucket into a bounded file count (small-files
+    * compaction). Contents are unchanged — only the layout. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val files = m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
+      ps.map(p => (b, s"$dir/$p")) }
+    require(files.nonEmpty, "nothing to compact")
+    // bucket is re-derived from the directory name via a per-bucket read
+    // union so no key column is needed
+    val byBucket = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
+      readFiles(spark, ps.map(_._2)).withColumn(Bucket, lit(b))
+    }
+    val nv = nextVersion(spark, dir)
+    writeVersion(byBucket.reduce(_ unionByName _), dir, nv, m.nBuckets)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, listWritten(spark, dir, nv)))
+    nv
+  }
+
+  /** Delete data files referenced by NO manifest among the latest
+    * `keepVersions` (plus orphans from dead writers). Returns deleted
+    * paths. Old manifests beyond the horizon are dropped too. */
+  def vacuum(
+      spark: SparkSession, dir: String, keepVersions: Int = 1): Seq[String] = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not a MergeTable")
+    val keep = vs.takeRight(keepVersions)
+    val live: Set[String] = keep
+      .flatMap(v => readManifest(spark, dir, v).entries.values.flatten).toSet
+    val deleted = Seq.newBuilder[String]
+    f.listStatus(new Path(dir)).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v")) {
+        f.listStatus(st.getPath).toSeq.filter(_.isDirectory).foreach { bDir =>
+          f.listStatus(bDir.getPath).toSeq.foreach { file =>
+            val rel = s"$name/${bDir.getPath.getName}/${file.getPath.getName}"
+            if (!live.contains(rel)) {
+              f.delete(file.getPath, false)
+              deleted += rel
+            }
+          }
+        }
+      } else if (name.startsWith("_v") && name.endsWith(".manifest")) {
+        val v = name.stripPrefix("_v").stripSuffix(".manifest").toInt
+        if (!keep.contains(v)) { f.delete(st.getPath, false); deleted += name }
+      }
+    }
+    deleted.result()
+  }
+}

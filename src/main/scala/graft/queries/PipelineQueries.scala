@@ -761,6 +761,49 @@ object PipelineQueries {
       |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT curl) AS n_canonical
       |FROM final GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** End-to-end [[graft.pipeline.MergeTable]] drive: create a bucketed
+    * CoW table from `documents`, MERGE one deterministic batch (every
+    * doc_id%10==3 updated, %10==7 deleted), read the committed version
+    * back. The on-disk machinery (bucketing, manifests, rename-commit,
+    * by-reference carry of untouched buckets) runs for real in a temp
+    * dir; the ORACLE replays the upsert LOGICALLY — merge semantics are
+    * bucket-layout-independent, so the engines must agree row-for-row.
+    * The temp dir is keyed by sf and wiped at query start, bounding
+    * leftover disk to one copy. */
+  private val docMergeUpsert: Q = (s, d) => {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-merge-q-" + math.abs(d.hashCode))
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        concat(lit("updated:"), col("lang")).as("text"),
+        col("lang"), col("source"), col("n_chars"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    // validate=false: updates project distinct doc_ids by construction,
+    // so the uniqueness pre-check job would be pure bench overhead
+    graft.pipeline.MergeTable.merge(s, dir, updates, "doc_id",
+      deleteCol = Some("_del"), validate = false)
+    graft.pipeline.MergeTable.read(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val docMergeUpsertSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text,
+      |  lang
+      |FROM documents WHERE doc_id % 10 <> 7
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
     * prefix of `doc_id`, so the oracle selects the identical rows. */
   private val docSampleHash: Q = (s, d) =>
@@ -1438,6 +1481,7 @@ object PipelineQueries {
     "doc_fingerprint" -> docFingerprint,
     "doc_pii_scrub" -> docPiiScrub,
     "doc_url_domains" -> docUrlDomains,
+    "doc_merge_upsert" -> docMergeUpsert,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
@@ -1489,6 +1533,7 @@ object PipelineQueries {
     "doc_fingerprint" -> docFingerprintSql,
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_url_domains" -> docUrlDomainsSql,
+    "doc_merge_upsert" -> docMergeUpsertSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,

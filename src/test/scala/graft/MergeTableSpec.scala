@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeTable
+
+/** [[MergeTable]] — upsert/delete semantics against an in-memory
+  * reference, the copy-on-write contract (untouched buckets carried by
+  * reference), time travel, compaction invariance, dead-writer orphans,
+  * and vacuum reclamation.
+  */
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-mergetable").toString
+
+  private def rows(df: DataFrame): Map[Long, (String, Double)] =
+    df.select("id", "name", "score").as[(Long, String, Double)]
+      .collect().map { case (i, n, s) => i -> (n, s) }.toMap
+
+  private def df(m: Map[Long, (String, Double)]): DataFrame =
+    m.toSeq.map { case (i, (n, s)) => (i, n, s) }.toDF("id", "name", "score")
+
+  private val base: Map[Long, (String, Double)] =
+    (0L until 100L).map(i => i -> (s"name$i", i * 1.5)).toMap
+
+  test("create + read round-trips; merge == in-memory upsert/delete reference") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)
+    assert(rows(MergeTable.read(spark, dir)) == base)
+
+    // batch 1: update 10 keys, insert 5 new, delete 7
+    val upd1 = ((0L until 10L).map(i => (i * 7, s"upd$i", -1.0, false)) ++
+      (100L until 105L).map(i => (i, s"new$i", 9.0, false)) ++
+      (0L until 7L).map(i => (i * 13 + 5, "", 0.0, true)))
+      .toDF("id", "name", "score", "_del")
+    val v2 = MergeTable.merge(spark, dir, upd1, "id", deleteCol = Some("_del"))
+    // reference: drop deleted keys, apply updates for surviving keys,
+    // add inserts — computed with plain Scala collections
+    val delKeys = (0L until 7L).map(_ * 13 + 5).toSet
+    val updKeys = (0L until 10L).map(i => (i * 7) -> (s"upd$i", -1.0)).toMap
+    val expect1 = (base -- delKeys -- updKeys.keys) ++
+      updKeys.filterNot { case (k, _) => delKeys.contains(k) } ++
+      (100L until 105L).map(i => i -> (s"new$i", 9.0))
+    assert(rows(MergeTable.read(spark, dir)) == expect1)
+    assert(v2 == 2)
+
+    // batch 2 on top: re-insert a deleted key, update an inserted one
+    val upd2 = Seq((1L, "back", 5.0, false), (100L, "new100b", 10.0, false))
+      .toDF("id", "name", "score", "_del")
+    MergeTable.merge(spark, dir, upd2, "id", deleteCol = Some("_del"))
+    val expect2 = expect1 ++ Map(1L -> (("back", 5.0)), 100L -> (("new100b", 10.0)))
+    assert(rows(MergeTable.read(spark, dir)) == expect2)
+
+    // time travel: v1 and v2 unchanged
+    assert(rows(MergeTable.read(spark, dir, version = 1)) == base)
+    assert(rows(MergeTable.read(spark, dir, version = 2)) == expect1)
+  }
+
+  test("copy-on-write: only buckets containing update keys are rewritten") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)
+    val idx1 = MergeTable.fileIndex(spark, dir, 1)
+    // single-key update touches exactly one bucket
+    val upd = Seq((42L, "touched", 0.0)).toDF("id", "name", "score")
+    MergeTable.merge(spark, dir, upd, "id")
+    val idx2 = MergeTable.fileIndex(spark, dir, 2)
+    val changed = idx1.keySet.union(idx2.keySet)
+      .filter(b => idx1.get(b) != idx2.get(b))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    val untouched = idx1.keySet - changed.head
+    untouched.foreach(b => assert(idx1(b) == idx2(b),
+      s"bucket $b was rewritten without containing an update key"))
+    // and the carried entries still point at v1 files (by reference)
+    assert(untouched.forall(b => idx2(b).forall(_.startsWith("v1/"))))
+  }
+
+  test("compaction leaves content identical and one file per bucket") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      df(base).repartition(6), "id", nBuckets = 4)
+    MergeTable.merge(spark, dir, Seq((3L, "x", 1.0)).toDF("id", "name", "score"), "id")
+    val before = rows(MergeTable.read(spark, dir))
+    val cv = MergeTable.compact(spark, dir)
+    assert(rows(MergeTable.read(spark, dir)) == before)
+    assert(MergeTable.fileIndex(spark, dir, cv).values.forall(_.size == 1))
+  }
+
+  test("a dead writer's orphan data dir is invisible and never collides") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    // simulate a writer that died after writing v2 data, before commit
+    df(Map(999L -> (("ghost", 0.0)))).write.parquet(s"$dir/v2/__graft_bucket=0")
+    assert(rows(MergeTable.read(spark, dir)) == base, "orphan must be invisible")
+    // next merge must skip the orphaned version number
+    val v = MergeTable.merge(spark, dir, Seq((5L, "y", 2.0)).toDF("id", "name", "score"), "id")
+    assert(v == 3)
+    assert(rows(MergeTable.read(spark, dir)) == base + (5L -> (("y", 2.0))))
+  }
+
+  test("vacuum reclaims unreferenced files and old manifests; latest survives") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    MergeTable.merge(spark, dir, Seq((1L, "a", 1.0)).toDF("id", "name", "score"), "id")
+    MergeTable.merge(spark, dir, Seq((2L, "b", 2.0)).toDF("id", "name", "score"), "id")
+    val latest = rows(MergeTable.read(spark, dir))
+    val deleted = MergeTable.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(rows(MergeTable.read(spark, dir)) == latest)
+    assert(MergeTable.versions(spark, dir) == Seq(3))
+    intercept[Exception](MergeTable.read(spark, dir, version = 1))
+  }
+
+  test("update batches must be unique on the merge key") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "name", "score")
+    intercept[IllegalArgumentException](MergeTable.merge(spark, dir, dup, "id"))
+  }
+}
