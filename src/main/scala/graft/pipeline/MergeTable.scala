@@ -133,9 +133,15 @@ object MergeTable {
 
   /** Plain-file read with partition inference OFF — the `k=v` bucket
     * directory names must NOT become an inferred partition column
-    * (mixed-version file lists would have no consistent structure). */
+    * (mixed-version file lists would have no consistent structure).
+    * `mergeSchema` unions file schemas (a footers-only distributed job),
+    * so a version whose buckets predate a schema evolution reads with
+    * the evolved schema and nulls in the new columns. */
   private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(files: _*)
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(files: _*)
 
   /** One writer task per bucket (hash-partitioned on the bucket value),
     * so each bucket directory gets a bounded file count. */
@@ -174,10 +180,17 @@ object MergeTable {
   /** MERGE `updates` into the table: rows whose key exists are replaced,
     * new keys are inserted, and rows flagged true in `deleteCol` are
     * removed. Only buckets containing update keys are rewritten.
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * With `allowSchemaEvolution`, columns present on only one side are
+    * null-filled on the other (additive evolution, the Delta/Iceberg
+    * default): updates may introduce new columns, and old data files
+    * are never rewritten for it — the evolved schema materializes at
+    * read time via parquet schema merging. */
   def merge(
       spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
-      deleteCol: Option[String] = None, validate: Boolean = true): Int = {
+      deleteCol: Option[String] = None, validate: Boolean = true,
+      allowSchemaEvolution: Boolean = false): Int = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     if (validate) {
@@ -198,7 +211,7 @@ object MergeTable {
       val merged = if (oldFiles.isEmpty) inserts else {
         val base = withBucket(readFiles(spark, oldFiles), keyCol, m.nBuckets)
         base.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(inserts)
+          .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
       }
       val nv = nextVersion(spark, dir)
       writeVersion(merged, dir, nv, m.nBuckets)
@@ -225,7 +238,10 @@ object MergeTable {
       readFiles(spark, ps.map(_._2)).withColumn(Bucket, lit(b))
     }
     val nv = nextVersion(spark, dir)
-    writeVersion(byBucket.reduce(_ unionByName _), dir, nv, m.nBuckets)
+    // allowMissingColumns: buckets untouched since a schema evolution
+    // still carry the old schema — compaction aligns them
+    writeVersion(byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+      dir, nv, m.nBuckets)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, listWritten(spark, dir, nv)))
     nv
   }

@@ -172,4 +172,60 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** CDC-style streaming upsert: JSON-lines change records landing in
+    * `landingDir` are MERGEd into the [[graft.pipeline.MergeTable]] at
+    * `tableDir` per micro-batch — updates replace, new keys insert, and
+    * rows with `deleteCol` true delete, so the table converges to the
+    * latest state of every key instead of appending history.
+    *
+    * Intra-batch conflicts (two files changing one key in the same
+    * batch) are resolved by `versionCol` when given — highest version
+    * wins, deterministically (ties broken by the delete flag so a
+    * delete+reinsert at the same version cannot flap); without a
+    * `versionCol` the merge VALIDATES uniqueness and fails loudly
+    * rather than guessing an order.
+    *
+    * Crash safety: a retried batch re-merges the same change set onto a
+    * table that already absorbed it — upserts are idempotent BY VALUE
+    * (same keys → same rows), so the extra version is content-identical
+    * and readers never observe a duplicate or a lost delete
+    * (`StreamingSpec` proves it). Old versions are reclaimable with
+    * [[graft.pipeline.MergeTable.vacuum]]. */
+  def startMergeUpsert(
+      spark: SparkSession,
+      landingDir: String,
+      tableDir: String,
+      keyCol: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String,
+      deleteCol: Option[String] = None,
+      versionCol: Option[String] = None): StreamingQuery = {
+    val changes = spark.readStream.schema(schema).json(landingDir)
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val resolved = versionCol match {
+          case Some(vc) =>
+            val order = deleteCol match {
+              case Some(dc) => Seq(col(vc).desc, col(dc).desc)
+              case None => Seq(col(vc).desc)
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCol).orderBy(order: _*)
+            batch.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") === 1).drop("__graft_rn")
+          case None => batch
+        }
+        if (!resolved.isEmpty) {
+          graft.pipeline.MergeTable.merge(s, tableDir, resolved, keyCol,
+            deleteCol = deleteCol, validate = versionCol.isEmpty)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -115,6 +115,41 @@ class MergeTableSpec extends SparkSpec {
     intercept[Exception](MergeTable.read(spark, dir, version = 1))
   }
 
+  test("schema evolution: updates may add columns; old files are not rewritten") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    val idx1 = MergeTable.fileIndex(spark, dir, 1)
+    val upd = Seq((1L, "tagged", 1.0, "gold")).toDF("id", "name", "score", "tag")
+    // without the flag: loud failure, no silent null-fill
+    intercept[Exception](MergeTable.merge(spark, dir, upd, "id"))
+    MergeTable.merge(spark, dir, upd, "id", allowSchemaEvolution = true)
+    val got = MergeTable.read(spark, dir)
+      .select("id", "name", "tag").as[(Long, String, Option[String])]
+      .collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(got(1L) == (("tagged", Some("gold"))))
+    assert(got(2L) == (("name2", None)), "pre-evolution rows read with null tag")
+    // untouched buckets still reference v1 files (never rewritten for schema)
+    val idx2 = MergeTable.fileIndex(spark, dir, 2)
+    assert(idx1.keySet.exists(b => idx2.get(b) == idx1.get(b)))
+    // compaction aligns all buckets onto the evolved schema
+    val cv = MergeTable.compact(spark, dir)
+    val after = MergeTable.read(spark, dir, cv)
+      .select("id", "name", "tag").as[(Long, String, Option[String])]
+      .collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(after == got)
+  }
+
+  test("re-merging the same batch is idempotent by value (crash-retry safety)") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    val upd = Seq((1L, "a", 1.0, false), (200L, "ins", 2.0, false), (3L, "", 0.0, true))
+      .toDF("id", "name", "score", "_del")
+    MergeTable.merge(spark, dir, upd, "id", deleteCol = Some("_del"))
+    val once = rows(MergeTable.read(spark, dir))
+    MergeTable.merge(spark, dir, upd, "id", deleteCol = Some("_del"))
+    assert(rows(MergeTable.read(spark, dir)) == once)
+  }
+
   test("update batches must be unique on the merge key") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)

@@ -185,4 +185,43 @@ class StreamingSpec extends SparkSpec {
     assert(idx.count() == n1 + 1)
     assert(idx.select("doc_id").distinct().count() == 2)
   }
+
+  test("streaming CDC upsert: change files converge the MergeTable to latest state") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.MergeTable
+    val landing = Files.createTempDirectory("graft-cdc-landing").toString
+    val table = Files.createTempDirectory("graft-cdc-table").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ver", LongType), StructField("_del", BooleanType)))
+
+    // the table schema carries data columns only; the _del flag is
+    // change-record metadata and never lands in the table
+    MergeTable.create(spark,
+      table, Seq((1L, "one", 0L), (2L, "two", 0L))
+        .toDF("id", "name", "ver"), "id", nBuckets = 4)
+
+    // batch 1: two files CONFLICT on key 1 (ver 2 must win), key 3 inserts
+    Files.writeString(java.nio.file.Paths.get(landing, "c1.json"),
+      """{"id":1,"name":"one-v1","ver":1,"_del":false}
+        |{"id":3,"name":"three","ver":1,"_del":false}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(landing, "c2.json"),
+      """{"id":1,"name":"one-v2","ver":2,"_del":false}""")
+    StreamingIngest.startMergeUpsert(spark, landing, table, "id", schema, ckpt,
+      deleteCol = Some("_del"), versionCol = Some("ver"))
+      .awaitTermination(60000)
+    def state(): Map[Long, String] =
+      MergeTable.read(spark, table).select("id", "name")
+        .as[(Long, String)].collect().toMap
+    assert(state() == Map(1L -> "one-v2", 2L -> "two", 3L -> "three"))
+
+    // batch 2 (second start, same checkpoint — only the new file): delete key 2
+    Files.writeString(java.nio.file.Paths.get(landing, "c3.json"),
+      """{"id":2,"name":"","ver":3,"_del":true}""")
+    StreamingIngest.startMergeUpsert(spark, landing, table, "id", schema, ckpt,
+      deleteCol = Some("_del"), versionCol = Some("ver"))
+      .awaitTermination(60000)
+    assert(state() == Map(1L -> "one-v2", 3L -> "three"))
+  }
 }
