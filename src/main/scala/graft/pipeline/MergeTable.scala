@@ -168,6 +168,28 @@ object MergeTable {
     readFiles(spark, files)
   }
 
+  /** Bucket-pruned point lookup: read ONLY the buckets the requested
+    * keys hash into (the same manifest pruning a merge uses), then
+    * semi-join down to exact matches. `keys` is a one-column DataFrame
+    * named `keyCol`; its buckets are computed with the identical Spark
+    * `hash()` the writer used, so pruning can never miss. For a k-key
+    * lookup against an N-bucket table this reads ≤ k of N buckets —
+    * the point-access path a 100 TB keyed corpus needs (file-skipping,
+    * the IVF directory-pruning move applied to tables). */
+  def readForKeys(
+      spark: SparkSession, dir: String, keys: DataFrame, keyCol: String,
+      version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val wanted = withBucket(keys, keyCol, m.nBuckets)
+      .select(Bucket).distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
+    val files = wanted.toSeq.sorted
+      .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+    if (files.isEmpty) read(spark, dir, v).limit(0)
+    else readFiles(spark, files)
+      .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+  }
+
   /** The bucket → data-file index of a version (relative paths) — the
     * observable CoW contract: after a merge, untouched buckets' entries
     * are IDENTICAL to the previous version's. */

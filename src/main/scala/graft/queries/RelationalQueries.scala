@@ -706,6 +706,41 @@ object RelationalQueries {
       |FROM events GROUP BY event_type, user_id
       |ORDER BY event_type, item""".stripMargin
 
+  // q34: interval-OVERLAP join on the bin grid — the second RangeJoin
+  // form. Click windows [ts, ts+10min) × purchase windows [ts, ts+5min)
+  // joined on overlap; the first-shared-bin rule guarantees one row per
+  // overlapping pair (the oracle's plain theta join is the proof), and
+  // the plan is a hash join on the bin key instead of the O(n·m)
+  // nested loop the raw overlap predicate would force.
+  private val q34: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").cast("double").as("lo"),
+        (col("us") + 600000000L).cast("double").as("hi"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("us").cast("double").as("lo2"),
+        (col("us") + 300000000L).cast("double").as("hi2"))
+    graft.ops.RangeJoin
+      .binnedIntervalJoin(clicks, "lo", "hi", purchases, "lo2", "hi2", 6e8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("user_id")
+  }
+
+  private val q34Sql =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS hi
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS lo2,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS hi2
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, COUNT(*) AS n_overlaps
+      |FROM c JOIN p ON c.lo < p.hi2 AND p.lo2 < c.hi
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -740,7 +775,8 @@ object RelationalQueries {
     "q31_sessionize" -> q31,
     "q20_exact_distinct" -> q20Exact,
     "q32_binned_range_join" -> q32,
-    "q33_heavy_hitters" -> q33)
+    "q33_heavy_hitters" -> q33,
+    "q34_interval_overlap_join" -> q34)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -775,5 +811,6 @@ object RelationalQueries {
     "q31_sessionize" -> q31Sql,
     "q20_exact_distinct" -> q20ExactSql,
     "q32_binned_range_join" -> q32Sql,
-    "q33_heavy_hitters" -> q33Sql)
+    "q33_heavy_hitters" -> q33Sql,
+    "q34_interval_overlap_join" -> q34Sql)
 }

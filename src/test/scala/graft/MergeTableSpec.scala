@@ -150,6 +150,23 @@ class MergeTableSpec extends SparkSpec {
     assert(rows(MergeTable.read(spark, dir)) == once)
   }
 
+  test("readForKeys prunes to the keys' buckets and returns exact matches") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)
+    val keys = Seq(7L, 42L, 9999L).toDF("id") // 9999 is absent
+    val looked = MergeTable.readForKeys(spark, dir, keys, "id")
+    assert(rows(looked) == Map(7L -> base(7L), 42L -> base(42L)))
+    // the scan actually touched only the wanted buckets' files
+    looked.collect()
+    val scans = looked.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = MergeTable.fileIndex(spark, dir, 1).values.map(_.size).sum
+    assert(filesRead < totalFiles,
+      s"lookup read $filesRead of $totalFiles files — no pruning happened")
+  }
+
   test("update batches must be unique on the merge key") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
