@@ -17,6 +17,7 @@ object Graft {
     graft.expr.VectorExpressions.register(spark)
     graft.expr.TopKExpr.register(spark)
     graft.expr.BloomExpr.register(spark)
+    graft.expr.HeavyHittersExpr.register(spark)
     graft.expr.SplitTextGen.register(spark)
     graft.ops.CurationFunctions.register(spark)
     spark

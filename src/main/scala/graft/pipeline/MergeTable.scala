@@ -246,6 +246,57 @@ object MergeTable {
     } finally upd.unpersist()
   }
 
+  /** Change data feed: the NET row-level difference between two
+    * committed versions, computed by comparing ONLY the buckets whose
+    * manifest entries differ — cost tracks changed data, not table
+    * size (the CoW analog of the published Delta change-feed).
+    *
+    * Output: the table schema plus a leading `_change` column —
+    * `insert` / `update` rows carry the post-image, `delete` rows the
+    * pre-image. Rows identical across both versions (inevitably read
+    * along in a changed bucket, or in a compacted one) are excluded,
+    * so a pure compaction yields an EMPTY feed. */
+  def changes(
+      spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
+      keyCol: String): DataFrame = {
+    require(fromVersion < toVersion, s"need fromVersion < toVersion")
+    val mOld = readManifest(spark, dir, fromVersion)
+    val mNew = readManifest(spark, dir, toVersion)
+    require(mOld.nBuckets == mNew.nBuckets, "bucket count mismatch")
+    val changed = (mOld.entries.keySet ++ mNew.entries.keySet)
+      .filter(b => mOld.entries.get(b) != mNew.entries.get(b)).toSeq.sorted
+    def filesOf(m: Manifest) =
+      changed.flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+    val (oldFiles, newFiles) = (filesOf(mOld), filesOf(mNew))
+    val template = read(spark, dir, toVersion).limit(0)
+    val empty = template.select(lit("").as("_change") +: template.columns.map(col): _*).limit(0)
+    if (oldFiles.isEmpty && newFiles.isEmpty) empty
+    else {
+      def side(files: Seq[String], as: String) =
+        if (files.isEmpty) {
+          template.select(col(keyCol).as("_k"), struct("*").as(as)).limit(0)
+        } else {
+          // normalize to the target version's column order (and null-fill
+          // columns a pre-evolution version lacks) so the two struct
+          // sides are type-identical for the full-outer coalesce
+          val df = readFiles(spark, files)
+          val aligned = df.select(template.columns.toSeq.map { c =>
+            if (df.columns.contains(c)) col(c)
+            else lit(null).cast(template.schema(c).dataType).as(c)
+          }: _*)
+          aligned.select(col(keyCol).as("_k"), struct("*").as(as))
+        }
+      val j = side(oldFiles, "_old")
+        .join(side(newFiles, "_new"), Seq("_k"), "full_outer")
+      val op = when(col("_old").isNull, "insert")
+        .when(col("_new").isNull, "delete")
+        .when(!(col("_old") === col("_new")), "update")
+      j.select(op.as("_change"), coalesce(col("_new"), col("_old")).as("_row"))
+        .filter(col("_change").isNotNull)
+        .select(col("_change") +: template.columns.map(c => col(s"_row.$c").as(c)): _*)
+    }
+  }
+
   /** Rewrite every bucket into a bounded file count (small-files
     * compaction). Contents are unchanged — only the layout. */
   def compact(spark: SparkSession, dir: String): Int = {

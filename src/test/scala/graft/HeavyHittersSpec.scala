@@ -112,6 +112,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(7) == a, "exact regime is partitioning-invariant")
   }
 
+  test("streaming state: the sketch aggregates incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("grp", "item")
+      .groupBy("grp")
+      .agg(HeavyHittersExpr.heavyHitters(col("item"), 16).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    try {
+      mem.addData(("a", "x"), ("a", "x"), ("a", "y"))
+      q.processAllAvailable()
+      mem.addData(("a", "x"), ("b", "z")) // buffer restored from state, then updated
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT grp, e.item, e.count_lo FROM hh_stream LATERAL VIEW explode(hh) t AS e")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("a", "x", 3L), ("a", "y", 1L), ("b", "z", 1L)))
+    } finally q.stop()
+  }
+
   test("SQL surface: heavy_hitters registered and usable with GROUP BY") {
     HeavyHittersExpr.register(spark)
     Tables.events(spark, sf0001).createOrReplaceTempView("hh_events")

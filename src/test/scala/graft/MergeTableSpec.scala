@@ -167,6 +167,32 @@ class MergeTableSpec extends SparkSpec {
       s"lookup read $filesRead of $totalFiles files — no pruning happened")
   }
 
+  test("changes() is the net row-level diff; compaction yields an empty feed") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)
+    // v2: update 5, insert 200, delete 9
+    val upd = Seq((5L, "upd5", -1.0, false), (200L, "ins", 9.0, false), (9L, "", 0.0, true))
+      .toDF("id", "name", "score", "_del")
+    MergeTable.merge(spark, dir, upd, "id", deleteCol = Some("_del"))
+    def feed(from: Int, to: Int): Set[(String, Long, String)] =
+      MergeTable.changes(spark, dir, from, to, "id")
+        .select("_change", "id", "name").as[(String, Long, String)].collect().toSet
+    assert(feed(1, 2) == Set(
+      ("update", 5L, "upd5"), ("insert", 200L, "ins"), ("delete", 9L, "name9")))
+
+    // v3: delete the v2 insert — net 1→3 shows NO trace of key 200
+    MergeTable.merge(spark, dir,
+      Seq((200L, "", 0.0, true)).toDF("id", "name", "score", "_del"),
+      "id", deleteCol = Some("_del"))
+    assert(feed(2, 3) == Set(("delete", 200L, "ins")))
+    assert(feed(1, 3) == Set(
+      ("update", 5L, "upd5"), ("delete", 9L, "name9")))
+
+    // compaction rewrites every bucket but changes nothing
+    val cv = MergeTable.compact(spark, dir)
+    assert(feed(3, cv).isEmpty)
+  }
+
   test("update batches must be unique on the merge key") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
