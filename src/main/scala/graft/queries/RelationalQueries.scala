@@ -741,6 +741,65 @@ object RelationalQueries {
       |FROM c JOIN p ON c.lo < p.hi2 AND p.lo2 < c.hi
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q35: 3-step funnel (view → click → purchase, 7-day deadline) as a
+  // chain of per-step min-aggregations + user-keyed joins — each step a
+  // narrow (user, min) shuffle on the SAME key; no per-user sort, no
+  // event-array collect. The oracle replays the identical greedy chain.
+  private val q35: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    graft.ops.Funnel.funnelSteps(ev, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), withinUs = Some(604800000000L))
+      .orderBy("user_id")
+  }
+
+  private val q35Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT s1.user_id, t1, min(e.us) AS t2
+      |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+      |    AND e.event_type = 'click' AND e.us > s1.t1
+      |    AND s1.t1 + 604800000000 >= e.us
+      |  GROUP BY s1.user_id, t1),
+      |s3 AS (
+      |  SELECT s2.user_id, t1, t2, min(e.us) AS t3
+      |  FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+      |    AND e.event_type = 'purchase' AND e.us > s2.t2
+      |    AND s2.t1 + 604800000000 >= e.us
+      |  GROUP BY s2.user_id, t1, t2)
+      |SELECT user_id, t1, t2, t3,
+      |  (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
+      |FROM s3 ORDER BY user_id""".stripMargin
+
+  // q36: weekly cohort retention — cohort = epoch-week of first event,
+  // one (cohort, offset) cell per active (user, week). Two aggs + one
+  // user-keyed join of per-user one-row frames.
+  private val q36: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    graft.ops.Funnel.retentionCohorts(ev, "user_id", "us")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val q36Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+      |  FROM events),
+      |firsts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, week FROM e)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  COUNT(DISTINCT active.user_id) AS n_users
+      |FROM active JOIN firsts ON active.user_id = firsts.user_id
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -776,7 +835,9 @@ object RelationalQueries {
     "q20_exact_distinct" -> q20Exact,
     "q32_binned_range_join" -> q32,
     "q33_heavy_hitters" -> q33,
-    "q34_interval_overlap_join" -> q34)
+    "q34_interval_overlap_join" -> q34,
+    "q35_funnel" -> q35,
+    "q36_retention_cohorts" -> q36)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -812,5 +873,7 @@ object RelationalQueries {
     "q20_exact_distinct" -> q20ExactSql,
     "q32_binned_range_join" -> q32Sql,
     "q33_heavy_hitters" -> q33Sql,
-    "q34_interval_overlap_join" -> q34Sql)
+    "q34_interval_overlap_join" -> q34Sql,
+    "q35_funnel" -> q35Sql,
+    "q36_retention_cohorts" -> q36Sql)
 }
