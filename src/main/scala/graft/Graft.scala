@@ -18,6 +18,7 @@ object Graft {
     graft.expr.TopKExpr.register(spark)
     graft.expr.BloomExpr.register(spark)
     graft.expr.HeavyHittersExpr.register(spark)
+    graft.expr.TextNormExpr.register(spark)
     graft.expr.SplitTextGen.register(spark)
     graft.ops.CurationFunctions.register(spark)
     spark

@@ -55,6 +55,33 @@ object VectorIndex {
   def withNormalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
     df.withColumn(embCol, normalized(col(embCol)))
 
+  /** Per-group element-wise mean vectors (class centroids / doc-level
+    * mean pooling of chunk embeddings). Shape: explode to (group, pos,
+    * value) — map-side combine compresses each partition to ≤
+    * |groups|·dim partial sums, so the shuffle carries dimension
+    * counts, not vectors — then one bounded (group, pos) agg and a
+    * |groups|-row reassembly.
+    *
+    * Determinism: values are fixed-pointed at 2⁻³³ with `floor` BEFORE
+    * summation (the DSIR exact-BIGINT move, but on a power-of-TWO
+    * quantum so the scaling multiply is itself exact for float32
+    * inputs and `floor` has no rounding ties, unlike a decimal cast
+    * whose half-up/half-even choice differs across engines). The sum
+    * is exact long arithmetic; the mean is ONE final IEEE division —
+    * partition- and engine-invariant (oracle `emb_label_centroids`). */
+  def centroids(
+      df: DataFrame, groupCol: String, embCol: String = "embedding"): DataFrame = {
+    val Q = 8589934592.0 // 2^33
+    df.select(col(groupCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * Q)).cast("double") /
+        (count(lit(1)).cast("double") * Q)).as("m"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("centroid"))
+  }
+
   /** Write-time int8 scalar quantization: appends `qembedding` (BINARY,
     * one signed byte per dimension) and `qscale` (the per-vector
     * max-|x| symmetric scale). A 1024-d float vector is 4 KB; its int8

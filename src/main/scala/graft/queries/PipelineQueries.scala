@@ -804,6 +804,47 @@ object PipelineQueries {
       |FROM documents WHERE doc_id % 10 <> 7
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-label element-wise centroid of the embeddings table
+    * ([[graft.index.VectorIndex.centroids]] — class centroids / mean
+    * pooling). The query explodes the assembled centroid arrays back to
+    * `(label, pos, m)` rows so DuckDB can replay the decimal-exact
+    * sum + single-division mean per dimension. */
+  private val embLabelCentroids: Q = (s, d) =>
+    graft.index.VectorIndex.centroids(Tables.embeddings(s, d), "label")
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      .orderBy("label", "pos")
+
+  private val embLabelCentroidsSql =
+    """SELECT label, i AS pos,
+      |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 8589934592) AS BIGINT)) AS DOUBLE)
+      |    / (COUNT(*) * 8589934592.0) AS m
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        unnest(range(len(embedding))) AS i
+      |      FROM embeddings)
+      |GROUP BY label, i ORDER BY label, i""".stripMargin
+
+  /** Unicode NFC normalization over planted decomposed text
+    * ([[graft.expr.NormalizeUnicode]], codegen'd). Each doc gets a
+    * suffix mixing a decomposed e+COMBINING-ACUTE, a raw combining
+    * mark and an ASCII tail; Spark's java.text.Normalizer and DuckDB's
+    * utf8proc-backed `nfc_normalize` must produce byte-identical
+    * results — a cross-engine pin of the normalization semantics, not
+    * a no-op check. */
+  private val docUnicodeNfc: Q = (s, d) => {
+    val planted = concat(col("text"),
+      lit(" café nöel ﬁn de siècle"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.expr.TextNormExpr.nfc(planted).as("nfc_text"))
+      .orderBy("doc_id")
+  }
+
+  private val docUnicodeNfcSql =
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' no' || chr(776) ||
+      |    'el ' || chr(64257) || 'n de si' || chr(232) || 'cle') AS nfc_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
     * prefix of `doc_id`, so the oracle selects the identical rows. */
   private val docSampleHash: Q = (s, d) =>
@@ -1482,6 +1523,8 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrub,
     "doc_url_domains" -> docUrlDomains,
     "doc_merge_upsert" -> docMergeUpsert,
+    "emb_label_centroids" -> embLabelCentroids,
+    "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
@@ -1534,6 +1577,8 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_url_domains" -> docUrlDomainsSql,
     "doc_merge_upsert" -> docMergeUpsertSql,
+    "emb_label_centroids" -> embLabelCentroidsSql,
+    "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
