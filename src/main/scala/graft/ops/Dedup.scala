@@ -23,6 +23,23 @@ object Dedup {
   def normalizedText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** [[normalizedText]] preceded by Unicode NFC — byte-distinct but
+    * equal-rendering text (precomposed vs combining accents) collapses
+    * to one dedup key ([[graft.expr.NormalizeUnicode]], codegen'd; the
+    * C4/CCNet normalize-before-hash step). Opt-in so existing hash
+    * oracles keep their exact byte semantics; `TextNormSpec` +
+    * `DedupSpec` pin the collapse. */
+  def normalizedTextNfc(c: Column): Column =
+    normalizedText(graft.expr.TextNormExpr.nfc(c))
+
+  /** [[exact]] with the NFC key — the production default for a corpus
+    * that saw more than one text encoder. */
+  def exactNfc(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    df.withColumn("content_hash", md5(normalizedTextNfc(col(textCol))))
+      .withColumn("is_dup", row_number().over(w) > 1)
+  }
+
   /** Exact dedup: keep the lowest-id row per identical (normalized) text.
     * Shuffles on `md5(text)` — constant-width key regardless of document
     * size. Returns the input columns plus `content_hash` and `is_dup`. */

@@ -29,6 +29,12 @@ object Curate {
       chunkSize: Int = 700,
       chunkOverlap: Int = 200,
       embedder: Embedder = HashingEmbedder(),
+      /** Unicode-NFC the text before everything else
+        * ([[graft.expr.NormalizeUnicode]]) so byte-distinct but
+        * equal-rendering encodings collapse for every downstream
+        * hash/dedup/score; fuses into the sanitize projection — no
+        * extra pass */
+      unicodeNfc: Boolean = false,
       /** strip boilerplate lines + mask PII before anything else —
         * also makes dedup robust to boilerplate-only differences */
       sanitize: Boolean = true,
@@ -140,10 +146,14 @@ object Curate {
     import org.apache.spark.storage.StorageLevel
     val input = docs.count()
 
+    val normalized =
+      if (cfg.unicodeNfc)
+        docs.withColumn("text", graft.expr.TextNormExpr.nfc(col("text")))
+      else docs
     val cleaned =
       if (cfg.sanitize)
-        docs.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
-      else docs
+        normalized.withColumn("text", graft.ops.TextSanitize.sanitize(col("text")))
+      else normalized
 
     // corpus-level passage dedup first: it rewrites text, so every
     // downstream score/filter/dedup sees the de-boilerplated corpus

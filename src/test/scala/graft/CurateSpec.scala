@@ -45,6 +45,19 @@ class CurateSpec extends SparkSpec {
       Seq("id", "doc_id", "chunk_idx", "chunk_text", "embedding"))
   }
 
+  test("unicodeNfc collapses encoding variants before dedup; off by default") {
+    val base = "the café on the corner serves the finest coffee in the whole of the town every day"
+    val variant = base.replace("café", "café") // same rendering, different bytes
+    assert(base != variant)
+    val docs = Seq((1L, base, "en"), (2L, variant, "en")).toDF("doc_id", "text", "lang")
+    def run(nfc: Boolean) = Curate.run(docs,
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        jaccardThreshold = 0.99, chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64), unicodeNfc = nfc))._2
+    assert(run(nfc = false).afterExact == 2, "byte-distinct without NFC")
+    assert(run(nfc = true).afterExact == 1, "NFC collapses the variants")
+  }
+
   test("dsirK selects k survivors, importance-biased toward the target") {
     // 12 clean docs: half "alpha" vocabulary, half "zulu" vocabulary —
     // with a dsirTarget on the alpha docs the draw should be dominated

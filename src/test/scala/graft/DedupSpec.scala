@@ -104,4 +104,16 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 0L, "completely fresh text body only")))
     assert(got(4L) == ((4L, 1L, 1L, "")))
   }
+
+  test("exactNfc collapses byte-distinct equal-rendering text that exact keeps apart") {
+    // decomposed (e + U+0301) vs precomposed (U+00E9) — the distinct() guard below proves the fixtures are byte-distinct
+    val docs = Seq((1L, "café au lait"), (2L, "café au lait"))
+      .toDF("doc_id", "text")
+    assert(docs.select("text").distinct().count() == 2, "fixture must be byte-distinct")
+    val plain = Dedup.exact(docs)
+    assert(plain.filter(col("is_dup")).count() == 0, "raw bytes differ → not dups")
+    val nfc = Dedup.exactNfc(docs)
+    assert(nfc.filter(col("is_dup")).count() == 1)
+    assert(nfc.filter(!col("is_dup")).select("doc_id").as[Long].head() == 1L)
+  }
 }
