@@ -41,6 +41,33 @@ object Sampling {
     else df.filter(substring(hashPriority(col(key)), 1, 4) < lit(f"$n%04x"))
   }
 
+  /** Deterministic train/val/test assignment: every row gets a split
+    * label decided by its key's hash bucket against cumulative
+    * fraction thresholds — scan-local (no shuffle, no RNG state), so
+    * the same key lands in the same split on every re-run, every
+    * engine, and every corpus superset (the property that keeps a
+    * held-out set held out as the corpus grows — a `rand()` split
+    * silently leaks val into train on re-ingest). Fractions must sum
+    * to 1 (±ε); granularity is 1/65536 like [[hashSample]]. */
+  def hashSplit(
+      df: DataFrame,
+      key: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = substring(hashPriority(col(key)), 1, 4)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.init.map(c => f"${math.round(c * 65536).toInt}%04x")
+    // last split is the ELSE arm, so rounding can never drop a row
+    val expr = splits.init.zip(thresholds).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), t), acc) =>
+      when(bucket < lit(t), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Deterministic corpus mixing: subsample sources so the output
     * matches `targets` proportions (e.g. 50% web / 30% code / 20%
     * papers) at the LARGEST feasible size — the scarcest source

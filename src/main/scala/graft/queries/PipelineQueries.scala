@@ -845,6 +845,24 @@ object PipelineQueries {
       |    'el ' || chr(64257) || 'n de si' || chr(232) || 'cle') AS nfc_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test assignment
+    * ([[graft.ops.Sampling.hashSplit]] 80/10/10): the split label is a
+    * pure function of the key's md5 bucket vs cumulative thresholds
+    * (0xcccd, 0xe666), replayed verbatim by the oracle — both engines
+    * must agree on every row's split. */
+  private val docSplitAssign: Q = (s, d) =>
+    graft.ops.Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val docSplitAssignSql =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
     * prefix of `doc_id`, so the oracle selects the identical rows. */
   private val docSampleHash: Q = (s, d) =>
@@ -1524,6 +1542,7 @@ object PipelineQueries {
     "doc_url_domains" -> docUrlDomains,
     "doc_merge_upsert" -> docMergeUpsert,
     "emb_label_centroids" -> embLabelCentroids,
+    "doc_split_assign" -> docSplitAssign,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
@@ -1578,6 +1597,7 @@ object PipelineQueries {
     "doc_url_domains" -> docUrlDomainsSql,
     "doc_merge_upsert" -> docMergeUpsertSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
+    "doc_split_assign" -> docSplitAssignSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,

@@ -119,4 +119,26 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got == twin)
   }
+
+  test("hashSplit: total partition, ~fractions, stable under growth and repartition") {
+    val df = spark.range(2000).toDF("id")
+    val split = Sampling.hashSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000, "every row gets exactly one split")
+    assert(counts("train") > 1500 && counts("train") < 1700, s"$counts")
+    assert(counts("val") > 130 && counts("val") < 270, s"$counts")
+    assert(counts("test") > 130 && counts("test") < 270, s"$counts")
+
+    def assignment(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.hashSplit(d, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val small = assignment(spark.range(500).toDF("id"))
+    val grown = assignment(spark.range(2000).repartition(7).toDF("id"))
+    // corpus growth and physical layout never move a key across splits
+    small.foreach { case (k, s) => assert(grown(k) == s, s"key $k moved splits") }
+
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
 }
