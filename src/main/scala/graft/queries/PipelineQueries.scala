@@ -863,6 +863,41 @@ object PipelineQueries {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Distribution-drift (PSI) between the corpus and a deterministically
+    * shifted candidate snapshot ([[graft.ops.Drift.psi]]): every even
+    * doc's `n_chars` moves +120, a genuine bucket-mass shift the index
+    * must flag. Fixed-width buckets, exact integer counts, add-one
+    * smoothing over the FULL bucket axis; both engines compute PSI from
+    * the identical counts and compare at 1e-6 (ln() may differ in the
+    * last ulp across libm implementations). */
+  private val tableDrift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cand = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 120)
+    graft.ops.Drift.psi(docs, cand, "n_chars", lo = 0.0, hi = 600.0, buckets = 12)
+  }
+
+  private val tableDriftSql =
+    """WITH a AS (
+      |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS INT), 0), 11) AS bucket
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |b AS (
+      |  SELECT least(greatest(CAST(floor(CAST(n_chars + 120 AS DOUBLE) / 50.0) AS INT), 0), 11) AS bucket
+      |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      |ha AS (SELECT bucket, COUNT(*) AS na FROM a GROUP BY bucket),
+      |hb AS (SELECT bucket, COUNT(*) AS nb FROM b GROUP BY bucket),
+      |axis AS (SELECT CAST(i AS INT) AS bucket FROM generate_series(0, 11) t(i)),
+      |m AS (
+      |  SELECT axis.bucket, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      |  FROM axis LEFT JOIN ha USING (bucket) LEFT JOIN hb USING (bucket)),
+      |t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM m),
+      |p AS (
+      |  SELECT (na + 1.0) / (ta + 12) AS pa, (nb + 1.0) / (tb + 12) AS pb, ta, tb
+      |  FROM m, t)
+      |SELECT round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+      |  MIN(ta) AS n_a, MIN(tb) AS n_b
+      |FROM p""".stripMargin
+
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
     * prefix of `doc_id`, so the oracle selects the identical rows. */
   private val docSampleHash: Q = (s, d) =>
@@ -1543,6 +1578,7 @@ object PipelineQueries {
     "doc_merge_upsert" -> docMergeUpsert,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
+    "table_drift" -> tableDrift,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
@@ -1598,6 +1634,7 @@ object PipelineQueries {
     "doc_merge_upsert" -> docMergeUpsertSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
+    "table_drift" -> tableDriftSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,

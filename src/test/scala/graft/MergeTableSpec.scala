@@ -193,6 +193,19 @@ class MergeTableSpec extends SparkSpec {
     assert(feed(3, cv).isEmpty)
   }
 
+  test("changes() across a schema-evolution boundary null-fills pre-evolution rows") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    val upd = Seq((1L, "tagged", 1.0, "gold")).toDF("id", "name", "score", "tag")
+    MergeTable.merge(spark, dir, upd, "id", allowSchemaEvolution = true)
+    val feed = MergeTable.changes(spark, dir, 1, 2, "id")
+      .select("_change", "id", "name", "tag")
+      .as[(String, Long, String, Option[String])].collect().toSet
+    // key 1's pre-image (no tag column) aligns to the evolved schema;
+    // the post-image carries the tag — an update, not insert+delete
+    assert(feed == Set(("update", 1L, "tagged", Some("gold"))))
+  }
+
   test("update batches must be unique on the merge key") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)

@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "q28_bag_set_ops",       // crossJoin of three single-row aggregates
     "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
     "doc_hybrid_rrf_top10",  // same single-row stats broadcast via bm25
-    "doc_trigram_lm")        // single-row smoothing-vocab V broadcast
+    "doc_trigram_lm",        // single-row smoothing-vocab V broadcast
+    "table_drift")           // single-row (ta, tb) totals broadcast
   // doc_dsir_sample is deliberately NOT exempt: its smoothing constant
   // folds into a projection literal, so any cartesian/BNLJ appearing in
   // its plan is a regression this guard must catch
