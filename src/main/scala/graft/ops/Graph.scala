@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list — the web-curation quality
+  * signal (CommonCrawl publishes harmonic/PageRank centrality per host,
+  * and published pipelines use link centrality as a document-quality
+  * prior alongside Gopher-style rules).
+  *
+  * Arithmetic is EXACT fixed-point: ranks are BIGINTs in units of
+  * 2⁻³⁰, every step is integer add / multiply / floor-divide, so the
+  * result is a deterministic function of the edge set — independent of
+  * partitioning, join order, or engine (a DuckDB oracle replays the
+  * same integer recurrence). The recurrence per iteration, with
+  * damping d = 85/100 and N = |nodes|:
+  *
+  *   contrib(v)   = r(v) DIV outdeg(v)            per out-edge
+  *   dangling     = (Σ r over outdeg-0 nodes) DIV N   shared equally
+  *   r'(u)        = (15·S) DIV (100·N)  +  (85 · (inflow(u) + dangling)) DIV 100
+  *
+  * where S = 2³⁰ and inflow(u) = Σ contrib over u's in-edges (an exact
+  * BIGINT sum — associative, so map-side partials are safe). Floor
+  * division loses < 1 ulp of 2⁻³⁰ mass per term; total rank is
+  * conserved to within N·2⁻³⁰, and the fixed-point iterates track the
+  * real-valued PageRank to the same tolerance.
+  *
+  * 100 TB shape: each iteration is ONE shuffle — contributions are
+  * computed on the (rank ⋈ edges-by-src) side and hash-aggregated by
+  * `dst` with map-side combine; the edge list and out-degree table are
+  * computed once, persisted, and reused every round. Lineage is
+  * truncated per round with `localCheckpoint` so the analyzed plan
+  * stays constant-size across iterations (the same discipline as the
+  * BPE / PQ-Lloyd trainers — see memory: iterative loops OOM the
+  * driver otherwise). The dangling-mass term is a 1-row aggregate
+  * broadcast back into the plan, not a driver collect.
+  */
+object Graph {
+
+  val Scale: Long = 1L << 30
+
+  /** Fixed-iteration PageRank. `edges` must have BIGINT columns
+    * (`srcCol`, `dstCol`); self-loops and duplicate edges are removed.
+    * Returns (node BIGINT, rank_fp BIGINT) — rank in units of 2⁻³⁰ —
+    * one row per distinct node, including sinks that only appear as
+    * `dst`.
+    */
+  def pageRank(
+      edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")).persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (15L * Scale) / (100L * n)
+
+    // `div` (not `/`) everywhere: Spark's `/` on BIGINTs routes through
+    // DOUBLE division, which can misround a quotient that sits within
+    // half an ulp of an integer; `div` is exact integral division, the
+    // operation the oracle replays with DuckDB's `//`.
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(deg, Seq("node"), "left")
+      // dangling mass, shared equally: a 1-row aggregate broadcast into
+      // the update — never collected to the driver
+      val dang = withDeg.filter(col("d").isNull)
+        .agg(coalesce(sum("r"), lit(0L)).as("ds"))
+        .select(expr(s"ds div ${n}L").as("dm"))
+      val inflow = withDeg.filter(col("d").isNotNull)
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr("(85L * (coalesce(inflow, 0L) + dm)) div 100L")).as("r"))
+        .localCheckpoint(true)
+    }
+    // final ranks are localCheckpoint'ed (eager), so the cached inputs
+    // can be released before returning
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+}

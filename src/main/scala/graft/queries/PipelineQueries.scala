@@ -1552,6 +1552,54 @@ object PipelineQueries {
        |SELECT doc_id, CAST(SUM(c_fp) AS DOUBLE) / 1e9 AS rrf_score
        |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Fixed-point PageRank ([[graft.ops.Graph.pageRank]], 6 iterations)
+    * over a deterministic 64-node link graph planted as a pure function
+    * of `doc_id` (three generators: two mixing maps plus a hub edge to
+    * node 0). All arithmetic is BIGINT fixed-point at 2⁻³⁰ with exact
+    * integral division, so the oracle — the same recurrence unrolled as
+    * six chained CTEs in DuckDB — must agree on every node's rank bit
+    * for bit. At sf0.001 (< 64 docs) part of the node space is
+    * dst-only, exercising the dangling-mass redistribution path. */
+  private val graphPagerank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def gen(dst: Column) = docs.select((col("doc_id") % 64).as("src"), dst.as("dst"))
+    val edges = gen((col("doc_id") * 31 + 7) % 64)
+      .union(gen((col("doc_id") * 13 + 5) % 64))
+      .union(gen(lit(0L)))
+    graft.ops.Graph.pageRank(edges, iterations = 6).orderBy("node")
+  }
+
+  private val graphPagerankSql: String = {
+    val S = graft.ops.Graph.Scale
+    val iters = (1 to 6).map { i =>
+      val pr = s"r${i - 1}"
+      s"""d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) // (SELECT n FROM p) AS dm
+         |        FROM $pr LEFT JOIN deg USING (node) WHERE d IS NULL),
+         |c$i AS (SELECT e.dst AS node, CAST(SUM(pr.r // deg.d) AS BIGINT) AS inflow
+         |        FROM $pr pr JOIN deg ON deg.node = pr.node JOIN e ON e.src = pr.node
+         |        GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |        (15 * CAST($S AS BIGINT)) // (100 * (SELECT n FROM p))
+         |          + (85 * (COALESCE(c$i.inflow, 0) + (SELECT dm FROM d$i))) // 100 AS r
+         |        FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id % 64 AS src, (doc_id * 31 + 7) % 64 AS dst FROM documents
+       |    UNION ALL
+       |    SELECT doc_id % 64, (doc_id * 13 + 5) % 64 FROM documents
+       |    UNION ALL
+       |    SELECT doc_id % 64, 0 FROM documents
+       |  ) WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+       |p AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $S // (SELECT n FROM p) AS r FROM nodes),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r6 ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "knn_top5" -> knnTop5,
     "knn_norm_top5" -> knnNormTop5,
@@ -1579,6 +1627,7 @@ object PipelineQueries {
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
+    "graph_pagerank" -> graphPagerank,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
@@ -1635,6 +1684,7 @@ object PipelineQueries {
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
+    "graph_pagerank" -> graphPagerankSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
