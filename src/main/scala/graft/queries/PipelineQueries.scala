@@ -649,6 +649,43 @@ object PipelineQueries {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowed duplicate-passage signal ([[graft.ops.Winnow]], k=16 w=8):
+    * per document, the selected-fingerprint count and how many of those
+    * fingerprints recur in ≥ 2 documents — the passage-level dedup
+    * filter whole-document hashing can't provide. The oracle replays
+    * the identical integer algorithm in DuckDB: the unrolled base-31
+    * mod-2³¹ k-gram fold per position (generated below, same constants)
+    * and winnowing as a windowed `min` over the 8 trailing hashes with
+    * partial windows excluded. The word-soup corpus shares passages
+    * naturally (small vocabulary), so `n_shared` is non-trivially
+    * populated without planting. */
+  private val docDupPassages: Q = (s, d) =>
+    graft.ops.Winnow.dupPassageStats(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val docDupPassagesSql: String = {
+    // identical fold to Winnow.kgramHashes, unrolled for DuckDB
+    val hash = (0 until 16).foldLeft("0") { (h, j) =>
+      s"(($h) * 31 + ord(substr(t, i + $j, 1))) % 2147483648"
+    }
+    s"""WITH d AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, unnest(generate_series(1, length(t) - 15)) AS i, t
+       |  FROM d WHERE length(t) >= 16),
+       |hv AS (SELECT doc_id, i, $hash AS hv FROM h),
+       |win AS (SELECT doc_id, i, min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp FROM hv),
+       |sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE i >= 8),
+       |cnt AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY fp),
+       |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |    CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM sel s JOIN cnt c USING (fp) GROUP BY s.doc_id)
+       |SELECT ids.doc_id, COALESCE(per.n_fp, 0) AS n_fp,
+       |  COALESCE(per.n_shared, 0) AS n_shared
+       |FROM (SELECT DISTINCT doc_id FROM documents) ids
+       |LEFT JOIN per USING (doc_id) ORDER BY ids.doc_id""".stripMargin
+  }
+
   /** PII-mask curation pass ([[TextSanitize.maskPii]]). The corpus text
     * is synthetic word soup with no natural PII, so the query plants a
     * deterministic email/URL/IPv4/phone span per document (a pure
@@ -1628,6 +1665,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
     "graph_pagerank" -> graphPagerank,
+    "doc_dup_passages" -> docDupPassages,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
@@ -1685,6 +1723,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
     "graph_pagerank" -> graphPagerankSql,
+    "doc_dup_passages" -> docDupPassagesSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
