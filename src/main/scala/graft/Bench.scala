@@ -42,20 +42,26 @@ object Bench {
     // for a third pass on stall-hit queries.
     val rerunBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
     def withinBudget: Boolean = (System.nanoTime() - benchStart) / 1e9 < rerunBudgetSec
+    // Per-query watchdog over the whole best-of-N loop (round-6 lesson:
+    // one non-terminating query held Bench past the driver's 1-hour
+    // kill and the artifact was rc=124/unparsed). 300 s bounds a
+    // pathological query while leaving ~30× headroom over the slowest
+    // healthy query's full best-of-N at sf0.1.
+    val perQuerySec = Watchdog.timeoutSec(default = 300L)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        // best-of-N policy lives in SteadyState.bestOf (shared with
-        // ScaleProbe, unit-tested in SteadyStateSpec): min over runs is
-        // steady-state cost, a >2× disagreement triggers a tie-break run,
-        // and per-query (min,max,runs) makes any stall visible in the
-        // artifact itself rather than masquerading as a regression.
-        val (mn, mx, n) =
-          SteadyState.bestOf(() => SteadyState.timeOnce(fn(spark, sfDir)), () => withinBudget)
-        timings(name) = mn
-        ranges(name) = (mn, mx, n)
-      } catch {
-        case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      // best-of-N policy lives in SteadyState.bestOf (shared with
+      // ScaleProbe, unit-tested in SteadyStateSpec): min over runs is
+      // steady-state cost, a >2× disagreement triggers a tie-break run,
+      // and per-query (min,max,runs) makes any stall visible in the
+      // artifact itself rather than masquerading as a regression.
+      Watchdog.bounded(spark, s"bench-$name", perQuerySec) {
+        SteadyState.bestOf(() => SteadyState.timeOnce(fn(spark, sfDir)), () => withinBudget)
+      } match {
+        case Right((mn, mx, n)) =>
+          timings(name) = mn
+          ranges(name) = (mn, mx, n)
+        case Left(err) =>
+          errors(name) = err
       }
     }
 

@@ -21,18 +21,34 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     try Warmup.run(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
+    // Per-query watchdog (round-6 lesson: ONE non-terminating query
+    // zeroed the whole round's correctness artifact). A timed-out query
+    // gets its job group cancelled and a red line; everyone else's row
+    // survives. 120 s default dwarfs the slowest healthy query (~10 s
+    // at sf0.01 incl. write) but bounds any pathology.
+    val perQuerySec = Watchdog.timeoutSec(default = 120L)
+    var nOk, nFail = 0
+    val t0All = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      Watchdog.bounded(spark, s"verify-$name", perQuerySec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } match {
+        case Right(_) =>
+          nOk += 1
+          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        case Left(err) =>
+          nFail += 1
+          System.err.println(s"[verify] $name failed: $err")
       }
     }
+    // wall-time total: the correctness artifact doubles as a coarse
+    // bench cross-check if the round's BENCH artifact is ever lost
+    System.err.println(
+      f"[verify] total ${(System.nanoTime() - t0All) / 1e9}%.1fs, $nOk ok, $nFail failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

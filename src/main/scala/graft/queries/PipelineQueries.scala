@@ -662,8 +662,18 @@ object PipelineQueries {
   private val docDupPassages: Q = (s, d) =>
     graft.ops.Winnow.dupPassageStats(Tables.documents(s, d)).orderBy("doc_id")
 
+  /** Scan-local twin of `doc_dup_passages` ([[graft.ops.Winnow
+    * .fingerprintsScan]]): identical fingerprint set via a typed O(L)
+    * rolling hash that shuffles only the ~2/(w+1)-density selected
+    * fingerprints instead of one row per character — the 100 TB shape.
+    * Shares the window variant's DuckDB oracle verbatim (same result
+    * by construction; equality also pinned in `WinnowSpec`). */
+  private val docDupPassagesScan: Q = (s, d) =>
+    graft.ops.Winnow.dupPassageStats(Tables.documents(s, d), scanLocal = true)
+      .orderBy("doc_id")
+
   private val docDupPassagesSql: String = {
-    // identical fold to Winnow.kgramHashes, unrolled for DuckDB
+    // identical fold to Winnow.fingerprints' gram aggregate, unrolled for DuckDB
     val hash = (0 until 16).foldLeft("0") { (h, j) =>
       s"(($h) * 31 + ord(substr(t, i + $j, 1))) % 2147483648"
     }
@@ -1666,6 +1676,7 @@ object PipelineQueries {
     "table_drift" -> tableDrift,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
+    "doc_dup_passages_scan" -> docDupPassagesScan,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_stratified" -> docSampleStratified,
@@ -1724,6 +1735,7 @@ object PipelineQueries {
     "table_drift" -> tableDriftSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,
+    "doc_dup_passages_scan" -> docDupPassagesSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,

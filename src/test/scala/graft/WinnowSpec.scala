@@ -68,6 +68,41 @@ class WinnowSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("scan-local rolling-hash twin emits the identical fingerprint set") {
+    val win = Winnow.fingerprints(df, k = K, w = W).as[(Long, Long)].collect().toSet
+    val scan = Winnow.fingerprintsScan(df, k = K, w = W).as[(Long, Long)].collect().toSet
+    assert(scan == win)
+    val statsWin = Winnow.dupPassageStats(df, k = K, w = W)
+      .as[(Long, Long, Long)].collect().toSet
+    val statsScan = Winnow.dupPassageStats(df, k = K, w = W, scanLocal = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(statsScan == statsWin)
+  }
+
+  test("long documents terminate fast and twins agree at default k=16 w=8") {
+    // The round-6 implementation was O(L³·k) at runtime and hung on 50
+    // documents of ~300 chars; 200 docs × ~2000 chars would take hours
+    // under that pathology and finishes in seconds under either current
+    // shape. Deterministic word soup with planted shared passages.
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    val boiler = "this shared boilerplate passage recurs across many documents verbatim"
+    val rng = new scala.util.Random(42)
+    val longDocs = (1L to 200L).map { id =>
+      val body = Seq.fill(300)(words(rng.nextInt(words.length))).mkString(" ")
+      val text = if (id % 3 == 0) s"$boiler $body" else body
+      id -> text
+    }
+    val ldf = longDocs.toDF("doc_id", "text")
+    val win = Winnow.dupPassageStats(ldf).as[(Long, Long, Long)].collect().toSet
+    val scan = Winnow.dupPassageStats(ldf, scanLocal = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scan == win)
+    // every boilerplate-carrying doc must show shared fingerprints
+    val shared = win.map(r => r._1 -> r._3).toMap
+    (1L to 200L).filter(_ % 3 == 0).foreach(id => assert(shared(id) > 0, s"doc $id"))
+  }
+
   test("winnowing selects at most one fingerprint per window position") {
     // density sanity: selected ≤ n-w+1 windows, and ≥ 1 for any doc long enough
     val fps = Winnow.fingerprints(df, k = K, w = W)
