@@ -48,6 +48,70 @@ class PlanGuardSpec extends SparkSpec {
     assert(read.count(_ == ',') <= 5, s"over-wide scan: $read")
   }
 
+  test("no regex/trim evaluates inside a higher-order-function lambda in any query") {
+    // Round-6 postmortem: winnowing hashed k-grams with ascii/substr in a
+    // transform lambda over a regex-normalized alias; CollapseProject
+    // inlined the regexp_replace UNDER the lambda, re-executing it per
+    // element access — ~O(L³·k), the query never terminated, and one
+    // hang zeroed the whole round's artifacts. This guard walks the
+    // OPTIMIZED plan (where inlining decisions have landed) of every
+    // registered query and flags any regex/trim inside a lambda body —
+    // arguments are fine (evaluated once per row); lambda bodies
+    // re-evaluate per element.
+    import org.apache.spark.sql.catalyst.expressions._
+    def offendersIn(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      plan.foreach { node =>
+        node.expressions.foreach { root =>
+          root.foreach {
+            case h: HigherOrderFunction =>
+              h.functions.foreach { f =>
+                f.foreach {
+                  case e @ (_: RegExpReplace | _: RegExpExtract | _: StringTrim |
+                            _: StringSplit | _: Like | _: RLike)
+                      // regex OVER the lambda variable is legitimate
+                      // per-element work (e.g. filter(arr, x -> x rlike p));
+                      // the hazard is a LOOP-INVARIANT expensive subtree —
+                      // no lambda variable anywhere below it — re-derived
+                      // on every element instead of hoisted to the row
+                      if !e.exists(_.isInstanceOf[NamedLambdaVariable]) =>
+                    out += s"${e.prettyName} under ${h.prettyName} lambda"
+                  case _ =>
+                }
+              }
+            case _ =>
+          }
+        }
+      }
+      out.toSeq
+    }
+    // negative control: the round-6 pathological shape MUST be flagged,
+    // proving the guard has teeth (and fails if the Winnow fix reverts).
+    // The inlining is NOT CollapseProject (it declines — the alias is
+    // referenced twice): it is InferFiltersFromGenerate inferring
+    // `size(fps) > 0` from the explode, then PushDownPredicates
+    // substituting the aliases while pushing that filter below the
+    // projections — the pushed Filter carries the regex inside the
+    // transform lambda, re-executed per element. The explode is
+    // therefore essential to the control.
+    import org.apache.spark.sql.functions._
+    val src = Tables.documents(spark, sf0001)
+    val t = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val pathological = src
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), transform(sequence(lit(1), length(col("t")) - 15),
+        i => ascii(col("t").substr(i, lit(1))).cast("long")).as("h"))
+      .select(col("doc_id"), explode(col("h")).as("hv"))
+    assert(offendersIn(pathological.queryExecution.optimizedPlan).nonEmpty,
+      "guard lost its teeth: the known-bad shape was not flagged")
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      offendersIn(fn(spark, sf0001).queryExecution.optimizedPlan)
+        .map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty, s"interpreted re-evaluation hazard:\n${offenders.mkString("\n")}")
+  }
+
   test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
     Seq("q09_topk", "knn_top5", "knn_norm_top5").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001)
