@@ -35,8 +35,15 @@ object Profile {
     require(cols.nonEmpty, "cannot profile a zero-column frame")
     def nd(c: Column): Column =
       if (exact) count_distinct(c) else approx_count_distinct(c)
+    // Sum over decimal(38,6) INPUTS stays decimal(38,6) — zero headroom,
+    // so a petabyte-scale profile's mean could overflow (null non-ANSI,
+    // throw ANSI). decimal(28,6) inputs widen to a decimal(38,6) sum:
+    // 10 decimal digits of headroom, i.e. exact for ≥ 10^10 rows even at
+    // max-magnitude BIGINT values (9.2e18 < 10^22 fits decimal(28,6)).
+    // Doubles beyond 1e22 would overflow the input cast — out of scope
+    // for a corpus profile and loud under ANSI rather than silent.
     def meanOf(c: Column): Column =
-      round(sum(c.cast("decimal(38,6)")).cast("double") / count(c), 6)
+      round(sum(c.cast("decimal(28,6)")).cast("double") / count(c), 6)
     // (col, metric, agg) triples; aliases below are synthetic (m0, m1,
     // …) so column names containing quotes/backticks/separators can't
     // corrupt the unpivot mapping

@@ -59,11 +59,17 @@ object Sampling {
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val bucket = substring(hashPriority(col(key)), 1, 4)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    val thresholds = cum.init.map(c => f"${math.round(c * 65536).toInt}%04x")
-    // last split is the ELSE arm, so rounding can never drop a row
-    val expr = splits.init.zip(thresholds).foldRight(
-      lit(splits.last._1): Column) { case (((name, _), t), acc) =>
-      when(bucket < lit(t), lit(name)).otherwise(acc)
+    val rounded = cum.init.map(c => math.round(c * 65536).toInt)
+    // last split is the ELSE arm, so rounding can never drop a row.
+    // A cumulative fraction that rounds to 65536 would format as the
+    // 5-char "10000" and lexicographically compare FALSE against most
+    // 4-char buckets, silently collapsing that split — mirror
+    // mixture()'s KEEP sentinel and make such an arm always-true
+    // (later arms are then unreachable: their fractions round to 0).
+    val expr = splits.init.zip(rounded).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), n), acc) =>
+      if (n >= 65536) lit(name)
+      else when(bucket < lit(f"$n%04x"), lit(name)).otherwise(acc)
     }
     df.withColumn(splitCol, expr)
   }

@@ -99,8 +99,16 @@ object MergeTable {
         ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // Lost-commit detection is best-effort: RawLocalFileSystem and
+    // several object-store FS impls OVERWRITE on rename, so a racing
+    // writer is only caught by this pre-rename existence check (itself
+    // racy). The single-writer assumption documented on the class is
+    // the real protection; this just makes a violated assumption loud
+    // in the common case instead of silently losing a commit.
+    require(!f.exists(manifestPath(dir, v)),
+      s"commit of _v$v failed at $dir: manifest already exists (concurrent writer?)")
     require(f.rename(tmp, manifestPath(dir, v)),
-      s"commit of _v$v failed at $dir (already exists?)")
+      s"commit of _v$v failed at $dir: rename refused")
   }
 
   /** List the data files a fresh `v<N>` directory produced, per bucket. */

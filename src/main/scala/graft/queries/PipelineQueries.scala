@@ -818,8 +818,15 @@ object PipelineQueries {
     * The temp dir is keyed by sf and wiped at query start, bounding
     * leftover disk to one copy. */
   private val docMergeUpsert: Q = (s, d) => {
+    // key the scratch dir on an md5 of the FULL sf path: a 32-bit
+    // hashCode can collide across distinct data dirs (and
+    // math.abs(Int.MinValue) is negative), which would let two
+    // concurrent Verify/Bench runs on different scale factors wipe
+    // each other's in-flight MergeTable mid-query
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-merge-q-" + math.abs(d.hashCode))
+      sys.props("java.io.tmpdir"), "graft-merge-q-" + dirKey)
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
       f.delete(); ()

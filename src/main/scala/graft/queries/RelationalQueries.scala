@@ -691,14 +691,26 @@ object RelationalQueries {
   // is what the plain GROUP BY oracle pins. At bench scale (1500 users)
   // the same query exercises the bounded-error regime; the ε = N/(k+1)
   // bracketing there is property-tested in HeavyHittersSpec.
-  private val q33: Q = (s, d) =>
-    Tables.events(s, d)
+  private val q33: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    // The plain GROUP BY oracle is only valid in the EXACT regime
+    // (k > distinct users in every group). Derive k from the observed
+    // max (one tiny 1-row agg) so raising the correctness-gate scale
+    // factor can never make the oracle comparison fail spuriously —
+    // the bounded-error regime stays property-tested in
+    // HeavyHittersSpec, where no cross-engine oracle is claimed.
+    val maxDistinct = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .agg(max("nd")).head.getLong(0)
+    val k = math.max(256L, maxDistinct + 1).toInt
+    ev
       .groupBy("event_type")
-      .agg(graft.expr.HeavyHittersExpr.heavyHitters(col("user_id"), 256).as("hh"))
+      .agg(graft.expr.HeavyHittersExpr.heavyHitters(col("user_id"), k).as("hh"))
       .select(col("event_type"), explode(col("hh")).as("e"))
       .select(col("event_type"), col("e.item").as("item"),
         col("e.count_lo").as("count_lo"), col("e.count_hi").as("count_hi"))
       .orderBy("event_type", "item")
+  }
 
   private val q33Sql =
     """SELECT event_type, CAST(user_id AS VARCHAR) AS item,

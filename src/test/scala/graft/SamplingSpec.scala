@@ -141,4 +141,16 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
+
+  test("hashSplit: a cumulative fraction rounding to 65536 cannot collapse a split") {
+    // train's cumulative fraction rounds to 65536, which used to format
+    // as the 5-char "10000" and lexicographically fail against most
+    // 4-char buckets — silently reassigning nearly everything to the
+    // tiny tail split. The always-true arm must absorb it instead.
+    val df = spark.range(2000).toDF("id")
+    val counts = Sampling
+      .hashSplit(df, "id", Seq("train" -> (1.0 - 1e-9), "val" -> 1e-9))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("train", 0L) == 2000, s"collapsed: $counts")
+  }
 }

@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Pre-registration gate (round-6 lesson: the round's riskiest query
+# shipped in a snapshot commit with no harness run and zeroed every
+# artifact). Run this before ANY end-of-round snapshot or after
+# registering a new query:
+#
+#   bash tools/preflight.sh
+#
+# Runs the full driver contract locally — Verify at sf0.01, the DuckDB
+# compare, and Bench at sf0.1 — and FAILS on any verify failure, any
+# compare failure, or any bench error/timeout. Prints a one-line summary
+# to cite in the snapshot commit message.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
+SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+OUT=${OUT:-/tmp/preflight_vout}
+CPUS=${SPARK_GRAFT_CPUS:-4}
+
+echo "[preflight] Verify @ $SF_VERIFY (CPUS=$CPUS)"
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF_VERIFY $OUT" \
+  2>&1 | grep '\[verify\]' | tee /tmp/preflight_verify.log
+if grep -q 'failed' /tmp/preflight_verify.log; then
+  echo "[preflight] FAIL: verify failures above"; exit 1
+fi
+
+echo "[preflight] DuckDB compare"
+python3 tools/compare.py "$SF_VERIFY" "$OUT" | tee /tmp/preflight_compare.log
+if grep -qE '✗|FAIL' /tmp/preflight_compare.log; then
+  echo "[preflight] FAIL: oracle mismatches above"; exit 1
+fi
+
+echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
+SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | head -1 \
+  > /tmp/preflight_bench.json
+cat /tmp/preflight_bench.json
+N_ERR=$(python3 -c "import json;print(json.load(open('/tmp/preflight_bench.json'))['n_err'])")
+if [ "$N_ERR" != "0" ]; then
+  echo "[preflight] FAIL: $N_ERR bench errors"; exit 1
+fi
+
+VTOTAL=$(grep -o 'total [0-9.]*s, [0-9]* ok, [0-9]* failed' /tmp/preflight_verify.log | tail -1)
+CTOTAL=$(tail -1 /tmp/preflight_compare.log)
+BTOTAL=$(python3 -c "import json;d=json.load(open('/tmp/preflight_bench.json'));print(f\"bench {d['value']:.1f}s, {d['n_ok']} ok, {d['n_err']} err\")")
+echo "[preflight] PASS: verify $VTOTAL | compare: $CTOTAL | $BTOTAL"
