@@ -35,7 +35,8 @@ object Bpe {
       df: DataFrame,
       textCol: String = "text",
       numMerges: Int = 64,
-      minFreq: Long = 2L): Seq[(String, String)] = {
+      minFreq: Long = 2L,
+      checkpointDir: Option[String] = None): Seq[(String, String)] = {
     import org.apache.spark.storage.StorageLevel
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
     // the word histogram: symbols start as characters + sentinel
@@ -67,15 +68,15 @@ object Bpe {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
         merges += ((a, b))
         val merged = mergePair(col("syms"), a, b)
-        // localCheckpoint, not persist: each round nests another
+        // checkpoint, not persist: each round nests another
         // aggregate-HOF into the plan and Catalyst's expression
         // duplication makes the ANALYZED tree grow multiplicatively —
         // by ~16 rounds the driver OOMs on plan size alone. Truncating
-        // the lineage keeps every round's plan one merge deep. (On a
-        // cluster with reliable checkpointing needs, swap for
-        // `checkpoint` against a checkpoint dir.)
-        val next = words.select(merged.as("syms"), col("cnt"))
-          .localCheckpoint(true)
+        // the lineage keeps every round's plan one merge deep.
+        // checkpointDir selects executor-local vs durable blocks
+        // ([[Checkpointing.truncate]]); merges are identical either way.
+        val next = Checkpointing.truncate(
+          words.select(merged.as("syms"), col("cnt")), checkpointDir)
         words.unpersist(blocking = false)
         words = next
         it += 1

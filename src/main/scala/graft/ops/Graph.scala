@@ -44,10 +44,16 @@ object Graph {
     * Returns (node BIGINT, rank_fp BIGINT) — rank in units of 2⁻³⁰ —
     * one row per distinct node, including sinks that only appear as
     * `dst`.
+    *
+    * `checkpointDir`: see [[Checkpointing.truncate]] — pass a durable
+    * dir on a real cluster so an executor loss doesn't restart the
+    * whole iteration chain; default keeps executor-local blocks
+    * (fastest, single-node semantics). Ranks are identical either way.
     */
   def pageRank(
       edges: DataFrame, iterations: Int,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
 
@@ -70,8 +76,8 @@ object Graph {
     // DOUBLE division, which can misround a quotient that sits within
     // half an ulp of an integer; `div` is exact integral division, the
     // operation the oracle replays with DuckDB's `//`.
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
-      .localCheckpoint(true)
+    var ranks = Checkpointing.truncate(
+      nodes.select(col("node"), lit(Scale / n).as("r")), checkpointDir)
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, Seq("node"), "left")
       // dangling mass, shared equally: a 1-row aggregate broadcast into
@@ -83,11 +89,12 @@ object Graph {
         .join(e, col("node") === col("src"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(base) + expr("(85L * (coalesce(inflow, 0L) + dm)) div 100L")).as("r"))
-        .localCheckpoint(true)
+      ranks = Checkpointing.truncate(
+        nodes.join(inflow, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit(base) + expr("(85L * (coalesce(inflow, 0L) + dm)) div 100L")).as("r")),
+        checkpointDir)
     }
     // final ranks are localCheckpoint'ed (eager), so the cached inputs
     // can be released before returning
