@@ -267,6 +267,46 @@ object MergeTable {
   def changes(
       spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
       keyCol: String): DataFrame = {
+    val (j, template) = changedJoin(spark, dir, fromVersion, toVersion, keyCol)
+    val op = when(col("_old").isNull, "insert")
+      .when(col("_new").isNull, "delete")
+      .when(!(col("_old") === col("_new")), "update")
+    j.select(op.as("_change"), coalesce(col("_new"), col("_old")).as("_row"))
+      .filter(col("_change").isNotNull)
+      .select(col("_change") +: template.columns.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
+  /** Signed row-delta feed — the incremental-view-maintenance form of
+    * [[changes]]: the same changed-buckets-only comparison, but an
+    * `update` emits TWO rows — the pre-image with `_sign` = −1 and the
+    * post-image with `_sign` = +1 (inserts +1 post, deletes −1 pre,
+    * unchanged rows excluded). Any distributive aggregate over the
+    * table (count, sum, and means/ratios derived from them) can then
+    * be maintained by adding `_sign`-weighted contributions — see
+    * [[IncrementalStats]] — at a cost proportional to CHANGED buckets,
+    * never table size. */
+  def rowDeltas(
+      spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
+      keyCol: String): DataFrame = {
+    val (j, template) = changedJoin(spark, dir, fromVersion, toVersion, keyCol)
+    val differs = col("_old").isNotNull && col("_new").isNotNull &&
+      !(col("_old") === col("_new"))
+    val pre = j.filter(col("_new").isNull || differs)
+      .select(lit(-1).as("_sign") +:
+        template.columns.map(c => col(s"_old.$c").as(c)): _*)
+    val post = j.filter(col("_old").isNull || differs)
+      .select(lit(1).as("_sign") +:
+        template.columns.map(c => col(s"_new.$c").as(c)): _*)
+    pre.unionAll(post)
+  }
+
+  /** The changed-buckets full-outer key join both change feeds project
+    * from: `_k` plus `_old` / `_new` row structs (null on the side the
+    * key is absent from). Only buckets whose manifest entries differ
+    * between the versions are read. */
+  private def changedJoin(
+      spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
+      keyCol: String): (DataFrame, DataFrame) = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion")
     val mOld = readManifest(spark, dir, fromVersion)
     val mNew = readManifest(spark, dir, toVersion)
@@ -277,32 +317,23 @@ object MergeTable {
       changed.flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
     val (oldFiles, newFiles) = (filesOf(mOld), filesOf(mNew))
     val template = read(spark, dir, toVersion).limit(0)
-    val empty = template.select(lit("").as("_change") +: template.columns.map(col): _*).limit(0)
-    if (oldFiles.isEmpty && newFiles.isEmpty) empty
-    else {
-      def side(files: Seq[String], as: String) =
-        if (files.isEmpty) {
-          template.select(col(keyCol).as("_k"), struct("*").as(as)).limit(0)
-        } else {
-          // normalize to the target version's column order (and null-fill
-          // columns a pre-evolution version lacks) so the two struct
-          // sides are type-identical for the full-outer coalesce
-          val df = readFiles(spark, files)
-          val aligned = df.select(template.columns.toSeq.map { c =>
-            if (df.columns.contains(c)) col(c)
-            else lit(null).cast(template.schema(c).dataType).as(c)
-          }: _*)
-          aligned.select(col(keyCol).as("_k"), struct("*").as(as))
-        }
-      val j = side(oldFiles, "_old")
-        .join(side(newFiles, "_new"), Seq("_k"), "full_outer")
-      val op = when(col("_old").isNull, "insert")
-        .when(col("_new").isNull, "delete")
-        .when(!(col("_old") === col("_new")), "update")
-      j.select(op.as("_change"), coalesce(col("_new"), col("_old")).as("_row"))
-        .filter(col("_change").isNotNull)
-        .select(col("_change") +: template.columns.map(c => col(s"_row.$c").as(c)): _*)
-    }
+    def side(files: Seq[String], as: String) =
+      if (files.isEmpty) {
+        template.select(col(keyCol).as("_k"), struct("*").as(as)).limit(0)
+      } else {
+        // normalize to the target version's column order (and null-fill
+        // columns a pre-evolution version lacks) so the two struct
+        // sides are type-identical for the full-outer coalesce
+        val df = readFiles(spark, files)
+        val aligned = df.select(template.columns.toSeq.map { c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(template.schema(c).dataType).as(c)
+        }: _*)
+        aligned.select(col(keyCol).as("_k"), struct("*").as(as))
+      }
+    val j = side(oldFiles, "_old")
+      .join(side(newFiles, "_new"), Seq("_k"), "full_outer")
+    (j, template)
   }
 
   /** Rewrite every bucket into a bounded file count (small-files

@@ -858,6 +858,59 @@ object PipelineQueries {
       |FROM documents WHERE doc_id % 10 <> 7
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental view maintenance over the CoW table
+    * ([[graft.pipeline.IncrementalStats]]): per-source (count, sum of
+    * n_chars) stats computed ONCE at v1, then MAINTAINED to v2 through
+    * the signed changed-buckets delta feed — never rescanning the
+    * table — across updates (+5 n_chars on doc_id%10==3), deletes
+    * (%10==7) and inserts (an `injected` source from %10==1 clones).
+    * The oracle recomputes the post-merge stats from scratch in DuckDB,
+    * so the comparison proves incremental == full recompute
+    * cross-engine, on top of `IncrementalStatsSpec`'s in-engine pin. */
+  private val docIncrementalStats: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#ivm").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-ivm-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+    val stats1 = graft.pipeline.IncrementalStats.compute(
+      graft.pipeline.MergeTable.read(s, dir, 1), "source", "n_chars")
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 5L).as("n_chars"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("injected doc").as("text"), lit("xx").as("lang"),
+        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
+        lit(false).as("_del"))
+    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
+      "doc_id", deleteCol = Some("_del"), validate = false)
+    graft.pipeline.IncrementalStats
+      .refresh(s, dir, stats1, "source", "n_chars", "doc_id", 1, 2)
+      .orderBy("source")
+  }
+
+  private val docIncrementalStatsSql =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT source, COUNT(*) AS n, SUM(n_chars) AS total
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-label element-wise centroid of the embeddings table
     * ([[graft.index.VectorIndex.centroids]] — class centroids / mean
     * pooling). The query explodes the assembled centroid arrays back to
@@ -1678,6 +1731,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrub,
     "doc_url_domains" -> docUrlDomains,
     "doc_merge_upsert" -> docMergeUpsert,
+    "doc_incremental_stats" -> docIncrementalStats,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -1737,6 +1791,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_url_domains" -> docUrlDomainsSql,
     "doc_merge_upsert" -> docMergeUpsertSql,
+    "doc_incremental_stats" -> docIncrementalStatsSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
