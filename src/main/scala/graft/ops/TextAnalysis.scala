@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star
@@ -155,6 +155,35 @@ object TextAnalysis {
   }
 
   def fingerprint(c: Column): Column = md5(Dedup.normalizedText(c))
+
+  /** Per-document character-entropy quality signal: Shannon entropy of
+    * the character distribution in nats, `H = ln(L) − (Σ c·ln c)/L`
+    * over per-character counts `c`, total length `L`. Low entropy marks
+    * repetitive spam (keyword stuffing, progress-bar logs, base64
+    * blobs sit HIGH — combine with [[qualityScore]]); it is the cheap
+    * stand-in for the compression-ratio filter in published web
+    * pipelines (RefinedWeb flags both directions).
+    *
+    * Shape: explode characters → (doc, char) hash agg → (doc) hash
+    * agg. Both aggregations combine map-side, so the shuffle carries at
+    * most docs × charset rows — corpus bytes never cross the wire.
+    * Documents with empty text produce no row (no distribution to
+    * measure). `char_entropy` rounds to 4 dp — the only FP reduction,
+    * absorbing last-ulp ln() divergence across engines; the counts
+    * the entropy derives from are exact BIGINTs. */
+  def charEntropy(
+      df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      // split with Spark's limit=-1 keeps a trailing "" element — drop
+      // it BEFORE counting or every document gains a phantom character
+      .where(col("__c") =!= "")
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_chars_h"),
+        sum(col("__n").cast("double") * log(col("__n").cast("double"))).as("__s"))
+      .select(col(idCol), col("n_chars_h"),
+        round(log(col("n_chars_h").cast("double")) - col("__s") / col("n_chars_h"), 4)
+          .as("char_entropy"))
 
   /** Character-trigram language-model score — the CCNet-style
     * perplexity proxy (Wenzek et al. 2020 use a KenLM 5-gram model; no

@@ -1466,6 +1466,27 @@ object PipelineQueries {
       |FROM per JOIN tot USING (lang) CROSS JOIN v
       |ORDER BY doc_id""".stripMargin
 
+  /** Character-entropy quality signal ([[TextAnalysis.charEntropy]]):
+    * Shannon entropy of each document's character distribution in nats
+    * — exact BIGINT counts, one ln-derived double rounded to 4 dp. The
+    * DuckDB oracle replays the identical grouping (substr per position,
+    * the winnow oracle's indexing idiom) and formula. */
+  private val docCharEntropy: Q = (s, d) =>
+    TextAnalysis.charEntropy(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  private val docCharEntropySql =
+    """WITH pos AS (SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text))) AS i
+      |  FROM documents WHERE length(text) >= 1),
+      |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c FROM pos),
+      |grp AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars_h,
+      |  round(ln(CAST(SUM(n) AS DOUBLE))
+      |        - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / SUM(n),
+      |    4) AS char_entropy
+      |FROM grp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -1752,6 +1773,7 @@ object PipelineQueries {
     "doc_passage_dedup" -> docPassageDedup,
     "doc_source_cap" -> docSourceCap,
     "doc_trigram_lm" -> docTrigramLm,
+    "doc_char_entropy" -> docCharEntropy,
     "doc_dsir_sample" -> docDsirSample,
     "table_profile" -> tableProfile,
     "sections_count" -> sectionsCount,
@@ -1812,6 +1834,7 @@ object PipelineQueries {
     "doc_passage_dedup" -> docPassageDedupSql,
     "doc_source_cap" -> docSourceCapSql,
     "doc_trigram_lm" -> docTrigramLmSql,
+    "doc_char_entropy" -> docCharEntropySql,
     "doc_dsir_sample" -> docDsirSampleSql,
     "table_profile" -> tableProfileSql,
     "sections_count" -> sectionsCountSql,

@@ -134,4 +134,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(3L)._3, s"$got")
     assert(got(2L)._3 > got(3L)._3)
   }
+
+  test("charEntropy: hand-computed values, repetition ranks low, empty text drops") {
+    val df = Seq(
+      (1L, "aaaa"),           // single symbol: H = 0
+      (2L, "abab"),           // two equiprobable symbols: H = ln 2
+      (3L, "abcd"),           // four equiprobable: H = ln 4
+      (4L, "spam spam spam spam spam"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (6L, ""))               // no distribution to measure
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.charEntropy(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(6L), "empty text must produce no row")
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L)._2 == math.rint(math.log(2) * 1e4) / 1e4)
+    assert(got(3L)._2 == math.rint(math.log(4) * 1e4) / 1e4)
+    assert(got(4L)._1 == 24L)
+    assert(got(4L)._2 < got(5L)._2, "repetitive spam must rank below prose")
+    // invariant to physical layout
+    val re = graft.ops.TextAnalysis.charEntropy(df.repartition(7))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(re == got)
+  }
 }
