@@ -276,6 +276,48 @@ object MergeTable {
       .select(col("_change") +: template.columns.map(c => col(s"_row.$c").as(c)): _*)
   }
 
+  /** Number of hash buckets the table was created with (constant across
+    * versions — merge/compact preserve it). */
+  def bucketCount(spark: SparkSession, dir: String, version: Int = -1): Int = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    readManifest(spark, dir, v).nBuckets
+  }
+
+  /** Bucket ids whose manifest entries differ between two committed
+    * versions — the pruning unit every incremental consumer shares
+    * ([[changes]], [[rowDeltas]], bucket-level sketch refresh). Note a
+    * compaction rewrites every bucket's FILES without changing rows, so
+    * this is a superset of buckets with actual row changes. */
+  def changedBucketIds(
+      spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int): Seq[Int] = {
+    require(fromVersion < toVersion, s"need fromVersion < toVersion")
+    val mOld = readManifest(spark, dir, fromVersion)
+    val mNew = readManifest(spark, dir, toVersion)
+    require(mOld.nBuckets == mNew.nBuckets, "bucket count mismatch")
+    (mOld.entries.keySet ++ mNew.entries.keySet)
+      .filter(b => mOld.entries.get(b) != mNew.entries.get(b)).toSeq.sorted
+  }
+
+  /** Read ONLY the given buckets of a version, with the bucket id
+    * re-attached as column `bucket` (partition-pruned file listing from
+    * the manifest — cost tracks requested buckets, not table size). */
+  def readBuckets(
+      spark: SparkSession, dir: String, buckets: Seq[Int],
+      version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    require(buckets.forall(b => b >= 0 && b < m.nBuckets),
+      s"bucket out of range 0..${m.nBuckets - 1}")
+    val template = read(spark, dir, v).limit(0).withColumn("bucket", lit(0))
+    val perBucket = buckets.distinct.sorted.flatMap { b =>
+      val fs = m.entries.getOrElse(b, Seq.empty).map(p => s"$dir/$p")
+      if (fs.isEmpty) None
+      else Some(readFiles(spark, fs).withColumn("bucket", lit(b)))
+    }
+    if (perBucket.isEmpty) template
+    else perBucket.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Signed row-delta feed — the incremental-view-maintenance form of
     * [[changes]]: the same changed-buckets-only comparison, but an
     * `update` emits TWO rows — the pre-image with `_sign` = −1 and the

@@ -1487,6 +1487,62 @@ object PipelineQueries {
       |    4) AS char_entropy
       |FROM grp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Incremental DISTINCT-count maintenance via bucket-level HLL
+    * sketches ([[graft.pipeline.SketchedStats]]): per-source distinct
+    * `n_chars % 64` built at v1, maintained to v2 by re-sketching ONLY
+    * the merge-touched buckets. The `% 64` bound keeps every cell in
+    * the sketch's exact coupon regime at ANY scale factor (the q33
+    * lesson: no data-dependent oracle precondition), so DuckDB's exact
+    * `COUNT(DISTINCT)` over the logically-merged table is a valid
+    * oracle — and the comparison proves sketch-refresh == from-scratch
+    * truth cross-engine, deletes included. */
+  private val docDistinctIncremental: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#hll").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-hll-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), (col("n_chars") % 64L).as("v64"))
+    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+    val sketches1 = graft.pipeline.SketchedStats
+      .compute(s, dir, "source", "v64", version = 1)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 5L).as("n_chars"),
+        ((col("n_chars") + 5L) % 64L).as("v64"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("injected doc").as("text"), lit("xx").as("lang"),
+        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
+        (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del"))
+    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
+      "doc_id", deleteCol = Some("_del"), validate = false)
+    graft.pipeline.SketchedStats
+      .estimate(graft.pipeline.SketchedStats
+        .refresh(s, dir, sketches1, "source", "v64", 1, 2), "source")
+      .orderBy("source")
+  }
+
+  private val docDistinctIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT source, COUNT(DISTINCT n_chars % 64) AS n_distinct
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -1753,6 +1809,7 @@ object PipelineQueries {
     "doc_url_domains" -> docUrlDomains,
     "doc_merge_upsert" -> docMergeUpsert,
     "doc_incremental_stats" -> docIncrementalStats,
+    "doc_distinct_incremental" -> docDistinctIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -1814,6 +1871,7 @@ object PipelineQueries {
     "doc_url_domains" -> docUrlDomainsSql,
     "doc_merge_upsert" -> docMergeUpsertSql,
     "doc_incremental_stats" -> docIncrementalStatsSql,
+    "doc_distinct_incremental" -> docDistinctIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
