@@ -1543,6 +1543,66 @@ object PipelineQueries {
       |SELECT source, COUNT(DISTINCT n_chars % 64) AS n_distinct
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Generic bucket-partial view maintenance
+    * ([[graft.pipeline.BucketedView]]): per-source min/max/count of
+    * n_chars — aggregates signed-delta IVM canNOT maintain (deleting
+    * the extreme value needs its bucket re-read) — built at v1 and
+    * maintained to v2 by rebuilding only merge-touched buckets'
+    * partial cells. Same merge batch as the other incremental queries;
+    * the oracle recomputes from scratch over the logically-merged
+    * table, proving touched-bucket maintenance == full truth, deleted
+    * extremes included (the update stream deletes n_chars+5 carriers
+    * and injects new extremes via the `injected` source). */
+  private val docMinmaxIncremental: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#mm").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-mm-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+    val partials = Seq(count(lit(1)).as("c"),
+      min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val view1 = graft.pipeline.BucketedView
+      .compute(s, dir, "source", partials, version = 1)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 5L).as("n_chars"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("injected doc").as("text"), lit("xx").as("lang"),
+        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
+        lit(false).as("_del"))
+    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
+      "doc_id", deleteCol = Some("_del"), validate = false)
+    val view2 = graft.pipeline.BucketedView
+      .refresh(s, dir, view1, "source", partials, 1, 2)
+    graft.pipeline.BucketedView.finalizeView(view2, "source",
+      Seq(sum(col("c")).as("n"),
+        min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars")))
+      .orderBy("source")
+  }
+
+  private val docMinmaxIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT source, COUNT(*) AS n,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -1810,6 +1870,7 @@ object PipelineQueries {
     "doc_merge_upsert" -> docMergeUpsert,
     "doc_incremental_stats" -> docIncrementalStats,
     "doc_distinct_incremental" -> docDistinctIncremental,
+    "doc_minmax_incremental" -> docMinmaxIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -1872,6 +1933,7 @@ object PipelineQueries {
     "doc_merge_upsert" -> docMergeUpsertSql,
     "doc_incremental_stats" -> docIncrementalStatsSql,
     "doc_distinct_incremental" -> docDistinctIncrementalSql,
+    "doc_minmax_incremental" -> docMinmaxIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
