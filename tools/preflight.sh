@@ -22,8 +22,14 @@ echo "[preflight] Verify @ $SF_VERIFY (CPUS=$CPUS)"
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF_VERIFY $OUT" \
   2>&1 | grep '\[verify\]' | tee /tmp/preflight_verify.log
-if grep -q 'failed' /tmp/preflight_verify.log; then
+# per-query failures print "<name> failed: <err>"; the summary line
+# prints "N ok, M failed" — match only the former, then assert the
+# summary counts zero failures explicitly
+if grep -q ' failed: ' /tmp/preflight_verify.log; then
   echo "[preflight] FAIL: verify failures above"; exit 1
+fi
+if ! grep -q ', 0 failed' /tmp/preflight_verify.log; then
+  echo "[preflight] FAIL: verify summary reports failures"; exit 1
 fi
 
 echo "[preflight] DuckDB compare"
