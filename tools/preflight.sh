@@ -39,8 +39,9 @@ if grep -qE '✗|FAIL' /tmp/preflight_compare.log; then
 fi
 
 echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
+# strip sbt's "[info] " log prefix or the file is not valid JSON
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | head -1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 \
   > /tmp/preflight_bench.json
 cat /tmp/preflight_bench.json
 N_ERR=$(python3 -c "import json;print(json.load(open('/tmp/preflight_bench.json'))['n_err'])")
