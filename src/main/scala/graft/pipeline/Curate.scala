@@ -41,6 +41,12 @@ object Curate {
       /** drop docs whose top trigram exceeds this share (repetition /
         * template spam); 1.0 disables the stage */
       maxTopTrigramFrac: Double = 1.0,
+      /** drop docs whose character entropy ([[TextAnalysis
+        * .charEntropy]], nats) falls below this floor — the
+        * compression-ratio stand-in for repetitive/degenerate spam the
+        * trigram share misses (e.g. long runs of few symbols).
+        * 0.0 disables the stage (entropy is never negative) */
+      minCharEntropy: Double = 0.0,
       /** also require the Gopher rule conjunction
         * ([[TextAnalysis.gopherRules]] `passes`, paper-default bounds)
         * — fused into the quality stage's scan, so enabling it adds a
@@ -101,7 +107,7 @@ object Curate {
 
   case class Report(
       input: Long, afterPassage: Long, afterQuality: Long,
-      afterRepetition: Long, afterLm: Long, afterLang: Long,
+      afterRepetition: Long, afterEntropy: Long, afterLm: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long, afterDsir: Long, chunks: Long)
 
   /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
@@ -201,27 +207,47 @@ object Curate {
     val nRepetition = if (repetitionActive) repetition.count() else nQuality
     if (repetitionActive) quality.unpersist(blocking = false)
 
+    // entropy floor: like the repetition screen, a join against the
+    // (doc, aggregate)-shaped failers; left_anti keeps empty-text docs
+    // the entropy profile yields no row for (they die at quality/gopher
+    // stages instead). Same placement rationale: cheap per-row stages
+    // already shrank the corpus, and the (doc, char) aggregation reads
+    // the persisted parent once.
+    val entropyActive = cfg.minCharEntropy > 0.0
+    val entropied =
+      if (!entropyActive) repetition
+      else repetition.join(
+        TextAnalysis.charEntropy(repetition)
+          .filter(col("char_entropy") < cfg.minCharEntropy)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEntropy = if (entropyActive) entropied.count() else nRepetition
+    // `repetition` may alias `quality` (stage disabled) — either way the
+    // persisted parent is done once `entropied` is materialized
+    if (entropyActive) repetition.unpersist(blocking = false)
+
     // trigram-LM floor before the language filter: the profile trains
     // per-language over everything still alive, and each doc is scored
     // under its own language — CCNet's ordering. left_anti on the
     // failers keeps docs too short to produce a trigram.
     val lmActive = cfg.minTrigramLogProb > Double.NegativeInfinity
     val lmed =
-      if (!lmActive) repetition
+      if (!lmActive) entropied
       else {
         val lmInput =
-          if (repetition.columns.contains("lang")) repetition
-          else repetition.withColumn("lang",
+          if (entropied.columns.contains("lang")) entropied
+          else entropied.withColumn("lang",
             TextAnalysis.langId(col("text")).getField("lang"))
-        repetition.join(
+        entropied.join(
           TextAnalysis.charTrigramLm(lmInput)
             .filter(col("avg_logp") < cfg.minTrigramLogProb)
             .select("doc_id"),
           Seq("doc_id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val nLm = if (lmActive) lmed.count() else nRepetition
-    if (lmActive) repetition.unpersist(blocking = false)
+    val nLm = if (lmActive) lmed.count() else nEntropy
+    if (lmActive) entropied.unpersist(blocking = false)
 
     val langed = {
       if (docs.columns.contains("lang"))
@@ -267,7 +293,7 @@ object Curate {
     val nChunks = index.count()
     selected.unpersist(blocking = false)
 
-    (index, Report(input, nPassage, nQuality, nRepetition, nLm, nLang,
+    (index, Report(input, nPassage, nQuality, nRepetition, nEntropy, nLm, nLang,
       nExact, nNear, nDsir, nChunks))
   }
 }

@@ -178,6 +178,31 @@ class CurateSpec extends SparkSpec {
     assert(lm.afterRepetition == 4, s"$lm") // dropped at the LM stage, not before
   }
 
+  test("entropy floor drops low-entropy symbol runs the trigram screen misses") {
+    // doc 4 is a two-symbol run: its TOP-trigram share is only ~1/2
+    // (alternating trigrams), so a 0.9 repetition gate passes it, but
+    // its character entropy ~ ln 2 is far below any prose's.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a completely different english sentence with plenty of distinct words here"),
+      (3L, "yet another normal document that talks about boats trains and planes"),
+      (4L, "ababababababababababababababababababababababababababababababababababab"))
+      .toDF("doc_id", "text")
+    def runWith(floor: Double) =
+      Curate.run(docs, Curate.Config(
+        minQuality = 0.0, languages = Seq("en"), sanitize = false,
+        minCharEntropy = floor))._2
+    val base = runWith(0.0)
+    assert(base.afterEntropy == base.afterRepetition, s"disabled stage must not drop: $base")
+    val ent = graft.ops.TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val worstProse = Seq(1L, 2L, 3L).map(ent).min
+    assert(ent(4L) < worstProse, s"symbol run must have lowest entropy: $ent")
+    val gated = runWith((ent(4L) + worstProse) / 2)
+    assert(gated.afterEntropy == 3, s"$gated")
+    assert(gated.afterRepetition == 4, s"dropped at the entropy stage, not before: $gated")
+  }
+
   test("calibrateQuality picks a threshold that keeps ~the target rate") {
     val docs = Tables.documents(spark, sf0001)
     val theta = Curate.calibrateQuality(docs, targetKeepRate = 0.8)
