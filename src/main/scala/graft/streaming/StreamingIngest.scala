@@ -192,6 +192,45 @@ object StreamingIngest {
     * and readers never observe a duplicate or a lost delete
     * (`StreamingSpec` proves it). Old versions are reclaimable with
     * [[graft.pipeline.MergeTable.vacuum]]. */
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` on
+    * the content hash over JSON-lines records `(doc_id, event_time,
+    * text)`. The complement of [[startDeduped]]'s corpus-as-state
+    * design: there the dedup memory is the WHOLE corpus (exact forever,
+    * state = a parquet column), here it is the streaming state store
+    * bounded by the watermark — right when re-deliveries cluster in
+    * time (crawler retries, at-least-once queues) and the corpus is too
+    * large to anti-join per micro-batch. A duplicate arriving AFTER the
+    * watermark has evicted its hash passes — that is the documented
+    * trade; chain [[startDeduped]] or a Bloom tier downstream when
+    * late re-deliveries matter.
+    *
+    * State is keyed by 16-byte md5 of normalized text (never text
+    * bytes) and evicted once `event_time` falls behind the watermark by
+    * more than `maxDelay` — constant-bounded by arrival rate × delay,
+    * independent of corpus size. Exactly-once via the checkpoint:
+    * restarts resume the state store, so a re-delivery straddling a
+    * restart still dedups (spec-pinned). */
+  def startDedupedWindowed(
+      spark: SparkSession,
+      landingDir: String,
+      outDir: String,
+      checkpointDir: String,
+      maxDelay: String = "10 minutes"): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id STRING, event_time TIMESTAMP, text STRING")
+    spark.readStream.schema(schema).json(landingDir)
+      .withColumn("content_hash", md5(graft.ops.Dedup.normalizedText(col("text"))))
+      .withWatermark("event_time", maxDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   def startMergeUpsert(
       spark: SparkSession,
       landingDir: String,

@@ -224,4 +224,36 @@ class StreamingSpec extends SparkSpec {
       .awaitTermination(60000)
     assert(state() == Map(1L -> "one-v2", 3L -> "three"))
   }
+
+  test("watermarked streaming dedup drops in-window re-deliveries, state survives restart") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-wmdedup")
+    val (landing, out, ckpt) = (s"$root/landing", s"$root/out", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    def land(name: String, rows: String*): Unit =
+      Files.writeString(java.nio.file.Paths.get(landing, name), rows.mkString("\n"))
+    def row(id: String, sec: Int, text: String) =
+      s"""{"doc_id":"$id","event_time":"2024-01-01T00:0${sec / 60}:${f"${sec % 60}%02d"}Z","text":"$text"}"""
+
+    // first run: A, its same-content re-delivery 30s later, and B
+    land("f1.json",
+      row("a1", 0, "alpha content"),
+      row("a2", 30, "alpha  content"), // whitespace variant → same hash
+      row("b1", 45, "beta content"))
+    StreamingIngest.startDedupedWindowed(spark, landing, out, ckpt)
+      .awaitTermination(60000)
+    val r1 = spark.read.parquet(out).select("doc_id").as[String].collect().toSet
+    assert(r1 == Set("a1", "b1"), s"in-window duplicate must drop: $r1")
+
+    // second run, same checkpoint: ANOTHER alpha re-delivery (still in
+    // window) plus a new doc — the state store must survive the restart
+    land("f2.json",
+      row("a3", 90, "alpha content"),
+      row("c1", 120, "gamma content"))
+    StreamingIngest.startDedupedWindowed(spark, landing, out, ckpt)
+      .awaitTermination(60000)
+    val r2 = spark.read.parquet(out).select("doc_id").as[String].collect().toSet
+    assert(r2 == Set("a1", "b1", "c1"),
+      s"cross-restart duplicate must drop, new content must pass: $r2")
+  }
 }
