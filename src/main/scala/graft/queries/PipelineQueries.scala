@@ -1603,6 +1603,66 @@ object PipelineQueries {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental BM25 postings maintenance
+    * ([[graft.pipeline.PostingsRefresh]]): a standing (doc, term, tf,
+    * dl) inverted index built at corpus v1 and MAINTAINED to v2 —
+    * tokenizing only changed documents, deleting rewritten/removed
+    * docs' stale terms via the pre-image side of the delta feed. The
+    * oracle recomputes postings from scratch over the logically-merged
+    * corpus in DuckDB (the engine's own tokenizer twin), so the
+    * comparison proves incremental index == full rebuild cross-engine.
+    * Text rewrites use the merge-upsert query's 'updated:'||lang form
+    * so term sets actually change. */
+  private val docPostingsIncremental: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#post").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-post-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val corpus = s"$root/corpus"
+    val postings = s"$root/postings"
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    graft.pipeline.MergeTable.create(s, corpus, docs, "doc_id", nBuckets = 16)
+    graft.pipeline.PostingsRefresh.build(s, corpus, postings, version = 1)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        concat(lit("updated:"), col("lang")).as("text"), col("lang"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("freshly injected arrival").as("text"), lit("xx").as("lang"),
+        lit(false).as("_del"))
+    graft.pipeline.MergeTable.merge(s, corpus, updates.unionAll(inserts),
+      "doc_id", deleteCol = Some("_del"), validate = false)
+    graft.pipeline.PostingsRefresh.refresh(s, corpus, postings, 1, 2)
+    graft.pipeline.MergeTable.read(s, postings)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .orderBy("doc_id", "term")
+  }
+
+  private val docPostingsIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'freshly injected arrival'
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |tok AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM merged),
+      |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |        unnest(toks) AS term FROM tok)
+      |SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |FROM t GROUP BY doc_id, dl, term
+      |ORDER BY doc_id, term""".stripMargin
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -1871,6 +1931,7 @@ object PipelineQueries {
     "doc_incremental_stats" -> docIncrementalStats,
     "doc_distinct_incremental" -> docDistinctIncremental,
     "doc_minmax_incremental" -> docMinmaxIncremental,
+    "doc_postings_incremental" -> docPostingsIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -1934,6 +1995,7 @@ object PipelineQueries {
     "doc_incremental_stats" -> docIncrementalStatsSql,
     "doc_distinct_incremental" -> docDistinctIncrementalSql,
     "doc_minmax_incremental" -> docMinmaxIncrementalSql,
+    "doc_postings_incremental" -> docPostingsIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
