@@ -4,6 +4,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     // driver contract: exactly (sfDir, outDir); extra names are a
     // builder-local filter for iterating on a single query
@@ -42,6 +48,11 @@ object Verify {
           System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         case Left(err) =>
           nFail += 1
+          // a cancelled overwrite can leave a partial (or stale
+          // prior-run) $outDir/$name that the DuckDB compare would read
+          // as this query's output — remove it so a failed query has
+          // NO output directory at all
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name failed: $err")
       }
     }

@@ -53,12 +53,16 @@ object Watchdog {
     if (!finished) {
       spark.sparkContext.cancelJobGroup(group)
       // a cancelled body usually surfaces as SparkException within
-      // moments; give it a beat so `out` reflects the cancellation,
-      // then abandon the thread either way (keep the timeout message —
-      // the cancellation-induced exception is not the interesting fact)
-      done.await(5, java.util.concurrent.TimeUnit.SECONDS)
+      // moments; give it a beat so `out` reflects what actually
+      // happened, then abandon the thread either way
+      val landed = done.await(5, java.util.concurrent.TimeUnit.SECONDS)
       t.interrupt()
-      Left(f"timeout after ${timeoutSec}s (job group cancelled)")
+      out match {
+        // the body finished JUST past the deadline, before the
+        // cancellation landed — a valid result must not be discarded
+        case Right(r) if landed => Right(r)
+        case _ => Left(f"timeout after ${timeoutSec}s (job group cancelled)")
+      }
     } else out
   }
 }

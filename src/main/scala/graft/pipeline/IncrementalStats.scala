@@ -47,8 +47,12 @@ object IncrementalStats {
     val d = deltas.groupBy(col(groupCol))
       .agg(sum(col("_sign").cast("long")).as("_dn"),
         coalesce(sum(col("_sign") * col(valueCol).cast("long")), lit(0L)).as("_dt"))
-    oldStats.join(d, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+    // null-safe (<=>) so a null group key merges instead of producing
+    // two disjoint null-group rows (a USING join matches nulls with =)
+    val o = oldStats.alias("o")
+    val dd = d.alias("d")
+    o.join(dd, o(groupCol) <=> dd(groupCol), "full_outer")
+      .select(coalesce(o(groupCol), dd(groupCol)).as(groupCol),
         (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("_dt"), lit(0L))).as("total"))
       .filter(col("n") > 0)

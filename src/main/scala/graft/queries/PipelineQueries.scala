@@ -908,7 +908,7 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
       |  FROM documents WHERE doc_id % 10 = 1)
-      |SELECT source, COUNT(*) AS n, SUM(n_chars) AS total
+      |SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
   /** Per-label element-wise centroid of the embeddings table
@@ -1002,7 +1002,7 @@ object PipelineQueries {
       |  SELECT (na + 1.0) / (ta + 12) AS pa, (nb + 1.0) / (tb + 12) AS pb, ta, tb
       |  FROM m, t)
       |SELECT round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
-      |  MIN(ta) AS n_a, MIN(tb) AS n_b
+      |  CAST(MIN(ta) AS BIGINT) AS n_a, CAST(MIN(tb) AS BIGINT) AS n_b
       |FROM p""".stripMargin
 
   /** Deterministic hash-Bernoulli sample (~25%) — decided from the md5
@@ -1715,7 +1715,7 @@ object PipelineQueries {
        |gk AS (SELECT doc_id, CAST(round(-ln(-ln((CAST(h AS DOUBLE) + 0.5)
        |           / 4503599627370496.0)) / $ln10 * 1000000) AS BIGINT) AS gum
        |       FROM gum)
-       |SELECT base.doc_id, n_feat, w0 + gum AS dsir_key
+       |SELECT base.doc_id, n_feat, CAST(w0 + gum AS BIGINT) AS dsir_key
        |FROM base JOIN gk USING (doc_id)
        |ORDER BY dsir_key DESC, base.doc_id LIMIT 100""".stripMargin
   }

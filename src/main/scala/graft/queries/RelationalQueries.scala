@@ -699,9 +699,11 @@ object RelationalQueries {
     // factor can never make the oracle comparison fail spuriously —
     // the bounded-error regime stays property-tested in
     // HeavyHittersSpec, where no cross-engine oracle is claimed.
-    val maxDistinct = ev.groupBy("event_type")
+    // null-tolerant: max over an empty events table yields a null cell,
+    // which must fall back to the default k rather than NPE
+    val maxDistinct = Option(ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("nd"))
-      .agg(max("nd")).head.getLong(0)
+      .agg(max("nd")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val k = math.max(256L, maxDistinct + 1).toInt
     ev
       .groupBy("event_type")

@@ -192,6 +192,43 @@ object StreamingIngest {
     * and readers never observe a duplicate or a lost delete
     * (`StreamingSpec` proves it). Old versions are reclaimable with
     * [[graft.pipeline.MergeTable.vacuum]]. */
+  def startMergeUpsert(
+      spark: SparkSession,
+      landingDir: String,
+      tableDir: String,
+      keyCol: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String,
+      deleteCol: Option[String] = None,
+      versionCol: Option[String] = None): StreamingQuery = {
+    val changes = spark.readStream.schema(schema).json(landingDir)
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val resolved = versionCol match {
+          case Some(vc) =>
+            val order = deleteCol match {
+              case Some(dc) => Seq(col(vc).desc, col(dc).desc)
+              case None => Seq(col(vc).desc)
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCol).orderBy(order: _*)
+            batch.withColumn("__graft_rn", row_number().over(w))
+              .filter(col("__graft_rn") === 1).drop("__graft_rn")
+          case None => batch
+        }
+        if (!resolved.isEmpty) {
+          graft.pipeline.MergeTable.merge(s, tableDir, resolved, keyCol,
+            deleteCol = deleteCol, validate = versionCol.isEmpty)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` on
     * the content hash over JSON-lines records `(doc_id, event_time,
     * text)`. The complement of [[startDeduped]]'s corpus-as-state
@@ -228,43 +265,6 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .option("path", outDir)
-      .start()
-  }
-
-  def startMergeUpsert(
-      spark: SparkSession,
-      landingDir: String,
-      tableDir: String,
-      keyCol: String,
-      schema: org.apache.spark.sql.types.StructType,
-      checkpointDir: String,
-      deleteCol: Option[String] = None,
-      versionCol: Option[String] = None): StreamingQuery = {
-    val changes = spark.readStream.schema(schema).json(landingDir)
-    changes.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val resolved = versionCol match {
-          case Some(vc) =>
-            val order = deleteCol match {
-              case Some(dc) => Seq(col(vc).desc, col(dc).desc)
-              case None => Seq(col(vc).desc)
-            }
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(keyCol).orderBy(order: _*)
-            batch.withColumn("__graft_rn", row_number().over(w))
-              .filter(col("__graft_rn") === 1).drop("__graft_rn")
-          case None => batch
-        }
-        if (!resolved.isEmpty) {
-          graft.pipeline.MergeTable.merge(s, tableDir, resolved, keyCol,
-            deleteCol = deleteCol, validate = versionCol.isEmpty)
-          ()
-        }
-      }
       .start()
   }
 }

@@ -38,6 +38,11 @@ if grep -qE '✗|FAIL' /tmp/preflight_compare.log; then
   echo "[preflight] FAIL: oracle mismatches above"; exit 1
 fi
 
+echo "[preflight] Oracle result-type walk"
+# round-8 guard: an uncast HUGEINT/DECIMAL oracle column hash-mismatches
+# in the driver even when values are identical (round-7 verdict #1)
+python3 tools/oracle_types.py "$SF_VERIFY" "$OUT" | tee /tmp/preflight_types.log
+
 echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
 # strip sbt's "[info] " log prefix or the file is not valid JSON
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
