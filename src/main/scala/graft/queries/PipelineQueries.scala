@@ -860,8 +860,9 @@ object PipelineQueries {
 
   /** Incremental view maintenance over the CoW table
     * ([[graft.pipeline.IncrementalStats]]): per-source (count, sum of
-    * n_chars) stats computed ONCE at v1, then MAINTAINED to v2 through
-    * the signed changed-buckets delta feed — never rescanning the
+    * n_chars) stats computed ONCE at v1 as a bucket-cell
+    * [[graft.pipeline.BucketedView]], then MAINTAINED to v2 by
+    * recomputing CHANGED buckets' cells only — never rescanning the
     * table — across updates (+5 n_chars on doc_id%10==3), deletes
     * (%10==7) and inserts (an `injected` source from %10==1 clones).
     * The oracle recomputes the post-merge stats from scratch in DuckDB,
@@ -881,8 +882,8 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
       .select("doc_id", "text", "lang", "source", "n_chars")
     graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
-    val stats1 = graft.pipeline.IncrementalStats.compute(
-      graft.pipeline.MergeTable.read(s, dir, 1), "source", "n_chars")
+    val view1 = graft.pipeline.IncrementalStats.view(
+      s, dir, "source", "n_chars", version = 1)
     val updates = docs
       .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -895,8 +896,9 @@ object PipelineQueries {
         lit(false).as("_del"))
     graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
       "doc_id", deleteCol = Some("_del"), validate = false)
-    graft.pipeline.IncrementalStats
-      .refresh(s, dir, stats1, "source", "n_chars", "doc_id", 1, 2)
+    val view2 = graft.pipeline.IncrementalStats
+      .refreshView(s, dir, view1, "source", "n_chars", 1, 2)
+    graft.pipeline.IncrementalStats.finalizeStats(view2, "source")
       .orderBy("source")
   }
 

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.{IncrementalStats, MergeTable}
 
-/** [[IncrementalStats]] + [[MergeTable.rowDeltas]] — the incremental
-  * refresh must equal a full recompute of the new version EXACTLY,
-  * across inserts, value updates, group moves, deletes that empty a
-  * group, chained refreshes, and compaction (a no-op feed).
+/** [[IncrementalStats]] (a [[graft.pipeline.BucketedView]] instance)
+  * + [[MergeTable.rowDeltas]] — the incremental view refresh must equal
+  * a full recompute of the new version EXACTLY, across inserts, value
+  * updates, group moves, deletes that empty a group, chained refreshes,
+  * and compaction (layout-only rewrite).
   */
 class IncrementalStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -44,48 +45,71 @@ class IncrementalStatsSpec extends SparkSpec {
       (1, 4L, "c", 40L)))                    // insert post-image
   }
 
-  test("refresh equals full recompute through merges, group-emptying and chains") {
+  test("view refresh equals full recompute through merges, group-emptying and chains") {
     val dir = freshDir()
     MergeTable.create(spark, dir, mkDocs(Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L),
       (5L, "c", 50L))), "id", nBuckets = 4)
-    val s1 = IncrementalStats.compute(MergeTable.read(spark, dir, 1), "grp", "v")
+    val v1 = IncrementalStats.view(spark, dir, "grp", "v", version = 1)
+    assert(statsOf(IncrementalStats.finalizeStats(v1, "grp")) ==
+      statsOf(IncrementalStats.compute(MergeTable.read(spark, dir, 1), "grp", "v")))
 
     // batch 1: move 2 a→b, bump 3, delete 5 (empties group c), insert d
     MergeTable.merge(spark, dir, Seq(
       (2L, "b", 20L, false), (3L, "b", 35L, false),
       (5L, "c", 50L, true), (6L, "d", 60L, false)
     ).toDF("id", "grp", "v", "_del"), "id", deleteCol = Some("_del"))
-    val s2 = IncrementalStats.refresh(spark, dir, s1, "grp", "v", "id", 1, 2)
+    val v2 = IncrementalStats.refreshView(spark, dir, v1, "grp", "v", 1, 2)
+    val s2 = statsOf(IncrementalStats.finalizeStats(v2, "grp"))
     val full2 = IncrementalStats.compute(MergeTable.read(spark, dir, 2), "grp", "v")
-    assert(statsOf(s2) == statsOf(full2))
-    assert(!statsOf(s2).contains("c"), "emptied group must drop out")
+    assert(s2 == statsOf(full2))
+    assert(!s2.contains("c"), "emptied group must drop out")
 
-    // batch 2 chained off the INCREMENTAL s2, not a recompute
+    // batch 2 chained off the INCREMENTAL v2, not a recompute
     MergeTable.merge(spark, dir, Seq(
       (1L, "d", 11L, false), (6L, "d", 60L, true)
     ).toDF("id", "grp", "v", "_del"), "id", deleteCol = Some("_del"))
-    val s3 = IncrementalStats.refresh(spark, dir, s2, "grp", "v", "id", 2, 3)
+    val v3 = IncrementalStats.refreshView(spark, dir, v2, "grp", "v", 2, 3)
     val full3 = IncrementalStats.compute(MergeTable.read(spark, dir, 3), "grp", "v")
-    assert(statsOf(s3) == statsOf(full3))
+    assert(statsOf(IncrementalStats.finalizeStats(v3, "grp")) == statsOf(full3))
 
-    // compaction rewrites layout, not rows: the refresh must be a no-op
+    // compaction rewrites layout, not rows: every bucket is "changed",
+    // cells are rebuilt, and the finalized stats must not move
     MergeTable.compact(spark, dir)
-    val v = MergeTable.versions(spark, dir).max
-    val s4 = IncrementalStats.refresh(spark, dir, s3, "grp", "v", "id", 3, v)
-    assert(statsOf(s4) == statsOf(s3))
+    val latest = MergeTable.versions(spark, dir).max
+    val v4 = IncrementalStats.refreshView(spark, dir, v3, "grp", "v", 3, latest)
+    assert(statsOf(IncrementalStats.finalizeStats(v4, "grp")) == statsOf(full3))
+  }
+
+  test("null group key merges as ONE group through a view refresh") {
+    val dir = freshDir()
+    MergeTable.create(spark, dir, Seq(
+      (1L, Option.empty[String], 10L), (2L, Some("a"), 20L),
+      (3L, Option.empty[String], 30L)).toDF("id", "grp", "v"),
+      "id", nBuckets = 4)
+    val v1 = IncrementalStats.view(spark, dir, "grp", "v", version = 1)
+    MergeTable.merge(spark, dir,
+      Seq((4L, Option.empty[String], 40L, false)).toDF("id", "grp", "v", "_del"),
+      "id", deleteCol = Some("_del"))
+    val fin = IncrementalStats.finalizeStats(
+      IncrementalStats.refreshView(spark, dir, v1, "grp", "v", 1, 2), "grp")
+    val nullRows = fin.filter(col("grp").isNull)
+      .select("n", "total").as[(Long, Long)].collect()
+    assert(nullRows.toSeq == Seq((3L, 80L)),
+      s"null group must be one merged row, got ${nullRows.toSeq}")
   }
 
   test("value-identical re-merge produces an empty delta and unchanged stats") {
     val dir = freshDir()
     val rows = Seq((1L, "a", 10L), (2L, "b", 20L))
     MergeTable.create(spark, dir, mkDocs(rows), "id", nBuckets = 2)
-    val s1 = IncrementalStats.compute(MergeTable.read(spark, dir, 1), "grp", "v")
+    val v1 = IncrementalStats.view(spark, dir, "grp", "v", version = 1)
+    val s1 = statsOf(IncrementalStats.finalizeStats(v1, "grp"))
     MergeTable.merge(spark, dir,
       rows.map { case (i, g, v) => (i, g, v, false) }.toDF("id", "grp", "v", "_del"),
       "id", deleteCol = Some("_del"))
     assert(MergeTable.rowDeltas(spark, dir, 1, 2, "id").count() == 0)
-    val s2 = IncrementalStats.refresh(spark, dir, s1, "grp", "v", "id", 1, 2)
-    assert(statsOf(s2) == statsOf(s1))
+    val v2 = IncrementalStats.refreshView(spark, dir, v1, "grp", "v", 1, 2)
+    assert(statsOf(IncrementalStats.finalizeStats(v2, "grp")) == s1)
   }
 }
