@@ -1665,6 +1665,74 @@ object PipelineQueries {
       |FROM t GROUP BY doc_id, dl, term
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Incremental winnowed passage-fingerprint maintenance
+    * ([[graft.pipeline.FingerprintsRefresh]]): a standing (doc, fp)
+    * index built at corpus v1 with the scan-local rolling hash and
+    * MAINTAINED to v2 — re-winnowing only changed documents, deleting
+    * rewritten/removed docs' stale fingerprints via the pre-image side
+    * of the delta feed. Rewrites use the short 'updated:'||lang text
+    * (below the k+w−1 = 23 fingerprintable length), so a rewritten
+    * document's entire fingerprint set must leave the index with zero
+    * replacement rows — the hardest delete case. The oracle re-winnows
+    * the logically-merged corpus from scratch in DuckDB (the window
+    * shape, same exact integer hash), proving incremental index ==
+    * full rebuild cross-engine. */
+  private val docFingerprintsIncremental: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#fps").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-fps-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val corpus = s"$root/corpus"
+    val index = s"$root/fps"
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    graft.pipeline.MergeTable.create(s, corpus, docs, "doc_id", nBuckets = 16)
+    graft.pipeline.FingerprintsRefresh.build(s, corpus, index, version = 1)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        concat(lit("updated:"), col("lang")).as("text"), col("lang"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("freshly injected arrival of shared boilerplate").as("text"),
+        lit("xx").as("lang"), lit(false).as("_del"))
+    graft.pipeline.MergeTable.merge(s, corpus, updates.unionAll(inserts),
+      "doc_id", deleteCol = Some("_del"), validate = false)
+    graft.pipeline.FingerprintsRefresh.refresh(s, corpus, index, 1, 2)
+    graft.pipeline.MergeTable.read(s, index)
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  private val docFingerprintsIncrementalSql: String = {
+    // identical fold to Winnow's k-gram hash, unrolled for DuckDB
+    val hash = (0 until 16).foldLeft("0") { (h, j) =>
+      s"(($h) * 31 + ord(substr(t, i + $j, 1))) % 2147483648"
+    }
+    s"""WITH merged AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |d AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM merged),
+       |h AS (SELECT doc_id, unnest(generate_series(1, length(t) - 15)) AS i, t
+       |  FROM d WHERE length(t) >= 16),
+       |hv AS (SELECT doc_id, i, $hash AS hv FROM h),
+       |win AS (SELECT doc_id, i, min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp FROM hv)
+       |SELECT DISTINCT doc_id, fp FROM win WHERE i >= 8
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -1934,6 +2002,7 @@ object PipelineQueries {
     "doc_distinct_incremental" -> docDistinctIncremental,
     "doc_minmax_incremental" -> docMinmaxIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
+    "doc_fingerprints_incremental" -> docFingerprintsIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -1998,6 +2067,7 @@ object PipelineQueries {
     "doc_distinct_incremental" -> docDistinctIncrementalSql,
     "doc_minmax_incremental" -> docMinmaxIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
+    "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,
