@@ -256,4 +256,56 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == Set("a1", "b1", "c1"),
       s"cross-restart duplicate must drop, new content must pass: $r2")
   }
+
+  test("CDC upsert with maintained stats: streamed view equals batch recompute") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{IncrementalStats, MergeTable}
+    val root = Files.createTempDirectory("graft-cdc-ivm")
+    val (landing, ckpt, views) = (s"$root/landing", s"$root/ckpt", s"$root/views")
+    val table = s"$root/table/t"
+    new java.io.File(landing).mkdirs()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("v", LongType), StructField("_del", BooleanType)))
+
+    MergeTable.create(spark, table,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "grp", "v"), "id", nBuckets = 4)
+
+    def statsNow(): Map[String, (Long, Long)] =
+      StreamingIngest.latestStats(spark, views, "grp")
+        .select("grp", "n", "total").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def batchRecompute(): Map[String, (Long, Long)] =
+      IncrementalStats.compute(MergeTable.read(spark, table), "grp", "v")
+        .select("grp", "n", "total").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // batch 1: update 2 (group move a→b), insert 4 (new group c)
+    Files.writeString(java.nio.file.Paths.get(landing, "c1.json"),
+      """{"id":2,"grp":"b","v":25,"_del":false}
+        |{"id":4,"grp":"c","v":40,"_del":false}""".stripMargin)
+    StreamingIngest.startMergeUpsertMaintained(spark, landing, table, "id",
+      schema, ckpt, views, "grp", "v", deleteCol = Some("_del"))
+      .awaitTermination(60000)
+    assert(statsNow() == batchRecompute())
+    assert(statsNow() == Map("a" -> ((1L, 10L)), "b" -> ((2L, 55L)),
+      "c" -> ((1L, 40L))))
+
+    // batch 2, second start off the same checkpoint: delete 4 (empties
+    // group c), update 1's value in place — the view must advance off
+    // its FROZEN state, not a recompute
+    Files.writeString(java.nio.file.Paths.get(landing, "c2.json"),
+      """{"id":4,"grp":"c","v":0,"_del":true}
+        |{"id":1,"grp":"a","v":11,"_del":false}""".stripMargin)
+    StreamingIngest.startMergeUpsertMaintained(spark, landing, table, "id",
+      schema, ckpt, views, "grp", "v", deleteCol = Some("_del"))
+      .awaitTermination(60000)
+    assert(statsNow() == batchRecompute())
+    assert(!statsNow().contains("c"), "emptied group must drop out")
+
+    // the view advanced incrementally: one frozen version per merged batch
+    val frozen = new java.io.File(views).listFiles().map(_.getName).toSet
+    assert(frozen.exists(_.startsWith("v")), s"frozen views missing: $frozen")
+  }
 }
