@@ -76,6 +76,44 @@ class SketchedStatsSpec extends SparkSpec {
     s1.unpersist()
   }
 
+  test("past the coupon boundary the estimate degrades within the HLL error bound") {
+    // r7 verdict ask #6: the registered query's exact oracle is valid
+    // only in the coupon regime; this pins what happens OUTSIDE it —
+    // the estimate must degrade per the documented ~1.04/sqrt(2^lgK)
+    // RSE contract, not silently diverge, and refresh must still equal
+    // a fresh rebuild bit-for-bit even when neither is exact.
+    val dir = freshDir()
+    val lgK = 8 // k=256: RSE ≈ 6.5%; far cheaper to saturate than 2^12
+    val n = 50000L
+    val rows = (1L to n).map(i => (i, "g", i)) // all values distinct
+    MergeTable.create(spark, dir, rows.toDF("id", "grp", "v"), "id", nBuckets = 8)
+    val s1 = SketchedStats.compute(spark, dir, "grp", "v", lgK = lgK)
+    val e1 = est(s1)("g")
+    val rse = 1.04 / math.sqrt((1 << lgK).toDouble)
+    val relErr = math.abs(e1 - n).toDouble / n
+    assert(relErr <= 4 * rse,
+      f"estimate $e1 off by ${relErr * 100}%.1f%% — outside 4×RSE (${4 * rse * 100}%.1f%%)")
+
+    // the same data in the 2^12 default regime is ALSO past the coupon
+    // boundary; its tighter k must bound the error tighter
+    val sDefault = SketchedStats.compute(spark, dir, "grp", "v")
+    val eD = est(sDefault)("g")
+    assert(math.abs(eD - n).toDouble / n <= 4 * 1.04 / math.sqrt(4096.0))
+
+    // refresh in the estimate regime: delete a slab, insert new values;
+    // refresh estimate must equal the fresh rebuild's estimate exactly
+    // (same cells ⇒ same union), even though neither equals the truth
+    val batch =
+      (1L to 1000L).map(i => (i, "g", i, true)) ++
+        (60001L to 61000L).map(i => (i, "g", i, false))
+    MergeTable.merge(spark, dir, batch.toDF("id", "grp", "v", "_del"),
+      "id", deleteCol = Some("_del"))
+    val s2 = SketchedStats.refresh(spark, dir, s1, "grp", "v", 1, 2, lgK = lgK)
+    val full2 = SketchedStats.compute(spark, dir, "grp", "v", lgK = lgK)
+    assert(est(s2) == est(full2),
+      "refresh and rebuild must agree cell-for-cell outside the exact regime")
+  }
+
   test("no-change transition (value-identical re-merge) is a full no-op") {
     val dir = freshDir()
     val rows = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L))
