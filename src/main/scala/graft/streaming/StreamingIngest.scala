@@ -237,27 +237,28 @@ object StreamingIngest {
       deleteCol = deleteCol, validate = versionCol.isEmpty))
   }
 
-  /** [[startMergeUpsert]] composed with continuous incremental-view
-    * maintenance ([[graft.pipeline.IncrementalStats]]): after each
-    * micro-batch's merge commits corpus version V, the standing
-    * per-`groupCol` (count, sum of `valueCol`) cell view is advanced
-    * from its last maintained version to V — rescanning only the
-    * buckets the merge touched — and frozen to `statsViewDir/v<V>`.
-    * The dashboard read is [[latestStats]]: finalize the newest frozen
-    * cell state, no corpus scan. This is the reference's ingest loop
+  /** [[startMergeUpsert]] composed with continuous maintenance of
+    * standing derived artifacts ([[Maintained]]): after each
+    * micro-batch's merge commits corpus version V, every artifact in
+    * `maintain` advances from the version it reflects to V through its
+    * batch IVM path — stats cell views
+    * ([[CorpusViews.StatsView]]), BM25 postings
+    * ([[CorpusViews.PostingsIndex]]), passage fingerprints
+    * ([[CorpusViews.FingerprintIndex]]) — rescanning only the buckets
+    * the merge touched. This is the reference's ingest loop
     * (`scripts/app.py:17-45`) keeping its serving-side state fresh as
-    * a side effect of landing data, applied to aggregate views instead
-    * of the vector index.
+    * a side effect of landing data, generalized from the vector index
+    * to the whole derived-state family.
     *
     * Crash safety, both orders: a batch retried after its merge
     * committed re-merges content-identically (upserts are idempotent
-    * by value) and the view refresh walks the extra version's touched
-    * buckets to the same cells; a crash BETWEEN merge and view write
-    * leaves the view a version behind, and the next batch's refresh
-    * spans both transitions (`changedBucketIds` prunes across version
-    * ranges). Either way `finalizeStats(view)` ==
-    * `compute(read(latest))` — the invariant the streaming case in
-    * `StreamingSpec` pins. */
+    * by value) and `advance` no-ops on an already-reflected version; a
+    * crash BETWEEN merge and artifact write leaves the artifact's
+    * cursor behind, and the next advance spans both corpus transitions
+    * (bucket pruning composes across version ranges). Either way every
+    * artifact ends equal to its from-scratch rebuild at the latest
+    * corpus version — the invariant the streaming case in
+    * `StreamingSpec` pins for all three artifact kinds. */
   def startMergeUpsertMaintained(
       spark: SparkSession,
       landingDir: String,
@@ -265,9 +266,7 @@ object StreamingIngest {
       keyCol: String,
       schema: org.apache.spark.sql.types.StructType,
       checkpointDir: String,
-      statsViewDir: String,
-      groupCol: String,
-      valueCol: String,
+      maintain: Seq[Maintained],
       deleteCol: Option[String] = None,
       versionCol: Option[String] = None): StreamingQuery = {
     val changes = spark.readStream.schema(schema).json(landingDir)
@@ -278,57 +277,10 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertBatch(batch, tableDir, keyCol, deleteCol, versionCol)
           .foreach { v =>
-            maintainStats(batch.sparkSession, tableDir, statsViewDir,
-              groupCol, valueCol, v)
+            maintain.foreach(_.advance(batch.sparkSession, tableDir, v))
           }
       }
       .start()
-  }
-
-  /** Advance the frozen stats view to corpus version `to`. The newest
-    * `statsViewDir/v<N>` is the refresh base; absent one (first batch)
-    * the view is built from the corpus at `to` directly. No-op if the
-    * view is already at or past `to` (a retried batch). */
-  private def maintainStats(
-      spark: SparkSession, tableDir: String, statsViewDir: String,
-      groupCol: String, valueCol: String, to: Int): Unit = {
-    val prev = maintainedVersions(spark, statsViewDir).maxOption
-    if (!prev.exists(_ >= to)) {
-      val view = prev match {
-        case Some(p) =>
-          graft.pipeline.IncrementalStats.refreshView(spark, tableDir,
-            spark.read.parquet(s"$statsViewDir/v$p"),
-            groupCol, valueCol, p, to)
-        case None =>
-          graft.pipeline.IncrementalStats.view(
-            spark, tableDir, groupCol, valueCol, version = to)
-      }
-      view.write.mode("overwrite").parquet(s"$statsViewDir/v$to")
-    }
-  }
-
-  private def maintainedVersions(
-      spark: SparkSession, statsViewDir: String): Seq[Int] = {
-    val path = new org.apache.hadoop.fs.Path(statsViewDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
-      // only completed writes count as a refresh base
-      .filter(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$statsViewDir/v$v/_SUCCESS")))
-  }
-
-  /** The maintained stats at the newest frozen view version:
-    * (groupCol, n, total), no corpus scan. */
-  def latestStats(
-      spark: SparkSession, statsViewDir: String, groupCol: String): DataFrame = {
-    val vs = maintainedVersions(spark, statsViewDir)
-    require(vs.nonEmpty, s"no maintained view under $statsViewDir")
-    graft.pipeline.IncrementalStats.finalizeStats(
-      spark.read.parquet(s"$statsViewDir/v${vs.max}"), groupCol)
   }
 
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` on

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.index.VectorIndex
-import graft.streaming.StreamingIngest
+import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** ST1: streaming file ingest via foreachBatch reuses the batch pipeline;
   * ST2 semantics (event-time windows) are oracle-checked as batch queries
@@ -257,55 +257,84 @@ class StreamingSpec extends SparkSpec {
       s"cross-restart duplicate must drop, new content must pass: $r2")
   }
 
-  test("CDC upsert with maintained stats: streamed view equals batch recompute") {
+  test("CDC upsert with maintained views: stats, postings and fingerprints equal batch rebuilds") {
     import org.apache.spark.sql.types._
     import graft.pipeline.{IncrementalStats, MergeTable}
+    import graft.ops.{TextSearch, Winnow}
     val root = Files.createTempDirectory("graft-cdc-ivm")
-    val (landing, ckpt, views) = (s"$root/landing", s"$root/ckpt", s"$root/views")
-    val table = s"$root/table/t"
+    val (landing, ckpt) = (s"$root/landing", s"$root/ckpt")
+    val (table, views) = (s"$root/table/t", s"$root/views")
+    val (postings, fps) = (s"$root/postings", s"$root/fps")
     new java.io.File(landing).mkdirs()
     val schema = StructType(Seq(
-      StructField("id", LongType), StructField("grp", StringType),
-      StructField("v", LongType), StructField("_del", BooleanType)))
+      StructField("doc_id", LongType), StructField("grp", StringType),
+      StructField("v", LongType), StructField("text", StringType),
+      StructField("_del", BooleanType)))
 
-    MergeTable.create(spark, table,
-      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
-        .toDF("id", "grp", "v"), "id", nBuckets = 4)
+    MergeTable.create(spark, table, Seq(
+      (1L, "a", 10L, "the quick brown fox jumps over the dog"),
+      (2L, "a", 20L, "pack my box with five dozen liquor jugs"),
+      (3L, "b", 30L, "a completely different document body"))
+      .toDF("doc_id", "grp", "v", "text"), "doc_id", nBuckets = 4)
+
+    val statsView = CorpusViews.StatsView(views, "grp", "v")
+    val maintain = Seq(statsView,
+      CorpusViews.PostingsIndex(postings),
+      CorpusViews.FingerprintIndex(fps))
+    def stream() =
+      StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
+        "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
+        .awaitTermination(60000)
 
     def statsNow(): Map[String, (Long, Long)] =
-      StreamingIngest.latestStats(spark, views, "grp")
+      statsView.latest(spark)
         .select("grp", "n", "total").as[(String, Long, Long)]
         .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    def batchRecompute(): Map[String, (Long, Long)] =
+    def batchStats(): Map[String, (Long, Long)] =
       IncrementalStats.compute(MergeTable.read(spark, table), "grp", "v")
         .select("grp", "n", "total").as[(String, Long, Long)]
         .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def postingsRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Long)] =
+      df.select(col("doc_id").cast("long"), col("dl").cast("long"),
+        col("term"), col("tf").cast("long"))
+        .as[(Long, Long, String, Long)].collect().toSet
+    def fpRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_id").cast("long"), col("fp").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    def allEqualBatch(): Unit = {
+      assert(statsNow() == batchStats())
+      assert(postingsRows(MergeTable.read(spark, postings)) ==
+        postingsRows(TextSearch.postings(MergeTable.read(spark, table))))
+      assert(fpRows(MergeTable.read(spark, fps)) ==
+        fpRows(Winnow.fingerprintsScan(MergeTable.read(spark, table))))
+    }
 
-    // batch 1: update 2 (group move a→b), insert 4 (new group c)
+    // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
     Files.writeString(java.nio.file.Paths.get(landing, "c1.json"),
-      """{"id":2,"grp":"b","v":25,"_del":false}
-        |{"id":4,"grp":"c","v":40,"_del":false}""".stripMargin)
-    StreamingIngest.startMergeUpsertMaintained(spark, landing, table, "id",
-      schema, ckpt, views, "grp", "v", deleteCol = Some("_del"))
-      .awaitTermination(60000)
-    assert(statsNow() == batchRecompute())
+      """{"doc_id":2,"grp":"b","v":25,"text":"an entirely new body of text for document two","_del":false}
+        |{"doc_id":4,"grp":"c","v":40,"text":"brand new arrival with plenty of characters to fingerprint","_del":false}""".stripMargin)
+    stream()
+    allEqualBatch()
     assert(statsNow() == Map("a" -> ((1L, 10L)), "b" -> ((2L, 55L)),
       "c" -> ((1L, 40L))))
 
     // batch 2, second start off the same checkpoint: delete 4 (empties
-    // group c), update 1's value in place — the view must advance off
-    // its FROZEN state, not a recompute
+    // group c and evicts its index rows), update 1 in place — every
+    // artifact must advance off its PERSISTED state, not a recompute
     Files.writeString(java.nio.file.Paths.get(landing, "c2.json"),
-      """{"id":4,"grp":"c","v":0,"_del":true}
-        |{"id":1,"grp":"a","v":11,"_del":false}""".stripMargin)
-    StreamingIngest.startMergeUpsertMaintained(spark, landing, table, "id",
-      schema, ckpt, views, "grp", "v", deleteCol = Some("_del"))
-      .awaitTermination(60000)
-    assert(statsNow() == batchRecompute())
+      """{"doc_id":4,"grp":"c","v":0,"text":"","_del":true}
+        |{"doc_id":1,"grp":"a","v":11,"text":"the quick brown fox jumps over the dog","_del":false}""".stripMargin)
+    stream()
+    allEqualBatch()
     assert(!statsNow().contains("c"), "emptied group must drop out")
+    assert(!postingsRows(MergeTable.read(spark, postings)).exists(_._1 == 4L),
+      "deleted doc must leave the postings index")
 
-    // the view advanced incrementally: one frozen version per merged batch
+    // artifacts advanced incrementally: frozen view versions + cursors
     val frozen = new java.io.File(views).listFiles().map(_.getName).toSet
     assert(frozen.exists(_.startsWith("v")), s"frozen views missing: $frozen")
+    val cursors = new java.io.File(postings).listFiles().map(_.getName)
+      .filter(_.startsWith("_corpus_v")).toSet
+    assert(cursors.nonEmpty, "postings cursor missing")
   }
 }
