@@ -24,16 +24,29 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert with *integer*
-    * division — `ts div 1000` — because a double-precision division of an
-    * epoch-nanos value (~1.7e18 > 2^53) silently loses microseconds.
-    * The resulting micros timestamp matches DuckDB's own ns→us truncation.
+  /** `events.parquet`'s `ts` physical type has varied across driver
+    * testdata generations, so the loader normalizes BY SCHEMA to a
+    * session-zoned micros TIMESTAMP either way:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]), so nanos are read as raw longs
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and converted with
+    *    *integer* division — `ts div 1000` — because a double-precision
+    *    division of an epoch-nanos value (~1.7e18 > 2^53) silently
+    *    loses microseconds. Matches DuckDB's own ns→us truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP — identical wall-clock values
+    *    under the engine's fixed UTC session zone, which is also how
+    *    DuckDB reads the same file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }
