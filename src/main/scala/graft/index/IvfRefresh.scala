@@ -1,0 +1,182 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeTable
+
+/** Incremental maintenance of a persisted IVF ANN index over a mutable
+  * embedding corpus — the vector-side sibling of
+  * [[graft.pipeline.IndexRefresh]] (which maintains the RAG chunk
+  * index) and the reference's standing upsert loop
+  * (`qdrant_service.py:24-42`, which re-upserts vectors one HTTP call
+  * at a time; here an edit batch flows through one bucket-pruned job).
+  *
+  * The corpus is a [[MergeTable]] keyed by `vec_id`; the index is
+  * [[VectorIndex.writeIvf]]'s layout — `cells/` partitioned by cell id
+  * plus a frozen `centers/` sidecar. Maintenance keeps the CENTROIDS
+  * FROZEN (the industry-standard IVF regime: FAISS `add`s into fixed
+  * lists between retrains) and maintains only the cell lists:
+  *
+  *  1. [[MergeTable.changes]] between two corpus versions — reads only
+  *     CHANGED buckets;
+  *  2. the PRE-image assignment of each changed key is recomputed from
+  *     the corpus at `fromVersion` (bucket-pruned `readForKeys`) —
+  *     assignment is a pure function of embedding × frozen centers, so
+  *     no (key → cell) registry exists to drift out of sync;
+  *  3. affected cells = old ∪ new assignments of the changed keys — a
+  *     ≤ 2·nlist driver-side constant;
+  *  4. ONE dynamic-partition-overwrite write rewrites exactly the
+  *     affected cell directories: their retained rows (partition-pruned
+  *     read, anti-join on changed keys) plus the new assignments. A
+  *     cell emptied of its last row has its directory removed.
+  *
+  * 100 TB cost model: refresh I/O ∝ the affected cells' sizes, never
+  * the index; the unaffected nlist − |affected| partitions are not
+  * read, not written, not even listed by the job. Search cost is
+  * unchanged (probe prunes partitions as before).
+  *
+  * Retrain trigger: frozen centroids slowly go stale as the corpus
+  * distribution moves. [[occupancyPsi]] measures PSI drift of the
+  * cell-occupancy histogram between index states (composing
+  * [[graft.ops.Drift]]); past the conventional 0.2 threshold the
+  * caller should schedule a full [[build]] retrain.
+  */
+object IvfRefresh {
+
+  /** Nearest-center assignment under FROZEN centers — squared
+    * euclidean, first-minimal tie-break, replicating MLlib KMeans
+    * `findClosest` so a refresh agrees with the original build. The
+    * k×dim center matrix rides the task closure (broadcast-sized);
+    * the pass is narrow — no shuffle. */
+  def assignToCenters(
+      df: DataFrame, centers: Array[Array[Double]],
+      embCol: String = "embedding"): DataFrame = {
+    val assign = udf { (e: Seq[Double]) =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centers.length) {
+        val ctr = centers(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, e.length)
+        while (i < n) { val x = e(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    df.withColumn("cell", assign(col(embCol).cast("array<double>")))
+  }
+
+  /** Full (re)build at the corpus' `version`: train KMeans for the
+    * centers, assign every row, persist via [[VectorIndex.writeIvf]]
+    * (cells partitioned by cell id + centers sidecar, atomic
+    * overwrite). This is also the retrain step when [[occupancyPsi]]
+    * trips. */
+  def build(
+      spark: SparkSession, corpusDir: String, indexPath: String,
+      nlist: Int = 16, keyCol: String = "vec_id",
+      embCol: String = "embedding", seed: Long = 42L,
+      version: Int = -1): Unit = {
+    val corpus = MergeTable.read(spark, corpusDir, version)
+      .select(col(keyCol), col(embCol))
+    val (_, centers) =
+      graft.ml.TextClustering.kmeansAssign(corpus, embCol, nlist, seed)
+    // assign through the SAME code path refresh uses, so
+    // refresh == rebuild is equality of one function, not two
+    VectorIndex.writeIvf(
+      VectorIndex.IvfIndex(assignToCenters(corpus, centers, embCol), centers),
+      indexPath)
+  }
+
+  /** Apply corpus changes `fromVersion → toVersion` to the index under
+    * frozen centers. Returns (affected cell ids, upserts, deletes).
+    * No-op on an empty change feed. */
+  def refresh(
+      spark: SparkSession, corpusDir: String, indexPath: String,
+      fromVersion: Int, toVersion: Int,
+      keyCol: String = "vec_id", embCol: String = "embedding"): (Seq[Int], Long, Long) = {
+    val centers = VectorIndex.loadIvf(spark, indexPath).centers
+    val ch = MergeTable.changes(spark, corpusDir, fromVersion, toVersion, keyCol)
+      .persist()
+    try {
+      if (ch.isEmpty) (Seq.empty, 0L, 0L)
+      else {
+        val changedKeys = ch.select(keyCol).distinct().persist()
+        val oldAssigned = assignToCenters(
+          MergeTable.readForKeys(spark, corpusDir, changedKeys, keyCol, fromVersion)
+            .select(col(keyCol), col(embCol)), centers, embCol)
+        val newAssigned = assignToCenters(
+          ch.filter(col("_change") =!= "delete").select(col(keyCol), col(embCol)),
+          centers, embCol).persist()
+        // ≤ 2·nlist ints — a bounded sidecar collect, like the centers
+        val affected = (oldAssigned.select("cell").distinct().collect() ++
+          newAssigned.select("cell").distinct().collect())
+          .map(_.getInt(0)).distinct.sorted.toSeq
+        val nUp = newAssigned.count()
+        val nDel = ch.filter(col("_change") === "delete").count()
+        if (affected.nonEmpty) {
+          val cellsPath = indexPath + "/cells"
+          val stagePath = indexPath + "/cells_stage"
+          // a direct overwrite would read and write the same path
+          // (rejected by Spark, and unsafe anyway) — stage the affected
+          // partitions, then swap directories. The swap is per-cell
+          // renames under the same single-writer assumption as
+          // [[MergeTable]]; a crash mid-swap is repaired by [[build]]
+          // (whose overwrite contract already covers half-written
+          // layouts — see [[VectorIndex.writeIvf]]).
+          val retained = spark.read.parquet(cellsPath)
+            .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
+            .join(changedKeys, Seq(keyCol), "left_anti")
+          val out = retained.unionByName(
+            newAssigned.select(retained.columns.map(col): _*))
+          out.write.mode("overwrite").partitionBy("cell").parquet(stagePath)
+          val fs = new org.apache.hadoop.fs.Path(cellsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          affected.foreach { c =>
+            val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
+            val src = new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")
+            fs.delete(dst, true)
+            // absent from the stage ⇒ the cell lost its last row: the
+            // delete above IS the maintenance
+            if (fs.exists(src)) fs.rename(src, dst)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+        }
+        newAssigned.unpersist()
+        changedKeys.unpersist()
+        (affected, nUp, nDel)
+      }
+    } finally ch.unpersist()
+  }
+
+  /** Cell-occupancy histogram of a persisted index — one
+    * partition-pruned count aggregation, MATERIALIZED to an
+    * nlist-bounded driver map. Returning the collected constant (not a
+    * lazy frame) is deliberate: a lazy plan over the index path would
+    * silently re-read post-refresh files — or worse, be cache-swapped
+    * with a later identical plan — when the caller wants the SNAPSHOT
+    * at call time. */
+  def occupancy(spark: SparkSession, indexPath: String): Map[Int, Long] =
+    spark.read.parquet(indexPath + "/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** PSI drift between two occupancy snapshots, treating the cell id
+    * axis as the fixed histogram — the same add-one-smoothed PSI
+    * formula as [[graft.ops.Drift.psi]], computed driver-side over the
+    * two nlist-bounded histograms (constants, like the centers
+    * sidecar) instead of re-aggregating row data. Conventional
+    * reading: > 0.2 ⇒ the frozen centroids no longer describe the
+    * corpus; schedule a [[build]] retrain. */
+  def occupancyPsi(before: Map[Int, Long], after: Map[Int, Long], nlist: Int): Double = {
+    val (ta, tb) = (before.values.sum.toDouble, after.values.sum.toDouble)
+    (0 until nlist).map { c =>
+      val pa = (before.getOrElse(c, 0L) + 1) / (ta + nlist)
+      val pb = (after.getOrElse(c, 0L) + 1) / (tb + nlist)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfRefresh, VectorIndex}
+import graft.pipeline.MergeTable
+
+/** [[IvfRefresh]] — frozen-centroid IVF maintenance must equal a full
+  * reassignment of the merged corpus, touch only the affected cell
+  * directories on disk, handle deletes (including a cell emptied of
+  * its last vector), keep search exact in the exhaustive
+  * configuration, and raise the occupancy-PSI retrain signal on a
+  * skewed insert wave.
+  */
+class IvfRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val nlist = 4
+
+  /** Deterministic embedding: unit-ish vector in one of four obvious
+    * directions plus a small id-dependent wobble, so KMeans recovers
+    * the directions as cells. */
+  private def emb(group: Int, i: Long): Seq[Double] = {
+    val base = Array.fill(dim)(0.05)
+    base(group) = 1.0
+    base(4 + (i % 4).toInt) += 0.01 * ((i % 7) + 1)
+    base.toSeq
+  }
+
+  private def mkCorpus(dir: String, n: Long): Unit = {
+    val rows = (1L to n).map(i => (i, emb((i % 4).toInt, i)))
+    MergeTable.create(spark, dir, rows.toDF("vec_id", "embedding"),
+      "vec_id", nBuckets = 8)
+  }
+
+  private def freshDirs(): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfr")
+    d.toFile.deleteOnExit()
+    (d.resolve("corpus").toString, d.resolve("index").toString)
+  }
+
+  private def cellsOf(indexPath: String): Map[Long, (Int, Seq[Double])] =
+    spark.read.parquet(indexPath + "/cells")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .map { case (id, c, e) => (id, (c, e)) }.toMap
+
+  /** The truth: every live corpus row assigned under the index's own
+    * frozen centers. */
+  private def fullReassign(corpusDir: String, indexPath: String): Map[Long, (Int, Seq[Double])] = {
+    val centers = VectorIndex.loadIvf(spark, indexPath).centers
+    IvfRefresh.assignToCenters(
+        MergeTable.read(spark, corpusDir).select("vec_id", "embedding"), centers)
+      .as[(Long, Seq[Double], Int)].collect()
+      .map { case (id, e, c) => (id, (c, e)) }.toMap
+  }
+
+  test("refresh equals a full reassignment under frozen centers, deletes included") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 200L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    assert(cellsOf(index) == fullReassign(corpus, index))
+
+    // v2: move vectors across cells (direction change), delete a slab,
+    // insert new ids
+    val moves = (1L to 40L).filter(_ % 4 == 1)
+      .map(i => (i, emb(2, i), false)) // group 1 → direction 2
+    val dels = (41L to 80L).filter(_ % 4 == 2).map(i => (i, emb(0, i), true))
+    val ins = (1001L to 1020L).map(i => (i, emb(3, i), false))
+    MergeTable.merge(spark, corpus,
+      (moves ++ dels ++ ins).toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+
+    val (affected, nUp, nDel) = IvfRefresh.refresh(spark, corpus, index, 1, 2)
+    assert(nUp == moves.size + ins.size)
+    assert(nDel == dels.size)
+    assert(affected.nonEmpty && affected.size <= nlist)
+    assert(cellsOf(index) == fullReassign(corpus, index),
+      "maintained cells must equal a from-scratch reassignment")
+  }
+
+  test("only affected cell directories are rewritten on disk") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 200L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+
+    def listing(cell: Int): Set[String] = {
+      val d = new java.io.File(s"$index/cells/cell=$cell")
+      Option(d.listFiles()).map(_.map(f => f.getName + ":" + f.length).toSet)
+        .getOrElse(Set.empty)
+    }
+    val before = (0 until nlist).map(c => c -> listing(c)).toMap
+
+    // touch ONE vector without changing its direction (stays in its cell)
+    val v = MergeTable.read(spark, corpus).filter(col("vec_id") === 5L)
+      .select("embedding").head.getSeq[Double](0)
+    MergeTable.merge(spark, corpus,
+      Seq((5L, v.updated(7, v(7) + 1e-4), false)).toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    val (affected, _, _) = IvfRefresh.refresh(spark, corpus, index, 1, 2)
+    assert(affected.size == 1, s"one same-cell edit must touch one cell: $affected")
+
+    val after = (0 until nlist).map(c => c -> listing(c)).toMap
+    (0 until nlist).filterNot(affected.contains).foreach { c =>
+      assert(after(c) == before(c), s"unaffected cell $c was rewritten")
+    }
+    assert(after(affected.head) != before(affected.head),
+      "the affected cell must actually have been rewritten")
+    assert(cellsOf(index) == fullReassign(corpus, index))
+  }
+
+  test("a cell emptied of its last vector disappears and search never returns stale rows") {
+    val (corpus, index) = freshDirs()
+    // direction 3 is a tight 10-vector cluster that will own ≥1 cell;
+    // deleting ALL of it must empty (and remove) those cell dirs
+    val d3Ids = (991L to 1000L)
+    val rows = (1L to 30L).map(i => (i, emb((i % 3).toInt, i))) ++
+      d3Ids.map(i => (i, emb(3, i)))
+    MergeTable.create(spark, corpus, rows.toDF("vec_id", "embedding"),
+      "vec_id", nBuckets = 4)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    val d3Cells = cellsOf(index).filter(kv => d3Ids.contains(kv._1)).values.map(_._1).toSet
+    val otherCells = cellsOf(index).filterNot(kv => d3Ids.contains(kv._1)).values.map(_._1).toSet
+    assume(d3Cells.intersect(otherCells).isEmpty,
+      "fixture: the d3 cluster must own its cells outright")
+
+    MergeTable.merge(spark, corpus,
+      d3Ids.map(i => (i, emb(3, i), true)).toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    IvfRefresh.refresh(spark, corpus, index, 1, 2)
+
+    d3Cells.foreach { c =>
+      assert(!new java.io.File(s"$index/cells/cell=$c").exists(),
+        s"emptied cell $c's directory must be removed")
+    }
+    assert(cellsOf(index) == fullReassign(corpus, index))
+    // exhaustive search over the maintained index must not see deleted rows
+    val ivf = VectorIndex.loadIvf(spark, index)
+    val got = VectorIndex
+      .searchIvf(ivf, emb(3, 991L).toArray, k = 5, threshold = -1.0, nprobe = nlist,
+        normalizedInput = false)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSet.intersect(d3Ids.toSet).isEmpty)
+    assert(got.nonEmpty)
+  }
+
+  test("occupancy PSI flags a skewed insert wave but not a proportional one") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 400L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    val occ1 = IvfRefresh.occupancy(spark, index)
+
+    // skewed wave: every insert lands in one direction
+    MergeTable.merge(spark, corpus,
+      (2001L to 2400L).map(i => (i, emb(1, i), false))
+        .toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    IvfRefresh.refresh(spark, corpus, index, 1, 2)
+    val skewPsi = IvfRefresh.occupancyPsi(occ1, IvfRefresh.occupancy(spark, index), nlist)
+    assert(skewPsi > 0.2, s"skewed inserts must trip the retrain signal, psi=$skewPsi")
+
+    // proportional wave from the same generator distribution barely moves PSI
+    val (corpus2, index2) = freshDirs()
+    mkCorpus(corpus2, 400L)
+    IvfRefresh.build(spark, corpus2, index2, nlist = nlist)
+    val occA = IvfRefresh.occupancy(spark, index2)
+    MergeTable.merge(spark, corpus2,
+      (2001L to 2400L).map(i => (i, emb((i % 4).toInt, i), false))
+        .toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    IvfRefresh.refresh(spark, corpus2, index2, 1, 2)
+    val flatPsi = IvfRefresh.occupancyPsi(occA, IvfRefresh.occupancy(spark, index2), nlist)
+    assert(flatPsi < 0.1, s"a proportional wave must stay stable, psi=$flatPsi")
+  }
+}
