@@ -19,6 +19,7 @@ object Graft {
     graft.expr.BloomExpr.register(spark)
     graft.expr.HeavyHittersExpr.register(spark)
     graft.expr.TextNormExpr.register(spark)
+    graft.expr.QuantileSketchExpr.register(spark)
     graft.expr.SplitTextGen.register(spark)
     graft.ops.CurationFunctions.register(spark)
     spark

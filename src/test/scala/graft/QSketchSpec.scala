@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{QSketchState, QuantileSketchExpr}
+
+/** [[graft.expr.QSketchAgg]] family — exact discrete quantiles and a
+  * canonical (partition-invariant) serialized form while distinct
+  * values stay within capacity; exact total mass and a bounded,
+  * observed-value graceful degrade past it.
+  */
+class QSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exact discrete quantile reference: smallest value whose
+    * cumulative count reaches max(1, ceil(q*n)). */
+  private def exactQuantile(xs: Seq[Double], q: Double): Double = {
+    val sorted = xs.sorted
+    val rank = math.max(1L, math.ceil(q * xs.size).toLong)
+    sorted((rank - 1).toInt)
+  }
+
+  test("state: exact regime quantiles match the rank rule, any insert order") {
+    val xs = Seq(5.0, 1.0, 3.0, 3.0, 9.0, 1.0, 7.0, 3.0)
+    for (perm <- Seq(xs, xs.reverse, xs.sortBy(identity), xs.sortBy(-_))) {
+      val st = new QSketchState(16)
+      perm.foreach(st.insert(_, 1L))
+      assert(st.total == xs.size)
+      for (q <- Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+        assert(st.quantile(q) == exactQuantile(xs, q), s"q=$q perm=$perm")
+    }
+  }
+
+  test("state: merge is an exact multiset sum with canonical bytes in the exact regime") {
+    val left = Seq(1.0, 2.0, 2.0, 8.0)
+    val right = Seq(2.0, 3.0, 8.0, 8.0)
+    val a = new QSketchState(16); left.foreach(a.insert(_, 1L))
+    val b = new QSketchState(16); right.foreach(b.insert(_, 1L))
+    val ab = QSketchState.deserialize(a.serialized).mergeWith(b)
+    // one sketch fed everything in a different order must serialize identically
+    val direct = new QSketchState(16)
+    (right ++ left).foreach(direct.insert(_, 1L))
+    assert(ab.serialized.toSeq == direct.serialized.toSeq,
+      "canonical form must not depend on merge vs direct insertion order")
+    for (q <- Seq(0.25, 0.5, 0.75))
+      assert(ab.quantile(q) == exactQuantile(left ++ right, q))
+  }
+
+  test("state: serialization roundtrips") {
+    val st = new QSketchState(8)
+    Seq(4.0, 4.0, 1.0, 2.5).foreach(st.insert(_, 1L))
+    val back = QSketchState.deserialize(st.serialized)
+    assert(back.k == 8 && back.n == 3 && back.total == 4)
+    assert(back.serialized.toSeq == st.serialized.toSeq)
+  }
+
+  test("state: past capacity, mass stays exact and ranks degrade boundedly to observed values") {
+    val k = 16
+    val n = 4000
+    // deterministic LCG so the test is reproducible without RNG APIs
+    var seed = 987654321L
+    val xs = (1 to n).map { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 100000L).toDouble
+    }
+    val st = new QSketchState(k)
+    xs.foreach(st.insert(_, 1L))
+    assert(st.n <= k, "bin count must stay bounded")
+    assert(st.total == n, "total mass is never approximated")
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val est = st.quantile(q)
+      assert(xs.contains(est), s"q=$q estimate $est must be an observed value")
+      // rank error ≤ the collapsed mass around the query point; with k
+      // bins over n uniform values a generous 4n/k bound must hold
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val lo = sorted.count(_ < est) + 1 // best rank est could occupy
+      val hi = sorted.count(_ <= est) // worst rank
+      val err = math.min(math.abs(lo - target), math.abs(hi - target))
+      assert(err <= 4.0 * n / k,
+        s"q=$q rank error $err exceeds 4n/k=${4.0 * n / k}")
+    }
+  }
+
+  test("DataFrame: grouped sketch quantiles are exact and partition-invariant") {
+    val rows = (1L to 500L).map(i => ("g" + (i % 3), (i % 40).toDouble))
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      (g, exactQuantile(vs.map(_._2), 0.5))
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("grp", "v").repartition(parts)
+      val out = df.groupBy("grp")
+        .agg(QuantileSketchExpr.qsketch(col("v"), 64).as("qs"))
+        .select(col("grp"),
+          QuantileSketchExpr.qsketchQuantile(col("qs"), 0.5).as("p50"),
+          QuantileSketchExpr.qsketchN(col("qs")).as("n"))
+        .as[(String, Double, Long)].collect()
+        .map { case (g, p, n) => (g, p, n) }.toSet
+      assert(out.map { case (g, p, _) => (g, p) } == expected.toSet, s"parts=$parts")
+      assert(out.forall { case (g, _, n) => n == rows.count(_._1 == g) })
+    }
+    // exact-regime sketch BYTES must also be partition-invariant
+    val bytes = Seq(1, 7).map { parts =>
+      rows.toDF("grp", "v").repartition(parts)
+        .groupBy("grp").agg(QuantileSketchExpr.qsketch(col("v"), 64).as("qs"))
+        .select("grp", "qs").as[(String, Array[Byte])].collect()
+        .map { case (g, b) => (g, b.toSeq) }.toMap
+    }
+    assert(bytes(0) == bytes(1), "canonical serialized form must not depend on partitioning")
+  }
+
+  test("SQL: the registered qsketch family works end-to-end") {
+    Graft.registerAll(spark)
+    (1L to 100L).map(i => ("g", i % 10)).toDF("grp", "v")
+      .createOrReplaceTempView("qsk_in")
+    val row = spark.sql(
+      """SELECT grp, qsketch_quantile(qsketch(v, 32), 0.5) AS p50,
+        |       qsketch_n(qsketch(v, 32)) AS n
+        |FROM qsk_in GROUP BY grp""".stripMargin).head
+    assert(row.getDouble(1) == 4.0) // 100 values over 0..9: rank 50 → value 4
+    assert(row.getLong(2) == 100L)
+    // merge path: per-partition sketches unioned equal one global sketch
+    val merged = spark.sql(
+      """SELECT qsketch_quantile(qsketch_merge(qs), 0.5) AS p50 FROM (
+        |  SELECT grp, qsketch(v, 32) AS qs FROM qsk_in GROUP BY grp, v % 3)""".stripMargin)
+      .head.getDouble(0)
+    assert(merged == 4.0)
+  }
+}
