@@ -159,4 +159,47 @@ object IvmScaffold {
   val minmaxPartials: Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("c"),
     min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+
+  /** Quantile-sketch [[graft.pipeline.QuantileStats]] cells of
+    * [[statsCorpus]] v1 (over the bounded-domain `v64` column, so
+    * every cell stays in the sketch's exact regime at any sf). */
+  def qView1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "qview") {
+      graft.pipeline.QuantileStats.compute(
+        s, statsCorpus(s, d), "source", "v64", version = 1)
+    }
+
+  /** The vector-family corpus (vec_id, embedding DOUBLE[]): the
+    * embeddings table minus the query vector (vec_id 0), created at
+    * v1, merged to v2 — embedding REVERSED on vec_id%10==3 (a
+    * direction change both engines express exactly: `reverse` /
+    * `list_reverse`), delete %10==7, insert reversed clones of %10==1
+    * under +1000000 ids. */
+  def vecCorpus(s: SparkSession, d: String): String =
+    once(d, "vec") { dir =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      graft.pipeline.MergeTable.create(s, dir, emb, "vec_id", nBuckets = 16)
+      val updates = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit(false).as("_del"))
+      val dels = emb.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"), col("embedding"), lit(true).as("_del"))
+      val ins = emb.filter(col("vec_id") % 10 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"), lit(false).as("_del"))
+      graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(dels).unionAll(ins),
+        "vec_id", deleteCol = Some("_del"), validate = false)
+      ()
+    }
+
+  /** Frozen-centroid IVF index over [[vecCorpus]] v1 — the standing
+    * artifact `knn_ivf_incremental`'s refresh maintains to v2
+    * (re-execution is content-idempotent, like the postings table). */
+  def ivfV1(s: SparkSession, d: String): String = {
+    val corpus = vecCorpus(s, d)
+    once(d, "ivf") { dir =>
+      graft.index.IvfRefresh.build(s, corpus, dir, nlist = 8, version = 1)
+    }
+  }
 }

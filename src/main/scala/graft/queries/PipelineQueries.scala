@@ -1529,6 +1529,97 @@ object PipelineQueries {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental IVF ANN maintenance ([[graft.index.IvfRefresh]]): a
+    * frozen-centroid IVF index built over the embedding corpus at v1
+    * and MAINTAINED to v2 across direction changes (reversed vectors),
+    * deletes, and inserts — only the affected cell directories are
+    * rewritten (stage-and-swap; pre-image assignments re-derived from
+    * the corpus at v1, so no key→cell registry exists to drift). The
+    * query then searches the MAINTAINED index exhaustively
+    * (nprobe == nlist), which must equal brute-force cosine top-5 over
+    * the logically-merged corpus — recomputed from scratch by the
+    * DuckDB oracle. Deleted vectors surfacing, stale assignments, or a
+    * missed re-assignment would all break the top-5. */
+  private val knnIvfIncremental: Q = (s, d) => {
+    val corpusDir = IvmScaffold.vecCorpus(s, d)
+    val indexPath = IvmScaffold.ivfV1(s, d)
+    graft.index.IvfRefresh.refresh(s, corpusDir, indexPath, 1, 2)
+    val ivf = VectorIndex.loadIvf(s, indexPath)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qCol = array(q.map(lit): _*)
+    VectorIndex.probeCells(ivf, q, nprobe = ivf.nlist).drop("cell")
+      .withColumn("score", round(VectorIndex.cosine(col("embedding"), qCol), 4))
+      .filter(col("score") >= 0.25)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val knnIvfIncrementalSql =
+    """WITH merged AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 10 = 3 THEN list_reverse(CAST(embedding AS DOUBLE[]))
+      |         ELSE CAST(embedding AS DOUBLE[]) END AS e
+      |  FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_reverse(CAST(embedding AS DOUBLE[]))
+      |  FROM embeddings WHERE vec_id <> 0 AND vec_id % 10 = 1),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      |      FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, score FROM (
+      |  SELECT m.vec_id,
+      |    round(list_cosine_similarity(m.e, q.qe), 4) AS score
+      |  FROM merged m, q) t
+      |WHERE score >= 0.25 ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Incremental QUANTILE maintenance ([[graft.pipeline.QuantileStats]]):
+    * per-source p25/p50/p75 of the bounded-domain `v64` column via one
+    * mergeable quantile sketch per (bucket, group) cell, built at v1
+    * and maintained to v2 by re-sketching ONLY merge-touched buckets.
+    * Order statistics are the aggregate family neither signed-delta
+    * IVM nor min/max partials can maintain; the sketch trio
+    * (`qsketch`/`qsketch_merge`/`qsketch_quantile`) mirrors the HLL
+    * trio's partial/union/finalize shape. The `% 64` domain keeps
+    * every cell in the sketch's EXACT regime at any scale factor (the
+    * q33 lesson: no data-dependent oracle precondition), so the DuckDB
+    * rank-select oracle — smallest value whose cumulative count
+    * reaches ceil(q·n), the sketch's own rule — recomputed from
+    * scratch over the logically-merged table is valid everywhere, and
+    * the comparison proves sketch-refresh == full truth cross-engine,
+    * deletes included. q values are exact binary fractions so
+    * `ceil(q·n)` agrees bit-for-bit between engines. */
+  private val docQuantileIncremental: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val view2 = graft.pipeline.QuantileStats.refresh(
+      s, dir, IvmScaffold.qView1(s, d), "source", "v64", 1, 2)
+    graft.pipeline.QuantileStats
+      .quantiles(view2, "source", Seq(0.25, 0.5, 0.75))
+      .orderBy("source")
+  }
+
+  private val docQuantileIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |counts AS (
+      |  SELECT source, CAST(n_chars % 64 AS DOUBLE) AS v, COUNT(*) AS c
+      |  FROM merged GROUP BY source, v),
+      |cum AS (
+      |  SELECT source, v,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cw,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM counts)
+      |SELECT source, CAST(MIN(n) AS BIGINT) AS n,
+      |  CAST(MIN(CASE WHEN cw >= CEIL(0.25 * n) THEN v END) AS DOUBLE) AS p25,
+      |  CAST(MIN(CASE WHEN cw >= CEIL(0.5 * n) THEN v END) AS DOUBLE) AS p50,
+      |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   /** Incremental BM25 postings maintenance
     * ([[graft.pipeline.PostingsRefresh]]): a standing (doc, term, tf,
     * dl) inverted index built at corpus v1 and MAINTAINED to v2 —
@@ -1884,6 +1975,8 @@ object PipelineQueries {
     "doc_incremental_stats" -> docIncrementalStats,
     "doc_distinct_incremental" -> docDistinctIncremental,
     "doc_minmax_incremental" -> docMinmaxIncremental,
+    "doc_quantile_incremental" -> docQuantileIncremental,
+    "knn_ivf_incremental" -> knnIvfIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
     "emb_label_centroids" -> embLabelCentroids,
@@ -1949,6 +2042,8 @@ object PipelineQueries {
     "doc_incremental_stats" -> docIncrementalStatsSql,
     "doc_distinct_incremental" -> docDistinctIncrementalSql,
     "doc_minmax_incremental" -> docMinmaxIncrementalSql,
+    "doc_quantile_incremental" -> docQuantileIncrementalSql,
+    "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
