@@ -39,8 +39,9 @@ object IndexRefresh {
       corpusDir: String,
       indexDir: String,
       embedder: Embedder = HashingEmbedder(),
-      nBuckets: Int = 16): Unit = {
-    val docs = MergeTable.read(spark, corpusDir).select("doc_id", "text")
+      nBuckets: Int = 16,
+      version: Int = -1): Unit = {
+    val docs = MergeTable.read(spark, corpusDir, version).select("doc_id", "text")
     MergeTable.create(spark, indexDir,
       StreamingIngest.ingestBatch(docs, embedder), "id", nBuckets)
   }

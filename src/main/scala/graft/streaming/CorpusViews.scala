@@ -119,6 +119,100 @@ object CorpusViews {
     }
   }
 
+  /** Per-`groupCol` quantile-sketch cell view
+    * ([[graft.pipeline.QuantileStats]]) frozen to `viewDir/v<N>`
+    * parquet per reflected corpus version — [[StatsView]]'s shape for
+    * the order-statistics family. */
+  final case class QuantileView(
+      viewDir: String, groupCol: String, valueCol: String,
+      k: Int = 256) extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = versions(spark).maxOption
+
+    private def versions(spark: SparkSession): Seq[Int] = {
+      val p = new Path(viewDir)
+      val f = fs(spark, viewDir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+        .filter(v => f.exists(new Path(s"$viewDir/v$v/_SUCCESS")))
+    }
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val view = from match {
+        case Some(p) =>
+          graft.pipeline.QuantileStats.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p"), groupCol, valueCol, p, to, k)
+        case None =>
+          graft.pipeline.QuantileStats.compute(
+            spark, corpusDir, groupCol, valueCol, version = to, k = k)
+      }
+      view.write.mode("overwrite").parquet(s"$viewDir/v$to")
+    }
+
+    /** Maintained quantiles at the newest frozen version — no corpus
+      * scan. */
+    def latest(spark: SparkSession, qs: Seq[Double]): DataFrame = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained view under $viewDir")
+      graft.pipeline.QuantileStats.quantiles(
+        spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol, qs)
+    }
+  }
+
+  /** Standing RAG chunk+embedding index ([[graft.pipeline.IndexRefresh]])
+    * at `indexDir` — the reference's continuous vector-index upsert
+    * loop as a Maintained artifact: corpus edits re-chunk + re-embed
+    * CHANGED docs only. */
+  final case class RagIndex(
+      indexDir: String,
+      embedder: graft.embed.Embedder = graft.embed.HashingEmbedder())
+    extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = readCursor(spark, indexDir)
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      from match {
+        case None =>
+          graft.pipeline.IndexRefresh.build(
+            spark, corpusDir, indexDir, embedder, version = to)
+        case Some(p) =>
+          graft.pipeline.IndexRefresh.refresh(spark, corpusDir, indexDir, p, to, embedder)
+      }
+      writeCursor(spark, indexDir, to)
+    }
+  }
+
+  /** Standing frozen-centroid IVF cell lists
+    * ([[graft.index.IvfRefresh]]) at `indexPath` over an EMBEDDING
+    * corpus (keyed rows carrying `embCol`). First advance trains the
+    * centers and builds; later advances rewrite only the affected cell
+    * directories. Retrain policy stays with the caller (via
+    * [[graft.index.IvfRefresh.occupancyPsi]]). */
+  final case class IvfCellLists(
+      indexPath: String, nlist: Int = 16,
+      keyCol: String = "vec_id", embCol: String = "embedding")
+    extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = readCursor(spark, indexPath)
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      from match {
+        case None =>
+          graft.index.IvfRefresh.build(spark, corpusDir, indexPath,
+            nlist = nlist, keyCol = keyCol, embCol = embCol, version = to)
+        case Some(p) =>
+          graft.index.IvfRefresh.refresh(
+            spark, corpusDir, indexPath, p, to, keyCol, embCol)
+      }
+      writeCursor(spark, indexPath, to)
+    }
+  }
+
   /** Standing winnowed passage-fingerprint index
     * ([[FingerprintsRefresh]]) at `indexDir`. */
   final case class FingerprintIndex(

@@ -145,6 +145,30 @@ class IvfRefreshSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("IvfCellLists Maintained artifact advances through the same refresh path") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 120L)
+    val art = graft.streaming.CorpusViews.IvfCellLists(index, nlist = nlist)
+    assert(art.version(spark).isEmpty)
+    art.advance(spark, corpus, 1)
+    assert(art.version(spark).contains(1))
+    assert(cellsOf(index) == fullReassign(corpus, index))
+
+    MergeTable.merge(spark, corpus,
+      ((1L to 12L).map(i => (i, emb(3, i), false)) ++
+        Seq((20L, emb(0, 20L), true)))
+        .toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    art.advance(spark, corpus, 2)
+    assert(art.version(spark).contains(2))
+    assert(cellsOf(index) == fullReassign(corpus, index),
+      "advance must maintain, not rebuild — and must equal the truth")
+
+    // an already-reflected version no-ops (cursor monotonicity)
+    art.advance(spark, corpus, 2)
+    assert(art.version(spark).contains(2))
+  }
+
   test("occupancy PSI flags a skewed insert wave but not a proportional one") {
     val (corpus, index) = freshDirs()
     mkCorpus(corpus, 400L)

@@ -278,9 +278,11 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "grp", "v", "text"), "doc_id", nBuckets = 4)
 
     val statsView = CorpusViews.StatsView(views, "grp", "v")
-    val maintain = Seq(statsView,
+    val quantView = CorpusViews.QuantileView(s"$root/qviews", "grp", "v")
+    val ragIdx = CorpusViews.RagIndex(s"$root/rag")
+    val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps))
+      CorpusViews.FingerprintIndex(fps), ragIdx)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -301,12 +303,32 @@ class StreamingSpec extends SparkSpec {
     def fpRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("doc_id").cast("long"), col("fp").cast("long"))
         .as[(Long, Long)].collect().toSet
+    def quantNow(): Map[String, (Long, Double)] =
+      quantView.latest(spark, Seq(0.5))
+        .select("grp", "n", "p50").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def batchQuant(): Map[String, (Long, Double)] =
+      graft.pipeline.QuantileStats.quantiles(
+          graft.pipeline.QuantileStats.compute(spark, table, "grp", "v"),
+          "grp", Seq(0.5))
+        .select("grp", "n", "p50").as[(String, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def ragRows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
+      df.select(col("id").cast("string"), col("doc_id").cast("long"),
+        col("chunk_text"))
+        .as[(String, Long, String)].collect().toSet
     def allEqualBatch(): Unit = {
       assert(statsNow() == batchStats())
+      assert(quantNow() == batchQuant(),
+        "maintained quantile cells must equal a batch rebuild")
       assert(postingsRows(MergeTable.read(spark, postings)) ==
         postingsRows(TextSearch.postings(MergeTable.read(spark, table))))
       assert(fpRows(MergeTable.read(spark, fps)) ==
         fpRows(Winnow.fingerprintsScan(MergeTable.read(spark, table))))
+      assert(ragRows(MergeTable.read(spark, s"$root/rag")) ==
+        ragRows(StreamingIngest.ingestBatch(
+          MergeTable.read(spark, table).select("doc_id", "text"))),
+        "maintained RAG index must equal a full re-chunk+re-embed")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
@@ -327,8 +349,11 @@ class StreamingSpec extends SparkSpec {
     stream()
     allEqualBatch()
     assert(!statsNow().contains("c"), "emptied group must drop out")
+    assert(!quantNow().contains("c"), "emptied group must drop out of quantiles")
     assert(!postingsRows(MergeTable.read(spark, postings)).exists(_._1 == 4L),
       "deleted doc must leave the postings index")
+    assert(!ragRows(MergeTable.read(spark, s"$root/rag")).exists(_._2 == 4L),
+      "deleted doc's chunks must leave the RAG index")
 
     // artifacts advanced incrementally: frozen view versions + cursors
     val frozen = new java.io.File(views).listFiles().map(_.getName).toSet
