@@ -109,6 +109,17 @@ class QSketchSpec extends SparkSpec {
     assert(bytes(0) == bytes(1), "canonical serialized form must not depend on partitioning")
   }
 
+  test("plan: qsketch aggregates map-side under ObjectHashAggregate") {
+    // the scale contract: partial sketches combine BEFORE the exchange,
+    // so the shuffle carries one ≤(8+16k)-byte buffer per group per
+    // partition instead of rows — the hll_sketch_agg plan shape
+    val df = (1L to 200L).map(i => ("g" + (i % 3), (i % 40).toDouble)).toDF("grp", "v")
+      .groupBy("grp").agg(QuantileSketchExpr.qsketch(col("v"), 64).as("qs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_qsketch"), s"expected map-side partials:\n$plan")
+  }
+
   test("SQL: the registered qsketch family works end-to-end") {
     Graft.registerAll(spark)
     (1L to 100L).map(i => ("g", i % 10)).toDF("grp", "v")
