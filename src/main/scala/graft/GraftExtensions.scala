@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's complete SQL function surface as one builder list —
+  * the single source both registration paths consume:
+  *
+  *  - [[Graft.registerAll]] / each object's `register(spark)` install
+  *    them as session temp functions (driver-side library use);
+  *  - [[GraftExtensions]] injects them at session construction, so a
+  *    cluster that only controls configuration — thrift server, SQL
+  *    gateway, `spark-submit` of third-party jobs — gets the full
+  *    surface with `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    and no driver code at all.
+  */
+object GraftFunctions {
+
+  /** name → catalyst builder for every registered function: vector
+    * algebra, grouped top-k, Bloom sketch, heavy hitters, Unicode
+    * normalization, quantile sketches, the split_text generator, and
+    * the curation surface. */
+  val all: Seq[(String, Seq[Expression] => Expression)] =
+    graft.expr.VectorExpressions.functions ++
+      graft.expr.TopKExpr.functions ++
+      graft.expr.BloomExpr.functions ++
+      graft.expr.HeavyHittersExpr.functions ++
+      graft.expr.TextNormExpr.functions ++
+      graft.expr.QuantileSketchExpr.functions ++
+      graft.expr.SplitTextGen.functions ++
+      graft.ops.CurationFunctions.functions
+
+  /** Install builders as session temp functions (the `register` path). */
+  def registerTemp(
+      spark: SparkSession,
+      fns: Seq[(String, Seq[Expression] => Expression)]): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** Config-time injection of the engine's SQL surface —
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`). The
+  * Spark-sanctioned mechanism for libraries extending SQL without
+  * driver code; injected functions live in the session's base registry,
+  * so they survive `newSession()` (temp functions do not). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}

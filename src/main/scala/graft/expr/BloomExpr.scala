@@ -151,19 +151,21 @@ object BloomExpr {
 
   /** Register `bloom_agg(h, n, fpp)` and `bloom_might_contain(bytes, h)`
     * in the session function registry (same pattern as `top_k`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     def castTo(e: Expression, dt: DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("bloom_agg",
-      es => {
+    Seq(
+      "bloom_agg" -> (es => {
         require(es.length == 3, s"bloom_agg expects 3 arguments, got ${es.length}")
         BloomAgg(castTo(es(0), LongType), es(1), es(2)).toAggregateExpression()
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("bloom_might_contain",
-      es => {
+      }),
+      "bloom_might_contain" -> (es => {
         require(es.length == 2, s"bloom_might_contain expects 2 arguments, got ${es.length}")
         BloomMightContain(es(0), castTo(es(1), LongType))
-      }, "scala_udf")
+      }))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

@@ -209,14 +209,14 @@ object HeavyHittersExpr {
       HeavyHitters(Cast(Bridge.toExpr(item), StringType), Literal(k))
         .toAggregateExpression())
 
-  /** Register `heavy_hitters(item, k)` in the session function registry
-    * (same pattern as [[TopKExpr.register]]). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("heavy_hitters",
-      es => {
-        require(es.length == 2, s"heavy_hitters expects 2 arguments, got ${es.length}")
-        val item = if (es(0).dataType == StringType) es(0) else Cast(es(0), StringType)
-        HeavyHitters(item, es(1)).toAggregateExpression()
-      }, "scala_udf")
-  }
+  /** SQL surface: `heavy_hitters(item, k)`. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "heavy_hitters" -> (es => {
+      require(es.length == 2, s"heavy_hitters expects 2 arguments, got ${es.length}")
+      val item = if (es(0).dataType == StringType) es(0) else Cast(es(0), StringType)
+      HeavyHitters(item, es(1)).toAggregateExpression()
+    }))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

@@ -318,32 +318,30 @@ object QuantileSketchExpr {
   def qsketchN(sketch: Column): Column =
     Bridge.toColumn(QSketchN(Bridge.toExpr(sketch)))
 
-  /** Register the four functions in the session registry (same pattern
-    * as [[TopKExpr.register]]; values cast to DOUBLE so INT/BIGINT
-    * columns work from SQL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** SQL surface (values cast to DOUBLE so INT/BIGINT columns work
+    * from SQL). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = {
     def castTo(e: Expression, dt: DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt)
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("qsketch",
-      es => {
+    Seq(
+      "qsketch" -> (es => {
         require(es.length == 2, s"qsketch expects 2 arguments, got ${es.length}")
         QSketchAgg(castTo(es(0), DoubleType), es(1)).toAggregateExpression()
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("qsketch_merge",
-      es => {
+      }),
+      "qsketch_merge" -> (es => {
         require(es.length == 1, s"qsketch_merge expects 1 argument, got ${es.length}")
         QSketchMergeAgg(es(0)).toAggregateExpression()
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("qsketch_quantile",
-      es => {
+      }),
+      "qsketch_quantile" -> (es => {
         require(es.length == 2, s"qsketch_quantile expects 2 arguments, got ${es.length}")
         QSketchQuantile(es(0), castTo(es(1), DoubleType))
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("qsketch_n",
-      es => {
+      }),
+      "qsketch_n" -> (es => {
         require(es.length == 1, s"qsketch_n expects 1 argument, got ${es.length}")
         QSketchN(es(0))
-      }, "scala_udf")
+      }))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

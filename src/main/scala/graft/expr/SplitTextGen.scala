@@ -48,10 +48,11 @@ case class SplitTextGen(text: Expression, size: Expression, overlap: Expression)
 }
 
 object SplitTextGen {
-  /** Register `split_text(text, size, overlap)` for SQL use. */
+  /** SQL surface: `split_text(text, size, overlap)` (a Generator — used
+    * via LATERAL VIEW). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "split_text" -> (es => SplitTextGen(es(0), es(1), es(2))))
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "split_text",
-      es => SplitTextGen(es(0), es(1), es(2)),
-      "scala_udf")
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

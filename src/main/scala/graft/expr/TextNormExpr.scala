@@ -72,14 +72,15 @@ object TextNormExpr {
 
   /** Register `nfc_normalize(text)` (DuckDB-compatible name) and
     * `nfkc_normalize(text)` in the session function registry. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    def one(name: String, form: String): Unit =
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-        es => {
-          require(es.length == 1, s"$name expects 1 argument, got ${es.length}")
-          NormalizeUnicode(asString(es.head), form)
-        }, "scala_udf")
-    one("nfc_normalize", "NFC")
-    one("nfkc_normalize", "NFKC")
+  val functions: Seq[(String, Seq[Expression] => Expression)] = {
+    def one(name: String, form: String): (String, Seq[Expression] => Expression) =
+      name -> (es => {
+        require(es.length == 1, s"$name expects 1 argument, got ${es.length}")
+        NormalizeUnicode(asString(es.head), form)
+      })
+    Seq(one("nfc_normalize", "NFC"), one("nfkc_normalize", "NFKC"))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

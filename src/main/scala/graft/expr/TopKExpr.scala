@@ -169,19 +169,19 @@ object TopKExpr {
       TopK(Bridge.toExpr(id), Bridge.toExpr(score), Literal(k)).toAggregateExpression())
   }
 
-  /** Register `top_k(id, score, k)` in the session function registry
-    * (same pattern as [[VectorExpressions.register]]). Inputs are cast
-    * to the canonical (BIGINT, DOUBLE) so INT ids / DECIMAL scores work
-    * from SQL. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** SQL surface: `top_k(id, score, k)` — inputs cast to the canonical
+    * (BIGINT, DOUBLE) so INT ids / DECIMAL scores work from SQL. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     def castTo(e: Expression, dt: DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("top_k",
-      es => {
-        require(es.length == 3, s"top_k expects 3 arguments, got ${es.length}")
-        TopK(castTo(es(0), LongType), castTo(es(1), DoubleType), es(2))
-          .toAggregateExpression()
-      }, "scala_udf")
+    Seq("top_k" -> (es => {
+      require(es.length == 3, s"top_k expects 3 arguments, got ${es.length}")
+      TopK(castTo(es(0), LongType), castTo(es(1), DoubleType), es(2))
+        .toAggregateExpression()
+    }))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

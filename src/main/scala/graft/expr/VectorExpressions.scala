@@ -231,23 +231,25 @@ object VectorExpressions {
   def pqAdc(code: Column, table: Column, ksub: Int): Column =
     Bridge.toColumn(PqAdc(e(code), e(table), ksub))
 
-  /** Register `dot_product`, `l2_norm`, `cosine_similarity` for SQL use.
+  /** SQL surface: `dot_product`, `l2_norm`, `cosine_similarity`.
     * SQL literal arrays arrive as ARRAY<DECIMAL>; a cast to
     * ARRAY<DOUBLE> normalizes every numeric input (no-op for float
     * arrays' getFloat path is preserved by the cast being skipped when
-    * already float/double — see `castArr`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    * already float/double — see `castArr`). One builder list feeds both
+    * session registration ([[register]]) and config-time injection
+    * ([[graft.GraftExtensions]]). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     def castArr(e: Expression): Expression = e.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
       case _ => Cast(e, ArrayType(DoubleType))
     }
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product",
-      es => DotProduct(castArr(es(0)), castArr(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_norm",
-      es => L2Norm(castArr(es.head)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      es => CosineSimilarity(castArr(es(0)), castArr(es(1))), "scala_udf")
+    Seq(
+      "dot_product" -> (es => DotProduct(castArr(es(0)), castArr(es(1)))),
+      "l2_norm" -> (es => L2Norm(castArr(es.head))),
+      "cosine_similarity" -> (es => CosineSimilarity(castArr(es(0)), castArr(es(1)))))
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

@@ -18,30 +18,36 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object CurationFunctions {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def one(name: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
-      reg.createOrReplaceTempFunction(name,
-        es => {
-          require(es.size == 1, s"$name takes exactly one argument, got ${es.size}")
-          Bridge.toExpr(spark, f(Bridge.toColumn(es.head)))
-        }, "scala_udf")
-
-    one("mask_pii")(TextSanitize.maskPii)
-    one("strip_boilerplate")(TextSanitize.stripBoilerplate)
-    one("sanitize_text")(TextSanitize.sanitize)
-    one("quality_score")(TextAnalysis.qualityScore(_))
-    one("lang_id")(TextAnalysis.langId)
-    one("token_count")(TextAnalysis.tokenCount)
-    one("subword_count")(TextAnalysis.subwordCount)
-    one("fingerprint")(TextAnalysis.fingerprint)
-    one("rolling_hash")(TextAnalysis.rollingHash)
-    one("hash_priority")(Sampling.hashPriority)
-    reg.createOrReplaceTempFunction("z_value",
-      es => {
+  /** The builders convert Column-API compositions to catalyst trees at
+    * analysis time, when `SparkSession.active` is the analyzing session
+    * — no session captured at definition time, which is what lets the
+    * same list back both [[register]] and config-time injection via
+    * [[graft.GraftExtensions]]. */
+  val functions: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    def one(name: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) =
+      name -> (es => {
+        require(es.size == 1, s"$name takes exactly one argument, got ${es.size}")
+        Bridge.toExpr(SparkSession.active, f(Bridge.toColumn(es.head)))
+      })
+    Seq(
+      one("mask_pii")(TextSanitize.maskPii),
+      one("strip_boilerplate")(TextSanitize.stripBoilerplate),
+      one("sanitize_text")(TextSanitize.sanitize),
+      one("quality_score")(TextAnalysis.qualityScore(_)),
+      one("lang_id")(TextAnalysis.langId),
+      one("token_count")(TextAnalysis.tokenCount),
+      one("subword_count")(TextAnalysis.subwordCount),
+      one("fingerprint")(TextAnalysis.fingerprint),
+      one("rolling_hash")(TextAnalysis.rollingHash),
+      one("hash_priority")(Sampling.hashPriority),
+      "z_value" -> (es => {
         require(es.size >= 2 && es.size <= 3,
           "z_value takes 2 or 3 columns at 16 bits each")
-        Bridge.toExpr(spark, graft.pipeline.Layout.zValue(es.map(Bridge.toColumn)))
-      }, "scala_udf")
+        Bridge.toExpr(SparkSession.active, graft.pipeline.Layout.zValue(es.map(Bridge.toColumn)))
+      }))
   }
+
+  def register(spark: SparkSession): Unit =
+    graft.GraftFunctions.registerTemp(spark, functions)
 }

@@ -60,15 +60,19 @@ object CorpusViews {
     fs(spark, dir).create(new Path(s"$dir/_corpus_v$v"), true).close()
   }
 
-  /** Per-`groupCol` (count, sum of `valueCol`) cell view, frozen to
-    * `viewDir/v<N>` parquet per reflected corpus version. Cursor = the
-    * newest complete (`_SUCCESS`-bearing) frozen version. */
-  final case class StatsView(
-      viewDir: String, groupCol: String, valueCol: String) extends Maintained {
+  /** Shared shape of the frozen-cell-parquet artifacts ([[StatsView]],
+    * [[QuantileView]]): one `viewDir/v<N>` directory per reflected
+    * corpus version, cursor = the newest complete (`_SUCCESS`-bearing)
+    * one. Old frozen versions are time-travel state, not required for
+    * maintenance (refresh reads only the NEWEST), so [[prune]] applies
+    * a retention count — without it a long-lived stream accumulates
+    * one directory per corpus version forever. */
+  sealed trait FrozenCellView extends Maintained {
+    def viewDir: String
 
-    def version(spark: SparkSession): Option[Int] = versions(spark).maxOption
+    final def version(spark: SparkSession): Option[Int] = versions(spark).maxOption
 
-    private def versions(spark: SparkSession): Seq[Int] = {
+    protected final def versions(spark: SparkSession): Seq[Int] = {
       val p = new Path(viewDir)
       val f = fs(spark, viewDir)
       if (!f.exists(p)) Seq.empty
@@ -77,6 +81,23 @@ object CorpusViews {
         .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
         .filter(v => f.exists(new Path(s"$viewDir/v$v/_SUCCESS")))
     }
+
+    /** Delete all but the newest `keep` frozen versions; returns the
+      * dropped version numbers. Never drops the cursor version, so a
+      * pruned view keeps advancing incrementally. */
+    final def prune(spark: SparkSession, keep: Int = 2): Seq[Int] = {
+      require(keep >= 1, "must keep at least the cursor version")
+      val dropped = versions(spark).sorted.dropRight(keep)
+      val f = fs(spark, viewDir)
+      dropped.foreach(v => f.delete(new Path(s"$viewDir/v$v"), true))
+      dropped
+    }
+  }
+
+  /** Per-`groupCol` (count, sum of `valueCol`) cell view, frozen to
+    * `viewDir/v<N>` parquet per reflected corpus version. */
+  final case class StatsView(
+      viewDir: String, groupCol: String, valueCol: String) extends FrozenCellView {
 
     protected def doAdvance(
         spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
@@ -125,19 +146,7 @@ object CorpusViews {
     * the order-statistics family. */
   final case class QuantileView(
       viewDir: String, groupCol: String, valueCol: String,
-      k: Int = 256) extends Maintained {
-
-    def version(spark: SparkSession): Option[Int] = versions(spark).maxOption
-
-    private def versions(spark: SparkSession): Seq[Int] = {
-      val p = new Path(viewDir)
-      val f = fs(spark, viewDir)
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
-        .filter(v => f.exists(new Path(s"$viewDir/v$v/_SUCCESS")))
-    }
+      k: Int = 256) extends FrozenCellView {
 
     protected def doAdvance(
         spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {

@@ -361,5 +361,19 @@ class StreamingSpec extends SparkSpec {
     val cursors = new java.io.File(postings).listFiles().map(_.getName)
       .filter(_.startsWith("_corpus_v")).toSet
     assert(cursors.nonEmpty, "postings cursor missing")
+
+    // retention: prune to the cursor version only — older frozen dirs
+    // go, the maintained answer is untouched, and the view still
+    // advances incrementally afterwards
+    val dropped = statsView.prune(spark, keep = 1)
+    assert(dropped.nonEmpty, "two advances must leave something to prune")
+    val left = new java.io.File(views).listFiles().map(_.getName)
+      .filter(_.startsWith("v")).toSet
+    assert(left.size == 1, s"prune(keep=1) must leave one frozen version: $left")
+    assert(statsNow() == batchStats(), "prune must not change the answer")
+    Files.writeString(java.nio.file.Paths.get(landing, "c3.json"),
+      """{"doc_id":5,"grp":"a","v":7,"text":"one more arrival after pruning","_del":false}""")
+    stream()
+    allEqualBatch()
   }
 }
