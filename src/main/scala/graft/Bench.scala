@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard surface: SQL functions + the lambda-invariant
+    // hoist rule, so the gate exercises what library sessions run
+    Graft.registerAll(spark)
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""

@@ -14,14 +14,14 @@ object Graft {
     * `lang_id`, `token_count`, `fingerprint`, `hash_priority`,
     * `z_value`, …) — see `graft.ops.CurationFunctions`. */
   def registerAll(spark: SparkSession): SparkSession = {
-    graft.expr.VectorExpressions.register(spark)
-    graft.expr.TopKExpr.register(spark)
-    graft.expr.BloomExpr.register(spark)
-    graft.expr.HeavyHittersExpr.register(spark)
-    graft.expr.TextNormExpr.register(spark)
-    graft.expr.QuantileSketchExpr.register(spark)
-    graft.expr.SplitTextGen.register(spark)
-    graft.ops.CurationFunctions.register(spark)
+    GraftFunctions.registerTemp(spark, GraftFunctions.all)
+    // the lambda-invariant hoist runs in the "User Provided Optimizers"
+    // batch — after the pushdown/inlining batches whose rewrites create
+    // the shape it repairs (see HoistLambdaInvariants; the extensions
+    // path injects the same rule as a pre-CBO rule)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.HoistLambdaInvariants))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.HoistLambdaInvariants
     spark
   }
 

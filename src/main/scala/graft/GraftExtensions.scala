@@ -48,11 +48,15 @@ object GraftFunctions {
   * driver code; injected functions live in the session's base registry,
   * so they survive `newSession()` (temp functions do not). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    // once-run batch AFTER the operator-optimization fixed point — the
+    // inlining this rule repairs has landed by then
+    ext.injectPreCBORule(_ => graft.plans.HoistLambdaInvariants)
+  }
 }

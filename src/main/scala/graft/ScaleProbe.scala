@@ -44,6 +44,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard surface: SQL functions + the lambda-invariant
+    // hoist rule, so the gate exercises what library sessions run
+    Graft.registerAll(spark)
 
     try {
       try Warmup.run(spark, sfDirs.head)

@@ -24,6 +24,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard surface: SQL functions + the lambda-invariant
+    // hoist rule, so the gate exercises what library sessions run
+    Graft.registerAll(spark)
     new java.io.File(outDir).mkdirs()
     try Warmup.run(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }

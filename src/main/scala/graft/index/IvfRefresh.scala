@@ -127,9 +127,22 @@ object IvfRefresh {
           // [[MergeTable]]; a crash mid-swap is repaired by [[build]]
           // (whose overwrite contract already covers half-written
           // layouts — see [[VectorIndex.writeIvf]]).
-          val retained = spark.read.parquet(cellsPath)
-            .filter(col("cell").isin(affected.map(Integer.valueOf): _*))
-            .join(changedKeys, Seq(keyCol), "left_anti")
+          // read the affected cell DIRECTORIES, not the root: a root
+          // read would file-list every partition before pruning; this
+          // keeps even the listing proportional to affected cells.
+          // basePath preserves `cell` as a partition column; a dir may
+          // be absent when a previously-emptied cell is only on the
+          // NEW side of the assignment (nothing to retain there).
+          val fs0 = new org.apache.hadoop.fs.Path(cellsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val presentDirs = affected.map(c => s"$cellsPath/cell=$c")
+            .filter(p => fs0.exists(new org.apache.hadoop.fs.Path(p)))
+          val retained =
+            (if (presentDirs.isEmpty)
+              spark.read.parquet(cellsPath).limit(0)
+            else
+              spark.read.option("basePath", cellsPath).parquet(presentDirs: _*))
+              .join(changedKeys, Seq(keyCol), "left_anti")
           val out = retained.unionByName(
             newAssigned.select(retained.columns.map(col): _*))
           out.write.mode("overwrite").partitionBy("cell").parquet(stagePath)

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule fixing the engine's round-6 pathology CLASS: a
+  * loop-invariant expensive expression (regex/trim/split/like) landing
+  * INSIDE a higher-order-function lambda body, where it re-executes on
+  * every ELEMENT access instead of once per ROW. Catalyst's own
+  * rewrites create this shape — `PushDownPredicates` substitutes
+  * aliases while pushing an inferred filter below the projections that
+  * named them, carrying e.g. a `regexp_replace` into a `transform`
+  * lambda (the winnowing query's ~O(L³·k) hang; `PlanGuardSpec`
+  * documents the exact mechanics and DETECTS the shape in every
+  * registered query — this rule REPAIRS it engine-wide).
+  *
+  * Rewrite: for each Project/Filter whose expressions contain a
+  * MAXIMAL expensive subtree under a lambda with no lambda-variable
+  * reference below it, hoist that subtree into a projection below the
+  * node (evaluated once per row) and replace every semantically-equal
+  * occurrence with the hoisted attribute:
+  *
+  * {{{
+  *   Project[transform(seq, i -> f(REGEX(col), i))](child)
+  *     ⇒ Project[transform(seq, i -> f(_h, i))](Project[child.* , REGEX(col) AS _h](child))
+  * }}}
+  *
+  * Safety:
+  *  - only whitelisted non-throwing string expressions are hoisted
+  *    (they return null/values, never raise under ANSI), so eager
+  *    evaluation on rows where the lambda would not have run (empty
+  *    arrays) cannot introduce errors;
+  *  - only deterministic, resolved subtrees with non-empty references
+  *    move (foldable ones are already constant-folded);
+  *  - maximal-subtree collection keeps `trim(regexp_replace(…))`
+  *    together — one hoisted column, not a partial hoist;
+  *  - idempotent: after the rewrite the lambda body holds a plain
+  *    attribute, which no longer matches the collector.
+  *
+  * Placement: the rule must run AFTER the batches whose rewrites cause
+  * the inlining. Both registration paths satisfy that —
+  * `spark.experimental.extraOptimizations` (the "User Provided
+  * Optimizers" batch; installed by [[graft.Graft.registerAll]]) and
+  * `SparkSessionExtensions.injectPreCBORule` (the once-run "Pre CBO
+  * Rules" batch; installed by [[graft.GraftExtensions]]).
+  */
+object HoistLambdaInvariants extends Rule[LogicalPlan] {
+
+  /** Whitelist: expensive per-evaluation, non-throwing, worth a column. */
+  private def expensive(e: Expression): Boolean = e match {
+    case _: RegExpReplace | _: RegExpExtract | _: StringTrim | _: StringTrimLeft |
+         _: StringTrimRight | _: StringSplit | _: Like | _: RLike => true
+    case _ => false
+  }
+
+  private def hoistable(e: Expression): Boolean =
+    expensive(e) && e.resolved && e.deterministic &&
+      e.references.nonEmpty &&
+      !e.exists(_.isInstanceOf[NamedLambdaVariable])
+
+  /** Maximal hoistable subtrees of a lambda BODY (stop descending once
+    * a subtree is collected, so nested trim(regexp(…)) hoists whole). */
+  private def maximalIn(e: Expression, out: scala.collection.mutable.Buffer[Expression]): Unit =
+    if (hoistable(e)) out += e
+    else e.children.foreach(maximalIn(_, out))
+
+  /** All maximal hoistables under HOF lambdas of a node expression,
+    * deduplicated by canonical form. */
+  private def collect(roots: Seq[Expression]): Seq[Expression] = {
+    val out = scala.collection.mutable.Buffer.empty[Expression]
+    roots.foreach(_.foreach {
+      case h: HigherOrderFunction =>
+        h.functions.foreach {
+          case LambdaFunction(body, _, _) => maximalIn(body, out)
+          case _ => ()
+        }
+      case _ => ()
+    })
+    out.foldLeft(Vector.empty[Expression]) { (acc, e) =>
+      if (acc.exists(_.semanticEquals(e))) acc else acc :+ e
+    }
+  }
+
+  private def substitute(e: Expression, repl: Seq[(Expression, Attribute)]): Expression =
+    e.transformUp {
+      case sub if repl.exists(_._1.semanticEquals(sub)) =>
+        repl.find(_._1.semanticEquals(sub)).get._2
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, child) =>
+      val hs = collect(projectList)
+      if (hs.isEmpty) p
+      else {
+        val aliases = hs.map(h => Alias(h, "_hoisted")())
+        val repl = hs.zip(aliases.map(_.toAttribute))
+        Project(
+          projectList.map(e => substitute(e, repl).asInstanceOf[NamedExpression]),
+          Project(child.output ++ aliases, child))
+      }
+    case f @ Filter(condition, child) =>
+      val hs = collect(Seq(condition))
+      if (hs.isEmpty) f
+      else {
+        val aliases = hs.map(h => Alias(h, "_hoisted")())
+        val repl = hs.zip(aliases.map(_.toAttribute))
+        // outer Project restores the node's schema contract
+        Project(child.output,
+          Filter(substitute(condition, repl),
+            Project(child.output ++ aliases, child)))
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.HoistLambdaInvariants
+
+/** [[HoistLambdaInvariants]] — must repair the round-6 pathological
+  * shape (loop-invariant regex inside a HOF lambda) without changing
+  * results, hoist maximal subtrees as ONE column, leave legitimate
+  * per-element lambda work alone, and be idempotent.
+  */
+class HoistLambdaInvariantsSpec extends SparkSpec {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** PlanGuardSpec's detector, local copy: loop-invariant expensive
+    * expressions under HOF lambdas. */
+  private def offendersIn(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case h: HigherOrderFunction =>
+          h.functions.foreach(_.foreach {
+            case e @ (_: RegExpReplace | _: RegExpExtract | _: StringTrim |
+                      _: StringSplit | _: Like | _: RLike)
+                if !e.exists(_.isInstanceOf[NamedLambdaVariable]) =>
+              out += s"${e.prettyName} under ${h.prettyName}"
+            case _ =>
+          })
+        case _ =>
+      })
+    }
+    out.toSeq
+  }
+
+  private def pathological = {
+    val src = Tables.documents(spark, sf0001)
+    val t = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    src
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), transform(sequence(lit(1), length(col("t")) - 15),
+        i => ascii(col("t").substr(i, lit(1))).cast("long")).as("h"))
+      .select(col("doc_id"), explode(col("h")).as("hv"))
+  }
+
+  private def withRule[A](active: Boolean)(body: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      if (active) (saved.filterNot(_ == HoistLambdaInvariants) :+ HoistLambdaInvariants)
+      else saved.filterNot(_ == HoistLambdaInvariants)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("repairs the round-6 shape and preserves the result") {
+    import spark.implicits._
+    val (repairedPlan, withRuleRows) = withRule(active = true) {
+      val df = pathological
+      (df.queryExecution.optimizedPlan,
+        df.as[(Long, Long)].collect().toSeq.sorted)
+    }
+    assert(offendersIn(repairedPlan).isEmpty,
+      s"rule left the hazard in place:\n$repairedPlan")
+    assert(repairedPlan.toString.contains("_hoisted"),
+      "expected a hoisted projection below the lambda")
+
+    val withoutRuleRows = withRule(active = false) {
+      pathological.as[(Long, Long)].collect().toSeq.sorted
+    }
+    assert(withRuleRows == withoutRuleRows,
+      "hoisting must be a pure performance rewrite")
+  }
+
+  test("maximal subtrees hoist as a single column") {
+    val plan = withRule(active = true)(pathological.queryExecution.optimizedPlan)
+    val hoisted = scala.collection.mutable.Buffer.empty[Alias]
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case a: Alias if a.name == "_hoisted" => hoisted += a
+      case _ =>
+    }))
+    assert(hoisted.size == 1,
+      s"trim(regexp_replace(lower(…))) must hoist whole, got ${hoisted.map(_.child.prettyName)}")
+    assert(hoisted.head.child.isInstanceOf[StringTrim],
+      "the MAXIMAL subtree (trim at the top) is the hoist unit")
+  }
+
+  test("legitimate per-element lambda work is untouched; rule is idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a1", "b2"))).toDF("id", "arr")
+      .select(col("id"), filter(col("arr"), x => x.rlike("[0-9]")).as("kept"))
+    val plan = df.queryExecution.optimizedPlan
+    val once = HoistLambdaInvariants(plan)
+    assert(once.sameResult(plan), "per-element rlike over the lambda variable must not hoist")
+
+    val bad = withRule(active = false)(pathological.queryExecution.optimizedPlan)
+    val fixedOnce = HoistLambdaInvariants(bad)
+    val fixedTwice = HoistLambdaInvariants(fixedOnce)
+    assert(fixedTwice.sameResult(fixedOnce), "second application must be a no-op")
+  }
+}

@@ -95,15 +95,27 @@ class PlanGuardSpec extends SparkSpec {
     // transform lambda, re-executed per element. The explode is
     // therefore essential to the control.
     import org.apache.spark.sql.functions._
-    val src = Tables.documents(spark, sf0001)
-    val t = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val pathological = src
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), transform(sequence(lit(1), length(col("t")) - 15),
-        i => ascii(col("t").substr(i, lit(1))).cast("long")).as("h"))
-      .select(col("doc_id"), explode(col("h")).as("hv"))
-    assert(offendersIn(pathological.queryExecution.optimizedPlan).nonEmpty,
-      "guard lost its teeth: the known-bad shape was not flagged")
+    def pathological = {
+      val src = Tables.documents(spark, sf0001)
+      val t = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      src
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), transform(sequence(lit(1), length(col("t")) - 15),
+          i => ascii(col("t").substr(i, lit(1))).cast("long")).as("h"))
+        .select(col("doc_id"), explode(col("h")).as("hv"))
+    }
+    // the control must see the UNREPAIRED optimizer: strip the engine's
+    // HoistLambdaInvariants rule (installed by Graft.registerAll, which
+    // an earlier suite may have run on this shared session) for the
+    // duration of the teeth check — HoistLambdaInvariantsSpec owns the
+    // with-rule assertions
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.HoistLambdaInvariants)
+    try
+      assert(offendersIn(pathological.queryExecution.optimizedPlan).nonEmpty,
+        "guard lost its teeth: the known-bad shape was not flagged")
+    finally spark.experimental.extraOptimizations = saved
 
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       offendersIn(fn(spark, sf0001).queryExecution.optimizedPlan)
