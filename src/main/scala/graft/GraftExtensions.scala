@@ -55,8 +55,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
-    // once-run batch AFTER the operator-optimization fixed point — the
-    // inlining this rule repairs has landed by then
-    ext.injectPreCBORule(_ => graft.plans.HoistLambdaInvariants)
+    // The hoist must run after EVERY batch that can re-inline a
+    // projection into a lambda. Pre-CBO alone is not enough: the later
+    // RewriteSubquery batch re-runs CollapseProject, which inlines the
+    // hoisted (non-cheap, referenced-once) alias straight back into the
+    // lambda body — spec-proven in HoistLambdaInvariantsSpec. The only
+    // seam after that batch is experimental.extraOptimizations (the
+    // optimizer's final batch), which is per-session state, not an
+    // extensions injection — so the rule BUILDER, which receives the
+    // session while its state is being built, installs it there. The
+    // pre-CBO pass itself is kept: harmless, and it repairs plans even
+    // if a future Spark version reorders the tail batches.
+    ext.injectPreCBORule { session =>
+      if (!session.experimental.extraOptimizations.contains(graft.plans.HoistLambdaInvariants))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ graft.plans.HoistLambdaInvariants
+      graft.plans.HoistLambdaInvariants
+    }
   }
 }

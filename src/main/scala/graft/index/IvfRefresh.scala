@@ -91,6 +91,62 @@ object IvfRefresh {
       indexPath)
   }
 
+  private def markerPath(indexPath: String): String = indexPath + "/_swap_pending"
+
+  /** Redo the cell-directory swap from the staged partitions. The
+    * marker records, per affected cell, whether the stage HELD a
+    * directory for it at commit time — that bit is what makes the redo
+    * unambiguous: a staged cell whose stage dir is gone was already
+    * renamed in (keep dst); an unstaged (emptied) cell's live dir is
+    * deleted, idempotently. Re-running after any prefix of the steps
+    * converges, because the stage is immutable and each step is "make
+    * dst reflect the marker". The marker falls only after every cell
+    * is swapped. */
+  private def completeSwap(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+      entries: Seq[(Int, Boolean)]): Unit = {
+    val cellsPath = indexPath + "/cells"
+    val stagePath = indexPath + "/cells_stage"
+    entries.foreach { case (c, staged) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
+      val src = new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")
+      if (!staged) {
+        fs.delete(dst, true) // emptied cell: the delete IS the maintenance
+      } else if (fs.exists(src)) {
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+      // staged but src gone ⇒ the crashed run already renamed it: keep dst
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(markerPath(indexPath)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+  }
+
+  /** Repair a crashed [[refresh]] swap, if any — called on every
+    * refresh and index load. Marker present ⇒ the stage was written
+    * completely (the marker is created after the stage write), so the
+    * swap is simply redone; no marker but a leftover stage ⇒ the crash
+    * was BEFORE the commit point — the live cells are untouched and the
+    * stage is discarded. */
+  def recover(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(markerPath(indexPath))
+    val stage = new org.apache.hadoop.fs.Path(indexPath + "/cells_stage")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val entries = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).map { line =>
+          val Array(c, staged) = line.trim.split(' ')
+          (c.toInt, staged == "staged")
+        }.toSeq
+      in.close()
+      completeSwap(fs, indexPath, entries)
+    } else if (fs.exists(stage)) {
+      fs.delete(stage, true)
+    }
+  }
+
   /** Apply corpus changes `fromVersion → toVersion` to the index under
     * frozen centers. Returns (affected cell ids, upserts, deletes).
     * No-op on an empty change feed. */
@@ -98,6 +154,7 @@ object IvfRefresh {
       spark: SparkSession, corpusDir: String, indexPath: String,
       fromVersion: Int, toVersion: Int,
       keyCol: String = "vec_id", embCol: String = "embedding"): (Seq[Int], Long, Long) = {
+    recover(spark, indexPath)
     val centers = VectorIndex.loadIvf(spark, indexPath).centers
     val ch = MergeTable.changes(spark, corpusDir, fromVersion, toVersion, keyCol)
       .persist()
@@ -111,32 +168,32 @@ object IvfRefresh {
         val newAssigned = assignToCenters(
           ch.filter(col("_change") =!= "delete").select(col(keyCol), col(embCol)),
           centers, embCol).persist()
-        // ≤ 2·nlist ints — a bounded sidecar collect, like the centers
-        val affected = (oldAssigned.select("cell").distinct().collect() ++
-          newAssigned.select("cell").distinct().collect())
-          .map(_.getInt(0)).distinct.sorted.toSeq
+        // ≤ 2·nlist ints — ONE bounded sidecar collect, like the centers
+        val affected = oldAssigned.select("cell")
+          .unionAll(newAssigned.select("cell")).distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
         val nUp = newAssigned.count()
         val nDel = ch.filter(col("_change") === "delete").count()
         if (affected.nonEmpty) {
           val cellsPath = indexPath + "/cells"
           val stagePath = indexPath + "/cells_stage"
+          val fs = new org.apache.hadoop.fs.Path(cellsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           // a direct overwrite would read and write the same path
           // (rejected by Spark, and unsafe anyway) — stage the affected
-          // partitions, then swap directories. The swap is per-cell
-          // renames under the same single-writer assumption as
-          // [[MergeTable]]; a crash mid-swap is repaired by [[build]]
-          // (whose overwrite contract already covers half-written
-          // layouts — see [[VectorIndex.writeIvf]]).
+          // partitions, then swap directories under a pending-marker
+          // redo log (see [[recover]]: a crash anywhere in the swap is
+          // redone idempotently from the immutable stage on the next
+          // refresh/load, so a half-swapped cell can never be mistaken
+          // for an emptied one).
           // read the affected cell DIRECTORIES, not the root: a root
           // read would file-list every partition before pruning; this
           // keeps even the listing proportional to affected cells.
           // basePath preserves `cell` as a partition column; a dir may
           // be absent when a previously-emptied cell is only on the
           // NEW side of the assignment (nothing to retain there).
-          val fs0 = new org.apache.hadoop.fs.Path(cellsPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val presentDirs = affected.map(c => s"$cellsPath/cell=$c")
-            .filter(p => fs0.exists(new org.apache.hadoop.fs.Path(p)))
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
           val retained =
             (if (presentDirs.isEmpty)
               spark.read.parquet(cellsPath).limit(0)
@@ -146,17 +203,19 @@ object IvfRefresh {
           val out = retained.unionByName(
             newAssigned.select(retained.columns.map(col): _*))
           out.write.mode("overwrite").partitionBy("cell").parquet(stagePath)
-          val fs = new org.apache.hadoop.fs.Path(cellsPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          affected.foreach { c =>
-            val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
-            val src = new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")
-            fs.delete(dst, true)
-            // absent from the stage ⇒ the cell lost its last row: the
-            // delete above IS the maintenance
-            if (fs.exists(src)) fs.rename(src, dst)
+          // commit point: the marker records each affected cell and
+          // whether the stage holds a directory for it (an emptied cell
+          // does not get one); until the marker is deleted, [[recover]]
+          // can redo the whole swap from the immutable stage
+          val entries = affected.map { c =>
+            (c, fs.exists(new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")))
           }
-          fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+          val os = fs.create(new org.apache.hadoop.fs.Path(markerPath(indexPath)), true)
+          os.write(entries.map { case (c, staged) =>
+            s"$c ${if (staged) "staged" else "empty"}"
+          }.mkString("\n").getBytes("UTF-8"))
+          os.close()
+          completeSwap(fs, indexPath, entries)
         }
         newAssigned.unpersist()
         changedKeys.unpersist()

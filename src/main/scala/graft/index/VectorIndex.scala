@@ -242,6 +242,9 @@ object VectorIndex {
     * sidecar with duplicate or missing cell ids — the signature of an
     * append/crash mid-rebuild, which would misdirect every probe. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    // a crashed incremental swap leaves a pending-marker redo log;
+    // finish it before exposing the cells (no-op in the common case)
+    IvfRefresh.recover(spark, path)
     val rows = spark.read.parquet(path + "/centers")
       .select("cell", "center").collect()
     val ids = rows.map(_.getInt(0)).sorted

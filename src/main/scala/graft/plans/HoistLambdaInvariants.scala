@@ -82,11 +82,15 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
     }
   }
 
+  /** TOP-DOWN substitution with stop-at-match: the largest containing
+    * collected subtree replaces first. Bottom-up would break nesting —
+    * with both `trim(regexp(c))` and bare `regexp(c)` collected (from
+    * two different lambdas), replacing the inner regexp first leaves
+    * `trim(_hoisted)` no longer semantically equal to the collected
+    * `trim(regexp(c))`, stranding the trim under its lambda. */
   private def substitute(e: Expression, repl: Seq[(Expression, Attribute)]): Expression =
-    e.transformUp {
-      case sub if repl.exists(_._1.semanticEquals(sub)) =>
-        repl.find(_._1.semanticEquals(sub)).get._2
-    }
+    repl.find(_._1.semanticEquals(e)).map(_._2: Expression)
+      .getOrElse(e.mapChildren(substitute(_, repl)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, child) =>

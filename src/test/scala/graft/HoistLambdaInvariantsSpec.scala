@@ -82,6 +82,32 @@ class HoistLambdaInvariantsSpec extends SparkSpec {
       "the MAXIMAL subtree (trim at the top) is the hoist unit")
   }
 
+  test("extensions-injected sessions keep the repair through the full optimizer") {
+    // the config-only deployment path must not lose the hoist to a
+    // later batch (RewriteSubquery re-runs CollapseProject after the
+    // Pre CBO batch)
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val injected = SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_)).getOrCreate()
+      val src = injected.read.parquet(s"$sf0001/documents.parquet")
+      val t = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val df = src
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), transform(sequence(lit(1), length(col("t")) - 15),
+          i => ascii(col("t").substr(i, lit(1))).cast("long")).as("h"))
+        .select(col("doc_id"), explode(col("h")).as("hv"))
+      assert(offendersIn(df.queryExecution.optimizedPlan).isEmpty,
+        s"injected path lost the repair:\n${df.queryExecution.optimizedPlan}")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("legitimate per-element lambda work is untouched; rule is idempotent") {
     import spark.implicits._
     val df = Seq((1L, Seq("a1", "b2"))).toDF("id", "arr")

@@ -145,6 +145,50 @@ class IvfRefreshSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("a crashed swap is redone from the marker: staged, already-renamed, and emptied cells all converge") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 200L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    val truth = cellsOf(index)
+    val byCell = truth.groupBy(_._2._1)
+    val Seq(cx, cy, cz) = byCell.keys.toSeq.sorted.take(3)
+
+    // forge the moment just after the commit point of a refresh whose
+    // outcome is: cell cx gets the staged content, cy was already
+    // renamed in (stage lost it), cz emptied
+    val stage = Paths.get(index, "cells_stage")
+    JFiles.createDirectories(stage.resolve(s"cell=$cx"))
+    // staged content for cx := cy's current files (recognizably different)
+    val cyDir = Paths.get(index, "cells", s"cell=$cy")
+    JFiles.list(cyDir).forEach { f =>
+      JFiles.copy(f, stage.resolve(s"cell=$cx").resolve(f.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    JFiles.writeString(Paths.get(index, "_swap_pending"),
+      s"$cx staged\n$cy staged\n$cz empty")
+
+    IvfRefresh.recover(spark, index)
+    assert(!JFiles.exists(Paths.get(index, "_swap_pending")), "marker must fall")
+    assert(!JFiles.exists(stage), "stage must be cleaned")
+    assert(!JFiles.exists(Paths.get(index, "cells", s"cell=$cz")),
+      "the emptied cell's live dir must be deleted on redo")
+    def pairs(): Set[(Long, Int)] =
+      spark.read.parquet(s"$index/cells").select(col("vec_id"), col("cell"))
+        .as[(Long, Int)].collect().toSet
+    val truthPairs = truth.map { case (id, (c, _)) => (id, c) }.toSet
+    val expected = truthPairs
+      .filterNot { case (_, c) => c == cx || c == cz } ++ // cx replaced, cz emptied
+      byCell(cy).keySet.map(id => (id, cx)) // cx := the staged (cy-copied) rows
+    val after = pairs()
+    assert(after == expected,
+      s"redo must converge to the marker's outcome (diff: ${after.diff(expected)} / ${expected.diff(after)})")
+    // recover is also idempotent as a no-op afterwards
+    IvfRefresh.recover(spark, index)
+    assert(pairs() == after)
+  }
+
   test("IvfCellLists Maintained artifact advances through the same refresh path") {
     val (corpus, index) = freshDirs()
     mkCorpus(corpus, 120L)

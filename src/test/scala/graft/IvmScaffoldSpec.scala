@@ -13,8 +13,11 @@ class IvmScaffoldSpec extends SparkSpec {
 
   private val ivmQueries = Seq(
     "doc_incremental_stats", "doc_distinct_incremental",
-    "doc_minmax_incremental", "doc_postings_incremental",
-    "doc_fingerprints_incremental")
+    "doc_minmax_incremental", "doc_quantile_incremental",
+    "doc_postings_incremental", "doc_fingerprints_incremental",
+    // mutates the shared standing IVF index per execution — the
+    // anti-join-then-reinsert refresh must re-converge on re-run
+    "knn_ivf_incremental")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
