@@ -57,7 +57,17 @@ object CorpusViews {
   }
 
   private def writeCursor(spark: SparkSession, dir: String, v: Int): Unit = {
-    fs(spark, dir).create(new Path(s"$dir/_corpus_v$v"), true).close()
+    val f = fs(spark, dir)
+    f.create(new Path(s"$dir/_corpus_v$v"), true).close()
+    // retention: older markers are dead weight (read takes the max, and
+    // a crash between create-new and delete-old still reads v). One
+    // empty file per corpus version would otherwise accumulate forever.
+    f.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.matches("_corpus_v\\d+") && n.drop(9).toInt < v
+      }
+      .foreach(p => f.delete(p, false))
   }
 
   /** Shared shape of the frozen-cell-parquet artifacts ([[StatsView]],
