@@ -334,6 +334,50 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  // events_window_psi: the batch twin of the streaming drift monitor —
+  // per-day value histograms over fixed buckets, then each window's PSI
+  // against its predecessor via DriftMonitor.psiSeries (the EXACT code
+  // the streaming monitor's sink analysis runs; DriftMonitorSpec pins
+  // streaming == batch, this oracle pins batch == DuckDB — together the
+  // standing monitor is cross-engine-verified end to end). Same ln
+  // round(6) convention as table_drift.
+  private val eventsWindowPsi: Q = (s, d) => {
+    val hist = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day"),
+        least(greatest(floor(col("value") / 50.0).cast("int"), lit(0)), lit(9))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("bucket"), col("n"))
+    graft.streaming.DriftMonitor.psiSeries(hist, 10, "1 day")
+      .select(unix_micros(col("wstart")).as("win_start"), col("psi"),
+        col("n_prev").cast("long").as("n_prev"),
+        col("n_cur").cast("long").as("n_cur"))
+      .orderBy("win_start")
+  }
+
+  private val eventsWindowPsiSql =
+    """WITH hist AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS w,
+      |         LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bucket,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wins AS (SELECT DISTINCT w FROM hist),
+      |pairs AS (SELECT c.w FROM wins c JOIN wins p ON p.w = c.w - 86400000000),
+      |axis AS (SELECT pairs.w AS w, r.range AS bucket FROM pairs CROSS JOIN range(10) r),
+      |joined AS (
+      |  SELECT a.w, a.bucket,
+      |    COALESCE(p.n, 0) AS na, COALESCE(c.n, 0) AS nb
+      |  FROM axis a
+      |  LEFT JOIN hist p ON p.w = a.w - 86400000000 AND p.bucket = a.bucket
+      |  LEFT JOIN hist c ON c.w = a.w AND c.bucket = a.bucket),
+      |tot AS (SELECT w, SUM(na) AS ta, SUM(nb) AS tb FROM joined GROUP BY w)
+      |SELECT j.w AS win_start,
+      |  ROUND(SUM(((j.na + 1.0) / (t.ta + 10) - (j.nb + 1.0) / (t.tb + 10)) *
+      |    LN(((j.na + 1.0) / (t.ta + 10)) / ((j.nb + 1.0) / (t.tb + 10)))), 6) AS psi,
+      |  CAST(MIN(t.ta) AS BIGINT) AS n_prev, CAST(MIN(t.tb) AS BIGINT) AS n_cur
+      |FROM joined j JOIN tot t USING (w)
+      |GROUP BY j.w ORDER BY win_start""".stripMargin
+
   // q18: session windows (gap 2h) per user — batch session_window; the
   // DuckDB oracle is the classic gaps-and-islands rewrite. New session
   // starts when the gap is >= the timeout (matches Spark's half-open
@@ -832,6 +876,7 @@ object RelationalQueries {
     "q15_range_join" -> q15,
     "q16_asof_join" -> q16,
     "q17_tumbling_window" -> q17,
+    "events_window_psi" -> eventsWindowPsi,
     "q18_session_window" -> q18,
     "q19_fuzzy_levenshtein" -> q19,
     "q20_approx_distinct" -> q20,
@@ -871,6 +916,7 @@ object RelationalQueries {
     "q15_range_join" -> q15Sql,
     "q16_asof_join" -> q16Sql,
     "q17_tumbling_window" -> q17Sql,
+    "events_window_psi" -> eventsWindowPsiSql,
     "q18_session_window" -> q18Sql,
     "q19_fuzzy_levenshtein" -> q19Sql,
     "q21_grouping_sets" -> q21Sql,
