@@ -67,9 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-CBO pass itself is kept: harmless, and it repairs plans even
     // if a future Spark version reorders the tail batches.
     ext.injectPreCBORule { session =>
-      if (!session.experimental.extraOptimizations.contains(graft.plans.HoistLambdaInvariants))
-        session.experimental.extraOptimizations =
-          session.experimental.extraOptimizations :+ graft.plans.HoistLambdaInvariants
+      // the builder re-runs on every optimizer construction, possibly
+      // from concurrent query threads — guard the read-modify-write of
+      // the shared session state (the contains check keeps it idempotent)
+      session.experimental.synchronized {
+        if (!session.experimental.extraOptimizations.contains(graft.plans.HoistLambdaInvariants))
+          session.experimental.extraOptimizations =
+            session.experimental.extraOptimizations :+ graft.plans.HoistLambdaInvariants
+      }
       graft.plans.HoistLambdaInvariants
     }
   }

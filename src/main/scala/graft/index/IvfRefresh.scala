@@ -114,7 +114,11 @@ object IvfRefresh {
         fs.delete(dst, true) // emptied cell: the delete IS the maintenance
       } else if (fs.exists(src)) {
         fs.delete(dst, true)
-        fs.rename(src, dst)
+        // rename failures surface as a FALSE return, not an exception —
+        // swallowing one would delete the marker below and lose the
+        // cell; fail here so the marker survives for a retried redo
+        require(fs.rename(src, dst),
+          s"IVF swap: rename $src -> $dst failed; marker kept for retry")
       }
       // staged but src gone ⇒ the crashed run already renamed it: keep dst
     }
@@ -122,12 +126,22 @@ object IvfRefresh {
     fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
   }
 
-  /** Repair a crashed [[refresh]] swap, if any — called on every
-    * refresh and index load. Marker present ⇒ the stage was written
-    * completely (the marker is created after the stage write), so the
-    * swap is simply redone; no marker but a leftover stage ⇒ the crash
-    * was BEFORE the commit point — the live cells are untouched and the
-    * stage is discarded. */
+  /** True when a crashed swap's pending marker exists — readers
+    * ([[VectorIndex.loadIvf]]) use this to refuse mid-swap state
+    * instead of repairing it (repair is writer-path-only). */
+  def swapPending(spark: SparkSession, indexPath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(markerPath(indexPath)))
+  }
+
+  /** Repair a crashed [[refresh]] swap, if any — called at the start of
+    * every refresh (the single writer). Marker present ⇒ the stage was
+    * written completely (the marker is published atomically after the
+    * stage write), so the swap is simply redone; no marker but a
+    * leftover stage ⇒ the crash was BEFORE the commit point — the live
+    * cells are untouched and the stage (and any half-written marker
+    * temp file) is discarded. */
   def recover(spark: SparkSession, indexPath: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -144,6 +158,7 @@ object IvfRefresh {
       completeSwap(fs, indexPath, entries)
     } else if (fs.exists(stage)) {
       fs.delete(stage, true)
+      fs.delete(new org.apache.hadoop.fs.Path(markerPath(indexPath) + ".tmp"), false)
     }
   }
 
@@ -210,11 +225,18 @@ object IvfRefresh {
           val entries = affected.map { c =>
             (c, fs.exists(new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")))
           }
-          val os = fs.create(new org.apache.hadoop.fs.Path(markerPath(indexPath)), true)
+          // atomic marker publication: write to a temp path, rename in.
+          // A crash mid-write leaves only the temp file (ignored by
+          // recover), never a truncated marker that would be parsed as
+          // authoritative and delete live cells.
+          val tmp = new org.apache.hadoop.fs.Path(markerPath(indexPath) + ".tmp")
+          val os = fs.create(tmp, true)
           os.write(entries.map { case (c, staged) =>
             s"$c ${if (staged) "staged" else "empty"}"
           }.mkString("\n").getBytes("UTF-8"))
           os.close()
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(markerPath(indexPath))),
+            "IVF swap: marker publication rename failed")
           completeSwap(fs, indexPath, entries)
         }
         newAssigned.unpersist()

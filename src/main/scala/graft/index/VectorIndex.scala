@@ -242,9 +242,15 @@ object VectorIndex {
     * sidecar with duplicate or missing cell ids — the signature of an
     * append/crash mid-rebuild, which would misdirect every probe. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    // a crashed incremental swap leaves a pending-marker redo log;
-    // finish it before exposing the cells (no-op in the common case)
-    IvfRefresh.recover(spark, path)
+    // a crashed incremental swap leaves a pending-marker redo log.
+    // REFUSE to read mid-swap state (same contract as the corrupt-
+    // sidecar check below) rather than repair it here: recovery mutates
+    // the index, and a reader racing a live refresh's swap could
+    // otherwise redo renames underneath the writer. Repair belongs to
+    // the single-writer path — IvfRefresh.refresh/recover.
+    require(!IvfRefresh.swapPending(spark, path),
+      s"IVF index at $path has an unfinished cell swap; " +
+        "run IvfRefresh.recover (or any refresh) to complete it")
     val rows = spark.read.parquet(path + "/centers")
       .select("cell", "center").collect()
     val ids = rows.map(_.getInt(0)).sorted

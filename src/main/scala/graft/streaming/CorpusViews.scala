@@ -47,26 +47,28 @@ object CorpusViews {
   /** Version cursor as empty `_corpus_v<N>` marker files (creation is
     * atomic; read takes the max, so a crash can only leave the cursor
     * BEHIND the artifact — re-advancing is idempotent). */
+  private val CursorPrefix = "_corpus_v"
+
+  private def cursorVersion(name: String): Option[Int] =
+    if (name.matches(CursorPrefix + "\\d+")) Some(name.drop(CursorPrefix.length).toInt)
+    else None
+
   private def readCursor(spark: SparkSession, dir: String): Option[Int] = {
     val p = new Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) None
     else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("_corpus_v\\d+") => s.drop(9).toInt }
-      .maxOption
+      .flatMap(cursorVersion).maxOption
   }
 
   private def writeCursor(spark: SparkSession, dir: String, v: Int): Unit = {
     val f = fs(spark, dir)
-    f.create(new Path(s"$dir/_corpus_v$v"), true).close()
+    f.create(new Path(s"$dir/$CursorPrefix$v"), true).close()
     // retention: older markers are dead weight (read takes the max, and
     // a crash between create-new and delete-old still reads v). One
     // empty file per corpus version would otherwise accumulate forever.
     f.listStatus(new Path(dir)).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.matches("_corpus_v\\d+") && n.drop(9).toInt < v
-      }
+      .filter(p => cursorVersion(p.getName).exists(_ < v))
       .foreach(p => f.delete(p, false))
   }
 

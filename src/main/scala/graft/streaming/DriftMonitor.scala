@@ -78,8 +78,10 @@ object DriftMonitor {
     val cur = hist.select(col("wstart"), col("bucket"), col("n").as("n_cur"))
     // windows with a predecessor × the FULL bucket axis (empty buckets
     // still carry smoothing mass, exactly like Drift.psi's axis seed);
-    // the axis comes from exploding a literal array — no join in the
-    // plan, PlanGuard stays clean
+    // the bucket axis comes from exploding a literal array rather than
+    // a crossJoin against range(buckets) — the remaining joins (wstart
+    // pairing + the two histogram lookups) are equi-joins over
+    // windows×buckets metrics rows
     val axis = cur.select(col("wstart")).distinct()
       .join(prev.select(col("wstart")).distinct(), Seq("wstart"))
       .select(col("wstart"),

@@ -169,6 +169,12 @@ class IvfRefreshSpec extends SparkSpec {
     JFiles.writeString(Paths.get(index, "_swap_pending"),
       s"$cx staged\n$cy staged\n$cz empty")
 
+    // readers must refuse mid-swap state rather than repair it
+    // (recovery is writer-path-only)
+    intercept[IllegalArgumentException] {
+      VectorIndex.loadIvf(spark, index)
+    }
+
     IvfRefresh.recover(spark, index)
     assert(!JFiles.exists(Paths.get(index, "_swap_pending")), "marker must fall")
     assert(!JFiles.exists(stage), "stage must be cleaned")
