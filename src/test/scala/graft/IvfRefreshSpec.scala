@@ -145,6 +145,30 @@ class IvfRefreshSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("after maintenance, a moved vector is found through its NEW cell at nprobe=1") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 200L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+
+    // vector 42 changes direction 2 → 0; a probe near direction 0 with
+    // nprobe=1 reads ONLY the best cell, so finding 42 proves the
+    // assignment actually moved on disk (stale assignment would leave
+    // it in the old cell, invisible to the probe)
+    val moved = 42L
+    assume(moved % 4 == 2)
+    MergeTable.merge(spark, corpus,
+      Seq((moved, emb(0, moved), false)).toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    IvfRefresh.refresh(spark, corpus, index, 1, 2)
+
+    val ivf = VectorIndex.loadIvf(spark, index)
+    val got = VectorIndex
+      .searchIvf(ivf, emb(0, moved).toArray, k = 3, threshold = -1.0, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(moved),
+      s"moved vector must surface through its new cell at nprobe=1: got ${got.toSeq}")
+  }
+
   test("a crashed swap is redone from the marker: staged, already-renamed, and emptied cells all converge") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val (corpus, index) = freshDirs()
