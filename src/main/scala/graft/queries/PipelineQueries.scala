@@ -1529,6 +1529,38 @@ object PipelineQueries {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** The change-data-feed itself, cross-engine: [[MergeTable.changes]]
+    * between the scaffold corpus' two versions must emit exactly the
+    * logical row diff — 'update' post-images for the rewritten keys,
+    * 'delete' PRE-images (the v1 rows, not the tombstone payloads) for
+    * the removed keys, 'insert' rows for the new ones, and NOTHING for
+    * the untouched majority even though their buckets may share files
+    * with changed keys. The DuckDB oracle recomputes that diff from
+    * the base table and the known transition. Every IVM consumer
+    * (stats/sketch/postings/fingerprint/IVF refresh) reads this feed;
+    * this row pins the feed's own contract in the driver gate. */
+  private val docChangeFeed: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    graft.pipeline.MergeTable.changes(s, dir, 1, 2, "doc_id")
+      .select(col("_change"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"), col("v64"))
+      .orderBy("doc_id", "_change")
+  }
+
+  private val docChangeFeedSql =
+    """SELECT * FROM (
+      |  SELECT 'update' AS _change, doc_id, text, lang, source,
+      |    n_chars + 5 AS n_chars, (n_chars + 5) % 64 AS v64
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT 'delete', doc_id, text, lang, source, n_chars, n_chars % 64
+      |  FROM documents WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT 'insert', doc_id + 1000000, 'injected doc', 'xx', 'injected',
+      |    doc_id % 1000, doc_id % 1000 % 64
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |ORDER BY doc_id, _change""".stripMargin
+
   /** Incremental IVF ANN maintenance ([[graft.index.IvfRefresh]]): a
     * frozen-centroid IVF index built over the embedding corpus at v1
     * and MAINTAINED to v2 across direction changes (reversed vectors),
@@ -1972,6 +2004,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrub,
     "doc_url_domains" -> docUrlDomains,
     "doc_merge_upsert" -> docMergeUpsert,
+    "doc_change_feed" -> docChangeFeed,
     "doc_incremental_stats" -> docIncrementalStats,
     "doc_distinct_incremental" -> docDistinctIncremental,
     "doc_minmax_incremental" -> docMinmaxIncremental,
@@ -2039,6 +2072,7 @@ object PipelineQueries {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_url_domains" -> docUrlDomainsSql,
     "doc_merge_upsert" -> docMergeUpsertSql,
+    "doc_change_feed" -> docChangeFeedSql,
     "doc_incremental_stats" -> docIncrementalStatsSql,
     "doc_distinct_incremental" -> docDistinctIncrementalSql,
     "doc_minmax_incremental" -> docMinmaxIncrementalSql,
