@@ -80,6 +80,10 @@ object IvfRefresh {
       nlist: Int = 16, keyCol: String = "vec_id",
       embCol: String = "embedding", seed: Long = 42L,
       version: Int = -1): Unit = {
+    // a rebuild SUPERSEDES any crashed swap: clear its redo state
+    // first, or a later recover() would replay stale staged dirs
+    // (assigned under the OLD centers) over the fresh index
+    discardPendingSwap(spark, indexPath)
     val corpus = MergeTable.read(spark, corpusDir, version)
       .select(col(keyCol), col(embCol))
     val (_, centers) =
@@ -107,16 +111,23 @@ object IvfRefresh {
       entries: Seq[(Int, Boolean)]): Unit = {
     val cellsPath = indexPath + "/cells"
     val stagePath = indexPath + "/cells_stage"
+    // FileSystem signals most failures by a FALSE return, not an
+    // exception — but delete also returns false when the path simply
+    // is not there (the idempotent-redo case). "Deleted" therefore
+    // means "gone afterwards"; anything else keeps the marker alive
+    // for a retried redo instead of silently dropping the contract.
+    def deletedChecked(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(p, true)
+      require(!fs.exists(p), s"IVF swap: delete of $p failed; marker kept for retry")
+    }
     entries.foreach { case (c, staged) =>
       val dst = new org.apache.hadoop.fs.Path(s"$cellsPath/cell=$c")
       val src = new org.apache.hadoop.fs.Path(s"$stagePath/cell=$c")
       if (!staged) {
-        fs.delete(dst, true) // emptied cell: the delete IS the maintenance
+        deletedChecked(dst) // emptied cell: the delete IS the maintenance
       } else if (fs.exists(src)) {
-        fs.delete(dst, true)
-        // rename failures surface as a FALSE return, not an exception —
-        // swallowing one would delete the marker below and lose the
-        // cell; fail here so the marker survives for a retried redo
+        // a surviving dst would make the rename nest src INSIDE it
+        deletedChecked(dst)
         require(fs.rename(src, dst),
           s"IVF swap: rename $src -> $dst failed; marker kept for retry")
       }
@@ -124,6 +135,19 @@ object IvfRefresh {
     }
     fs.delete(new org.apache.hadoop.fs.Path(markerPath(indexPath)), false)
     fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+  }
+
+  /** Drop a crashed swap's redo state wholesale (marker, temp marker,
+    * stage) — the [[build]] path's cleanup: a full rebuild makes any
+    * pending swap meaningless, and replaying it would corrupt the new
+    * index. */
+  private def discardPendingSwap(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(markerPath(indexPath)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(markerPath(indexPath) + ".tmp"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(indexPath + "/cells_stage"), true)
+    ()
   }
 
   /** True when a crashed swap's pending marker exists — readers
@@ -176,13 +200,18 @@ object IvfRefresh {
     try {
       if (ch.isEmpty) (Seq.empty, 0L, 0L)
       else {
+        // unpersist in finally: the swap's require guards are DESIGNED
+        // to throw with the marker intact for a retry, and each retried
+        // refresh would otherwise pin another pair of cached datasets
         val changedKeys = ch.select(keyCol).distinct().persist()
+        try {
         val oldAssigned = assignToCenters(
           MergeTable.readForKeys(spark, corpusDir, changedKeys, keyCol, fromVersion)
             .select(col(keyCol), col(embCol)), centers, embCol)
         val newAssigned = assignToCenters(
           ch.filter(col("_change") =!= "delete").select(col(keyCol), col(embCol)),
           centers, embCol).persist()
+        try {
         // ≤ 2·nlist ints — ONE bounded sidecar collect, like the centers
         val affected = oldAssigned.select("cell")
           .unionAll(newAssigned.select("cell")).distinct()
@@ -239,9 +268,9 @@ object IvfRefresh {
             "IVF swap: marker publication rename failed")
           completeSwap(fs, indexPath, entries)
         }
-        newAssigned.unpersist()
-        changedKeys.unpersist()
         (affected, nUp, nDel)
+        } finally newAssigned.unpersist()
+        } finally changedKeys.unpersist()
       }
     } finally ch.unpersist()
   }

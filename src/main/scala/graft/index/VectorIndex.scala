@@ -242,15 +242,19 @@ object VectorIndex {
     * sidecar with duplicate or missing cell ids — the signature of an
     * append/crash mid-rebuild, which would misdirect every probe. */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    // a crashed incremental swap leaves a pending-marker redo log.
-    // REFUSE to read mid-swap state (same contract as the corrupt-
-    // sidecar check below) rather than repair it here: recovery mutates
-    // the index, and a reader racing a live refresh's swap could
-    // otherwise redo renames underneath the writer. Repair belongs to
-    // the single-writer path — IvfRefresh.refresh/recover.
+    // a CRASHED incremental swap leaves a pending-marker redo log.
+    // REFUSE to read that state (same contract as the corrupt-sidecar
+    // check below) rather than repair it here: recovery mutates the
+    // index, and repair belongs to the single-writer path
+    // (IvfRefresh.refresh/recover — or a full rebuild, which discards
+    // the pending swap). Scope: this guards against reading a
+    // crashed-writer's leftovers; it is NOT isolation from a LIVE
+    // concurrent refresh — the cells scan below is lazy, so
+    // maintenance and serving on the same index path must be
+    // externally coordinated, like every mutable-directory layout here.
     require(!IvfRefresh.swapPending(spark, path),
       s"IVF index at $path has an unfinished cell swap; " +
-        "run IvfRefresh.recover (or any refresh) to complete it")
+        "run IvfRefresh.recover (or any refresh, or a rebuild) to resolve it")
     val rows = spark.read.parquet(path + "/centers")
       .select("cell", "center").collect()
     val ids = rows.map(_.getInt(0)).sorted

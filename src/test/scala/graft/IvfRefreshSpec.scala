@@ -219,6 +219,27 @@ class IvfRefreshSpec extends SparkSpec {
     assert(pairs() == after)
   }
 
+  test("a full rebuild supersedes a pending swap instead of letting it replay") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 120L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    // forge crashed-swap leftovers that would corrupt the new build if
+    // ever replayed: an 'empty' entry for a live cell + a stale stage
+    JFiles.createDirectories(Paths.get(index, "cells_stage", "cell=0"))
+    JFiles.writeString(Paths.get(index, "_swap_pending"), "0 empty")
+
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    assert(!JFiles.exists(Paths.get(index, "_swap_pending")),
+      "rebuild must discard the pending marker")
+    assert(!JFiles.exists(Paths.get(index, "cells_stage")),
+      "rebuild must discard the stale stage")
+    // loadIvf accepts the fresh index; recover is a no-op on it
+    VectorIndex.loadIvf(spark, index)
+    IvfRefresh.recover(spark, index)
+    assert(cellsOf(index) == fullReassign(corpus, index))
+  }
+
   test("IvfCellLists Maintained artifact advances through the same refresh path") {
     val (corpus, index) = freshDirs()
     mkCorpus(corpus, 120L)
