@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.queries.IvmScaffold
+
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
@@ -34,6 +36,27 @@ object Bench {
 
     try Warmup.run(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[warmup] failed: ${e.getMessage}") }
+
+    // fixed synthetic calibration kernel (VERDICT r8 ask #1): emitted as
+    // "calib_sec" so totals are comparable across rounds/hosts — divide
+    // any timing by calib_sec to get host-independent kernel units. A
+    // kernel failure records -1 rather than killing the bench.
+    val calibSec =
+      try Calibrate.calibSec(spark)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[calib] failed: ${e.getMessage}"); -1.0
+      }
+    System.err.println(f"[calib] kernel sec=$calibSec%.3f")
+
+    // pre-build the IVM scaffolds with explicit per-family timings
+    // (VERDICT r8 ask #8): scaffold cost becomes a visible line item
+    // instead of inflating each IVM family's first query's max run.
+    try IvmScaffold.prebuild(spark, sfDir).foreach { case (fam, sec) =>
+      System.err.println(f"[scaffold] $fam sec=$sec%.3f")
+    } catch {
+      case e: Throwable => System.err.println(s"[scaffold] prebuild failed: ${e.getMessage}")
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ranges  = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
@@ -74,13 +97,13 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ranges":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"ranges":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     // Short trailer line (VERDICT r5 ask #2): the driver records a bounded
     // tail of stdout, and the full line above can outgrow it — round 5's
     // artifact lost the headline total to truncation. The trailer is always
     // short enough to survive any tail window.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

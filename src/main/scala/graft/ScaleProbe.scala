@@ -31,8 +31,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else defaultQueries
-    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    // optional fourth decade: an sf1-equivalent dir synthesized by
+    // [[Amplify]] (documents/events/embeddings only — probing a
+    // relational query against it is a loud missing-file error)
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .filter(d => new java.io.File(d).isDirectory)
+    val sfDirs = (Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+      ++ sf1Dir)
     require(sfDirs.nonEmpty, "no sf dirs found under /root/testdata")
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
@@ -71,10 +77,13 @@ object ScaleProbe {
       val json = times.map { case (name, perSf) =>
         val ts = perSf.map(_._2)
         val slopes =
-          if (ts.size == 3) s""","slope_001_01":${slope(ts(0), ts(1))},"slope_01_1":${slope(ts(1), ts(2))}"""
+          if (ts.size >= 3) s""","slope_001_01":${slope(ts(0), ts(1))},"slope_01_1":${slope(ts(1), ts(2))}"""
+          else ""
+        val sf1Slope = // the decade past sf0.1, when an Amplify dir was probed
+          if (ts.size == 4) s""","slope_1_10":${slope(ts(2), ts(3))}"""
           else ""
         val sfFields = perSf.map { case (d, t) => s""""${d.split('/').last}":$t""" }.mkString(",")
-        s""""$name":{$sfFields$slopes}"""
+        s""""$name":{$sfFields$slopes$sf1Slope}"""
       }.mkString("{", ",", "}")
       println(json)
     } finally spark.stop()

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -161,6 +162,15 @@ case class QSketchAgg(
     case other => throw new IllegalArgumentException(s"qsketch: bad k literal $other")
   }
 
+  /** Analysis-time rejection of a non-constant `k` (e.g. a column
+    * passed from SQL): without this, `kExpr.eval()` with no input row
+    * surfaces as a confusing executor-side error. (ADVICE r8.) */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"qsketch: k must be a constant (foldable) expression, got ${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def children: Seq[Expression] = Seq(child, kExpr)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -249,6 +259,14 @@ case class QSketchQuantile(sketch: Expression, qExpr: Expression)
       d
     case other => throw new IllegalArgumentException(s"qsketch_quantile: bad q literal $other")
   }
+
+  /** Analysis-time rejection of a non-constant `q` — same contract as
+    * [[QSketchAgg.checkInputDataTypes]]. (ADVICE r8.) */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!qExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"qsketch_quantile: q must be a constant (foldable) expression, got ${qExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(sketch, qExpr)
   override protected def withNewChildrenInternal(

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule fixing the engine's round-6 pathology CLASS: a
@@ -54,8 +54,22 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The "non-throwing" safety claim requires the regex/pattern operand
+    * to be a CONSTANT: with a data-driven pattern column, hoisting
+    * forces eager per-row evaluation, so a malformed pattern in a row
+    * whose HOF input is null/empty (where the lambda would never have
+    * run) would throw at runtime. Such shapes stay in place. (ADVICE r8.) */
+  private def patternSafe(e: Expression): Boolean = e match {
+    case r: RegExpReplace => r.regexp.foldable
+    case r: RegExpExtract => r.regexp.foldable
+    case l: Like  => l.right.foldable
+    case r: RLike => r.right.foldable
+    case s: StringSplit => s.regex.foldable
+    case _ => true // trim family takes no pattern
+  }
+
   private def hoistable(e: Expression): Boolean =
-    expensive(e) && e.resolved && e.deterministic &&
+    expensive(e) && patternSafe(e) && e.resolved && e.deterministic &&
       e.references.nonEmpty &&
       !e.exists(_.isInstanceOf[NamedLambdaVariable])
 
@@ -113,6 +127,26 @@ object HoistLambdaInvariants extends Rule[LogicalPlan] {
         Project(child.output,
           Filter(substitute(condition, repl),
             Project(child.output ++ aliases, child)))
+      }
+    // A HOF lambda inside an aggregate expression — e.g.
+    // sum(aggregate(arr, …, invariant-regex …)) — re-evaluates the
+    // invariant once per ELEMENT per input row, exactly the Project
+    // pathology but under an Aggregate node. Hoist below the
+    // aggregate: the collected subtrees reference only child
+    // attributes (they contain no lambda variables and no agg
+    // results), so a per-input-row projection is sound. The
+    // Aggregate's own output schema is unchanged. (VERDICT r8 ask #6.)
+    case a: Aggregate =>
+      val hs = collect(a.groupingExpressions ++ a.aggregateExpressions)
+      if (hs.isEmpty) a
+      else {
+        val aliases = hs.map(h => Alias(h, "_hoisted")())
+        val repl = hs.zip(aliases.map(_.toAttribute))
+        a.copy(
+          groupingExpressions = a.groupingExpressions.map(substitute(_, repl)),
+          aggregateExpressions = a.aggregateExpressions
+            .map(e => substitute(e, repl).asInstanceOf[NamedExpression]),
+          child = Project(a.child.output ++ aliases, a.child))
       }
   }
 }

@@ -211,11 +211,17 @@ object CorpusViews {
     * ([[graft.index.IvfRefresh]]) at `indexPath` over an EMBEDDING
     * corpus (keyed rows carrying `embCol`). First advance trains the
     * centers and builds; later advances rewrite only the affected cell
-    * directories. Retrain policy stays with the caller (via
-    * [[graft.index.IvfRefresh.occupancyPsi]]). */
+    * directories — then run the CLOSED retrain loop
+    * ([[graft.index.IvfRefresh.retrainIfDrifted]]): when occupancy-PSI
+    * vs the training-time baseline exceeds `retrainPsi`, the centers
+    * are retrained in place at the just-reflected corpus version, so a
+    * drifting streamed corpus recovers recall without operator
+    * intervention (`StreamingSpec`/`IvfRefreshSpec` pin the recovery).
+    * Set `retrainPsi = Double.PositiveInfinity` to opt out. */
   final case class IvfCellLists(
       indexPath: String, nlist: Int = 16,
-      keyCol: String = "vec_id", embCol: String = "embedding")
+      keyCol: String = "vec_id", embCol: String = "embedding",
+      retrainPsi: Double = 0.2)
     extends Maintained {
 
     def version(spark: SparkSession): Option[Int] = readCursor(spark, indexPath)
@@ -229,6 +235,13 @@ object CorpusViews {
         case Some(p) =>
           graft.index.IvfRefresh.refresh(
             spark, corpusDir, indexPath, p, to, keyCol, embCol)
+          if (!retrainPsi.isPosInfinity) {
+            val (psi, retrained) = graft.index.IvfRefresh.retrainIfDrifted(
+              spark, corpusDir, indexPath, to, keyCol, embCol, retrainPsi)
+            if (retrained)
+              System.err.println(
+                f"[ivf] occupancy PSI $psi%.3f > $retrainPsi%.3f at v$to — retrained centers")
+          }
       }
       writeCursor(spark, indexPath, to)
     }

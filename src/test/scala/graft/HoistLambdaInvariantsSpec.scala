@@ -108,6 +108,48 @@ class HoistLambdaInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("hoists under Aggregate: invariant regex inside an agg expression's HOF lambda") {
+    import spark.implicits._
+    // sum(aggregate(seq, 0, (acc,i) -> acc + length(regex(text)))) — the
+    // invariant regex re-runs per fold ITERATION per row without the rule
+    def q = Tables.documents(spark, sf0001)
+      .groupBy(col("lang"))
+      .agg(sum(org.apache.spark.sql.functions.aggregate(
+        sequence(lit(1), lit(4)), lit(0L),
+        (acc, _) => acc + length(regexp_replace(col("text"), "\\s+", " ")))).as("s"))
+      .select(col("lang"), col("s"))
+    val (fixedPlan, withRuleRows) = withRule(active = true) {
+      val df = q
+      (df.queryExecution.optimizedPlan, df.as[(String, Long)].collect().toSeq.sorted)
+    }
+    assert(offendersIn(fixedPlan).isEmpty,
+      s"rule must fire under Aggregate:\n$fixedPlan")
+    assert(fixedPlan.toString.contains("_hoisted"),
+      "expected the hoisted projection below the Aggregate")
+    val withoutRuleRows = withRule(active = false) {
+      q.as[(String, Long)].collect().toSeq.sorted
+    }
+    assert(withRuleRows == withoutRuleRows,
+      "the Aggregate hoist must be a pure performance rewrite")
+  }
+
+  test("a data-driven (non-foldable) pattern is NOT hoisted — eager eval could throw") {
+    import spark.implicits._
+    // per-row pattern column: the lambda never runs on the empty array,
+    // so a malformed pattern row must stay unevaluated
+    val df = Seq(("a b", "[0-9]+", Seq(1, 2)), ("x", "(((", Seq.empty[Int]))
+      .toDF("s", "pat", "arr")
+      .select(transform(col("arr"),
+        _ => regexp_replace(col("s"), col("pat"), lit("x"))).as("r"))
+    val plan = df.queryExecution.optimizedPlan
+    assert(HoistLambdaInvariants(plan).sameResult(plan),
+      "non-foldable regex pattern must not hoist")
+    // and the query still runs: the malformed pattern row has an empty
+    // array, so its lambda body is never evaluated
+    val rows = withRule(active = true)(df.as[Seq[String]].collect().toSeq)
+    assert(rows.map(_.size).sorted == Seq(0, 2))
+  }
+
   test("legitimate per-element lambda work is untouched; rule is idempotent") {
     import spark.implicits._
     val df = Seq((1L, Seq("a1", "b2"))).toDF("id", "arr")

@@ -292,4 +292,138 @@ class IvfRefreshSpec extends SparkSpec {
     val flatPsi = IvfRefresh.occupancyPsi(occA, IvfRefresh.occupancy(spark, index2), nlist)
     assert(flatPsi < 0.1, s"a proportional wave must stay stable, psi=$flatPsi")
   }
+
+  test("occupancy refuses a crashed mid-swap index (counting half-swapped dirs would skew PSI)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 60L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    JFiles.writeString(Paths.get(index, "_swap_pending"), "0 empty")
+    intercept[IllegalArgumentException] {
+      IvfRefresh.occupancy(spark, index)
+    }
+    JFiles.delete(Paths.get(index, "_swap_pending"))
+    assert(IvfRefresh.occupancy(spark, index).values.sum == 60L)
+  }
+
+  test("all-insert into previously emptied cells refreshes without listing the cells root") {
+    // the edge the ADVICE r8 fallback fix targets: every AFFECTED cell
+    // dir is absent (emptied earlier), so the retained-rows frame must
+    // come from the new assignments' own schema, not a root read
+    val (corpus, index) = freshDirs()
+    val d3Ids = (991L to 1000L)
+    val rows = (1L to 30L).map(i => (i, emb((i % 3).toInt, i))) ++
+      d3Ids.map(i => (i, emb(3, i)))
+    MergeTable.create(spark, corpus, rows.toDF("vec_id", "embedding"),
+      "vec_id", nBuckets = 4)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    val d3Cells = cellsOf(index).filter(kv => d3Ids.contains(kv._1)).values.map(_._1).toSet
+    val otherCells = cellsOf(index).filterNot(kv => d3Ids.contains(kv._1)).values.map(_._1).toSet
+    assume(d3Cells.intersect(otherCells).isEmpty)
+
+    // v2 empties the direction-3 cells entirely
+    MergeTable.merge(spark, corpus,
+      d3Ids.map(i => (i, emb(3, i), true)).toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    IvfRefresh.refresh(spark, corpus, index, 1, 2)
+    d3Cells.foreach(c => assert(!new java.io.File(s"$index/cells/cell=$c").exists()))
+
+    // v3 inserts ONLY direction-3 vectors: affected ⊆ the emptied cells,
+    // none of whose dirs exist
+    MergeTable.merge(spark, corpus,
+      (3001L to 3010L).map(i => (i, emb(3, i), false))
+        .toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    val (affected, nUp, nDel) = IvfRefresh.refresh(spark, corpus, index, 2, 3)
+    assert(affected.toSet.subsetOf(d3Cells), s"affected=$affected d3=$d3Cells")
+    assert(nUp == 10L && nDel == 0L)
+    assert(cellsOf(index) == fullReassign(corpus, index))
+  }
+
+  /** A tight drift cluster straddling a frozen Voronoi boundary: rows
+    * at (0.75±0.02, 0.75, …) — the x-coordinate spans five levels
+    * 0.73..0.77 whose frozen c0/c1 assignment boundary sits at
+    * x≈0.7513, so the cluster splits across the two nearest old cells
+    * and an nprobe=1 probe sees only part of it — the real-world
+    * recall pathology the retrain loop exists for. (i%5, i%4, i%7 are
+    * pairwise coprime, so the straddle level is independent of the
+    * wobble pattern neighbors are ranked by.) */
+  private def driftEmb(i: Long): Seq[Double] = {
+    val b = Array.fill(dim)(0.05)
+    b(0) = 0.75 + ((i % 5) - 2) * 0.01
+    b(1) = 0.75
+    b(4 + (i % 4).toInt) += 0.01 * ((i % 7) + 1)
+    b.toSeq
+  }
+
+  test("closed retrain loop: a drifted stream trips PSI, retrains, and nprobe=1 recall@5 recovers") {
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 200L)
+    // twin index that NEVER retrains — the frozen-center counterfactual
+    val (_, frozenIndex) = freshDirs()
+
+    val art = graft.streaming.CorpusViews.IvfCellLists(index, nlist = nlist)
+    val frozen = graft.streaming.CorpusViews.IvfCellLists(
+      frozenIndex, nlist = nlist, retrainPsi = Double.PositiveInfinity)
+    art.advance(spark, corpus, 1)
+    frozen.advance(spark, corpus, 1)
+    assert(IvfRefresh.readOccupancyBaseline(spark, index).isDefined,
+      "build must record the training-time occupancy baseline")
+    val centersBefore = VectorIndex.loadIvf(spark, index).centers.map(_.toSeq).toSeq
+
+    // dense drifted wave (400 rows vs 200 original)
+    MergeTable.merge(spark, corpus,
+      (2001L to 2400L).map(i => (i, driftEmb(i), false))
+        .toDF("vec_id", "embedding", "_del"),
+      "vec_id", deleteCol = Some("_del"), validate = false)
+    art.advance(spark, corpus, 2)
+    frozen.advance(spark, corpus, 2)
+
+    val centersAfter = VectorIndex.loadIvf(spark, index).centers.map(_.toSeq).toSeq
+    assert(centersAfter != centersBefore,
+      "the PSI trigger must have fired a retrain (centers unchanged = no retrain)")
+    assert(VectorIndex.loadIvf(spark, frozenIndex).centers.map(_.toSeq).toSeq == centersBefore,
+      "the opted-out twin must keep its frozen centers")
+
+    // recall@5 for a probe BETWEEN the straddle levels (x=0.755): its
+    // exact neighbors are the x=0.75 and x=0.76 rows of its wobble
+    // pattern, which the frozen index keeps in DIFFERENT cells
+    val q = {
+      val b = Array.fill(dim)(0.05)
+      b(0) = 0.755; b(1) = 0.75; b(6) += 0.03
+      b
+    }
+    def annAt(path: String): Set[Long] =
+      VectorIndex.searchIvf(VectorIndex.loadIvf(spark, path), q,
+          k = 5, threshold = -1.0, nprobe = 1)
+        .select("vec_id").as[Long].collect().toSet
+    val exact = VectorIndex.search(
+        MergeTable.read(spark, corpus).select("vec_id", "embedding"), q,
+        k = 5, threshold = -1.0)
+      .select("vec_id").as[Long].collect().toSet
+
+    val frozenRecall = annAt(frozenIndex).intersect(exact).size / 5.0
+    val retrainedRecall = annAt(index).intersect(exact).size / 5.0
+    assert(frozenRecall < 1.0,
+      s"fixture must degrade the frozen index at nprobe=1, recall=$frozenRecall")
+    assert(retrainedRecall == 1.0,
+      s"post-retrain recall@5 must recover to the pinned nprobe=1 floor, got $retrainedRecall (frozen twin: $frozenRecall)")
+
+    // the retrain reset the baseline: an immediate re-check reports no drift
+    val (psiAfter, retrainedAgain) = IvfRefresh.retrainIfDrifted(
+      spark, corpus, index, 2)
+    assert(!retrainedAgain && psiAfter < 0.1,
+      s"baseline must reset at retrain, got psi=$psiAfter retrained=$retrainedAgain")
+  }
+
+  test("retrainIfDrifted on a pre-baseline index records one instead of guessing") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val (corpus, index) = freshDirs()
+    mkCorpus(corpus, 60L)
+    IvfRefresh.build(spark, corpus, index, nlist = nlist)
+    JFiles.delete(Paths.get(index, "_occupancy_baseline")) // simulate an old index
+    val (psi, retrained) = IvfRefresh.retrainIfDrifted(spark, corpus, index, 1)
+    assert(psi == 0.0 && !retrained)
+    assert(IvfRefresh.readOccupancyBaseline(spark, index).isDefined)
+  }
 }

@@ -137,4 +137,24 @@ class QSketchSpec extends SparkSpec {
       .head.getDouble(0)
     assert(merged == 4.0)
   }
+
+  test("SQL: non-constant k / q are rejected at analysis time, not executor time") {
+    // ADVICE r8: a column passed where a literal belongs must fail with
+    // the intended message during analysis, not surface as a confusing
+    // executor-side eval-with-no-row error
+    Graft.registerAll(spark)
+    (1L to 10L).map(i => ("g", i % 5)).toDF("grp", "v")
+      .createOrReplaceTempView("qsk_bad")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT qsketch(v, v) FROM qsk_bad GROUP BY grp").collect()
+    }
+    assert(e1.getMessage.contains("constant"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT qsketch_quantile(qs, CAST(n AS DOUBLE)) FROM (
+          |  SELECT qsketch(v, 8) AS qs, count(1) AS n FROM qsk_bad GROUP BY grp)"""
+          .stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("constant"), e2.getMessage)
+  }
 }
