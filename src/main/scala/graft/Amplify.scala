@@ -70,7 +70,10 @@ object Amplify {
     }.reduce(_ unionByName _)
 
   def amplifyEvents(spark: SparkSession, src: String, factor: Int): DataFrame = {
-    val base = spark.read.parquet(s"$src/events.parquet")
+    // through the schema-normalizing loader (ts → session-zoned micros
+    // TIMESTAMP), so the amplified file reads back through the same
+    // loader's no-op branch
+    val base = Tables.events(spark, src)
     val span = base.agg(
       (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span"))
       .head.getLong(0)

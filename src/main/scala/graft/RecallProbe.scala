@@ -56,9 +56,15 @@ object RecallProbe {
       val b = VectorIndex.buildIvf(index, nlist = 16)
       b.copy(cells = b.cells.persist())
     }
+    // the composed FAISS IVF+SQ shape: quantized cells + exact re-rank
+    val ivfQ = {
+      val b = VectorIndex.buildIvf(int8, nlist = 16)
+      b.copy(cells = b.cells.persist())
+    }
     val (pqIdx0, books) = VectorIndex.buildPq(normalized, m = 8, ksub = 16)
     val pqIdx = pqIdx0.select("vec_id", "embedding", "pqcode", "pqerr").persist()
-    Seq(float, normalized, int8, ivf.cells, pqIdx).foreach(_.count()) // materialize
+    Seq(float, normalized, int8, ivf.cells, ivfQ.cells, pqIdx)
+      .foreach(_.count()) // materialize
 
     def ids(df: DataFrame): Seq[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSeq
@@ -116,9 +122,11 @@ object RecallProbe {
       measure("rerank_int8")(q =>
         VectorIndex.searchReranked(int8, q, k = k, threshold = -1.0, overfetch = 4)),
       measure("rerank_pq_cert")(q =>
-        VectorIndex.searchPqCertified(pqIdx, books, q, k = k, threshold = -1.0)))
+        VectorIndex.searchPqCertified(pqIdx, books, q, k = k, threshold = -1.0)),
+      measure("ivf4_int8_rerank")(q =>
+        VectorIndex.searchIvfReranked(ivfQ, q, k = k, threshold = -1.0, nprobe = 4)))
 
-    Seq(float, normalized, int8, ivf.cells, pqIdx).foreach(_.unpersist())
+    Seq(float, normalized, int8, ivf.cells, ivfQ.cells, pqIdx).foreach(_.unpersist())
     tiers
   }
 

@@ -294,6 +294,27 @@ object VectorIndex {
     search(probeCells(ivf, query, nprobe).drop("cell"), query, k, threshold,
       embCol, normalizedInput)
 
+  /** The composed production tier — FAISS's IVF+SQ shape: the probe
+    * prunes to `nprobe` cells, the int8 tier scans ONLY those cells at
+    * 1 byte/dim for `k · overfetch` candidates, and the float tier
+    * re-scores exactly those rows. At 100 TB the scan pays
+    * `nprobe/nlist × 1/4` of the float index bytes and the float
+    * column is read for a few dozen rows. Build the index over
+    * [[withQuantized]]([[withNormalized]](df)) so cells carry the
+    * int8 columns; with `nprobe == nlist` the result equals the plain
+    * two-tier [[searchReranked]] (spec-pinned in `IvfIndexSpec`), so
+    * the composition loses nothing beyond the probe's cell selection. */
+  def searchIvfReranked(
+      ivf: IvfIndex,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5,
+      nprobe: Int = 4,
+      embCol: String = "embedding",
+      overfetch: Int = 4): DataFrame =
+    searchReranked(probeCells(ivf, query, nprobe).drop("cell"), query, k,
+      threshold, embCol, overfetch)
+
   /** Product quantization (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011 — the FAISS `PQ` tier): the
     * vector is split into `m` subspaces and each subvector is replaced

@@ -138,6 +138,15 @@ object IvmScaffold {
     }
   }
 
+  /** Standing MinHash band-bucket MergeTable built from
+    * [[textCorpus]] v1. */
+  def bandsV1(s: SparkSession, d: String): String = {
+    val corpus = textCorpus(s, d)
+    once(d, "bands") { dir =>
+      graft.pipeline.BandsRefresh.build(s, corpus, dir, version = 1)
+    }
+  }
+
   /** A v1 view's cell state frozen to parquet (tiny: #buckets×#groups
     * rows), so refresh executions read it back instead of re-scanning
     * corpus v1 to rebuild it. */
@@ -235,6 +244,7 @@ object IvmScaffold {
       t("text_corpus")(textCorpus(s, d)),
       t("postings_v1")(postingsV1(s, d)),
       t("fingerprints_v1")(fingerprintsV1(s, d)),
+      t("bands_v1")(bandsV1(s, d)),
       t("stats_view1")(statsView1(s, d)),
       t("hll_view1")(hllView1(s, d)),
       t("minmax_view1")(minmaxView1(s, d)),

@@ -1739,6 +1739,87 @@ object PipelineQueries {
        |ORDER BY doc_id, fp""".stripMargin
   }
 
+  /** Incremental MinHash band-index maintenance
+    * ([[graft.pipeline.BandsRefresh]]): a standing (doc, band, key)
+    * LSH index built at corpus v1 and MAINTAINED to v2 — re-shingling
+    * and re-signing only changed documents, deleting rewritten/removed
+    * docs' stale bands via pre-image keys ('updated:'||lang rewrites
+    * fall below the 3-token shingle length, so a rewritten document's
+    * whole band set must leave the index with zero replacements).
+    * The emitted rows are the near-dup PAIRS scored from the
+    * maintained index alone (band-bucket candidates + matching-slot
+    * est-Jaccard reconstructed from the stored slot values — zero
+    * corpus access at query time); the oracle recomputes the whole
+    * signature/band/score algebra over the logically-merged corpus in
+    * DuckDB, proving incremental index == full rebuild cross-engine.
+    * Corpus transition and the v1 index come from [[IvmScaffold]];
+    * re-executed refreshes are content-idempotent, so the measured
+    * body is the refresh + the index-only pair query. */
+  private val docNeardupIncremental: Q = (s, d) => {
+    val corpus = IvmScaffold.textCorpus(s, d)
+    val index = IvmScaffold.bandsV1(s, d)
+    graft.pipeline.BandsRefresh.refresh(s, corpus, index, 1, 2)
+    graft.pipeline.BandsRefresh.scoredPairs(s, index, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The [[dedupMinhashLshSql]] algebra replayed over the logically
+    * merged (v2) corpus of the IvmScaffold text transition. */
+  private val docNeardupIncrementalSql: String = {
+    val pows = (1 to 16).map(j => s"($j, ${BigInt(16).pow(16 - j)})").mkString(", ")
+    s"""WITH merged AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |d AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM merged),
+       |w AS (SELECT doc_id, unnest(toks) AS word,
+       |        generate_subscripts(toks, 1) AS seq FROM d),
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |shx AS (SELECT doc_id, s, md5(s) AS hx FROM sh),
+       |pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |hu AS (SELECT doc_id, s, CAST(SUM(
+       |         CAST(strpos('0123456789abcdef',
+       |                     substr(hx, CAST(p.j AS INT), 1)) - 1 AS HUGEINT)
+       |         * p.w) AS HUGEINT) AS h
+       |       FROM shx CROSS JOIN pows p GROUP BY doc_id, s),
+       |perm AS (
+       |  SELECT doc_id, i AS slot,
+       |    CAST(CASE WHEN pm >= 9223372036854775808
+       |              THEN pm - 18446744073709551616 ELSE pm END AS BIGINT) AS p
+       |  FROM (
+       |    SELECT hu.doc_id, g.i AS i,
+       |      (hu.h * (2 * g.i + 1) + g.i * 11400714819323198485)
+       |        % 18446744073709551616 AS pm
+       |    FROM hu CROSS JOIN generate_series(0, 31) AS g(i)) t),
+       |sig AS (SELECT doc_id, slot, MIN(p) AS p FROM perm GROUP BY doc_id, slot),
+       |band AS (SELECT doc_id, CAST(slot // 4 AS INT) AS band_idx,
+       |           string_agg(CAST(p AS VARCHAR), ',' ORDER BY slot) AS key
+       |         FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM band a JOIN band b
+       |           ON a.band_idx = b.band_idx AND a.key = b.key
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          CAST(SUM(CASE WHEN sa.p = sb.p THEN 1 ELSE 0 END) AS DOUBLE) / 32
+       |            AS est_jaccard
+       |        FROM cand c
+       |        JOIN sig sa ON sa.doc_id = c.id_a
+       |        JOIN sig sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
+       |        GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -2012,6 +2093,7 @@ object PipelineQueries {
     "knn_ivf_incremental" -> knnIvfIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
+    "doc_neardup_incremental" -> docNeardupIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "table_drift" -> tableDrift,
@@ -2080,6 +2162,7 @@ object PipelineQueries {
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
+    "doc_neardup_incremental" -> docNeardupIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "table_drift" -> tableDriftSql,

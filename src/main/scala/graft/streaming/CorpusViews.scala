@@ -247,6 +247,37 @@ object CorpusViews {
     }
   }
 
+  /** Standing MinHash band-bucket near-dup index
+    * ([[graft.pipeline.BandsRefresh]]) at `indexDir` — keeps the
+    * banded-LSH dedup state fresh across the stream so near-dup
+    * queries ([[graft.pipeline.BandsRefresh.scoredPairs]]) and
+    * admission checks
+    * ([[graft.pipeline.BandsRefresh.nearDupsAgainstIndex]]) never
+    * rescan the corpus. */
+  final case class BandIndex(
+      indexDir: String, textCol: String = "text",
+      n: Int = 3, bands: Int = graft.pipeline.BandsRefresh.defaultBands,
+      rowsPerBand: Int = graft.pipeline.BandsRefresh.defaultRowsPerBand)
+    extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = readCursor(spark, indexDir)
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      from match {
+        case None =>
+          graft.pipeline.BandsRefresh.build(
+            spark, corpusDir, indexDir, textCol, version = to,
+            n = n, bands = bands, rowsPerBand = rowsPerBand)
+        case Some(p) =>
+          graft.pipeline.BandsRefresh.refresh(
+            spark, corpusDir, indexDir, p, to, textCol,
+            n = n, bands = bands, rowsPerBand = rowsPerBand)
+      }
+      writeCursor(spark, indexDir, to)
+    }
+  }
+
   /** Standing winnowed passage-fingerprint index
     * ([[FingerprintsRefresh]]) at `indexDir`. */
   final case class FingerprintIndex(

@@ -49,6 +49,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(probedRows < df.count())
   }
 
+  test("IVF over quantized cells + exact re-rank: exhaustive probe equals exact search") {
+    val df = clustered()
+    // the composed production tier: cells carry int8 columns; the probe
+    // prunes, the int8 tier selects candidates, the float tier re-scores
+    val qdf = VectorIndex.withQuantized(VectorIndex.withNormalized(df))
+      .select("vec_id", "embedding", "qembedding", "qscale")
+    val ivf = VectorIndex.buildIvf(qdf, nlist = 5)
+    val q = Array(1.0, 0.1, 0.0, 0.05, 0.0, 0.1)
+    // the exact baseline under the same rounded-score convention the
+    // re-rank tier uses
+    val exact = VectorIndex.searchReranked(qdf, q, k = 7, threshold = 0.0)
+      .select("vec_id").as[Long].collect().toSeq
+    val composed = VectorIndex.searchIvfReranked(
+        ivf, q, k = 7, threshold = 0.0, nprobe = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(composed == exact,
+      "exhaustive IVF + int8 + re-rank must equal the plain two-tier search")
+    // nprobe=1 on cluster-aligned cells still finds the cluster's top-k
+    val ivf3 = VectorIndex.buildIvf(qdf, nlist = 3)
+    val composed1 = VectorIndex.searchIvfReranked(
+        ivf3, Array(1.0, 0.05, 0.0, 0.0, 0.0, 0.05), k = 5, threshold = 0.0, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact1 = VectorIndex.searchReranked(
+        qdf, Array(1.0, 0.05, 0.0, 0.0, 0.0, 0.05), k = 5, threshold = 0.0)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(composed1 == exact1)
+  }
+
   test("persisted IVF round-trips and a probe prunes partition directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = clustered()

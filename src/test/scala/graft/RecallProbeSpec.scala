@@ -70,5 +70,9 @@ class RecallProbeSpec extends SparkSpec {
       s"clustered ivf@4 recall ${clustered("ivf@4").recall}")
     assert(clustered("exact").recall == 1.0)
     assert(clustered("rerank_pq_cert").recall == 1.0)
+    // the composed production tier (IVF probe + int8 scan + exact
+    // re-rank) must hold the same floor where the probe geometry does
+    assert(clustered("ivf4_int8_rerank").recall >= 0.95,
+      s"clustered ivf4_int8_rerank recall ${clustered("ivf4_int8_rerank").recall}")
   }
 }

@@ -280,9 +280,10 @@ class StreamingSpec extends SparkSpec {
     val statsView = CorpusViews.StatsView(views, "grp", "v")
     val quantView = CorpusViews.QuantileView(s"$root/qviews", "grp", "v")
     val ragIdx = CorpusViews.RagIndex(s"$root/rag")
+    val bandIdx = CorpusViews.BandIndex(s"$root/bands")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps), ragIdx)
+      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -317,6 +318,10 @@ class StreamingSpec extends SparkSpec {
       df.select(col("id").cast("string"), col("doc_id").cast("long"),
         col("chunk_text"))
         .as[(String, Long, String)].collect().toSet
+    def bandRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.select(col("doc_id").cast("long"), col("band_idx").cast("int"),
+        col("band_hash"))
+        .as[(Long, Int, String)].collect().toSet
     def allEqualBatch(): Unit = {
       assert(statsNow() == batchStats())
       assert(quantNow() == batchQuant(),
@@ -329,6 +334,9 @@ class StreamingSpec extends SparkSpec {
         ragRows(StreamingIngest.ingestBatch(
           MergeTable.read(spark, table).select("doc_id", "text"))),
         "maintained RAG index must equal a full re-chunk+re-embed")
+      assert(bandRows(MergeTable.read(spark, s"$root/bands")) ==
+        bandRows(graft.pipeline.BandsRefresh.bandsOf(MergeTable.read(spark, table))),
+        "maintained band index must equal a full re-shingle+re-sign")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
@@ -375,5 +383,84 @@ class StreamingSpec extends SparkSpec {
       """{"doc_id":5,"grp":"a","v":7,"text":"one more arrival after pruning","_del":false}""")
     stream()
     allEqualBatch()
+  }
+
+  test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.MergeTable
+    import graft.index.{IvfRefresh, VectorIndex}
+    val root = Files.createTempDirectory("graft-cdc-ivf")
+    val (landing, ckpt) = (s"$root/landing", s"$root/ckpt")
+    val (table, ivfDir) = (s"$root/table/t", s"$root/ivf")
+    new java.io.File(landing).mkdirs()
+    val dim = 8
+    def emb(group: Int, i: Long): Seq[Double] = {
+      val b = Array.fill(dim)(0.05)
+      b(group) = 1.0
+      b(4 + (i % 4).toInt) += 0.01 * ((i % 7) + 1)
+      b.toSeq
+    }
+    // a tight cluster straddling the frozen c0/c1 Voronoi boundary
+    def drift(i: Long): Seq[Double] = {
+      val b = Array.fill(dim)(0.05)
+      b(0) = 0.75 + ((i % 5) - 2) * 0.01
+      b(1) = 0.75
+      b(4 + (i % 4).toInt) += 0.01 * ((i % 7) + 1)
+      b.toSeq
+    }
+    MergeTable.create(spark,
+      table, (1L to 160L).map(i => (i, emb((i % 4).toInt, i)))
+        .toDF("vec_id", "embedding"), "vec_id", nBuckets = 8)
+
+    val art = CorpusViews.IvfCellLists(ivfDir, nlist = 4)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("_del", BooleanType)))
+    def stream() =
+      StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
+        "vec_id", schema, ckpt, Seq(art), deleteCol = Some("_del"))
+        .awaitTermination(60000)
+    def line(id: Long, e: Seq[Double], del: Boolean): String =
+      s"""{"vec_id":$id,"embedding":[${e.mkString(",")}],"_del":$del}"""
+    def cells(): Map[Long, Int] =
+      spark.read.parquet(s"$ivfDir/cells").select("vec_id", "cell")
+        .as[(Long, Int)].collect().toMap
+    def reassign(): Map[Long, Int] = {
+      val centers = VectorIndex.loadIvf(spark, ivfDir).centers
+      IvfRefresh.assignToCenters(
+          MergeTable.read(spark, table).select("vec_id", "embedding"), centers)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    }
+
+    // batch 1: builds the index at v1 (first advance trains centers)
+    Files.writeString(java.nio.file.Paths.get(landing, "v1.json"),
+      line(161L, emb(2, 161L), del = false))
+    stream()
+    assert(art.version(spark).contains(2)) // create=v1, first batch merges to v2
+    val centers0 = VectorIndex.loadIvf(spark, ivfDir).centers.map(_.toSeq).toSeq
+    assert(cells() == reassign())
+
+    // batch 2: proportional edits — incremental cell maintenance, NO retrain
+    Files.writeString(java.nio.file.Paths.get(landing, "v2.json"),
+      ((1L to 8L).map(i => line(i, emb(((i + 1) % 4).toInt, i), del = false)) :+
+        line(20L, emb(0, 20L), del = true)).mkString("\n"))
+    stream()
+    assert(cells() == reassign(),
+      "streamed maintenance must equal a full reassignment under the frozen centers")
+    assert(VectorIndex.loadIvf(spark, ivfDir).centers.map(_.toSeq).toSeq == centers0,
+      "a proportional wave must not trip the retrain")
+
+    // batch 3: dense drifted wave — occupancy PSI trips, centers retrain
+    // IN-STREAM, and the index equals a from-scratch rebuild at the new
+    // corpus version under the NEW centers
+    Files.writeString(java.nio.file.Paths.get(landing, "v3.json"),
+      (2001L to 2320L).map(i => line(i, drift(i), del = false)).mkString("\n"))
+    stream()
+    val centersAfter = VectorIndex.loadIvf(spark, ivfDir).centers.map(_.toSeq).toSeq
+    assert(centersAfter != centers0,
+      "the drifted wave must have retrained the centers in-stream")
+    assert(cells() == reassign(),
+      "post-retrain cells must equal reassignment under the retrained centers")
   }
 }
