@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    // whole-operator extension: the native as-of join's planner
+    // strategy (graft.plans.AsOfJoinStrategy) — config-only clusters
+    // can plan AsOfJoinPlan nodes without any driver-side install
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // The hoist must run after EVERY batch that can re-inline a
     // projection into a lambda. Pre-CBO alone is not enough: the later
     // RewriteSubquery batch re-runs CollapseProject, which inlines the

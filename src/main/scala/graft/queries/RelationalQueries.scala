@@ -858,6 +858,41 @@ object RelationalQueries {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // q37: two-relation backward as-of join through the NATIVE operator
+  // (graft.plans.AsOfJoin — custom logical node + strategy + exec):
+  // each purchase picks the greatest click ts <= its ts per user, left
+  // outer. Emits only the ts-derived value of the matched click so
+  // same-(user, ts) click ties — where any engine may pick either row —
+  // cannot differ across engines. Both sides are projected down BEFORE
+  // the join (column pruning does not cross a custom node) and read
+  // independently (fresh attribute ids). Oracle: DuckDB's native
+  // ASOF LEFT JOIN — the operator's semantics cross-checked against an
+  // independent native implementation, not a SQL re-encoding.
+  private val q37: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOfJoin.join(
+        purchases, clicks, Seq("user_id"), "ts", "ts", "left_outer")
+      .select(col("user_id"), col("event_id"), col("click_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q37Sql =
+    """SELECT p.user_id, p.event_id, c.click_us
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+      |      FROM events WHERE event_type = 'click') c
+      |ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -896,7 +931,8 @@ object RelationalQueries {
     "q33_heavy_hitters" -> q33,
     "q34_interval_overlap_join" -> q34,
     "q35_funnel" -> q35,
-    "q36_retention_cohorts" -> q36)
+    "q36_retention_cohorts" -> q36,
+    "q37_asof_native" -> q37)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -935,5 +971,6 @@ object RelationalQueries {
     "q33_heavy_hitters" -> q33Sql,
     "q34_interval_overlap_join" -> q34Sql,
     "q35_funnel" -> q35Sql,
-    "q36_retention_cohorts" -> q36Sql)
+    "q36_retention_cohorts" -> q36Sql,
+    "q37_asof_native" -> q37Sql)
 }

@@ -21,6 +21,16 @@ object Bridge {
   def toExpr(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]` with the Connect split) — the construction seam for
+    * custom logical nodes like `graft.plans.AsOfJoinPlan`. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Drain the Spark listener bus (`private[spark]` in core) — lets
     * tests make listener-based assertions deterministic instead of
     * sleeping. Bounded wait: a wedged listener should fail the test

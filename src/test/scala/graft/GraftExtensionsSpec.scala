@@ -42,6 +42,21 @@ class GraftExtensionsSpec extends SparkSpec {
       drive(injected)
       // base-registry injection: the surface survives newSession()
       drive(injected.newSession())
+
+      // whole-operator injection: an AsOfJoinPlan node planned WITHOUT
+      // the per-session install — only the injected planner strategy
+      // can turn it into AsOfJoinExec
+      assert(!injected.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy),
+        "fixture: the session-local install path must stay untouched here")
+      import injected.implicits._
+      val l = Seq((1L, 7L, 100L), (2L, 8L, 50L)).toDF("id", "k", "lts")
+      val r = Seq((7L, 90L), (7L, 95L)).toDF("k", "rts")
+      val got = graft.plans.AsOfJoin
+        .buildPlan(l, r, Seq("k"), "lts", "rts", "left_outer", None)
+        .select("id", "rts").collect()
+        .map(row => (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
+        .toSet
+      assert(got === Set((1L, Some(95L)), (2L, None)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
