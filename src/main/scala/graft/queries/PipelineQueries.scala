@@ -1820,6 +1820,61 @@ object PipelineQueries {
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** FastText-shaped NB quality classifier (CCNet / GPT-3 filter
+    * stage): class-conditional hashed unigram+bigram models trained on
+    * a weak source label (positive = the curated src0–src3 slice),
+    * every document scored by fixed-point log-odds and classified by
+    * sign. The oracle replays the bucket models, the decomposed
+    * smoothing constant AND the document prior step-for-step. */
+  private val docQualityClassifier: Q = (s, d) =>
+    graft.ops.QualityClassifier.trainScore(
+        Tables.documents(s, d),
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .orderBy("doc_id")
+
+  private val docQualityClassifierSql = {
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    val b = graft.ops.QualityClassifier.defaultBuckets
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |d AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_p,
+       |             $toksSql AS toks
+       |      FROM documents),
+       |g AS (SELECT doc_id, is_p, unnest(list_concat(toks,
+       |        list_transform(range(1, len(toks)),
+       |                       i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |      FROM d),
+       |gc AS (SELECT doc_id, is_p, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |gb AS (SELECT doc_id, is_p, c, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(gram), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) % $b AS bucket
+       |  FROM gc CROSS JOIN pows p GROUP BY doc_id, is_p, gram, c),
+       |feat AS (SELECT doc_id, is_p, bucket, SUM(c) AS c FROM gb GROUP BY 1, 2, 3),
+       |prof AS (SELECT bucket,
+       |           SUM(CASE WHEN is_p THEN c ELSE 0 END) AS cnt_pos,
+       |           SUM(CASE WHEN is_p THEN 0 ELSE c END) AS cnt_neg
+       |         FROM feat GROUP BY 1),
+       |pw AS (SELECT bucket, CAST(round((log10(CAST(cnt_pos + 1 AS DOUBLE))
+       |           - log10(CAST(cnt_neg + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS wgt
+       |       FROM prof),
+       |kc AS (SELECT CAST(round((log10(CAST(SUM(cnt_neg) + $b AS DOUBLE))
+       |           - log10(CAST(SUM(cnt_pos) + $b AS DOUBLE))) * 1000000) AS BIGINT) AS kk
+       |       FROM prof),
+       |pc AS (SELECT CAST(round((log10(CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS DOUBLE))
+       |           - log10(CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS DOUBLE)))
+       |           * 1000000) AS BIGINT) AS prior
+       |       FROM d),
+       |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+       |          SUM(c * wgt) AS sumw
+       |        FROM feat JOIN pw USING (bucket) GROUP BY doc_id)
+       |SELECT dd.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
+       |  CAST(pc.prior + COALESCE(p.sumw + p.n_feat * kc.kk, 0) AS BIGINT) AS log_odds,
+       |  (pc.prior + COALESCE(p.sumw + p.n_feat * kc.kk, 0)) > 0 AS pred
+       |FROM documents dd LEFT JOIN per p ON dd.doc_id = p.doc_id
+       |CROSS JOIN kc CROSS JOIN pc
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -2116,6 +2171,7 @@ object PipelineQueries {
     "doc_trigram_lm" -> docTrigramLm,
     "doc_char_entropy" -> docCharEntropy,
     "doc_dsir_sample" -> docDsirSample,
+    "doc_quality_classifier" -> docQualityClassifier,
     "table_profile" -> tableProfile,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -2185,6 +2241,7 @@ object PipelineQueries {
     "doc_trigram_lm" -> docTrigramLmSql,
     "doc_char_entropy" -> docCharEntropySql,
     "doc_dsir_sample" -> docDsirSampleSql,
+    "doc_quality_classifier" -> docQualityClassifierSql,
     "table_profile" -> tableProfileSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,
