@@ -345,6 +345,49 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** EXACT near-dup pairs among 64-bit fingerprints: all (id_a < id_b)
+    * with `hamming64 <= maxHamming`, found without an all-pairs join.
+    *
+    * Pigeonhole banding, not probabilistic LSH: the 64 bits split into
+    * `maxHamming + 1` disjoint bands, and a pair within the bound has
+    * too few differing bits to touch every band — it agrees EXACTLY on
+    * at least one, so the band-equality self-join is a lossless
+    * candidate generator (zero false negatives, unlike minhash/simhash
+    * banding) and the `hamming64` post-filter makes the result exact.
+    * The same trick powers PDQ/photoDNA-scale image-hash sweeps.
+    *
+    * 100 TB shape: the shuffle carries (band_idx, band_key) — 12 bytes
+    * per row per band — and candidates meet only inside equal-band
+    * buckets: sub-quadratic everywhere fingerprints are spread, exact
+    * everywhere. Null fingerprints (undecodable assets) never pair. */
+  def fingerprintPairs64(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val bands = maxHamming + 1
+    val bandKeys: Seq[Column] = (0 until bands).map { i =>
+      val start = i * 64 / bands
+      val width = (i + 1) * 64 / bands - start
+      if (width == 64) col("h")
+      else shiftrightunsigned(col("h"), start).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val banded = df
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("id"), col("h"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val a = banded.toDF("id_a", "h_a", "band_idx", "band_key")
+    val b = banded.toDF("id_b", "h_b", "band_idx", "band_key")
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("h_a"), col("h_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over near-dup pairs — label propagation with
     * a driver-side convergence loop (the standard Spark formulation;
     * GraphX does the same under the hood). Each vertex adopts the
