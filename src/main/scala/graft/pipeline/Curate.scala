@@ -69,7 +69,16 @@ object Curate {
         * `dsirTarget` (None → uniform weights, i.e. a deterministic
         * uniform without-replacement draw); 0 disables the stage */
       dsirK: Int = 0,
-      dsirTarget: Option[org.apache.spark.sql.Column] = None)
+      dsirTarget: Option[org.apache.spark.sql.Column] = None,
+      /** learned-filter stage ([[graft.ops.QualityClassifier]] — the
+        * GPT-3/CCNet discriminative filter): train the NB classifier
+        * on this weak-label predicate over the DEDUPLICATED corpus
+        * (a near-dup cluster would otherwise stuff the class models)
+        * and keep docs scoring above `classifierThresholdFp`
+        * (fixed-point log10 odds; 0 = the NB decision boundary).
+        * None disables the stage. */
+      classifierLabel: Option[org.apache.spark.sql.Column] = None,
+      classifierThresholdFp: Long = 0L)
 
   /** Published-pipeline presets: each maps a documented curation recipe
     * onto this engine's stage flags, so "run C4 over this corpus" is
@@ -108,7 +117,8 @@ object Curate {
   case class Report(
       input: Long, afterPassage: Long, afterQuality: Long,
       afterRepetition: Long, afterEntropy: Long, afterLm: Long, afterLang: Long,
-      afterExact: Long, afterNearDup: Long, afterDsir: Long, chunks: Long)
+      afterExact: Long, afterNearDup: Long, afterClassifier: Long,
+      afterDsir: Long, chunks: Long)
 
   /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
     * corpus: the quality threshold is the `(1 - rate)` quantile of the
@@ -269,6 +279,21 @@ object Curate {
     val nNear = deduped.count()
     exact.unpersist(blocking = false)
 
+    // learned filter after dedup (the GPT-3 ordering: rules shrink,
+    // dedup un-stuffs the class models, THEN the classifier
+    // generalizes the weak label to the whole corpus). Train + score
+    // read the persisted parent; the semi-join keeps survivor columns.
+    val clfActive = cfg.classifierLabel.isDefined
+    val classified =
+      if (!clfActive) deduped
+      else {
+        val model = graft.ops.QualityClassifier.train(deduped, cfg.classifierLabel.get)
+        graft.ops.QualityClassifier.filter(deduped, model, cfg.classifierThresholdFp)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val nClf = if (clfActive) classified.count() else nNear
+    if (clfActive) deduped.unpersist(blocking = false)
+
     // DSIR selection last: weights should reflect the cleaned,
     // deduplicated corpus (a near-dup cluster would otherwise vote for
     // itself in the raw-corpus model). left_semi on the winners keeps
@@ -276,15 +301,16 @@ object Curate {
     // persisted parent, preserving the single-scan guarantee.
     val dsirActive = cfg.dsirK > 0
     val selected =
-      if (!dsirActive) deduped
-      else deduped.join(
+      if (!dsirActive) classified
+      else classified.join(
         graft.ops.ImportanceSampling.sample(
-          deduped, cfg.dsirTarget.getOrElse(lit(true)), cfg.dsirK)
+          classified, cfg.dsirTarget.getOrElse(lit(true)), cfg.dsirK)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
-    val nDsir = if (dsirActive) selected.count() else nNear
-    if (dsirActive) deduped.unpersist(blocking = false)
+    val nDsir = if (dsirActive) selected.count() else nClf
+    if (dsirActive && clfActive) classified.unpersist(blocking = false)
+    if (dsirActive && !clfActive) deduped.unpersist(blocking = false)
 
     val index = StreamingIngest.ingestBatch(
       selected.select(col("doc_id").cast("string").as("doc_id"), col("text")),
@@ -294,6 +320,6 @@ object Curate {
     selected.unpersist(blocking = false)
 
     (index, Report(input, nPassage, nQuality, nRepetition, nEntropy, nLm, nLang,
-      nExact, nNear, nDsir, nChunks))
+      nExact, nNear, nClf, nDsir, nChunks))
   }
 }

@@ -291,4 +291,34 @@ class CurateSpec extends SparkSpec {
           "(input count + one cache build)")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("classifier stage generalizes the weak label; off-state passes everything through") {
+    // 4 labeled prose + 1 UNLABELED prose doc sharing the vocabulary
+    // (must survive via generalization, not via its label) + 2 spam
+    // docs whose vocabulary the classifier learns to reject
+    val prose = (1 to 4).map(i => (i.toLong,
+      s"the quiet library catalogues ancient manuscripts and careful scholarship volume unique$i", "en", "curated"))
+    val unlabeled = Seq((5L,
+      "ancient manuscripts and careful scholarship fill the quiet library shelves", "en", "web"))
+    val spam = Seq(
+      (6L, "buy cheap pills casino bonus click winner jackpot free offer now", "en", "web"),
+      (7L, "casino winner free bonus pills jackpot click offer cheap deal", "en", "web"))
+    val docs = (prose ++ unlabeled ++ spam).toDF("doc_id", "text", "lang", "src")
+
+    def cfg(label: Option[org.apache.spark.sql.Column]) =
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        jaccardThreshold = 0.95, chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64),
+        classifierLabel = label)
+
+    val off = Curate.run(docs, cfg(None))._2
+    assert(off.afterClassifier == off.afterNearDup, s"disabled stage must not drop: $off")
+
+    val (index, on) = Curate.run(docs,
+      cfg(Some(org.apache.spark.sql.functions.col("src") === "curated")))
+    assert(on.afterNearDup == 7 && on.afterClassifier == 5, s"$on")
+    val kept = index.select("doc_id").distinct().as[String].collect().map(_.toLong).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L),
+      s"unlabeled prose must survive by vocabulary, spam must not: $kept")
+  }
 }
