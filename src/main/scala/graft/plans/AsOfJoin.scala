@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DateType, DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
-/** Native backward as-of join — the whole-operator Catalyst extension
+/** Native as-of join (backward and forward) — the whole-operator Catalyst extension
   * tier: a custom [[AsOfJoinPlan logical node]], a
   * [[AsOfJoinStrategy planner strategy]] and a
   * [[AsOfJoinExec physical operator]], registered per-session via
@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.{DateType, DataType, IntegerType, LongType, Ti
   * (`injectPlannerStrategy`).
   *
   * Semantics (the pandas `merge_asof` / QuestDB/kdb `ASOF JOIN` /
-  * DuckDB `ASOF JOIN` contract, backward direction): for each left row,
-  * attach the single right row with equal keys and the greatest
-  * right-ts <= left-ts; optionally bounded by a `tolerance` on
-  * left-ts − right-ts. Rows with a null key or null timestamp never
-  * match (SQL join-key semantics). `leftOuter` keeps unmatched left
-  * rows null-extended; inner drops them.
+  * DuckDB `ASOF JOIN` contract): for each left row, attach the single
+  * right row with equal keys and the greatest right-ts <= left-ts
+  * (backward, the default), the smallest right-ts >= left-ts
+  * (forward), or whichever of the two has the smaller gap with ties
+  * to backward (nearest — integer-backed ts types only); optionally
+  * bounded by a `tolerance` on the ts gap. Rows
+  * with a null key or null timestamp never match (SQL join-key
+  * semantics). `leftOuter` keeps unmatched left rows null-extended;
+  * inner drops them.
   *
   * Why an exec node instead of composition: the composable encodings —
   * union + `last(...) ignoreNulls over (partition by key order by ts)`
@@ -65,7 +68,8 @@ case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     leftOuter: Boolean,
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    direction: String) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
@@ -81,7 +85,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.leftOuter,
-        p.tolerance, planLater(p.left), planLater(p.right)) :: Nil
+        p.tolerance, p.direction, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -113,6 +117,7 @@ case class AsOfJoinExec(
     rightTs: Expression,
     leftOuter: Boolean,
     tolerance: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -156,6 +161,11 @@ case class AsOfJoinExec(
     val outAttrs = output
     val isOuter = leftOuter
     val tol = tolerance
+    val isFwd = direction == "forward"
+    val isNear = direction == "nearest"
+    // nearest needs the numeric ts gap of BOTH candidates even without
+    // a tolerance — the API restricts it to integer-backed ts types
+    val needTsLong = tol.isDefined || isNear
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
@@ -190,7 +200,36 @@ case class AsOfJoinExec(
           else Iterator.empty
         } else {
           val lTsVal = lTsRow.get(0, tsType)
-          val lTsLong = if (tol.isDefined) tsLong(lTsRow, tsType) else 0L
+          val lTsLong = if (needTsLong) tsLong(lTsRow, tsType) else 0L
+          if (isFwd) {
+            // FORWARD: drop right rows strictly behind (key, ts); the
+            // head — if same-key with a real ts — IS the match (smallest
+            // rTs >= lTs by the sort order). The head is NOT consumed:
+            // later left rows of this key may match it again.
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rKey = rKeyProj(rRow)
+              val rTsRow = rTsProj(rRow)
+              val kc = keyOrd.compare(rKey, lKey)
+              val rTsNull = rTsRow.isNullAt(0)
+              if (kc < 0 || (kc == 0 && (rTsNull || rKey.anyNull ||
+                  tsOrd.lt(rTsRow.get(0, tsType), lTsVal)))) rBuf.next()
+              else done = true
+            }
+            var emitMatch = false
+            if (rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rKey = rKeyProj(rRow)
+              val rTsRow = rTsProj(rRow)
+              emitMatch = keyOrd.compare(rKey, lKey) == 0 && !rKey.anyNull &&
+                !rTsRow.isNullAt(0) &&
+                (tol.isEmpty || tsLong(rTsRow, tsType) - lTsLong <= tol.get)
+            }
+            if (emitMatch) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, rBuf.head))) }
+            else if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
+            else Iterator.empty
+          } else {
           if (m != null && keyOrd.compare(mKey, lKey) != 0) { m = null; mKey = null }
           var done = false
           while (!done && rBuf.hasNext) {
@@ -203,7 +242,7 @@ case class AsOfJoinExec(
               rBuf.next()
               if (kc == 0 && !rKey.anyNull && !rTsNull) {
                 m = rRow.copy(); mKey = rKey.copy()
-                if (tol.isDefined) mTsLong = tsLong(rTsRow, tsType)
+                if (needTsLong) mTsLong = tsLong(rTsRow, tsType)
               } else if (kc != 0) {
                 // passed into/through an earlier key group: stale candidate
                 m = null; mKey = null
@@ -211,10 +250,32 @@ case class AsOfJoinExec(
                 // candidate of this group — retain current m (null)
             } else done = true
           }
-          val matched = m != null && (tol.isEmpty || lTsLong - mTsLong <= tol.get)
-          if (matched) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, m))) }
+          val backOk = m != null && (tol.isEmpty || lTsLong - mTsLong <= tol.get)
+          // NEAREST: the unconsumed head after the backward advance is
+          // exactly the forward candidate (first same-key row with
+          // rTs > lTs, or an rTs == lTs tie already retained as m);
+          // pick the smaller gap, ties to backward (the earlier row)
+          var fwdRow: InternalRow = null
+          var fwdGap = 0L
+          if (isNear && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            val rTsRow = rTsProj(rRow)
+            if (keyOrd.compare(rKey, lKey) == 0 && !rKey.anyNull && !rTsRow.isNullAt(0)) {
+              val g = tsLong(rTsRow, tsType) - lTsLong
+              if (tol.isEmpty || g <= tol.get) { fwdRow = rRow; fwdGap = g }
+            }
+          }
+          val chosen: InternalRow =
+            if (isNear && backOk && fwdRow != null) {
+              if (lTsLong - mTsLong <= fwdGap) m else fwdRow
+            } else if (backOk) m
+            else if (isNear) fwdRow
+            else null
+          if (chosen != null) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, chosen))) }
           else if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
           else Iterator.empty
+          }
         }
       }
     }
@@ -265,9 +326,10 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       joinType: String = "inner",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     install(left.sparkSession)
-    buildPlan(left, right, on, leftTsCol, rightTsCol, joinType, tolerance)
+    buildPlan(left, right, on, leftTsCol, rightTsCol, joinType, tolerance, direction)
   }
 
   /** Node construction without the strategy install — the path a
@@ -280,8 +342,14 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       joinType: String,
-      tolerance: Option[Long]): DataFrame = {
+      tolerance: Option[Long],
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
+    val dir = direction.toLowerCase match {
+      case d @ ("backward" | "forward" | "nearest") => d
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward, forward or nearest, got $other")
+    }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
@@ -317,7 +385,11 @@ object AsOfJoin {
         .exists(t => DataTypeUtils.sameType(t, lTs.dataType)),
         s"tolerance needs an integer-backed ts type, got ${lTs.dataType}")
     }
-    val node = AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs, leftOuter, tolerance)
+    if (dir == "nearest")
+      require(Seq(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
+        .exists(t => DataTypeUtils.sameType(t, lTs.dataType)),
+        s"nearest direction needs an integer-backed ts type, got ${lTs.dataType}")
+    val node = AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs, leftOuter, tolerance, dir)
     val rKeyIds = rKeys.map(_.exprId).toSet
     val keep = node.output.filterNot(a => rKeyIds.contains(a.exprId))
     Bridge.ofRows(spark, Project(keep, node))

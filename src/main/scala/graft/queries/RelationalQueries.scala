@@ -893,6 +893,36 @@ object RelationalQueries {
       |ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // q38: the FORWARD direction of the native as-of operator — each
+  // purchase picks the smallest click ts >= its ts per user. Oracle:
+  // DuckDB's native ASOF LEFT JOIN with the inequality reversed
+  // (p.ts <= c.ts), which DuckDB plans as a forward as-of.
+  private val q38: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOfJoin.join(
+        purchases, clicks, Seq("user_id"), "ts", "ts", "left_outer",
+        direction = "forward")
+      .select(col("user_id"), col("event_id"), col("click_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q38Sql =
+    """SELECT p.user_id, p.event_id, c.click_us
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+      |      FROM events WHERE event_type = 'click') c
+      |ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -932,7 +962,8 @@ object RelationalQueries {
     "q34_interval_overlap_join" -> q34,
     "q35_funnel" -> q35,
     "q36_retention_cohorts" -> q36,
-    "q37_asof_native" -> q37)
+    "q37_asof_native" -> q37,
+    "q38_asof_forward" -> q38)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -972,5 +1003,6 @@ object RelationalQueries {
     "q34_interval_overlap_join" -> q34Sql,
     "q35_funnel" -> q35Sql,
     "q36_retention_cohorts" -> q36Sql,
-    "q37_asof_native" -> q37Sql)
+    "q37_asof_native" -> q37Sql,
+    "q38_asof_forward" -> q38Sql)
 }

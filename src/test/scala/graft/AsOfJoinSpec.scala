@@ -38,10 +38,22 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def runJoin(
       l: DataFrame, r: DataFrame, joinType: String,
-      tol: Option[Long] = None): Seq[(Long, Option[Long])] =
-    AsOfJoin.join(l, r, Seq("k"), "lts", "rts", joinType, tol)
+      tol: Option[Long] = None, direction: String = "backward"): Seq[(Long, Option[Long])] =
+    AsOfJoin.join(l, r, Seq("k"), "lts", "rts", joinType, tol, direction)
       .select("id", "rts").collect()
       .map(row => (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))).toSeq
+
+  /** Forward reference: smallest rts >= lts of the same key. */
+  private def refFwd(
+      lefts: Seq[(Long, Long, Long)], rights: Seq[(Long, Long)],
+      tol: Option[Long]): Seq[(Long, Option[Long])] = {
+    val byKey = rights.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sorted }
+    lefts.map { case (id, k, lts) =>
+      val m = byKey.getOrElse(k, Nil).dropWhile(_ < lts).headOption
+        .filter(rts => tol.forall(t => rts - lts <= t))
+      id -> m
+    }
+  }
 
   private val rnd = new scala.util.Random(42)
   private val lefts = (0L until 2000L).map(i => (i, rnd.nextInt(16).toLong, rnd.nextInt(1000).toLong))
@@ -65,6 +77,58 @@ class AsOfJoinSpec extends SparkSpec {
     val unbounded = ref(lefts, rights, None).count(_._2.isDefined)
     val bounded = got.count(_._2.isDefined)
     assert(bounded < unbounded && bounded > 0)
+  }
+
+  test("forward direction matches the smallest rts >= lts, with and without tolerance") {
+    val gotL = runJoin(leftDf(lefts), rightDf(rights), "left_outer", direction = "forward")
+    assert(gotL.sortBy(_._1) === refFwd(lefts, rights, None).sortBy(_._1))
+    val gotT = runJoin(leftDf(lefts), rightDf(rights), "left_outer",
+      tol = Some(25L), direction = "forward")
+    assert(gotT.sortBy(_._1) === refFwd(lefts, rights, Some(25L)).sortBy(_._1))
+    val gotI = runJoin(leftDf(lefts), rightDf(rights), "inner", direction = "forward")
+    val expI = refFwd(lefts, rights, None).collect { case (id, Some(v)) => (id, Option(v)) }
+    assert(gotI.sortBy(_._1) === expI.sortBy(_._1))
+    // inclusive equality + shared head: two lefts match the SAME right row
+    val l = leftDf(Seq((1L, 7L, 100L), (2L, 7L, 100L), (3L, 7L, 101L)))
+    val r = rightDf(Seq((7L, 100L), (7L, 150L)))
+    assert(runJoin(l, r, "left_outer", direction = "forward").toSet ===
+      Set((1L, Some(100L)), (2L, Some(100L)), (3L, Some(150L))))
+    // unknown direction fails fast
+    assert(intercept[IllegalArgumentException] {
+      runJoin(l, r, "inner", direction = "sideways")
+    }.getMessage.contains("direction"))
+  }
+
+  test("nearest direction picks the smaller gap, ties to backward") {
+    def refNear(tol: Option[Long]): Seq[(Long, Option[Long])] = {
+      val byKey = rights.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sorted }
+      lefts.map { case (id, k, lts) =>
+        val back = byKey.getOrElse(k, Nil).takeWhile(_ <= lts).lastOption
+          .filter(r => tol.forall(t => lts - r <= t))
+        val fwd = byKey.getOrElse(k, Nil).dropWhile(_ <= lts).headOption
+          .filter(r => tol.forall(t => r - lts <= t))
+        val m = (back, fwd) match {
+          case (Some(b), Some(f)) => Some(if (lts - b <= f - lts) b else f)
+          case (b, f) => b.orElse(f)
+        }
+        id -> m
+      }
+    }
+    val got = runJoin(leftDf(lefts), rightDf(rights), "left_outer", direction = "nearest")
+    assert(got.sortBy(_._1) === refNear(None).sortBy(_._1))
+    val gotT = runJoin(leftDf(lefts), rightDf(rights), "left_outer",
+      tol = Some(10L), direction = "nearest")
+    assert(gotT.sortBy(_._1) === refNear(Some(10L)).sortBy(_._1))
+    // explicit tie: gaps of 5 on both sides resolve backward
+    val l = leftDf(Seq((1L, 3L, 100L)))
+    val r = rightDf(Seq((3L, 95L), (3L, 105L)))
+    assert(runJoin(l, r, "inner", direction = "nearest") === Seq((1L, Some(95L))))
+    // nearest on a non-integer ts axis is rejected at construction
+    val lDouble = leftDf(lefts).withColumn("lts", col("lts").cast("double"))
+    val rDouble = rightDf(rights).withColumn("rts", col("rts").cast("double"))
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.join(lDouble, rDouble, Seq("k"), "lts", "rts", "inner", None, "nearest")
+    }.getMessage.contains("integer-backed"))
   }
 
   test("equal right timestamps tie without ambiguity in the ts value") {
