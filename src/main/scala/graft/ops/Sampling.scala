@@ -49,6 +49,39 @@ object Sampling {
     * held-out set held out as the corpus grows — a `rand()` split
     * silently leaks val into train on re-ingest). Fractions must sum
     * to 1 (±ε); granularity is 1/65536 like [[hashSample]]. */
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS never
+    * straddle splits. The classic held-out-data bug is a near-dup of a
+    * training document landing in test — a per-document hash split
+    * (even a perfectly deterministic one) does exactly that whenever a
+    * dup cluster exists. Here every document is keyed by its connected
+    * component over the given near-dup `pairs` (`id_a`/`id_b`, from
+    * any of the dedup family's pair generators — n-gram Jaccard,
+    * MinHash LSH, SimHash, embedding or perceptual-hash), singletons
+    * by themselves, and [[hashSplit]] assigns the COMPONENT — so a
+    * whole cluster moves as one unit, with the same stability
+    * guarantees (a cluster never changes splits on re-run or corpus
+    * growth, unless the cluster itself grows a member that merges it
+    * into another cluster — the unavoidable semantics of clustering).
+    *
+    * Returns `df` plus `comp` (the component representative = minimum
+    * member id) and `splitCol`. Scale: the component labeling is the
+    * shared [[Dedup.connectedComponents]] label propagation (bounded
+    * by cluster diameter); the assignment itself is scan-local. */
+  def clusterAwareSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cid")
+    val withComp = df
+      .join(comps, df(idCol) === comps("__cid"), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .drop("__cid")
+    hashSplit(withComp, "comp", splits, splitCol)
+  }
+
   def hashSplit(
       df: DataFrame,
       key: String,

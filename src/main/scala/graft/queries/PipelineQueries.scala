@@ -1820,6 +1820,51 @@ object PipelineQueries {
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Leakage-free cluster-aware split: near-dup clusters (exact
+    * n-gram Jaccard pairs at 0.2, the cluster-survivors fixture) are
+    * assigned to train/val/test as ONE unit, keyed by the component
+    * representative. The oracle replays the shingle pair graph, the
+    * recursive-CTE transitive closure, singleton fallback, and the
+    * md5-bucket split thresholds step-for-step. */
+  private val docSplitClusterAware: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+    graft.ops.Sampling.clusterAwareSplit(
+        docs, pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "comp", "split")
+      .orderBy("doc_id")
+  }
+
+  private val docSplitClusterAwareSql =
+    s"""WITH RECURSIVE $wordBlocksSql,
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pj AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |       GROUP BY x.doc_id, y.doc_id),
+       |pr AS (SELECT id_a, id_b FROM pj
+       |       JOIN cnt ca ON ca.doc_id = id_a
+       |       JOIN cnt cb ON cb.doc_id = id_b
+       |       WHERE CAST(common AS DOUBLE)
+       |             / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |co AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+       |assigned AS (SELECT d.doc_id, COALESCE(co.comp, d.doc_id) AS comp
+       |             FROM documents d LEFT JOIN co ON co.id = d.doc_id)
+       |SELECT doc_id, comp,
+       |  CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+       |       WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
   /** FastText-shaped NB quality classifier (CCNet / GPT-3 filter
     * stage): class-conditional hashed unigram+bigram models trained on
     * a weak source label (positive = the curated src0–src3 slice),
@@ -2151,6 +2196,7 @@ object PipelineQueries {
     "doc_neardup_incremental" -> docNeardupIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
+    "doc_split_cluster_aware" -> docSplitClusterAware,
     "table_drift" -> tableDrift,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
@@ -2221,6 +2267,7 @@ object PipelineQueries {
     "doc_neardup_incremental" -> docNeardupIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
+    "doc_split_cluster_aware" -> docSplitClusterAwareSql,
     "table_drift" -> tableDriftSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,

@@ -153,4 +153,38 @@ class SamplingSpec extends SparkSpec {
       .groupBy("split").count().as[(String, Long)].collect().toMap
     assert(counts.getOrElse("train", 0L) == 2000, s"collapsed: $counts")
   }
+
+  test("clusterAwareSplit: clusters move as one unit; singletons match hashSplit; growth-stable") {
+    import graft.ops.Sampling
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} (chained), {10,11}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.clusterAwareSplit(docs, pairs, splits)
+      .select("doc_id", "comp", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every cluster member carries the min-id representative and ONE split
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct.size === 1)
+    assert(got(1L)._1 === 1L)
+    assert(Seq(10L, 11L).map(got(_)).distinct.size === 1)
+    assert(got(10L)._1 === 10L)
+    // singletons: identical to the plain per-doc hashSplit
+    val plain = Sampling.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 200L).filterNot(Set(2L, 3L, 11L)).foreach { i =>
+      assert(got(i)._2 === plain(i), s"singleton $i must match hashSplit") }
+    // growth stability: doubling the corpus moves no existing assignment
+    val grown = docs.unionByName((201L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val got2 = Sampling.clusterAwareSplit(grown, pairs, splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 200L).foreach(i => assert(got2(i) === got(i)._2, s"doc $i moved on growth"))
+    // cluster merge: a new pair joining {1,2,3} and {10,11} re-keys the
+    // merged cluster to ONE representative and ONE split
+    val merged = Sampling.clusterAwareSplit(docs,
+      pairs.unionByName(Seq((3L, 10L)).toDF("id_a", "id_b")), splits)
+      .select("doc_id", "comp", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L).map(merged(_)).distinct.size === 1)
+    assert(merged(11L)._1 === 1L)
+  }
 }
