@@ -49,6 +49,60 @@ object Sampling {
     * held-out set held out as the corpus grows — a `rand()` split
     * silently leaks val into train on re-ingest). Fractions must sum
     * to 1 (±ε); granularity is 1/65536 like [[hashSample]]. */
+  /** Token-weighted corpus mixing: published pretraining mixes are
+    * specified in TOKEN shares, not document counts (The Pile's and
+    * LLaMA's composition tables; a source of long documents at a doc
+    * quota would be over-represented by tokens). Targets are token
+    * shares per source; the scarcest source relative to its share caps
+    * the feasible total, each source gets a token budget, and its docs
+    * fill the budget in md5-priority order (the house determinism
+    * rule) with ≤ 1 doc of overrun — the [[graft.ops.Packing]]
+    * convention: a doc is taken while the budget is not yet full.
+    *
+    * Determinism across engines: per-source token totals are exact
+    * BIGINTs; the only floating steps (totalᴺ = min T_s/w_s and
+    * budget_s = floor(totalᴺ·w_s)) are single IEEE divisions/products
+    * of identical inputs, replayed literal-for-literal by the oracle;
+    * the fill comparison is an exact BIGINT cumulative sum against the
+    * floored budget. One shuffle: the per-source priority window.
+    * Returns the selected rows plus `n_tokens`. */
+  def tokenMixture(
+      df: DataFrame,
+      sourceCol: String,
+      key: String,
+      targets: Map[String, Double],
+      textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0))
+    val norm = {
+      val z = targets.values.sum
+      targets.map { case (s, w) => s -> w / z }
+    }
+    val withTok = df.withColumn("n_tokens",
+      size(TextSearch.tokens(col(textCol))).cast("long"))
+    val totals = withTok
+      .groupBy(col(sourceCol).cast("string").as(sourceCol))
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val present = norm.filter { case (s, _) => totals.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no target source present in the data")
+    val feasible = present.map { case (s, w) => totals(s) / w }.min
+    val budgets = present.toSeq.map { case (s, w) =>
+      (s, math.floor(feasible * w).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toDF("__src", "__budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol).cast("string"))
+      .orderBy(hashPriority(col(key)), col(key))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withTok
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(bdf, col(sourceCol).cast("string") === col("__src"))
+      .filter(col("__cum_before") < col("__budget"))
+      .drop("__src", "__budget", "__cum_before")
+  }
+
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS never
     * straddle splits. The classic held-out-data bug is a near-dup of a
     * training document landing in test — a per-document hash split

@@ -1820,6 +1820,36 @@ object PipelineQueries {
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Token-weighted mixture: the Pile/LLaMA-style composition by token
+    * SHARES (a doc-count mixture over-represents long-doc sources).
+    * Budgets and the md5-priority fill are replayed step-for-step; the
+    * only floating steps are single IEEE ops on identical inputs. */
+  private val docMixtureTokens: Q = (s, d) =>
+    graft.ops.Sampling.tokenMixture(
+        Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.1, "es" -> 0.1, "de" -> 0.1))
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id")
+
+  private val docMixtureTokensSql =
+    s"""WITH wt AS (SELECT * FROM (VALUES ('en', 0.5), ('zh', 0.2), ('fr', 0.1),
+       |                                  ('es', 0.1), ('de', 0.1)) AS w(lang, wgt)),
+       |tk AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |       FROM documents),
+       |tot AS (SELECT lang, SUM(n_tokens) AS t FROM tk GROUP BY lang
+       |        HAVING SUM(n_tokens) > 0),
+       |feas AS (SELECT MIN(t / wgt) AS n FROM tot JOIN wt USING (lang)),
+       |bud AS (SELECT lang, CAST(floor((SELECT n FROM feas) * wgt) AS BIGINT) AS b
+       |        FROM wt JOIN tot USING (lang)),
+       |cum AS (SELECT doc_id, lang, n_tokens,
+       |          COALESCE(SUM(n_tokens) OVER (
+       |            PARTITION BY lang
+       |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |        FROM tk)
+       |SELECT doc_id, lang, n_tokens FROM cum JOIN bud USING (lang)
+       |WHERE cb < b ORDER BY doc_id""".stripMargin
+
   /** Leakage-free cluster-aware split: near-dup clusters (exact
     * n-gram Jaccard pairs at 0.2, the cluster-survivors fixture) are
     * assigned to train/val/test as ONE unit, keyed by the component
@@ -2208,6 +2238,7 @@ object PipelineQueries {
     "doc_repetition" -> docRepetition,
     "doc_mixture" -> docMixture,
     "doc_mixture_temperature" -> docMixtureTemp,
+    "doc_mixture_tokens" -> docMixtureTokens,
     "doc_langid" -> docLangId,
     "doc_bm25_top10" -> docBm25Top10,
     "doc_hybrid_rrf_top10" -> docHybridRrf,
@@ -2279,6 +2310,7 @@ object PipelineQueries {
     "doc_repetition" -> docRepetitionSql,
     "doc_mixture" -> docMixtureSql,
     "doc_mixture_temperature" -> docMixtureTempSql,
+    "doc_mixture_tokens" -> docMixtureTokensSql,
     "doc_langid" -> docLangIdSql,
     "doc_bm25_top10" -> docBm25Top10Sql,
     "doc_hybrid_rrf_top10" -> docHybridRrfSql,

@@ -187,4 +187,25 @@ class SamplingSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 10L, 11L).map(merged(_)).distinct.size === 1)
     assert(merged(11L)._1 === 1L)
   }
+
+  test("tokenMixture fills per-source TOKEN budgets with <= 1 doc overrun, deterministically") {
+    import graft.ops.Sampling
+    // en: 40 docs x 10 tokens = 400; zh: 10 docs x 6 tokens = 60 (scarce)
+    val docs = ((1 to 40).map(i => (i.toLong, Seq.fill(10)(s"w$i").mkString(" "), "en")) ++
+      (101 to 110).map(i => (i.toLong, Seq.fill(6)(s"z$i").mkString(" "), "zh")) ++
+      Seq((900L, "dropped outside targets", "fr"))).toDF("doc_id", "text", "lang")
+    val targets = Map("en" -> 0.7, "zh" -> 0.3)
+    val got = Sampling.tokenMixture(docs, "lang", "doc_id", targets)
+    val byLang = got.groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh is the scarcest source: feasible total = 60/0.3 = 200 tokens,
+    // budgets en = 140, zh = 60 — zh fully consumed, en within one doc
+    assert(byLang("zh") === 60L)
+    assert(byLang("en") >= 140L && byLang("en") < 140L + 10L, s"$byLang")
+    assert(!byLang.contains("fr"), "sources outside the targets are dropped")
+    // layout invariance + determinism
+    val again = Sampling.tokenMixture(docs.repartition(7), "lang", "doc_id", targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.select("doc_id").as[Long].collect().toSet)
+  }
 }
