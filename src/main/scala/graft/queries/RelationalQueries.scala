@@ -923,6 +923,43 @@ object RelationalQueries {
       |ON p.user_id = c.user_id AND p.ts <= c.ts
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // q39: the NEAREST direction — each purchase picks the click with
+  // the smaller |ts gap|, ties to backward. DuckDB has no nearest
+  // ASOF, so the oracle computes both directional extrema via
+  // inequality joins and replays the gap comparison + tie rule.
+  private val q39: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOfJoin.join(
+        purchases, clicks, Seq("user_id"), "ts", "ts", "left_outer",
+        direction = "nearest")
+      .select(col("user_id"), col("event_id"), col("click_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q39Sql =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'click'),
+      |b AS (SELECT p.user_id, p.event_id, p.us, max(c.us) AS back
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+      |      GROUP BY p.user_id, p.event_id, p.us),
+      |f AS (SELECT p.user_id, p.event_id, min(c.us) AS fwd
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us >= p.us
+      |      GROUP BY p.user_id, p.event_id)
+      |SELECT b.user_id, b.event_id,
+      |  CASE WHEN back IS NOT NULL AND fwd IS NOT NULL
+      |       THEN CASE WHEN b.us - back <= fwd - b.us THEN back ELSE fwd END
+      |       ELSE COALESCE(back, fwd) END AS click_us
+      |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+      |ORDER BY b.user_id, b.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -963,7 +1000,8 @@ object RelationalQueries {
     "q35_funnel" -> q35,
     "q36_retention_cohorts" -> q36,
     "q37_asof_native" -> q37,
-    "q38_asof_forward" -> q38)
+    "q38_asof_forward" -> q38,
+    "q39_asof_nearest" -> q39)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1004,5 +1042,6 @@ object RelationalQueries {
     "q35_funnel" -> q35Sql,
     "q36_retention_cohorts" -> q36Sql,
     "q37_asof_native" -> q37Sql,
-    "q38_asof_forward" -> q38Sql)
+    "q38_asof_forward" -> q38Sql,
+    "q39_asof_nearest" -> q39Sql)
 }
