@@ -46,7 +46,7 @@ object ImportanceSampling {
   /** One row per hashed n-gram occurrence: `(id, is_t, bucket)`.
     * Unigrams + space-joined adjacent bigrams (the DSIR paper's
     * feature space). */
-  private[ops] def occurrences(
+  private[graft] def occurrences(
       df: DataFrame,
       targetPred: Column,
       textCol: String,

@@ -78,11 +78,24 @@ object QualityClassifier {
     val (nPos, nNeg) = (counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
     require(nPos > 0 && nNeg > 0,
       s"both classes need training documents (pos=$nPos, neg=$nNeg)")
-    val (totPos, totNeg) = prof.foldLeft((0L, 0L)) { case ((p, n), r) =>
-      (p + r.getLong(1), n + r.getLong(2)) }
-    val w = prof.map { r =>
-      r.getLong(0) -> halfUp(
-        (math.log10(r.getLong(1) + 1.0) - math.log10(r.getLong(2) + 1.0)) * fp)
+    fromCounts(prof.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+      nPos, nNeg, buckets)
+  }
+
+  /** Fold a bucket count profile + class doc counts into the model —
+    * THE single arithmetic path: [[train]]'s full-scan profile and
+    * [[graft.pipeline.ClassifierRefresh]]'s incrementally maintained
+    * cells both end here, so the incremental model is definitionally
+    * the same math over the same exact counts. */
+  def fromCounts(
+      profile: Seq[(Long, Long, Long)], // (bucket, cnt_pos, cnt_neg)
+      nPos: Long, nNeg: Long, buckets: Int): NbModel = {
+    require(nPos > 0 && nNeg > 0,
+      s"both classes need training documents (pos=$nPos, neg=$nNeg)")
+    val (totPos, totNeg) = profile.foldLeft((0L, 0L)) { case ((p, n), c) =>
+      (p + c._2, n + c._3) }
+    val w = profile.collect { case (b, cp, cn) if cp != 0L || cn != 0L =>
+      b -> halfUp((math.log10(cp + 1.0) - math.log10(cn + 1.0)) * fp)
     }.toMap
     NbModel(
       buckets,

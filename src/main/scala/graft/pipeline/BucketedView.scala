@@ -27,13 +27,19 @@ object BucketedView {
 
   /** Full build at `version`: `partials` evaluated per (bucket, group).
     * Each partial must be aliased (`.as("name")`) — refresh and
-    * [[finalizeView]] address cells by those names. */
+    * [[finalizeView]] address cells by those names. `derive` maps a
+    * bucket's rows to the rows actually aggregated (explode features,
+    * add a label column, …) and MUST preserve the `bucket` column and
+    * be row-local — it runs identically on full builds and on the
+    * changed buckets of a refresh, which is what keeps the two paths
+    * equal. Identity by default. */
   def compute(
       spark: SparkSession, dir: String, groupCol: String,
-      partials: Seq[Column], version: Int = -1): DataFrame = {
+      partials: Seq[Column], version: Int = -1,
+      derive: DataFrame => DataFrame = identity): DataFrame = {
     val v = if (version > 0) version else MergeTable.latestVersion(spark, dir)
     val n = MergeTable.bucketCount(spark, dir, v)
-    MergeTable.readBuckets(spark, dir, 0 until n, v)
+    derive(MergeTable.readBuckets(spark, dir, 0 until n, v))
       .groupBy(col("bucket"), col(groupCol))
       .agg(partials.head, partials.tail: _*)
   }
@@ -43,11 +49,12 @@ object BucketedView {
     * cells carry forward untouched. Equals a fresh [[compute]]. */
   def refresh(
       spark: SparkSession, dir: String, oldView: DataFrame, groupCol: String,
-      partials: Seq[Column], fromVersion: Int, toVersion: Int): DataFrame = {
+      partials: Seq[Column], fromVersion: Int, toVersion: Int,
+      derive: DataFrame => DataFrame = identity): DataFrame = {
     val changed = MergeTable.changedBucketIds(spark, dir, fromVersion, toVersion)
     if (changed.isEmpty) oldView
     else {
-      val fresh = MergeTable.readBuckets(spark, dir, changed, toVersion)
+      val fresh = derive(MergeTable.readBuckets(spark, dir, changed, toVersion))
         .groupBy(col("bucket"), col(groupCol))
         .agg(partials.head, partials.tail: _*)
       oldView.filter(!col("bucket").isin(changed: _*)).unionByName(fresh)

@@ -163,6 +163,29 @@ object IvmScaffold {
         s, statsCorpus(s, d), "source", "n_chars", version = 1)
     }
 
+  /** The weak label every classifier-IVM artifact trains on: the
+    * curated src0–src3 slice of [[statsCorpus]] (injected inserts get
+    * source `injected` — negatives). */
+  val classifierPred: org.apache.spark.sql.Column =
+    col("source").isin("src0", "src1", "src2", "src3")
+
+  /** [[graft.pipeline.ClassifierRefresh]] feature cells of
+    * [[statsCorpus]] v1 (256 feature buckets — the registered query's
+    * setting). */
+  def classifierF1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "clffeat") {
+      graft.pipeline.ClassifierRefresh.featureView(
+        s, statsCorpus(s, d), classifierPred, buckets = 256, version = 1)
+    }
+
+  /** [[graft.pipeline.ClassifierRefresh]] prior cells of
+    * [[statsCorpus]] v1. */
+  def classifierP1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "clfprior") {
+      graft.pipeline.ClassifierRefresh.priorView(
+        s, statsCorpus(s, d), classifierPred, version = 1)
+    }
+
   /** [[graft.pipeline.SketchedStats]] HLL cells of [[statsCorpus]] v1. */
   def hllView1(s: SparkSession, d: String): DataFrame =
     frozenView(s, d, "hllview") {
@@ -246,6 +269,7 @@ object IvmScaffold {
       t("fingerprints_v1")(fingerprintsV1(s, d)),
       t("bands_v1")(bandsV1(s, d)),
       t("stats_view1")(statsView1(s, d)),
+      t("clf_views1")({ classifierF1(s, d); classifierP1(s, d) }),
       t("hll_view1")(hllView1(s, d)),
       t("minmax_view1")(minmaxView1(s, d)),
       t("q_view1")(qView1(s, d)),

@@ -1950,6 +1950,72 @@ object PipelineQueries {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  /** IVM for the classifier MODEL: the v1 model's sufficient
+    * statistics (feature cells + prior cells over the CoW corpus) are
+    * maintained across the scaffold's update/delete/insert merge —
+    * touched buckets only — folded into the model, and the maintained
+    * model scores the v2 corpus. The oracle retrains NB from scratch
+    * on the logically merged corpus in DuckDB: incremental model ≡
+    * full retrain, cross-engine. */
+  private val docClassifierIncremental: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val pred = IvmScaffold.classifierPred
+    val f2 = graft.pipeline.ClassifierRefresh.refreshFeatureView(
+      s, dir, IvmScaffold.classifierF1(s, d), pred, 1, 2, buckets = 256)
+    val p2 = graft.pipeline.ClassifierRefresh.refreshPriorView(
+      s, dir, IvmScaffold.classifierP1(s, d), pred, 1, 2)
+    val model = graft.pipeline.ClassifierRefresh.model(f2, p2, buckets = 256)
+    graft.ops.QualityClassifier.score(
+        graft.pipeline.MergeTable.read(s, dir, 2), model)
+      .orderBy("doc_id")
+  }
+
+  private val docClassifierIncrementalSql = {
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |m AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7
+       |      UNION ALL
+       |      SELECT doc_id + 1000000, 'injected', 'injected doc'
+       |      FROM documents WHERE doc_id % 10 = 1),
+       |d AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_p,
+       |             $toksSql AS toks
+       |      FROM m),
+       |g AS (SELECT doc_id, is_p, unnest(list_concat(toks,
+       |        list_transform(range(1, len(toks)),
+       |                       i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+       |      FROM d),
+       |gc AS (SELECT doc_id, is_p, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+       |gb AS (SELECT doc_id, is_p, c, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(gram), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) % 256 AS bucket
+       |  FROM gc CROSS JOIN pows p GROUP BY doc_id, is_p, gram, c),
+       |feat AS (SELECT doc_id, is_p, bucket, SUM(c) AS c FROM gb GROUP BY 1, 2, 3),
+       |prof AS (SELECT bucket,
+       |           SUM(CASE WHEN is_p THEN c ELSE 0 END) AS cnt_pos,
+       |           SUM(CASE WHEN is_p THEN 0 ELSE c END) AS cnt_neg
+       |         FROM feat GROUP BY 1),
+       |pw AS (SELECT bucket, CAST(round((log10(CAST(cnt_pos + 1 AS DOUBLE))
+       |           - log10(CAST(cnt_neg + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS wgt
+       |       FROM prof),
+       |kc AS (SELECT CAST(round((log10(CAST(SUM(cnt_neg) + 256 AS DOUBLE))
+       |           - log10(CAST(SUM(cnt_pos) + 256 AS DOUBLE))) * 1000000) AS BIGINT) AS kk
+       |       FROM prof),
+       |pc AS (SELECT CAST(round((log10(CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS DOUBLE))
+       |           - log10(CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS DOUBLE)))
+       |           * 1000000) AS BIGINT) AS prior
+       |       FROM d),
+       |per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+       |          SUM(c * wgt) AS sumw
+       |        FROM feat JOIN pw USING (bucket) GROUP BY doc_id)
+       |SELECT dd.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
+       |  CAST(pc.prior + COALESCE(p.sumw + p.n_feat * kc.kk, 0) AS BIGINT) AS log_odds,
+       |  (pc.prior + COALESCE(p.sumw + p.n_feat * kc.kk, 0)) > 0 AS pred
+       |FROM m dd LEFT JOIN per p ON dd.doc_id = p.doc_id
+       |CROSS JOIN kc CROSS JOIN pc
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): 100 documents drawn
     * with probability proportional to how target-like (target = the
     * English slice) their hashed unigram+bigram bag is vs the raw
@@ -2249,6 +2315,7 @@ object PipelineQueries {
     "doc_char_entropy" -> docCharEntropy,
     "doc_dsir_sample" -> docDsirSample,
     "doc_quality_classifier" -> docQualityClassifier,
+    "doc_classifier_incremental" -> docClassifierIncremental,
     "table_profile" -> tableProfile,
     "sections_count" -> sectionsCount,
     "caption_pairs" -> captionPairs,
@@ -2321,6 +2388,7 @@ object PipelineQueries {
     "doc_char_entropy" -> docCharEntropySql,
     "doc_dsir_sample" -> docDsirSampleSql,
     "doc_quality_classifier" -> docQualityClassifierSql,
+    "doc_classifier_incremental" -> docClassifierIncrementalSql,
     "table_profile" -> tableProfileSql,
     "sections_count" -> sectionsCountSql,
     "caption_pairs" -> captionPairsSql,

@@ -183,6 +183,52 @@ object CorpusViews {
     }
   }
 
+  /** Standing NB quality-classifier MODEL ([[graft.pipeline
+    * .ClassifierRefresh]]) — the IVM family applied to a model: both
+    * sufficient-statistics views (feature cells + prior cells) frozen
+    * under `viewDir/v<N>/{features,priors}` per reflected corpus
+    * version, the completion marker written only after BOTH (a crash
+    * between leaves the version invisible and the next advance redoes
+    * it). `latest` folds the newest frozen cells into the model — the
+    * production [[graft.pipeline.Curate]] filter stays fresh against a
+    * streaming corpus for the cost of the changed buckets. */
+  final case class ClassifierModel(
+      viewDir: String, posPred: org.apache.spark.sql.Column,
+      textCol: String = "text", buckets: Int = 256) extends FrozenCellView {
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val (f, p) = from match {
+        case Some(pv) =>
+          (graft.pipeline.ClassifierRefresh.refreshFeatureView(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$pv/features"), posPred, pv, to,
+            textCol, buckets),
+            graft.pipeline.ClassifierRefresh.refreshPriorView(spark, corpusDir,
+              spark.read.parquet(s"$viewDir/v$pv/priors"), posPred, pv, to))
+        case None =>
+          (graft.pipeline.ClassifierRefresh.featureView(spark, corpusDir,
+            posPred, textCol, buckets, to),
+            graft.pipeline.ClassifierRefresh.priorView(spark, corpusDir,
+              posPred, to))
+      }
+      f.write.mode("overwrite").parquet(s"$viewDir/v$to/features")
+      p.write.mode("overwrite").parquet(s"$viewDir/v$to/priors")
+      // completion marker AFTER both cell writes — versions() only
+      // trusts _SUCCESS-bearing directories
+      fs(spark, viewDir).create(new Path(s"$viewDir/v$to/_SUCCESS"), true).close()
+    }
+
+    /** The maintained model at the newest frozen version — folds the
+      * bounded cell state, no corpus scan. */
+    def latest(spark: SparkSession): graft.ops.QualityClassifier.NbModel = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained model under $viewDir")
+      graft.pipeline.ClassifierRefresh.model(
+        spark.read.parquet(s"$viewDir/v${vs.max}/features"),
+        spark.read.parquet(s"$viewDir/v${vs.max}/priors"), buckets)
+    }
+  }
+
   /** Standing RAG chunk+embedding index ([[graft.pipeline.IndexRefresh]])
     * at `indexDir` — the reference's continuous vector-index upsert
     * loop as a Maintained artifact: corpus edits re-chunk + re-embed

@@ -281,9 +281,11 @@ class StreamingSpec extends SparkSpec {
     val quantView = CorpusViews.QuantileView(s"$root/qviews", "grp", "v")
     val ragIdx = CorpusViews.RagIndex(s"$root/rag")
     val bandIdx = CorpusViews.BandIndex(s"$root/bands")
+    val clfPred = col("grp") === "a"
+    val clfModel = CorpusViews.ClassifierModel(s"$root/clf", clfPred, buckets = 64)
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx)
+      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -337,6 +339,10 @@ class StreamingSpec extends SparkSpec {
       assert(bandRows(MergeTable.read(spark, s"$root/bands")) ==
         bandRows(graft.pipeline.BandsRefresh.bandsOf(MergeTable.read(spark, table))),
         "maintained band index must equal a full re-shingle+re-sign")
+      assert(clfModel.latest(spark) ==
+        graft.ops.QualityClassifier.train(
+          MergeTable.read(spark, table), clfPred, buckets = 64),
+        "maintained classifier model must equal a full retrain")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
