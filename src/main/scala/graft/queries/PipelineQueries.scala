@@ -1850,6 +1850,51 @@ object PipelineQueries {
        |SELECT doc_id, lang, n_tokens FROM cum JOIN bud USING (lang)
        |WHERE cb < b ORDER BY doc_id""".stripMargin
 
+  /** The EXACT pigeonhole-banded hamming pair join on real data: all
+    * doc pairs within hamming 7 over the corpus SimHashes (8 disjoint
+    * 8-bit bands — any within-bound pair agrees exactly on >= 1 band,
+    * so candidate generation is lossless and the result exact). The
+    * oracle brute-forces the full pair space in DuckDB over the SAME
+    * bit-replayed fingerprints: banding must lose nothing. */
+  private val dedupSimhashPairs: Q = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.fingerprintPairs64(fp, "doc_id", "simhash", maxHamming = 7)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupSimhashPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, substr(md5(unnest(toks)), 1, 16) AS h FROM d),
+      |bits AS (
+      |  SELECT doc_id, g.b AS b,
+      |         SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                                substr(h, 16 - CAST(g.b // 4 AS INT), 1)) - 1)
+      |                        >> CAST(g.b % 4 AS INT)) & 1 = 1
+      |                  THEN 1 ELSE -1 END) AS vote
+      |  FROM tok CROSS JOIN generate_series(0, 63) AS g(b)
+      |  GROUP BY doc_id, g.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN vote > 0 THEN
+      |                CASE WHEN b = 63 THEN -9223372036854775808
+      |                     ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+      |              ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |allfp AS (
+      |  SELECT doc_id, COALESCE(f.simhash, 0) AS simhash
+      |  FROM documents LEFT JOIN fp f USING (doc_id))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Leakage-free cluster-aware split: near-dup clusters (exact
     * n-gram Jaccard pairs at 0.2, the cluster-survivors fixture) are
     * assigned to train/val/test as ONE unit, keyed by the component
@@ -2270,6 +2315,7 @@ object PipelineQueries {
     "dedup_contamination_bloom" -> dedupContaminationBloom,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "emb_neardup_exact" -> embNearDupExact,
     "emb_neardup_lsh" -> embNearDupLsh,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
@@ -2336,6 +2382,7 @@ object PipelineQueries {
     "knn_pq_rerank_top5" -> knnTop5Sql,
     "knn_quantized_top5" -> knnQuantTop5Sql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,

@@ -100,4 +100,42 @@ class WebDatasetSpec extends SparkSpec {
       WebDataset.writeShards(badField, dir, Seq("num" -> "num")) }
     assert(ex2.getMessage.contains("string or binary") || ex2.getCause != null)
   }
+
+  test("multimodal export: dHash-dedup'd image assets ship as binary webdataset shards") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def img(seed: Int): Array[Byte] = {
+      val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = 40 + ((x / 4 * 31 + y / 4 * 17 + seed * 13) % 150)
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val schema = StructType(Seq(
+      StructField("asset_id", StringType), StructField("kind", StringType),
+      StructField("media", BinaryType), StructField("caption", StringType)))
+    // a2 duplicates a1's pixels (re-encoded) — the sweep must drop one
+    val rows = Seq(
+      Row("a1", "image", img(1), "first"), Row("a2", "image", img(1), "dup of first"),
+      Row("b1", "image", img(9), "different"))
+    val assets = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val hashed = graft.multimodal.PerceptualHash.withDHash(assets)
+    val deduped = graft.multimodal.PerceptualHash.dropNearDups(hashed)
+    val dir = Files.createTempDirectory("graft-wds-img").toString
+    val manifest = WebDataset.writeShards(
+      deduped.withColumnRenamed("asset_id", "key"), dir,
+      Seq("media" -> "png", "caption" -> "txt"))
+    assert(manifest.agg(sum("samples")).head.getLong(0) === 2L, "near-dup must not ship")
+    val back = WebDataset.readShards(spark, dir)
+      .filter(col("ext") === "png").collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]](3)).toMap
+    assert(back.keySet === Set("a1", "b1"))
+    // the shipped bytes decode to the SAME perceptual content
+    assert(graft.multimodal.PerceptualHash.dHash64(back("a1")).get ===
+      graft.multimodal.PerceptualHash.dHash64(img(1)).get)
+  }
 }
