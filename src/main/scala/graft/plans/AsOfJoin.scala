@@ -190,14 +190,18 @@ case class AsOfJoinExec(
       var mKey: InternalRow = null
       var mTsLong: Long = 0L
 
-      lIter.flatMap { lRow =>
+      // hand-rolled drive loop: one virtual call per OUTPUT row instead
+      // of a flatMap closure + Iterator allocation per INPUT row — the
+      // merge is the exec's entire interior, so constant factors here
+      // are the operator's throughput
+      def matchRow(lRow: InternalRow): InternalRow = {
         val lKey = lKeyProj(lRow)
         val lTsRow = lTsProj(lRow)
         if (lKey.anyNull || lTsRow.isNullAt(0)) {
           // null key/ts never matches; left rows sort nulls-first so no
           // right rows need consuming here
-          if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
-          else Iterator.empty
+          if (isOuter) { numOutputRows += 1; resultProj(joined(lRow, nullRight)) }
+          else null
         } else {
           val lTsVal = lTsRow.get(0, tsType)
           val lTsLong = if (needTsLong) tsLong(lTsRow, tsType) else 0L
@@ -226,9 +230,9 @@ case class AsOfJoinExec(
                 !rTsRow.isNullAt(0) &&
                 (tol.isEmpty || tsLong(rTsRow, tsType) - lTsLong <= tol.get)
             }
-            if (emitMatch) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, rBuf.head))) }
-            else if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
-            else Iterator.empty
+            if (emitMatch) { numOutputRows += 1; resultProj(joined(lRow, rBuf.head)) }
+            else if (isOuter) { numOutputRows += 1; resultProj(joined(lRow, nullRight)) }
+            else null
           } else {
           if (m != null && keyOrd.compare(mKey, lKey) != 0) { m = null; mKey = null }
           var done = false
@@ -272,10 +276,22 @@ case class AsOfJoinExec(
             } else if (backOk) m
             else if (isNear) fwdRow
             else null
-          if (chosen != null) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, chosen))) }
-          else if (isOuter) { numOutputRows += 1; Iterator.single(resultProj(joined(lRow, nullRight))) }
-          else Iterator.empty
+          if (chosen != null) { numOutputRows += 1; resultProj(joined(lRow, chosen)) }
+          else if (isOuter) { numOutputRows += 1; resultProj(joined(lRow, nullRight)) }
+          else null
           }
+        }
+      }
+
+      new Iterator[InternalRow] {
+        private var out: InternalRow = null
+        private def advance(): Unit = {
+          while (out == null && lIter.hasNext) out = matchRow(lIter.next())
+        }
+        def hasNext: Boolean = { if (out == null) advance(); out != null }
+        def next(): InternalRow = {
+          if (out == null) advance()
+          val r = out; out = null; r
         }
       }
     }
