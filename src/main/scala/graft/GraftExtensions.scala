@@ -28,6 +28,7 @@ object GraftFunctions {
       graft.expr.HeavyHittersExpr.functions ++
       graft.expr.TextNormExpr.functions ++
       graft.expr.QuantileSketchExpr.functions ++
+      graft.expr.KmvExpr.functions ++
       graft.expr.SplitTextGen.functions ++
       graft.ops.CurationFunctions.functions
 

@@ -272,4 +272,36 @@ object Sampling {
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("col.id").as(idCol))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    * "Weighted random sampling with a reservoir", the A-ES key): each
+    * row draws a deterministic uniform u ∈ (0,1) from its key hash
+    * (the exact 52-bit md5 prefix, `(h + 0.5)/2⁵²` — every step exact
+    * in double), gets key `ln(u)/w` (a monotone transform of the
+    * classic u^(1/w)), and the n LARGEST keys win — exactly the
+    * distribution of n sequential weighted draws without replacement.
+    * Deterministic in the key (the house rule: re-runs and other
+    * engines draw the identical sample); rows with weight ≤ 0 can
+    * never win and are filtered.
+    *
+    * Physical shape: the bounded-buffer `top_k` aggregate, so map-side
+    * partials carry at most n (id, key) pairs — no full sort, no
+    * per-group window shuffle; at 100 TB the winners ride the
+    * exchange, not the corpus. Cross-engine determinism: the only
+    * inexact steps are one `ln` and one division of bit-identical
+    * inputs; an order flip would need two keys within ~1 ulp, which
+    * the id tie-break of `top_k` (score DESC, id ASC) cannot even see
+    * — distinct keys this close do not occur in practice, and the
+    * oracle run at two scale factors pins it. */
+  def weightedTake(df: DataFrame, key: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val h = conv(substring(hashPriority(col(key)), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0) // 2^52; u ∈ (0,1) exactly
+    val pri = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .groupBy()
+      .agg(graft.expr.TopKExpr.topK(col(key).cast("long"), pri, n).as("__topk"))
+      .select(posexplode(col("__topk")))
+      .select((col("pos") + 1).cast("long").as("rn"), col("col.id").as(key))
+  }
 }

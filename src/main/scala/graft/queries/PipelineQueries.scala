@@ -309,6 +309,79 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-split shingle-set overlap via KMV bottom-k sketches
+    * ([[graft.expr.KmvAgg]]): each train/val/test split reduces
+    * map-side to ONE ≤(9+8k)-byte sketch of its distinct trigram
+    * shingles, and the pairwise intersection/union/Jaccard audit is a
+    * scalar over two binaries — no join between split token sets ever
+    * happens. The 100 TB contamination-audit shape: comparing corpora
+    * costs three sketch scans, not a shuffle of their shingle sets.
+    *
+    * Oracle validity at ANY scale factor: the generator's vocabulary
+    * is a fixed 31-word list, so the trigram-shingle universe is
+    * bounded by 31³ = 29,791 < k = 32,768 — every sketch (and every
+    * pairwise union) stays in the EXACT regime forever, where KMV
+    * answers are plain set algebra a DuckDB self-join replays. The
+    * query EMITS its own validity bit: `exact` comes from
+    * `kmv_exact` on both sides, so if data ever outgrew k the hash
+    * comparison would fail loudly instead of silently comparing an
+    * estimate against an exact oracle. Hash-independence: in the
+    * exact regime the answer depends only on shingle-set identity
+    * (xxhash64 collisions within the ≤29,791-string universe would
+    * need ~2⁻⁴⁵ luck — and `KmvSpec` pins the estimator contract for
+    * the saturated regime the oracle never enters). */
+  private val splitOverlapKmv: Q = (s, d) => {
+    import graft.expr.KmvExpr._
+    val docs = graft.ops.Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val sk = docs
+      .select(col("split"), explode(Dedup.shingles(col("text"), 3)).as("sh0"))
+      .select(col("split"), xxhash64(col("sh0")).as("h"))
+      .groupBy("split").agg(kmvAgg(col("h"), 32768).as("sk"))
+    val a = sk.toDF("split_a", "sk_a")
+    val b = sk.toDF("split_b", "sk_b")
+    a.join(b, col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"),
+        kmvIntersect(col("sk_a"), col("sk_b")).cast("long").as("inter"),
+        kmvUnionN(col("sk_a"), col("sk_b")).cast("long").as("n_union"),
+        round(kmvJaccard(col("sk_a"), col("sk_b")), 6).as("jaccard"),
+        (kmvExact(col("sk_a")) && kmvExact(col("sk_b"))).as("exact"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** Replays the split rule (md5 thresholds) and the \s+ shingle
+    * tokenizer of [[graft.ops.Dedup.shingles]], then does the exact
+    * distinct-shingle set algebra the KMV sketches compute in their
+    * exact regime. `exact` is literal TRUE — the Spark side must agree
+    * via `kmv_exact`, which is what makes the oracle self-checking. */
+  private val splitOverlapKmvSql =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, split, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d),
+      |sh AS (SELECT DISTINCT a.split, a.word || ' ' || b.word || ' ' || c.word AS sg
+      |       FROM w a
+      |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+      |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+      |cnt AS (SELECT split, COUNT(*) AS n FROM sh GROUP BY split),
+      |pairs AS (SELECT x.split AS split_a, y.split AS split_b, COUNT(*) AS inter
+      |          FROM sh x JOIN sh y ON x.sg = y.sg AND x.split < y.split
+      |          GROUP BY x.split, y.split)
+      |SELECT p.split_a, p.split_b,
+      |  p.inter,
+      |  ca.n + cb.n - p.inter AS n_union,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(ca.n + cb.n - p.inter AS DOUBLE), 6) AS jaccard,
+      |  TRUE AS exact
+      |FROM pairs p
+      |JOIN cnt ca ON ca.split = p.split_a
+      |JOIN cnt cb ON cb.split = p.split_b
+      |ORDER BY split_a, split_b""".stripMargin
+
   /** Banded MinHash LSH candidates. Oracle-checked: the base hash is
     * the big-endian first 8 bytes of md5(shingle) and the band key is
     * the band's slot values themselves, so DuckDB can replay the exact
@@ -997,6 +1070,39 @@ object PipelineQueries {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling without replacement
+    * ([[graft.ops.Sampling.weightedTake]]): 100 docs drawn with
+    * probability ∝ `n_chars` via deterministic Efraimidis–Spirakis
+    * keys — the curation shape for "sample a token budget, not a doc
+    * count" (long docs proportionally likelier). Selection runs
+    * through the bounded `top_k` aggregate: map-side partials carry
+    * ≤ 100 (id, key) pairs, never the corpus. */
+  private val docSampleWeighted: Q = (s, d) =>
+    graft.ops.Sampling.weightedTake(Tables.documents(s, d), "doc_id", "n_chars", 100)
+      .orderBy("rn")
+
+  /** Replays the A-ES key exactly: h = unsigned 52-bit md5 prefix
+    * (nibble-weight HUGEINT sum), u = (h+0.5)/2⁵² (every step exact
+    * in double), key = ln(u)/n_chars. The one inexact step (`ln`) is
+    * computed on bit-identical inputs by both engines; an order flip
+    * would need two keys within ~1 ulp (see weightedTake's scaladoc). */
+  private val docSampleWeightedSql = {
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |h AS (SELECT doc_id, n_chars, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS DOUBLE) AS hv
+       |  FROM documents CROSS JOIN pows p
+       |  WHERE n_chars > 0 GROUP BY doc_id, n_chars),
+       |k AS (SELECT doc_id,
+       |        ln((hv + 0.5) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pri
+       |      FROM h),
+       |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+       |      FROM k)
+       |SELECT rn, doc_id FROM r WHERE rn <= 100 ORDER BY rn""".stripMargin
+  }
+
   /** Deterministic stratified take: 10 docs per language in
     * hash-priority order (uniform without-replacement per stratum). */
   private val docSampleStratified: Q = (s, d) =>
@@ -1651,6 +1757,77 @@ object PipelineQueries {
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.5 * n) THEN v END) AS DOUBLE) AS p50,
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
+  /** Incremental cross-split overlap maintenance: the KMV shingle
+    * sketches of `split_overlap_kmv` as a standing [[graft.pipeline.BucketedView]]
+    * over the text corpus — one bottom-k sketch per (bucket, split)
+    * cell, REFRESHED through the v1→v2 update/delete/insert transition
+    * by re-sketching only changed buckets (unchanged cells carry
+    * forward byte-identically — the KMV serialized form is canonical),
+    * then finalized by `kmv_merge` + the pairwise scalars. The
+    * continuous contamination monitor a training pipeline runs after
+    * every ingest batch: refresh cost ∝ touched buckets, audit cost =
+    * three sketch merges, never a token-set join.
+    *
+    * The oracle recomputes the overlap from scratch over the
+    * logically-merged corpus in DuckDB — incremental == full rebuild
+    * cross-engine, deletes included. Exact-regime validity and the
+    * self-checking `exact` bit are as in `split_overlap_kmv` (the
+    * merged corpus adds only the 4 injected-boilerplate shingles to
+    * the bounded universe). */
+  private val docOverlapIncremental: Q = (s, d) => {
+    import graft.expr.KmvExpr._
+    val dir = IvmScaffold.textCorpus(s, d)
+    val view2 = graft.pipeline.BucketedView.refresh(
+      s, dir, IvmScaffold.kmvView1(s, d), "split", IvmScaffold.kmvPartials,
+      fromVersion = 1, toVersion = 2, derive = IvmScaffold.kmvDerive)
+    val sk = graft.pipeline.BucketedView.finalizeView(view2, "split",
+      Seq(kmvMerge(col("sk")).as("sk")))
+    val a = sk.toDF("split_a", "sk_a")
+    val b = sk.toDF("split_b", "sk_b")
+    a.join(b, col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"),
+        kmvIntersect(col("sk_a"), col("sk_b")).cast("long").as("inter"),
+        kmvUnionN(col("sk_a"), col("sk_b")).cast("long").as("n_union"),
+        round(kmvJaccard(col("sk_a"), col("sk_b")), 6).as("jaccard"),
+        (kmvExact(col("sk_a")) && kmvExact(col("sk_b"))).as("exact"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val docOverlapIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |d AS (SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM merged),
+      |w AS (SELECT doc_id, split, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d),
+      |sh AS (SELECT DISTINCT a.split, a.word || ' ' || b.word || ' ' || c.word AS sg
+      |       FROM w a
+      |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+      |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+      |cnt AS (SELECT split, COUNT(*) AS n FROM sh GROUP BY split),
+      |pairs AS (SELECT x.split AS split_a, y.split AS split_b, COUNT(*) AS inter
+      |          FROM sh x JOIN sh y ON x.sg = y.sg AND x.split < y.split
+      |          GROUP BY x.split, y.split)
+      |SELECT p.split_a, p.split_b,
+      |  p.inter,
+      |  ca.n + cb.n - p.inter AS n_union,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(ca.n + cb.n - p.inter AS DOUBLE), 6) AS jaccard,
+      |  TRUE AS exact
+      |FROM pairs p
+      |JOIN cnt ca ON ca.split = p.split_a
+      |JOIN cnt cb ON cb.split = p.split_b
+      |ORDER BY split_a, split_b""".stripMargin
 
   /** Incremental BM25 postings maintenance
     * ([[graft.pipeline.PostingsRefresh]]): a standing (doc, term, tf,
@@ -2313,6 +2490,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_contamination" -> dedupContamination,
     "dedup_contamination_bloom" -> dedupContaminationBloom,
+    "split_overlap_kmv" -> splitOverlapKmv,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -2333,6 +2511,7 @@ object PipelineQueries {
     "doc_minmax_incremental" -> docMinmaxIncremental,
     "doc_quantile_incremental" -> docQuantileIncremental,
     "knn_ivf_incremental" -> knnIvfIncremental,
+    "doc_overlap_incremental" -> docOverlapIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
     "doc_neardup_incremental" -> docNeardupIncremental,
@@ -2345,6 +2524,7 @@ object PipelineQueries {
     "doc_dup_passages_scan" -> docDupPassagesScan,
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
+    "doc_sample_weighted" -> docSampleWeighted,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
     "doc_repetition" -> docRepetition,
@@ -2390,6 +2570,7 @@ object PipelineQueries {
     // conservative sketch verified FP-free at this corpus/fpp — the
     // Bloom tier reproduces the exact containment answer bit for bit
     "dedup_contamination_bloom" -> dedupContaminationSql,
+    "split_overlap_kmv" -> splitOverlapKmvSql,
     "emb_neardup_exact" -> embNearDupExactSql,
     "emb_neardup_lsh" -> embNearDupLshSql,
     "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
@@ -2407,6 +2588,7 @@ object PipelineQueries {
     "doc_minmax_incremental" -> docMinmaxIncrementalSql,
     "doc_quantile_incremental" -> docQuantileIncrementalSql,
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
+    "doc_overlap_incremental" -> docOverlapIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
     "doc_neardup_incremental" -> docNeardupIncrementalSql,
@@ -2419,6 +2601,7 @@ object PipelineQueries {
     "doc_dup_passages_scan" -> docDupPassagesSql,
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
+    "doc_sample_weighted" -> docSampleWeightedSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
     "doc_repetition" -> docRepetitionSql,

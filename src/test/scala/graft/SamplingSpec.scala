@@ -208,4 +208,33 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again === got.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("weightedTake matches a driver-side A-ES reference; weight<=0 never wins; layout-invariant") {
+    import graft.ops.Sampling
+    val rows = (1 to 300).map(i =>
+      (i.toLong, if (i % 50 == 0) 0L else (i % 7 + 1).toLong)) :+ ((301L, -3L))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedTake(df, "doc_id", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side reference: identical key algebra on the JVM
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.filter(_._2 > 0).map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16).toDouble
+      val u = (h + 0.5) / 4503599627370496.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, pri) => (-pri, id) }.take(25).map(_._1)
+    assert(got.map(_._2).toSeq == want, "selection must replay the A-ES keys exactly")
+    assert(got.map(_._1).toSeq == (1 to 25).map(_.toLong), "rn is 1-based draw order")
+    val zeroIds = rows.filter(_._2 <= 0).map(_._1).toSet
+    assert(got.map(_._2).forall(!zeroIds.contains(_)), "weight<=0 rows can never win")
+    // layout invariance (bounded top_k partials merge associatively)
+    val again = Sampling.weightedTake(df.repartition(11), "doc_id", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got.toSeq)
+    // heavier keys win more often: weight-7 ids should out-represent weight-1
+    val byW = got.map(_._2).map(id => rows.find(_._1 == id).get._2)
+    assert(byW.count(_ >= 6) > byW.count(_ == 1),
+      s"weighted draw should favor heavy rows, got ${byW.mkString(",")}")
+  }
 }
