@@ -1023,6 +1023,32 @@ object PipelineQueries {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ORC sink+source roundtrip: the documents table written as ORC
+    * (Spark's second columnar format, built into spark-sql — same
+    * predicate-pushdown/column-pruning scan machinery as parquet),
+    * read back, and aggregated per language. The oracle computes the
+    * same aggregate over the ORIGINAL parquet in DuckDB, so a
+    * hash-green row proves the ORC write→read path is lossless for
+    * strings and longs — cross-format fidelity, not just
+    * cross-engine. Scratch dir is pid-scoped under java.io.tmpdir
+    * (the IvmScaffold convention); each execution re-writes it, so
+    * the bench times write+read+aggregate. SUM is cast on the oracle
+    * side (DuckDB BIGINT sums widen to HUGEINT — the round-7 lesson). */
+  private val docOrcRoundtrip: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-orc-${ProcessHandle.current().pid()}"
+    Tables.documents(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+
+  private val docOrcRoundtripSql =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Distribution-drift (PSI) between the corpus and a deterministically
     * shifted candidate snapshot ([[graft.ops.Drift.psi]]): every even
     * doc's `n_chars` moves +120, a genuine bucket-mass shift the index
@@ -2519,6 +2545,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssign,
     "doc_split_cluster_aware" -> docSplitClusterAware,
     "table_drift" -> tableDrift,
+    "doc_orc_roundtrip" -> docOrcRoundtrip,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
     "doc_dup_passages_scan" -> docDupPassagesScan,
@@ -2596,6 +2623,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssignSql,
     "doc_split_cluster_aware" -> docSplitClusterAwareSql,
     "table_drift" -> tableDriftSql,
+    "doc_orc_roundtrip" -> docOrcRoundtripSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,
     "doc_dup_passages_scan" -> docDupPassagesSql,

@@ -378,6 +378,49 @@ object RelationalQueries {
       |FROM joined j JOIN tot t USING (w)
       |GROUP BY j.w ORDER BY win_start""".stripMargin
 
+  // events_anomaly_mad: robust per-type outlier detection — median +
+  // MAD (median absolute deviation), the monitoring staple that
+  // survives the heavy tails that wreck mean/stddev z-scores (one
+  // outlier inflates the stddev and hides its siblings; the median
+  // pair is 50%-breakdown robust). Shape: two exact interpolated
+  // medians (Spark `percentile` ≡ DuckDB `quantile_cont` — identical
+  // p·(n−1) interpolation, bit-equal doubles) with the tiny per-type
+  // frames BROADCAST back; the events table is scanned, never sorted
+  // globally or shuffled by row — at 100 TB the cost is three scans
+  // plus per-type exact percentiles (swap in qsketch cells when the
+  // per-type distribution outgrows memory). Flag rule: adev > 3·MAD.
+  private val eventsAnomalyMad: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("adev") > lit(3.0) * col("mad"), lit(1))).as("n_outliers"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"))
+      .orderBy("event_type")
+  }
+
+  private val eventsAnomalyMadSql =
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |        FROM ev GROUP BY event_type),
+      |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      |        FROM ev e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |        FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE d.adev > 3.0 * m.mad) AS n_outliers,
+      |  MIN(d.med) AS med, MIN(m.mad) AS mad
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   // q18: session windows (gap 2h) per user — batch session_window; the
   // DuckDB oracle is the classic gaps-and-islands rewrite. New session
   // starts when the gap is >= the timeout (matches Spark's half-open
@@ -979,6 +1022,7 @@ object RelationalQueries {
     "q16_asof_join" -> q16,
     "q17_tumbling_window" -> q17,
     "events_window_psi" -> eventsWindowPsi,
+    "events_anomaly_mad" -> eventsAnomalyMad,
     "q18_session_window" -> q18,
     "q19_fuzzy_levenshtein" -> q19,
     "q20_approx_distinct" -> q20,
@@ -1022,6 +1066,7 @@ object RelationalQueries {
     "q16_asof_join" -> q16Sql,
     "q17_tumbling_window" -> q17Sql,
     "events_window_psi" -> eventsWindowPsiSql,
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "q18_session_window" -> q18Sql,
     "q19_fuzzy_levenshtein" -> q19Sql,
     "q21_grouping_sets" -> q21Sql,
