@@ -156,31 +156,11 @@ object IvmScaffold {
     s.read.parquet(path)
   }
 
-  /** Row-local derive for the KMV overlap cells: split assignment is
-    * a pure function of doc_id ([[graft.ops.Sampling.hashSplit]]) and
-    * shingling is per-row — both legal under [[graft.pipeline.BucketedView]]'s
-    * derive contract (preserves `bucket`, identical on full builds and
-    * changed-bucket refreshes). */
-  val kmvDerive: DataFrame => DataFrame = df =>
-    graft.ops.Sampling.hashSplit(df, "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      .select(col("bucket"), col("split"),
-        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh0"))
-      .select(col("bucket"), col("split"), xxhash64(col("sh0")).as("h"))
-
-  /** One bottom-k sketch per (bucket, split) cell — k = 32768 keeps
-    * every cell and every pairwise union in the KMV EXACT regime at
-    * any sf (the 31-word generator vocabulary bounds the shingle
-    * universe at 31³ = 29,791; see `split_overlap_kmv`). */
-  def kmvPartials: Seq[org.apache.spark.sql.Column] =
-    Seq(graft.expr.KmvExpr.kmvAgg(col("h"), 32768).as("sk"))
-
-  /** KMV shingle-overlap cells of [[textCorpus]] v1. */
+  /** KMV shingle-overlap cells ([[graft.pipeline.OverlapStats]]) of
+    * [[textCorpus]] v1. */
   def kmvView1(s: SparkSession, d: String): DataFrame =
     frozenView(s, d, "kmvview") {
-      graft.pipeline.BucketedView.compute(
-        s, textCorpus(s, d), "split", kmvPartials, version = 1,
-        derive = kmvDerive)
+      graft.pipeline.OverlapStats.compute(s, textCorpus(s, d), version = 1)
     }
 
   /** [[graft.pipeline.IncrementalStats]] view of [[statsCorpus]] v1. */

@@ -338,15 +338,13 @@ object PipelineQueries {
       .select(col("split"), explode(Dedup.shingles(col("text"), 3)).as("sh0"))
       .select(col("split"), xxhash64(col("sh0")).as("h"))
       .groupBy("split").agg(kmvAgg(col("h"), 32768).as("sk"))
-    val a = sk.toDF("split_a", "sk_a")
-    val b = sk.toDF("split_b", "sk_b")
-    a.join(b, col("split_a") < col("split_b"))
-      .select(col("split_a"), col("split_b"),
-        kmvIntersect(col("sk_a"), col("sk_b")).cast("long").as("inter"),
-        kmvUnionN(col("sk_a"), col("sk_b")).cast("long").as("n_union"),
-        round(kmvJaccard(col("sk_a"), col("sk_b")), 6).as("jaccard"),
-        (kmvExact(col("sk_a")) && kmvExact(col("sk_b"))).as("exact"))
-      .orderBy("split_a", "split_b")
+    // ONE corpus pass: the ≤3 merged sketches collect driver-side
+    // (constant-bounded sidecar) and the pairwise audit is in-memory
+    // set algebra — a self-join of the aggregation plan would scan and
+    // sketch the corpus twice (no exchange reuse across a broadcast
+    // boundary). The in-plan scalar form stays available in SQL
+    // (kmv_intersect/kmv_union_n/kmv_jaccard — KmvSpec).
+    graft.pipeline.OverlapStats.overlapPairs(sk)
   }
 
   /** Replays the split rule (md5 thresholds) and the \s+ shingle
@@ -1802,22 +1800,11 @@ object PipelineQueries {
     * merged corpus adds only the 4 injected-boilerplate shingles to
     * the bounded universe). */
   private val docOverlapIncremental: Q = (s, d) => {
-    import graft.expr.KmvExpr._
+    import graft.pipeline.OverlapStats
     val dir = IvmScaffold.textCorpus(s, d)
-    val view2 = graft.pipeline.BucketedView.refresh(
-      s, dir, IvmScaffold.kmvView1(s, d), "split", IvmScaffold.kmvPartials,
-      fromVersion = 1, toVersion = 2, derive = IvmScaffold.kmvDerive)
-    val sk = graft.pipeline.BucketedView.finalizeView(view2, "split",
-      Seq(kmvMerge(col("sk")).as("sk")))
-    val a = sk.toDF("split_a", "sk_a")
-    val b = sk.toDF("split_b", "sk_b")
-    a.join(b, col("split_a") < col("split_b"))
-      .select(col("split_a"), col("split_b"),
-        kmvIntersect(col("sk_a"), col("sk_b")).cast("long").as("inter"),
-        kmvUnionN(col("sk_a"), col("sk_b")).cast("long").as("n_union"),
-        round(kmvJaccard(col("sk_a"), col("sk_b")), 6).as("jaccard"),
-        (kmvExact(col("sk_a")) && kmvExact(col("sk_b"))).as("exact"))
-      .orderBy("split_a", "split_b")
+    val view2 = OverlapStats.refresh(
+      s, dir, IvmScaffold.kmvView1(s, d), "split", fromVersion = 1, toVersion = 2)
+    OverlapStats.overlapPairs(OverlapStats.merged(view2))
   }
 
   private val docOverlapIncrementalSql =

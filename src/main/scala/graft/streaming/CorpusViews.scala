@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.Path
 
-import graft.pipeline.{FingerprintsRefresh, IncrementalStats, PostingsRefresh}
+import graft.pipeline.{FingerprintsRefresh, IncrementalStats, OverlapStats, PostingsRefresh}
 
 /** Standing derived artifacts a streaming corpus keeps fresh — the
   * maintenance side of [[StreamingIngest.startMergeUpsertMaintained]].
@@ -180,6 +180,37 @@ object CorpusViews {
       require(vs.nonEmpty, s"no maintained view under $viewDir")
       graft.pipeline.QuantileStats.quantiles(
         spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol, qs)
+    }
+  }
+
+  /** Per-split KMV overlap cell view ([[graft.pipeline.OverlapStats]])
+    * frozen to `viewDir/v<N>` parquet per reflected corpus version —
+    * the standing train/val/test contamination monitor: after every
+    * ingest batch the leak audit costs the changed buckets' re-sketch
+    * plus three sketch merges, never a token-set join. */
+  final case class OverlapView(
+      viewDir: String, groupCol: String = "split",
+      k: Int = 32768) extends FrozenCellView {
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val view = from match {
+        case Some(p) =>
+          OverlapStats.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p"), groupCol, p, to, k)
+        case None =>
+          OverlapStats.compute(spark, corpusDir, groupCol, version = to, k = k)
+      }
+      view.write.mode("overwrite").parquet(s"$viewDir/v$to")
+    }
+
+    /** The maintained pairwise audit at the newest frozen version —
+      * sketch merges + driver-side set algebra, no corpus scan. */
+    def latest(spark: SparkSession): DataFrame = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained view under $viewDir")
+      OverlapStats.overlapPairs(OverlapStats.merged(
+        spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol))
     }
   }
 

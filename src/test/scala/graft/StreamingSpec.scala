@@ -283,9 +283,10 @@ class StreamingSpec extends SparkSpec {
     val bandIdx = CorpusViews.BandIndex(s"$root/bands")
     val clfPred = col("grp") === "a"
     val clfModel = CorpusViews.ClassifierModel(s"$root/clf", clfPred, buckets = 64)
+    val ovView = CorpusViews.OverlapView(s"$root/oviews")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel)
+      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -343,6 +344,13 @@ class StreamingSpec extends SparkSpec {
         graft.ops.QualityClassifier.train(
           MergeTable.read(spark, table), clfPred, buckets = 64),
         "maintained classifier model must equal a full retrain")
+      def ovRows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Long, Double, Boolean)] =
+        df.as[(String, String, Long, Long, Double, Boolean)].collect().toSeq
+      assert(ovRows(ovView.latest(spark)) ==
+        ovRows(graft.pipeline.OverlapStats.overlapPairs(
+          graft.pipeline.OverlapStats.merged(
+            graft.pipeline.OverlapStats.compute(spark, table)))),
+        "maintained overlap cells must equal a batch rebuild")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
