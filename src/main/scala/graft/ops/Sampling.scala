@@ -295,13 +295,35 @@ object Sampling {
     * oracle run at two scale factors pins it. */
   def weightedTake(df: DataFrame, key: String, weightCol: String, n: Int): DataFrame = {
     require(n > 0)
-    val h = conv(substring(hashPriority(col(key)), 1, 13), 16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(4503599627370496.0) // 2^52; u ∈ (0,1) exactly
-    val pri = log(u) / col(weightCol).cast("double")
     df.filter(col(weightCol) > 0)
       .groupBy()
-      .agg(graft.expr.TopKExpr.topK(col(key).cast("long"), pri, n).as("__topk"))
+      .agg(graft.expr.TopKExpr.topK(col(key).cast("long"), esKey(key, weightCol), n)
+        .as("__topk"))
       .select(posexplode(col("__topk")))
       .select((col("pos") + 1).cast("long").as("rn"), col("col.id").as(key))
+  }
+
+  /** [[weightedTake]] per group — `min(n, feasible)` weighted draws
+    * without replacement within each stratum (the per-source variant:
+    * sample a token-weighted quota from every domain independently).
+    * Same A-ES keys, same bounded `top_k` physical shape as
+    * [[capPerGroup]]: map-side partials carry ≤ n pairs per group. */
+  def weightedTakePerGroup(
+      df: DataFrame, groupCol: String, key: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    df.filter(col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(graft.expr.TopKExpr.topK(col(key).cast("long"), esKey(key, weightCol), n)
+        .as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as(key))
+  }
+
+  /** The Efraimidis–Spirakis draw key `ln(u)/w` (see [[weightedTake]]). */
+  private def esKey(key: String, weightCol: String): Column = {
+    val h = conv(substring(hashPriority(col(key)), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0) // 2^52; u ∈ (0,1) exactly
+    log(u) / col(weightCol).cast("double")
   }
 }

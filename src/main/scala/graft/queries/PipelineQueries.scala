@@ -1127,6 +1127,35 @@ object PipelineQueries {
        |SELECT rn, doc_id FROM r WHERE rn <= 100 ORDER BY rn""".stripMargin
   }
 
+  /** Per-stratum weighted sampling without replacement
+    * ([[graft.ops.Sampling.weightedTakePerGroup]]): 10 docs per
+    * language, probability ∝ n_chars within the stratum — the
+    * "token-weighted quota per source" curation draw. Bounded `top_k`
+    * per group; oracle replays the A-ES keys in a window. */
+  private val docSampleWeightedGroup: Q = (s, d) =>
+    graft.ops.Sampling.weightedTakePerGroup(
+        Tables.documents(s, d), "lang", "doc_id", "n_chars", 10)
+      .orderBy("lang", "rn")
+
+  private val docSampleWeightedGroupSql = {
+    val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |h AS (SELECT lang, doc_id, n_chars, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(CAST(doc_id AS VARCHAR)), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS DOUBLE) AS hv
+       |  FROM documents CROSS JOIN pows p
+       |  WHERE n_chars > 0 GROUP BY lang, doc_id, n_chars),
+       |k AS (SELECT lang, doc_id,
+       |        ln((hv + 0.5) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pri
+       |      FROM h),
+       |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+       |        PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+       |      FROM k)
+       |SELECT lang, rn, doc_id FROM r WHERE rn <= 10
+       |ORDER BY lang, rn""".stripMargin
+  }
+
   /** Deterministic stratified take: 10 docs per language in
     * hash-priority order (uniform without-replacement per stratum). */
   private val docSampleStratified: Q = (s, d) =>
@@ -2539,6 +2568,7 @@ object PipelineQueries {
     "doc_unicode_nfc" -> docUnicodeNfc,
     "doc_sample_hash" -> docSampleHash,
     "doc_sample_weighted" -> docSampleWeighted,
+    "doc_sample_weighted_group" -> docSampleWeightedGroup,
     "doc_sample_stratified" -> docSampleStratified,
     "doc_pack_bins" -> docPackBins,
     "doc_repetition" -> docRepetition,
@@ -2617,6 +2647,7 @@ object PipelineQueries {
     "doc_unicode_nfc" -> docUnicodeNfcSql,
     "doc_sample_hash" -> docSampleHashSql,
     "doc_sample_weighted" -> docSampleWeightedSql,
+    "doc_sample_weighted_group" -> docSampleWeightedGroupSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "doc_pack_bins" -> docPackBinsSql,
     "doc_repetition" -> docRepetitionSql,

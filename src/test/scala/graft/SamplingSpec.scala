@@ -237,4 +237,24 @@ class SamplingSpec extends SparkSpec {
     assert(byW.count(_ >= 6) > byW.count(_ == 1),
       s"weighted draw should favor heavy rows, got ${byW.mkString(",")}")
   }
+
+  test("weightedTakePerGroup draws independently per stratum, <= n each, layout-invariant") {
+    import graft.ops.Sampling
+    val rows = (1 to 200).map(i => (s"g${i % 4}", i.toLong, (i % 5 + 1).toLong))
+    val df = rows.toDF("g", "doc_id", "w")
+    val got = Sampling.weightedTakePerGroup(df, "g", "doc_id", "w", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.groupBy(_._1).forall(_._2.length == 7), "each stratum draws exactly n")
+    assert(got.groupBy(_._1).keySet == Set("g0", "g1", "g2", "g3"))
+    // per-group selection equals a global weightedTake over that group alone
+    for (g <- Seq("g0", "g3")) {
+      val solo = Sampling.weightedTake(df.filter($"g" === g), "doc_id", "w", 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val grp = got.filter(_._1 == g).sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      assert(grp == solo, s"stratum $g must match its solo draw")
+    }
+    val again = Sampling.weightedTakePerGroup(df.repartition(9), "g", "doc_id", "w", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got.toSet)
+  }
 }

@@ -116,4 +116,59 @@ class StreamAsOfSpec extends SparkSpec {
     assert(streamed == batch, s"ooo stream must equal batch: " +
       s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
+
+  test("restart off the checkpoint: pending probes and update state survive") {
+    // wave 1 lands probes whose matches are not yet final (watermark
+    // has not passed them); the query stops; wave 2 lands later
+    // updates + the watermark push; the SECOND start must emit wave-1
+    // probes with matches drawn from state recovered off the
+    // checkpoint — pending-probe loss or update-buffer loss would both
+    // show as wrong/missing rows.
+    val pDir = Files.createTempDirectory("graft-asof-p3").toString + "/p"
+    val uDir = Files.createTempDirectory("graft-asof-u3").toString + "/u"
+    val ckpt = Files.createTempDirectory("graft-asof-ck").toString
+    new java.io.File(pDir).mkdirs(); new java.io.File(uDir).mkdirs()
+
+    val w1p = (0 until 40).map(i => ((i % 2).toLong, ts(i * 10L), 3000L + i))
+    val w1u = (0 until 8).map(j => ((j % 2).toLong, ts(j * 45L + 3L), j * 2.0))
+    w1p.toDF("key", "ts", "probe_id").coalesce(1).write.parquet(s"$pDir/w1")
+    w1u.toDF("key", "ts", "value").coalesce(1).write.parquet(s"$uDir/w1")
+
+    val pSchema = spark.read.parquet(s"$pDir/w1").schema
+    val uSchema = spark.read.parquet(s"$uDir/w1").schema
+    def start() = StreamAsOf.enrich(
+        spark.readStream.schema(pSchema).parquet(s"$pDir/*").as[StreamAsOf.Probe],
+        spark.readStream.schema(uSchema).parquet(s"$uDir/*").as[StreamAsOf.Update],
+        watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$ckpt/out")
+      .option("checkpointLocation", s"$ckpt/ck")
+      .trigger(Trigger.AvailableNow()).start()
+
+    start().awaitTermination(120000)
+    val afterW1 = spark.read.parquet(s"$ckpt/out").count()
+
+    // wave 2: later updates for both keys + the watermark sentinel
+    val w2u = (8 until 12).map(j => ((j % 2).toLong, ts(j * 45L + 3L), j * 2.0)) :+
+      ((999L, ts(90000L), -1.0))
+    w2u.toDF("key", "ts", "value").coalesce(1).write.parquet(s"$uDir/w2")
+    start().awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$ckpt/out")
+      .select("key", "probe_id", "match_us", "value")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val batch = graft.plans.AsOfJoin.join(
+        spark.read.parquet(s"$pDir/w1"),
+        spark.read.parquet(s"$uDir/*").filter(col("key") =!= 999L)
+          .withColumnRenamed("ts", "uts"),
+        on = Seq("key"), leftTsCol = "ts", rightTsCol = "uts",
+        joinType = "left_outer")
+      .select(col("key"), col("probe_id"),
+        unix_micros(col("uts")).as("match_us"), col("value"))
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(afterW1 < batch.size,
+      "wave 1 must leave pending probes or the restart proves nothing")
+    assert(streamed == batch, s"post-restart stream must equal batch: " +
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
 }
