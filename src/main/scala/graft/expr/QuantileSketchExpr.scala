@@ -286,6 +286,52 @@ case class QSketchQuantile(sketch: Expression, qExpr: Expression)
   override def prettyName: String = "qsketch_quantile"
 }
 
+/** `qsketch_ks(a, b)` — two-sample Kolmogorov–Smirnov statistic
+  * between two serialized sketches: `max_v |CDF_a(v) − CDF_b(v)|`
+  * over the union of retained values. In the exact regime (both
+  * sketches within capacity) this is EXACTLY the classical two-sample
+  * KS statistic of the underlying multisets — the scale-invariant
+  * drift measure that complements PSI (no binning choice, detects
+  * location/shape shifts PSI's fixed buckets can blur). Past capacity
+  * the collapsed bins blur each CDF step by at most the collapsed
+  * mass (the qsketch degrade contract). NULL if either side is empty.
+  * Runs on one row per group pair (post-aggregation). */
+case class QSketchKs(a: Expression, b: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val ab = a.eval(input); val bb = b.eval(input)
+    if (ab == null || bb == null) return null
+    val sa = QSketchState.deserialize(ab.asInstanceOf[Array[Byte]])
+    val sb = QSketchState.deserialize(bb.asInstanceOf[Array[Byte]])
+    val na = sa.total; val nb = sb.total
+    if (na == 0L || nb == 0L) return null
+    // merge-walk the two sorted bin arrays; track cumulative mass
+    var i = 0; var j = 0
+    var cumA = 0L; var cumB = 0L
+    var ks = 0.0
+    while (i < sa.n || j < sb.n) {
+      val va = if (i < sa.n) sa.values(i) else Double.PositiveInfinity
+      val vb = if (j < sb.n) sb.values(j) else Double.PositiveInfinity
+      if (va <= vb) { cumA += sa.counts(i); i += 1 }
+      if (vb <= va) { cumB += sb.counts(j); j += 1 }
+      val d = math.abs(cumA.toDouble / na - cumB.toDouble / nb)
+      if (d > ks) ks = d
+    }
+    ks
+  }
+
+  override def prettyName: String = "qsketch_ks"
+}
+
 /** `qsketch_n(sketch)` — total (exact) mass of a serialized sketch;
   * counts are never approximated, only value resolution is. */
 case class QSketchN(sketch: Expression)
@@ -336,6 +382,9 @@ object QuantileSketchExpr {
   def qsketchN(sketch: Column): Column =
     Bridge.toColumn(QSketchN(Bridge.toExpr(sketch)))
 
+  def qsketchKs(a: Column, b: Column): Column =
+    Bridge.toColumn(QSketchKs(Bridge.toExpr(a), Bridge.toExpr(b)))
+
   /** SQL surface (values cast to DOUBLE so INT/BIGINT columns work
     * from SQL). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = {
@@ -357,6 +406,10 @@ object QuantileSketchExpr {
       "qsketch_n" -> (es => {
         require(es.length == 1, s"qsketch_n expects 1 argument, got ${es.length}")
         QSketchN(es(0))
+      }),
+      "qsketch_ks" -> (es => {
+        require(es.length == 2, s"qsketch_ks expects 2 arguments, got ${es.length}")
+        QSketchKs(es(0), es(1))
       }))
   }
 

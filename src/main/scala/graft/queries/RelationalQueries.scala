@@ -421,6 +421,56 @@ object RelationalQueries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY event_type""".stripMargin
 
+  // events_drift_ks: two-sample Kolmogorov–Smirnov drift between the
+  // even-day and odd-day value distributions per event type, computed
+  // off TWO qsketch aggregates and the qsketch_ks scalar — the
+  // binning-free complement of the PSI monitor (KS is scale-invariant
+  // and catches location/shape shifts PSI's fixed buckets blur; PSI
+  // grades mass moves KS underweights in the tails — a drift suite
+  // wants both). Value axis is the %128-bounded derived column (the
+  // qsketch oracle-validity trick): every sketch stays in the EXACT
+  // regime at any sf, where qsketch_ks IS the classical two-sample KS
+  // statistic — cumulative-count divisions of identical integers are
+  // bit-equal doubles across engines, so no rounding is needed. The
+  // exchange carries two bounded sketch buffers per event type, never
+  // value rows.
+  private val eventsDriftKs: Q = (s, d) => {
+    import graft.expr.QuantileSketchExpr._
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("v",
+        (round(col("value") * 100).cast("long") % 128).cast("double"))
+      .withColumn("side", expr("(unix_micros(ts) div 86400000000) % 2 = 0"))
+    ev.groupBy("event_type")
+      .agg(qsketch(when(col("side"), col("v")), 256).as("ska"),
+        qsketch(when(!col("side"), col("v")), 256).as("skb"))
+      .select(col("event_type"),
+        qsketchN(col("ska")).as("n_a"), qsketchN(col("skb")).as("n_b"),
+        qsketchKs(col("ska"), col("skb")).as("ks"))
+      .orderBy("event_type")
+  }
+
+  private val eventsDriftKsSql =
+    """WITH ev AS (SELECT event_type,
+      |    CAST(CAST(round(value * 100) AS BIGINT) % 128 AS DOUBLE) AS v,
+      |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 2 = 0) AS side
+      |  FROM events WHERE value IS NOT NULL),
+      |counts AS (SELECT event_type, v,
+      |    COUNT(*) FILTER (WHERE side) AS ca,
+      |    COUNT(*) FILTER (WHERE NOT side) AS cb
+      |  FROM ev GROUP BY event_type, v),
+      |cum AS (SELECT event_type, v,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM counts)
+      |SELECT event_type,
+      |  CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+      |  MAX(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+      |        - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // q18: session windows (gap 2h) per user — batch session_window; the
   // DuckDB oracle is the classic gaps-and-islands rewrite. New session
   // starts when the gap is >= the timeout (matches Spark's half-open
@@ -1023,6 +1073,7 @@ object RelationalQueries {
     "q17_tumbling_window" -> q17,
     "events_window_psi" -> eventsWindowPsi,
     "events_anomaly_mad" -> eventsAnomalyMad,
+    "events_drift_ks" -> eventsDriftKs,
     "q18_session_window" -> q18,
     "q19_fuzzy_levenshtein" -> q19,
     "q20_approx_distinct" -> q20,
@@ -1067,6 +1118,7 @@ object RelationalQueries {
     "q17_tumbling_window" -> q17Sql,
     "events_window_psi" -> eventsWindowPsiSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
+    "events_drift_ks" -> eventsDriftKsSql,
     "q18_session_window" -> q18Sql,
     "q19_fuzzy_levenshtein" -> q19Sql,
     "q21_grouping_sets" -> q21Sql,

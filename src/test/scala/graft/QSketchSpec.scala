@@ -157,4 +157,51 @@ class QSketchSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("constant"), e2.getMessage)
   }
+
+  test("qsketch_ks: exact-regime KS equals the classical two-sample statistic") {
+    // classical reference: max CDF gap over the union of sample points
+    def classicalKs(a: Seq[Double], b: Seq[Double]): Double = {
+      val pts = (a ++ b).distinct.sorted
+      pts.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+      }.max
+    }
+    def sketchOf(xs: Seq[Double]): QSketchState = {
+      val st = new QSketchState(64); xs.foreach(st.insert(_, 1L)); st
+    }
+    def ksOf(a: Seq[Double], b: Seq[Double]): Double = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      graft.expr.QSketchKs(
+        Literal(sketchOf(a).serialized), Literal(sketchOf(b).serialized))
+        .eval(null).asInstanceOf[Double]
+    }
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 9.0)
+    val b = Seq(2.0, 4.0, 4.0, 6.0, 7.0, 7.0, 9.0, 11.0, 12.0)
+    assert(ksOf(a, b) == classicalKs(a, b))
+    assert(ksOf(a, a) == 0.0, "identical samples → KS 0")
+    assert(ksOf(Seq(1.0, 2.0), Seq(10.0, 11.0)) == 1.0, "disjoint ranges → KS 1")
+    // asymmetric sizes, interleaved values
+    val c = (1 to 100).map(_.toDouble * 0.5)
+    val dd = (1 to 37).map(i => i.toDouble * 1.4 + 0.2)
+    assert(ksOf(c, dd) == classicalKs(c, dd))
+  }
+
+  test("SQL: qsketch_ks over grouped sketches; shifted groups drift, identical do not") {
+    Graft.registerAll(spark)
+    val rows = (0 until 600).map { i =>
+      val side = i < 300 // first/second half — residues stay uniform per side
+      // group "same": both sides draw i%10; group "shift": second side +4
+      Seq(("same", side, (i % 10).toDouble),
+        ("shift", side, ((i % 10) + (if (side) 0 else 4)).toDouble))
+    }.flatten
+    rows.toDF("grp", "side", "v").createOrReplaceTempView("ks_in")
+    val got = spark.sql(
+      """SELECT grp, qsketch_ks(
+        |    qsketch(CASE WHEN side THEN v END, 64),
+        |    qsketch(CASE WHEN NOT side THEN v END, 64)) AS ks
+        |FROM ks_in GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("same") == 0.0, s"identical distributions must give KS 0: $got")
+    assert(got("shift") == 0.4, s"a +4 shift over 10 uniform points is KS 0.4: $got")
+  }
 }
