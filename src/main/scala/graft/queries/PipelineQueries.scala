@@ -1047,6 +1047,39 @@ object PipelineQueries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Blocklist curation gate ([[graft.expr.BlocklistExpr]]): per-doc
+    * matched-phrase audit over a fixed phrase blocklist via ONE
+    * Aho–Corasick pass per document — O(len + matches) regardless of
+    * blocklist size, vs k `contains` scans for a k-phrase list (the
+    * C4/RefinedWeb bad-phrase gate runs 10³–10⁴ phrases at 100 TB).
+    * Output: every flagged doc with which rules fired (joined to a
+    * string — the safest cross-engine array form) and the match
+    * count. The oracle is the semantic definition itself —
+    * contains-per-pattern in DuckDB — so the hash comparison proves
+    * the automaton implements exact multi-substring semantics. */
+  private val docBlocklist: Q = (s, d) => {
+    import graft.expr.BlocklistExpr._
+    val pats = Seq("hash scan", "merge slow", "vector join", "dup",
+      "big merge", "stream spark")
+    Tables.documents(s, d)
+      .withColumn("matched", blocklistMatches(col("text"), pats))
+      .filter(size(col("matched")) > 0)
+      .select(col("doc_id"),
+        array_join(col("matched"), ",").as("rules"),
+        size(col("matched")).cast("long").as("n_rules"))
+      .orderBy("doc_id")
+  }
+
+  private val docBlocklistSql =
+    """WITH pats AS (SELECT ['hash scan', 'merge slow', 'vector join', 'dup',
+      |                      'big merge', 'stream spark'] AS ps),
+      |m AS (SELECT doc_id,
+      |        list_filter(ps, p -> contains(text, p)) AS matched
+      |      FROM documents CROSS JOIN pats)
+      |SELECT doc_id, list_aggregate(matched, 'string_agg', ',') AS rules,
+      |  CAST(len(matched) AS BIGINT) AS n_rules
+      |FROM m WHERE len(matched) > 0 ORDER BY doc_id""".stripMargin
+
   /** Distribution-drift (PSI) between the corpus and a deterministically
     * shifted candidate snapshot ([[graft.ops.Drift.psi]]): every even
     * doc's `n_chars` moves +120, a genuine bucket-mass shift the index
@@ -2561,6 +2594,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssign,
     "doc_split_cluster_aware" -> docSplitClusterAware,
     "table_drift" -> tableDrift,
+    "doc_blocklist" -> docBlocklist,
     "doc_orc_roundtrip" -> docOrcRoundtrip,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
@@ -2640,6 +2674,7 @@ object PipelineQueries {
     "doc_split_assign" -> docSplitAssignSql,
     "doc_split_cluster_aware" -> docSplitClusterAwareSql,
     "table_drift" -> tableDriftSql,
+    "doc_blocklist" -> docBlocklistSql,
     "doc_orc_roundtrip" -> docOrcRoundtripSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,
