@@ -1047,6 +1047,43 @@ object PipelineQueries {
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** JSON sink+source roundtrip — the reference's own interchange
+    * format (S3/S6: the D8 dataset files and the eval JSON sink),
+    * previously unit-verified only. documents → JSON-lines → read
+    * back with the ORIGINAL schema → per-lang aggregate INCLUDING a
+    * text fidelity hash (xxhash64 folded per group with BIT_XOR — the
+    * order-independent exact form), oracled against the parquet
+    * original: a hash-green row proves JSON write→read preserves
+    * every text byte (quoting/escaping included) and every long.
+    * Reading back with an enforced schema, not inference — the
+    * production contract (inference can widen/narrow types). */
+  private val docJsonRoundtrip: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-json-${ProcessHandle.current().pid()}"
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").json(tmp)
+    s.read.schema(docs.schema).json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        // exact order-independent content digest: XOR-fold of the
+        // md5 60-bit prefix (a hash BOTH engines compute identically)
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_hash"))
+      .orderBy("lang")
+  }
+
+  private val docJsonRoundtripSql = {
+    val pows = (1 to 15).map(j => s"($j, ${BigInt(16).pow(15 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |h AS (SELECT lang, n_chars, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(text), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) AS hv
+       |  FROM documents CROSS JOIN pows p GROUP BY lang, doc_id, n_chars)
+       |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  bit_xor(hv) AS text_hash
+       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Blocklist curation gate ([[graft.expr.BlocklistExpr]]): per-doc
     * matched-phrase audit over a fixed phrase blocklist via ONE
     * Aho–Corasick pass per document — O(len + matches) regardless of
@@ -2596,6 +2633,7 @@ object PipelineQueries {
     "table_drift" -> tableDrift,
     "doc_blocklist" -> docBlocklist,
     "doc_orc_roundtrip" -> docOrcRoundtrip,
+    "doc_json_roundtrip" -> docJsonRoundtrip,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
     "doc_dup_passages_scan" -> docDupPassagesScan,
@@ -2676,6 +2714,7 @@ object PipelineQueries {
     "table_drift" -> tableDriftSql,
     "doc_blocklist" -> docBlocklistSql,
     "doc_orc_roundtrip" -> docOrcRoundtripSql,
+    "doc_json_roundtrip" -> docJsonRoundtripSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,
     "doc_dup_passages_scan" -> docDupPassagesSql,
