@@ -163,6 +163,15 @@ object IvmScaffold {
       graft.pipeline.OverlapStats.compute(s, textCorpus(s, d), version = 1)
     }
 
+  /** Standing near-dup cluster view ([[graft.pipeline.ClustersRefresh]])
+    * of [[textCorpus]] v1. */
+  def clustersV1(s: SparkSession, d: String): String = {
+    val corpus = textCorpus(s, d)
+    once(d, "clusters") { dir =>
+      graft.pipeline.ClustersRefresh.build(s, corpus, dir, version = 1)
+    }
+  }
+
   /** [[graft.pipeline.IncrementalStats]] view of [[statsCorpus]] v1. */
   def statsView1(s: SparkSession, d: String): DataFrame =
     frozenView(s, d, "statsview") {

@@ -1881,6 +1881,68 @@ object PipelineQueries {
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental near-dup CLUSTER maintenance
+    * ([[graft.pipeline.ClustersRefresh]]): the connected-components
+    * survivor set of `dedup_cluster_survivors` as a standing view over
+    * the CoW text corpus, MAINTAINED through the v1→v2
+    * update/delete/insert transition — the hard IVM case, because CC
+    * is a global fixpoint: inserts can MERGE standing clusters and
+    * deletes/rewrites can SPLIT them (nothing "subtracts" a merge).
+    * The refresh localizes the fixpoint to affected components only
+    * (edges are intra-component, so the affected subgraph is closed);
+    * every other cluster carries forward untouched. New pairs come
+    * from a shingle-keyed join probing ONLY changed docs — never
+    * all-pairs. The oracle recomputes survivors from scratch over the
+    * logically-merged corpus in DuckDB (exact pair graph + recursive
+    * transitive closure): incremental == full rebuild cross-engine,
+    * splits and merges included. */
+  private val docClustersIncremental: Q = (s, d) => {
+    val corpus = IvmScaffold.textCorpus(s, d)
+    val clusters = IvmScaffold.clustersV1(s, d)
+    graft.pipeline.ClustersRefresh.refresh(s, corpus, clusters, 1, 2)
+    graft.pipeline.ClustersRefresh.survivors(s, corpus, clusters, 2)
+      .orderBy("doc_id")
+  }
+
+  private val docClustersIncrementalSql =
+    """WITH RECURSIVE merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM merged),
+      |w AS (SELECT doc_id, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d),
+      |sh AS (SELECT DISTINCT a.doc_id,
+      |         a.word || ' ' || b.word || ' ' || c.word AS s
+      |       FROM w a
+      |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+      |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pj AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |       GROUP BY x.doc_id, y.doc_id),
+      |pr AS (SELECT id_a, id_b FROM pj
+      |       JOIN cnt ca ON ca.doc_id = id_a
+      |       JOIN cnt cb ON cb.doc_id = id_b
+      |       WHERE CAST(common AS DOUBLE)
+      |             / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+      |          UNION ALL SELECT id_b, id_a FROM pr),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION
+      |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+      |losers AS (SELECT id FROM comp WHERE comp < id)
+      |SELECT doc_id FROM merged
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental cross-split overlap maintenance: the KMV shingle
     * sketches of `split_overlap_kmv` as a standing [[graft.pipeline.BucketedView]]
     * over the text corpus — one bottom-k sketch per (bucket, split)
@@ -2624,6 +2686,7 @@ object PipelineQueries {
     "doc_quantile_incremental" -> docQuantileIncremental,
     "knn_ivf_incremental" -> knnIvfIncremental,
     "doc_overlap_incremental" -> docOverlapIncremental,
+    "doc_clusters_incremental" -> docClustersIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
     "doc_neardup_incremental" -> docNeardupIncremental,
@@ -2705,6 +2768,7 @@ object PipelineQueries {
     "doc_quantile_incremental" -> docQuantileIncrementalSql,
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "doc_overlap_incremental" -> docOverlapIncrementalSql,
+    "doc_clusters_incremental" -> docClustersIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
     "doc_neardup_incremental" -> docNeardupIncrementalSql,
