@@ -214,6 +214,38 @@ object CorpusViews {
     }
   }
 
+  /** Standing near-dup cluster view ([[graft.pipeline.ClustersRefresh]])
+    * — connected components over the similarity-pair graph kept fresh
+    * against the CDC stream: inserts can merge standing clusters,
+    * deletes/rewrites can split them, and each advance re-runs the
+    * fixpoint on affected components only. `ClustersRefresh` manages
+    * its own crash-safe `v<N>/_DONE` versions, so this adapter is just
+    * the [[Maintained]] protocol glue. */
+  final case class ClustersView(
+      clustersDir: String, threshold: Double = 0.2) extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] =
+      graft.pipeline.ClustersRefresh.version(spark, clustersDir)
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit =
+      from match {
+        case None =>
+          graft.pipeline.ClustersRefresh.build(
+            spark, corpusDir, clustersDir, version = to, threshold)
+        case Some(p) =>
+          graft.pipeline.ClustersRefresh.refresh(
+            spark, corpusDir, clustersDir, p, to, threshold)
+      }
+
+    /** Maintained survivor set at the newest complete version. */
+    def survivors(spark: SparkSession, corpusDir: String): DataFrame = {
+      val v = version(spark).getOrElse(
+        throw new IllegalStateException(s"no maintained clusters under $clustersDir"))
+      graft.pipeline.ClustersRefresh.survivors(spark, corpusDir, clustersDir, v)
+    }
+  }
+
   /** Standing NB quality-classifier MODEL ([[graft.pipeline
     * .ClassifierRefresh]]) — the IVM family applied to a model: both
     * sufficient-statistics views (feature cells + prior cells) frozen

@@ -284,9 +284,10 @@ class StreamingSpec extends SparkSpec {
     val clfPred = col("grp") === "a"
     val clfModel = CorpusViews.ClassifierModel(s"$root/clf", clfPred, buckets = 64)
     val ovView = CorpusViews.OverlapView(s"$root/oviews")
+    val ccView = CorpusViews.ClustersView(s"$root/cclusters")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView)
+      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView, ccView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -351,6 +352,14 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.OverlapStats.merged(
             graft.pipeline.OverlapStats.compute(spark, table)))),
         "maintained overlap cells must equal a batch rebuild")
+      val ccFresh = java.nio.file.Files.createTempDirectory("graft-cc-batch").toString
+      graft.pipeline.ClustersRefresh.build(spark, table, ccFresh,
+        version = graft.pipeline.MergeTable.latestVersion(spark, table))
+      assert(ccView.survivors(spark, table).as[Long].collect().toSet ==
+        graft.pipeline.ClustersRefresh.survivors(spark, table, ccFresh,
+          graft.pipeline.MergeTable.latestVersion(spark, table))
+          .as[Long].collect().toSet,
+        "maintained clusters must equal a batch rebuild")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
