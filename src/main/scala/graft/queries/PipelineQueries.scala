@@ -1881,6 +1881,80 @@ object PipelineQueries {
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** The curation pipeline END-TO-END as one query: Gopher gate →
+    * language filter → exact dedup (min-id per normalized text) →
+    * near-dup cluster survivors — the [[graft.pipeline.Curate]] stage
+    * order over composable ops, with ONE oracle replaying the whole
+    * chain (each stage is individually oracled elsewhere; this row
+    * proves the COMPOSITION, including the stage-order-sensitive
+    * interaction that near-dup pairs are computed over the
+    * post-exact-dedup corpus). */
+  private val docCurateE2e: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = docs
+      .filter(TextAnalysis.gopherRules(col("text")).getField("passes"))
+      .filter(col("lang").isin("en", "fr"))
+    val exact = Dedup.dropExactDups(gated)
+    val pairs = Dedup.ngramJaccardPairs(exact, threshold = 0.2)
+    Dedup.dropNearDups(exact, pairs).select("doc_id").orderBy("doc_id")
+  }
+
+  private val docCurateE2eSql =
+    """WITH RECURSIVE gt AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |gf AS (SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+      |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS af,
+      |    len(list_filter(toks, x -> list_contains(
+      |      ['the','a','of','and','to','in','is','it','that','for'], x))) AS stop_hits
+      |  FROM gt),
+      |keep1 AS (SELECT d.doc_id, d.text FROM documents d
+      |          JOIN gf ON gf.doc_id = d.doc_id
+      |          WHERE gf.n_words >= 50 AND gf.n_words <= 100000
+      |            AND gf.mean_len >= 3.0 AND gf.mean_len <= 10.0
+      |            AND gf.af >= 0.8 AND gf.stop_hits >= 2
+      |            AND d.lang IN ('en', 'fr')),
+      |keep2 AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, ROW_NUMBER() OVER (
+      |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      ORDER BY doc_id) AS rn
+      |    FROM keep1) WHERE rn = 1),
+      |d2 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM keep2),
+      |w AS (SELECT doc_id, unnest(toks) AS word,
+      |        generate_subscripts(toks, 1) AS seq FROM d2),
+      |sh AS (SELECT DISTINCT a.doc_id,
+      |         a.word || ' ' || b.word || ' ' || c.word AS s
+      |       FROM w a
+      |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+      |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pj AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+      |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |       GROUP BY x.doc_id, y.doc_id),
+      |pr AS (SELECT id_a, id_b FROM pj
+      |       JOIN cnt ca ON ca.doc_id = id_a
+      |       JOIN cnt cb ON cb.doc_id = id_b
+      |       WHERE CAST(common AS DOUBLE)
+      |             / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+      |          UNION ALL SELECT id_b, id_a FROM pr),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION
+      |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+      |losers AS (SELECT id FROM comp WHERE comp < id)
+      |SELECT doc_id FROM keep2
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   /** Incremental near-dup CLUSTER maintenance
     * ([[graft.pipeline.ClustersRefresh]]): the connected-components
     * survivor set of `dedup_cluster_survivors` as a standing view over
@@ -2671,6 +2745,7 @@ object PipelineQueries {
     "emb_neardup_exact" -> embNearDupExact,
     "emb_neardup_lsh" -> embNearDupLsh,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
+    "doc_curate_e2e" -> docCurateE2e,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -2753,6 +2828,7 @@ object PipelineQueries {
     "emb_neardup_exact" -> embNearDupExactSql,
     "emb_neardup_lsh" -> embNearDupLshSql,
     "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
+    "doc_curate_e2e" -> docCurateE2eSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
