@@ -1881,6 +1881,22 @@ object PipelineQueries {
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
+    * deletes, inserts) by the scaffold, and this query reads VERSION 1
+    * BACK — which must still be byte-for-byte the original documents
+    * table (per-row md5 digest included). The snapshot-isolation
+    * contract every IVM consumer stands on, pinned cross-engine. */
+  private val docTimeTravel: Q = (s, d) => {
+    val dir = IvmScaffold.textCorpus(s, d) // already at v2
+    graft.pipeline.MergeTable.read(s, dir, version = 1)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val docTimeTravelSql =
+    """SELECT doc_id, lang, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** The curation pipeline END-TO-END as one query: Gopher gate →
     * language filter → exact dedup (min-id per normalized text) →
     * near-dup cluster survivors — the [[graft.pipeline.Curate]] stage
@@ -2746,6 +2762,7 @@ object PipelineQueries {
     "emb_neardup_lsh" -> embNearDupLsh,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "doc_curate_e2e" -> docCurateE2e,
+    "doc_time_travel" -> docTimeTravel,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -2829,6 +2846,7 @@ object PipelineQueries {
     "emb_neardup_lsh" -> embNearDupLshSql,
     "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
     "doc_curate_e2e" -> docCurateE2eSql,
+    "doc_time_travel" -> docTimeTravelSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
