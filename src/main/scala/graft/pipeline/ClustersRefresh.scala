@@ -138,6 +138,7 @@ object ClustersRefresh {
     val changedIds = MergeTable
       .rowDeltas(spark, corpusDir, fromVersion, toVersion, "doc_id")
       .select("doc_id").distinct()
+      .localCheckpoint() // used by three joins below; the delta join is not free
 
     val corpus2 = MergeTable.read(spark, corpusDir, toVersion)
     val newPairs = restrictedPairs(corpus2, changedIds, threshold)
