@@ -98,6 +98,68 @@ object VectorIndex {
       graft.expr.VectorExpressions.quantizeInt8(col(embCol), col("qscale")))
   }
 
+  /** 1-BIT signature tier: the sign pattern of each dimension packed
+    * into `ceil(dim/64)` BIGINT words (`bsig`) — 1 bit/dim, a 32×
+    * shrink over float32 and 8× over int8. Hamming distance between
+    * sign patterns estimates the angle (`cos θ ≈ cos(π·h/dim)`, the
+    * SimHash estimator — the same geometry as [[graft.ops.Dedup
+    * .embeddingNearDupPairs]]'s sign-LSH, here with coordinate planes
+    * over already-normalized vectors). Built from pure Column
+    * expressions (`aggregate`/`shiftleft`), no UDF. */
+  def withBinary(df: DataFrame, embCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val words = (dim + 63) / 64
+    val sigWord = (w: Int) =>
+      s"aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc | " +
+        s"CASE WHEN ${w * 64} + j < $dim AND element_at($embCol, ${w * 64} + j + 1) > 0.0 " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)"
+    if (words == 1) df.withColumn("bsig", expr(sigWord(0)))
+    else df.withColumn("bsig", expr(s"array(${(0 until words).map(sigWord).mkString(", ")})"))
+  }
+
+  /** Two-tier search over the 1-bit signatures: candidates are the
+    * `k · overfetch` SMALLEST hamming distances to the query's sign
+    * pattern (the scan reads 8 bytes per 64 dims — `bit_count(xor)`
+    * is one fused ALU op per word), then the float tier re-scores
+    * exactly those rows. Sign bits are the coarsest tier in the
+    * engine (exact > int8 > PQ > binary in fidelity, the reverse in
+    * bytes scanned); the overfetch needed for exact-equality is
+    * correspondingly larger — `knn_binary_rerank_top5` ships with the
+    * value at which the result equals brute-force [[search]] and
+    * shares its oracle; `QuantizedIndexSpec` measures the recall
+    * frontier. 64-dim (single-word) form only — the current
+    * embeddings fixture; the multi-word generalization changes the
+    * distance expression to a `zip_with` sum. */
+  def searchBinaryReranked(
+      index: DataFrame,
+      query: Array[Double],
+      k: Int = 5,
+      threshold: Double = 0.5,
+      embCol: String = "embedding",
+      overfetch: Int = 16): DataFrame = {
+    require(overfetch >= 1)
+    val idCol = index.columns.head
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      if (n > 0) query.map(_ / n) else query
+    }
+    require(qn.length <= 64, "searchBinaryReranked: single-word (<=64-dim) form")
+    val qsig = qn.zipWithIndex.foldLeft(0L) { case (acc, (x, j)) =>
+      if (x > 0.0) acc | (1L << j) else acc
+    }
+    val candidates = index
+      .withColumn("__h", expr(s"bit_count(bsig ^ CAST($qsig AS BIGINT))"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol), col(embCol))
+    val qCol = array(qn.map(lit): _*)
+    candidates
+      .withColumn("score", round(dot(col(embCol), qCol), 4))
+      .filter(col("score") >= threshold)
+      .select(idCol, "score")
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k search over an int8-quantized index
     * ([[withQuantized]] over normalized vectors): score =
     * `byteDot(qv, qq) · qscale · |q|∞ / 127²` ≈ cosine. Same

@@ -184,6 +184,25 @@ object PipelineQueries {
     VectorIndex.searchReranked(idx, q, k = 5, threshold = 0.25, overfetch = 8)
   }
 
+  /** 1-bit signature tier + exact re-rank: hamming over packed sign
+    * bits (8 bytes per 64-dim vector — the coarsest, cheapest scan in
+    * the tier ladder) selects candidates, the float tier re-scores.
+    * Must equal brute-force `knn_top5` bit-for-bit (shares its
+    * oracle) at the shipped overfetch. */
+  private val knnBinaryRerankTop5: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val idx = VectorIndex.withBinary(
+      VectorIndex.withNormalized(emb.filter(col("vec_id") =!= 0)))
+      .select("vec_id", "embedding", "bsig")
+    // 1-bit hamming ranks blur ~an angle estimate with sd ~ sqrt(d)/d;
+    // a 0.40-cosine 5th neighbor sits deep in the hamming pack, so the
+    // exact-equality overfetch is larger than the int8 tier's (64 vs 8
+    // — still a 16x reduction of float reads at sf0.1)
+    VectorIndex.searchBinaryReranked(idx, q, k = 5, threshold = 0.25, overfetch = 64)
+  }
+
   /** Certified two-tier PQ search: 8-byte ADC codes + the per-row
     * reconstruction-error certificate select the candidates, the float
     * tier re-ranks exactly — equal to brute-force `knn_top5` BY
@@ -2749,6 +2768,7 @@ object PipelineQueries {
     "knn_ivf_top5" -> knnIvfTop5,
     "knn_quantized_top5" -> knnQuantTop5,
     "knn_quantized_rerank_top5" -> knnQuantRerankTop5,
+    "knn_binary_rerank_top5" -> knnBinaryRerankTop5,
     "knn_pq_rerank_top5" -> knnPqRerankTop5,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupJaccard,
@@ -2830,6 +2850,7 @@ object PipelineQueries {
     // IVF with nprobe == nlist is exhaustive — same oracle again
     "knn_ivf_top5" -> knnTop5Sql,
     "knn_quantized_rerank_top5" -> knnTop5Sql,
+    "knn_binary_rerank_top5" -> knnTop5Sql,
     "knn_pq_rerank_top5" -> knnTop5Sql,
     "knn_quantized_top5" -> knnQuantTop5Sql,
     "dedup_simhash" -> dedupSimhashSql,

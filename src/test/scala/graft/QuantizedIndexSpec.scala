@@ -62,6 +62,37 @@ class QuantizedIndexSpec extends SparkSpec {
     assert(reranked == exact, s"rerank $reranked vs exact $exact")
   }
 
+  test("binary signature packs exactly the sign bits; hamming estimates the angle") {
+    val idx = VectorIndex.withBinary(VectorIndex.withNormalized(emb.limit(50)))
+      .select("vec_id", "embedding", "bsig")
+    val rows = idx.selectExpr("vec_id", "CAST(embedding AS array<double>)", "bsig")
+      .as[(Long, Seq[Double], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, e, sig) =>
+      val want = e.zipWithIndex.foldLeft(0L) { case (acc, (x, j)) =>
+        if (x > 0.0) acc | (1L << j) else acc
+      }
+      assert(sig == want, s"vec $id: packed $sig want $want")
+    }
+    // hamming-angle estimate: for random pairs, |cos(pi*h/64) - cosine| small-ish
+    val ps = rows.take(10).flatMap(a => rows.drop(10).take(10).map(b => (a, b)))
+    ps.foreach { case ((_, ea, sa), (_, eb, sb)) =>
+      val cos = ea.zip(eb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(ea.map(x => x * x).sum) * math.sqrt(eb.map(x => x * x).sum))
+      val h = java.lang.Long.bitCount(sa ^ sb)
+      val est = math.cos(math.Pi * h / 64.0)
+      assert(math.abs(est - cos) < 0.45, s"h=$h est=$est cos=$cos")
+    }
+  }
+
+  test("binary two-tier rerank equals exact brute-force search bit-for-bit") {
+    val exact = SparkEntry.queries("knn_top5")(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    val reranked = SparkEntry.queries("knn_binary_rerank_top5")(spark, sf0001)
+      .as[(Long, Double)].collect().toSeq
+    assert(reranked == exact, s"binary rerank $reranked vs exact $exact")
+  }
+
   test("byte dot kernel matches the float dot after dequantization") {
     val q = VectorIndex.withQuantized(VectorIndex.withNormalized(emb.limit(20)))
       .select("vec_id", "embedding", "qembedding", "qscale")
