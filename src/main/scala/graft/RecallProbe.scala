@@ -52,6 +52,8 @@ object RecallProbe {
     val normalized = VectorIndex.withNormalized(index).persist()
     val int8 = VectorIndex.withQuantized(normalized)
       .select("vec_id", "embedding", "qembedding", "qscale").persist()
+    val binary = VectorIndex.withBinary(normalized)
+      .select("vec_id", "embedding", "bsig").persist()
     val ivf = {
       val b = VectorIndex.buildIvf(index, nlist = 16)
       b.copy(cells = b.cells.persist())
@@ -63,7 +65,7 @@ object RecallProbe {
     }
     val (pqIdx0, books) = VectorIndex.buildPq(normalized, m = 8, ksub = 16)
     val pqIdx = pqIdx0.select("vec_id", "embedding", "pqcode", "pqerr").persist()
-    Seq(float, normalized, int8, ivf.cells, ivfQ.cells, pqIdx)
+    Seq(float, normalized, int8, binary, ivf.cells, ivfQ.cells, pqIdx)
       .foreach(_.count()) // materialize
 
     def ids(df: DataFrame): Seq[Long] =
@@ -121,12 +123,15 @@ object RecallProbe {
         VectorIndex.searchPq(pqIdx, books, q, k = k, threshold = -1.0)),
       measure("rerank_int8")(q =>
         VectorIndex.searchReranked(int8, q, k = k, threshold = -1.0, overfetch = 4)),
+      measure("rerank_binary")(q =>
+        VectorIndex.searchBinaryReranked(binary, q, k = k, threshold = -1.0, overfetch = 64)),
       measure("rerank_pq_cert")(q =>
         VectorIndex.searchPqCertified(pqIdx, books, q, k = k, threshold = -1.0)),
       measure("ivf4_int8_rerank")(q =>
         VectorIndex.searchIvfReranked(ivfQ, q, k = k, threshold = -1.0, nprobe = 4)))
 
-    Seq(float, normalized, int8, ivf.cells, ivfQ.cells, pqIdx).foreach(_.unpersist())
+    Seq(float, normalized, int8, binary, ivf.cells, ivfQ.cells, pqIdx)
+      .foreach(_.unpersist())
     tiers
   }
 
