@@ -133,4 +133,49 @@ object TextSearch {
       .groupBy(idCol)
       .agg((sum(col("c_fp")) / 1e9).as("rrf_score"))
   }
+
+  /** Character-trigram postings — the pg_trgm shape: SUBSTRING search
+    * (`LIKE '%pattern%'`) accelerated by an inverted index where token
+    * postings can't help (patterns cross token boundaries, match
+    * punctuation, or are sub-token). One row per (doc, distinct char
+    * 3-gram); scan-local to build, bucket-by-trigram to persist, and —
+    * like the BM25 postings — maintainable incrementally from the
+    * change feed (re-trigram changed docs only). Raw-byte case: the
+    * index matches `contains()` semantics exactly. */
+  def trigramPostings(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = expr(
+      s"array_distinct(transform(sequence(1, greatest(length($textCol) - 2, 0)), " +
+        s"i -> substring($textCol, i, 3)))")
+    df.select(col(idCol).as("doc_id"), explode(grams).as("tg"))
+  }
+
+  /** Index-accelerated substring search: a document can contain
+    * `pattern` only if it contains EVERY trigram of the pattern — the
+    * postings filtered to those trigrams (an `isin` the scan prunes
+    * on) and grouped with a full-count HAVING yield a candidate
+    * SUPERSET, and one `contains()` verify over the candidates makes
+    * it exact. For patterns shorter than 3 chars the filter is
+    * vacuous (no trigrams) and the search degrades to the scan —
+    * callers should route those to the scan path explicitly.
+    *
+    * At 100 TB the win is the standing index: a `%pattern%` scan
+    * reads the corpus; this reads the pattern's (few, selective)
+    * trigram posting lists plus the candidates' text. */
+  def substringSearch(
+      corpus: DataFrame, postings: DataFrame, pattern: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(pattern.length >= 3,
+      "substringSearch: pattern shorter than 3 chars — use a plain contains scan")
+    val pats = pattern.sliding(3).toSeq.distinct
+    val candidates = postings
+      .filter(col("tg").isin(pats: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tg")).as("__n"))
+      .filter(col("__n") === pats.length)
+      .select("doc_id")
+    corpus.join(candidates, corpus(idCol) === candidates("doc_id"), "left_semi")
+      .filter(col(textCol).contains(pattern))
+      .select(col(idCol))
+  }
 }

@@ -1900,6 +1900,31 @@ object PipelineQueries {
       |  CAST(MIN(CASE WHEN cw >= CEIL(0.75 * n) THEN v END) AS DOUBLE) AS p75
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** Index-accelerated substring search
+    * ([[graft.ops.TextSearch.trigramPostings]] /
+    * [[graft.ops.TextSearch.substringSearch]], the pg_trgm shape):
+    * `%pattern%` answered from character-trigram posting lists — an
+    * all-trigrams candidate intersection plus one `contains` verify —
+    * instead of a corpus scan. Patterns cross token boundaries
+    * (`'w sort'`, `'merge slow'`) where the BM25 token postings can't
+    * help. The oracle is the semantic definition (a DuckDB `contains`
+    * scan), so hash-green proves index+verify ≡ scan exactly. */
+  private val docSubstringSearch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val idx = TextSearch.trigramPostings(docs)
+    Seq("merge slow", "w sort", "dup").map { p =>
+      TextSearch.substringSearch(docs, idx, p).withColumn("pattern", lit(p))
+    }.reduce(_ unionByName _)
+      .select("pattern", "doc_id")
+      .orderBy("pattern", "doc_id")
+  }
+
+  private val docSubstringSearchSql =
+    """SELECT p AS pattern, doc_id
+      |FROM documents CROSS JOIN (VALUES ('merge slow'), ('w sort'), ('dup')) v(p)
+      |WHERE contains(text, p)
+      |ORDER BY pattern, doc_id""".stripMargin
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -2783,6 +2808,7 @@ object PipelineQueries {
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
     "doc_curate_e2e" -> docCurateE2e,
     "doc_time_travel" -> docTimeTravel,
+    "doc_substring_search" -> docSubstringSearch,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -2868,6 +2894,7 @@ object PipelineQueries {
     "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
     "doc_curate_e2e" -> docCurateE2eSql,
     "doc_time_travel" -> docTimeTravelSql,
+    "doc_substring_search" -> docSubstringSearchSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

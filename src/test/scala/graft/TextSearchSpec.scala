@@ -81,4 +81,31 @@ class TextSearchSpec extends SparkSpec {
     }
     assert(cartesians.isEmpty, s"unexpected CartesianProduct:\n$plan")
   }
+
+  test("trigram substring search: candidates are a verified superset; index == scan") {
+    import graft.ops.TextSearch
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "slow brown snail"),
+      (3L, "quick silver"), (4L, "own brow"), (5L, "completely other"))
+      .toDF("doc_id", "text")
+    val idx = TextSearch.trigramPostings(docs)
+    // cross-token pattern: 'k b' only matchable via char trigrams
+    for (p <- Seq("brown", "quick", "k b", "own")) {
+      val got = TextSearch.substringSearch(docs, idx, p)
+        .as[Long].collect().toSet
+      val want = docs.filter(col("text").contains(p))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"pattern '$p': got $got want $want")
+    }
+    // the trigram prefilter actually prunes: a rare pattern's candidate
+    // set is smaller than the corpus
+    val candidates = idx.filter(col("tg").isin("qui", "uic", "ick"))
+      .select("doc_id").distinct().count()
+    assert(candidates < docs.count(), "prefilter must prune")
+    // short patterns are routed to the scan path explicitly
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.substringSearch(docs, idx, "ab")
+    }
+    assert(e.getMessage.contains("contains scan"))
+  }
 }
