@@ -105,8 +105,11 @@ object ClustersRefresh {
       .filter(col("n_sh") > 0)
     val ex = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
       .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
-    val chg = broadcast(changedIds.select(col("doc_id").as("id"))
-      .withColumn("__chg", lit(true)))
+    // no broadcast hint: a small delta broadcasts via AQE on its own,
+    // and a bulk-load delta (where "changed" is most of the corpus)
+    // must be allowed to shuffle instead of OOMing the driver
+    val chg = changedIds.select(col("doc_id").as("id"))
+      .withColumn("__chg", lit(true))
     val a = ex.join(chg, Seq("id"), "left_semi")
       .toDF("id_a", "n_a", "s")
     val b = ex.join(chg, Seq("id"), "left_outer")
