@@ -144,9 +144,13 @@ object TextSearch {
     * index matches `contains()` semantics exactly. */
   def trigramPostings(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // guard the empty case explicitly: Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) instead of yielding an empty range, which would emit
+    // bogus sub-3-char "trigrams" for short texts
     val grams = expr(
-      s"array_distinct(transform(sequence(1, greatest(length($textCol) - 2, 0)), " +
-        s"i -> substring($textCol, i, 3)))")
+      s"CASE WHEN length($textCol) >= 3 THEN " +
+        s"array_distinct(transform(sequence(1, length($textCol) - 2), " +
+        s"i -> substring($textCol, i, 3))) ELSE array() END")
     df.select(col(idCol).as("doc_id"), explode(grams).as("tg"))
   }
 

@@ -163,6 +163,15 @@ object IvmScaffold {
       graft.pipeline.OverlapStats.compute(s, textCorpus(s, d), version = 1)
     }
 
+  /** Standing trigram substring index ([[graft.pipeline.TrigramRefresh]])
+    * built from [[textCorpus]] v1. */
+  def trigramsV1(s: SparkSession, d: String): String = {
+    val corpus = textCorpus(s, d)
+    once(d, "trigrams") { dir =>
+      graft.pipeline.TrigramRefresh.build(s, corpus, dir, version = 1)
+    }
+  }
+
   /** Standing near-dup cluster view ([[graft.pipeline.ClustersRefresh]])
     * of [[textCorpus]] v1. */
   def clustersV1(s: SparkSession, d: String): String = {

@@ -1925,6 +1925,43 @@ object PipelineQueries {
       |WHERE contains(text, p)
       |ORDER BY pattern, doc_id""".stripMargin
 
+  /** Incremental substring-index maintenance
+    * ([[graft.pipeline.TrigramRefresh]]): the standing trigram
+    * posting table built at corpus v1 and MAINTAINED through the
+    * v1→v2 transition (re-trigram changed docs only; rewritten docs'
+    * vanished trigrams and deleted docs' whole posting sets leave via
+    * the pre-image side), then SEARCHED: three `%pattern%` lookups
+    * over the maintained index — one hitting only inserted docs, one
+    * only rewritten docs (and crossing a ':' boundary no token index
+    * sees), one surviving originals (deleted docs must NOT appear).
+    * The oracle is a `contains` scan of the logically-merged corpus:
+    * maintained-index search ≡ scan, cross-engine, deletes included. */
+  private val docSubstringIncremental: Q = (s, d) => {
+    val corpus = IvmScaffold.textCorpus(s, d)
+    val idx = IvmScaffold.trigramsV1(s, d)
+    graft.pipeline.TrigramRefresh.refresh(s, corpus, idx, 1, 2)
+    val postings = graft.pipeline.MergeTable.read(s, idx).select("doc_id", "tg")
+    val docs2 = graft.pipeline.MergeTable.read(s, corpus, 2)
+    Seq("freshly injected", "updated:", "merge slow").map { p =>
+      TextSearch.substringSearch(docs2, postings, p).withColumn("pattern", lit(p))
+    }.reduce(_ unionByName _)
+      .select("pattern", "doc_id")
+      .orderBy("pattern", "doc_id")
+  }
+
+  private val docSubstringIncrementalSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate'
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT p AS pattern, doc_id
+      |FROM merged CROSS JOIN (VALUES ('freshly injected'), ('updated:'), ('merge slow')) v(p)
+      |WHERE contains(text, p)
+      |ORDER BY pattern, doc_id""".stripMargin
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -2809,6 +2846,7 @@ object PipelineQueries {
     "doc_curate_e2e" -> docCurateE2e,
     "doc_time_travel" -> docTimeTravel,
     "doc_substring_search" -> docSubstringSearch,
+    "doc_substring_incremental" -> docSubstringIncremental,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -2895,6 +2933,7 @@ object PipelineQueries {
     "doc_curate_e2e" -> docCurateE2eSql,
     "doc_time_travel" -> docTimeTravelSql,
     "doc_substring_search" -> docSubstringSearchSql,
+    "doc_substring_incremental" -> docSubstringIncrementalSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
