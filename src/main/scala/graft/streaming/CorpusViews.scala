@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.Path
 
-import graft.pipeline.{FingerprintsRefresh, IncrementalStats, OverlapStats, PostingsRefresh}
+import graft.pipeline.{FingerprintsRefresh, IncrementalStats, OverlapStats, PostingsRefresh, TrigramRefresh}
 
 /** Standing derived artifacts a streaming corpus keeps fresh — the
   * maintenance side of [[StreamingIngest.startMergeUpsertMaintained]].
@@ -211,6 +211,27 @@ object CorpusViews {
       require(vs.nonEmpty, s"no maintained view under $viewDir")
       OverlapStats.overlapPairs(OverlapStats.merged(
         spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol))
+    }
+  }
+
+  /** Standing trigram substring index ([[TrigramRefresh]]) at
+    * `indexDir`, built from the corpus on first advance — the
+    * `%pattern%` lookups of [[graft.ops.TextSearch.substringSearch]]
+    * stay fresh against the CDC stream. */
+  final case class TrigramIndex(
+      indexDir: String, textCol: String = "text") extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = readCursor(spark, indexDir)
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      from match {
+        case None =>
+          TrigramRefresh.build(spark, corpusDir, indexDir, textCol, version = to)
+        case Some(p) =>
+          TrigramRefresh.refresh(spark, corpusDir, indexDir, p, to, textCol)
+      }
+      writeCursor(spark, indexDir, to)
     }
   }
 

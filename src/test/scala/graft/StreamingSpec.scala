@@ -285,9 +285,11 @@ class StreamingSpec extends SparkSpec {
     val clfModel = CorpusViews.ClassifierModel(s"$root/clf", clfPred, buckets = 64)
     val ovView = CorpusViews.OverlapView(s"$root/oviews")
     val ccView = CorpusViews.ClustersView(s"$root/cclusters")
+    val tgView = CorpusViews.TrigramIndex(s"$root/trigrams")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
-      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView, ccView)
+      CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView,
+      ccView, tgView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
@@ -360,6 +362,12 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.MergeTable.latestVersion(spark, table))
           .as[Long].collect().toSet,
         "maintained clusters must equal a batch rebuild")
+      def tgRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+        df.select(col("doc_id").cast("long"), col("tg"))
+          .as[(Long, String)].collect().toSet
+      assert(tgRows(MergeTable.read(spark, s"$root/trigrams")) ==
+        tgRows(graft.ops.TextSearch.trigramPostings(MergeTable.read(spark, table))),
+        "maintained trigram index must equal a full re-trigram")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
