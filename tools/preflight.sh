@@ -44,9 +44,12 @@ echo "[preflight] Oracle result-type walk"
 python3 tools/oracle_types.py "$SF_VERIFY" "$OUT" | tee /tmp/preflight_types.log
 
 echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
-# strip sbt's "[info] " log prefix or the file is not valid JSON
+# strip sbt's "[info] " log prefix or the file is not valid JSON.
+# tail, not `head -1`: head exits at the first match and the SIGPIPE it
+# sends the still-writing sbt trips pipefail+set -e, killing the script
+# AFTER a successful bench (races; bit one gate run)
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1 \
   > /tmp/preflight_bench.json
 cat /tmp/preflight_bench.json
 N_ERR=$(python3 -c "import json;print(json.load(open('/tmp/preflight_bench.json'))['n_err'])")
