@@ -61,6 +61,16 @@ class BlocklistSpec extends SparkSpec {
     assert(kept == Seq("clean text"))
   }
 
+  test("unicode patterns and text match by exact code units, like contains") {
+    val pats = Array("café", "naïve", "日本")
+    val ac = new AcAutomaton(pats)
+    val texts = Seq("un café noir", "a naïve view of 日本 culture",
+      "cafe without the accent", "")
+    for (t <- texts)
+      assert(ac.matches(t).map(pats(_)).toSeq == reference(t, pats.toSeq),
+        s"text='$t'")
+  }
+
   test("one automaton pass scales past the contains-per-pattern form") {
     // semantic check at larger k (the perf claim itself is structural:
     // one pass, O(len + matches)): 500 patterns, only a few present

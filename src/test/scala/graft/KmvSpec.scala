@@ -176,6 +176,18 @@ class KmvSpec extends SparkSpec {
     assert(e.getMessage.contains("constant"), e.getMessage)
   }
 
+  test("serde: truncated or garbage bytes fail loudly, never corrupt silently") {
+    val good = {
+      val st = new KmvState(16); (1L to 10L).foreach(i => st.insert(mix(i))); st.serialized
+    }
+    // a truncated buffer must throw (BufferUnderflow), not yield a
+    // plausible-but-wrong sketch
+    intercept[Exception] { KmvState.deserialize(good.take(good.length - 3)) }
+    intercept[Exception] { KmvState.deserialize(Array[Byte](1, 2)) }
+    // roundtrip of the good bytes stays canonical
+    assert(KmvState.deserialize(good).serialized.toSeq == good.toSeq)
+  }
+
   test("nulls: null hashes are skipped; empty group yields an empty exact sketch") {
     Graft.registerAll(spark)
     Seq((1, Some(5L)), (1, None), (2, None)).toDF("g", "h")
