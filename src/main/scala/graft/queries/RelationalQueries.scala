@@ -636,6 +636,29 @@ object RelationalQueries {
       |  SUM(l_quantity) FILTER (WHERE l_linestatus = 'P') AS P
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q40: unpivot (melt) — the inverse of q26's pivot, proven lossless:
+  // wide (flag, F, O, P) back to long (flag, status, sum) must equal
+  // the long-form aggregate computed directly (absent combinations
+  // surface as NULL cells and are dropped, matching the long form's
+  // absent rows). Decimal-exact sums per the house parity rule.
+  private val q40: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O"), col("P")),
+        "l_linestatus", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q40Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linestatus IN ('F', 'O', 'P')
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // q27: semi-structured JSON column access (events.props) — schema-on-
   // read extraction pushed into a codegen'd path expression.
   private val q27: Q = (s, d) =>
@@ -1083,6 +1106,7 @@ object RelationalQueries {
     "q24_stats" -> q24,
     "q25_string_agg" -> q25,
     "q26_pivot" -> q26,
+    "q40_unpivot" -> q40,
     "q27_json_extract" -> q27,
     "q28_bag_set_ops" -> q28,
     "q29_correlated" -> q29,
@@ -1127,6 +1151,7 @@ object RelationalQueries {
     "q24_stats" -> q24Sql,
     "q25_string_agg" -> q25Sql,
     "q26_pivot" -> q26Sql,
+    "q40_unpivot" -> q40Sql,
     "q27_json_extract" -> q27Sql,
     "q28_bag_set_ops" -> q28Sql,
     "q29_correlated" -> q29Sql,
