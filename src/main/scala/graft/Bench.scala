@@ -96,14 +96,28 @@ object Bench {
       s""""${esc(k)}":{"min":$mn,"max":$mx,"runs":$n}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"ranges":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"ranges":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     // Short trailer line (VERDICT r5 ask #2): the driver records a bounded
     // tail of stdout, and the full line above can outgrow it — round 5's
     // artifact lost the headline total to truncation. The trailer is always
     // short enough to survive any tail window.
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+    val trailerLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+    println(fullLine)
+    println(trailerLine)
+    // Self-archive (VERDICT r9 ask #7): a truncated stdout capture
+    // ("parsed": null in BENCH_r09.json) must never again lose the
+    // per-query map — the two lines also land in a well-known file,
+    // referenced from COVERAGE.md, parseable from disk at any time.
+    try {
+      val archive = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/tmp/bench_last.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(archive),
+        (fullLine + "\n" + trailerLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] archived to $archive")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] archive failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

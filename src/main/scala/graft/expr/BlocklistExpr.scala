@@ -98,7 +98,14 @@ abstract class BlocklistBase extends Expression with CodegenFallback {
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!patternsExpr.foldable)
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: text argument must be STRING, got ${text.dataType.simpleString}")
+    else if (!patternsExpr.dataType.isInstanceOf[ArrayType] ||
+        patternsExpr.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: patterns must be ARRAY<STRING>, got ${patternsExpr.dataType.simpleString}")
+    else if (!patternsExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: patterns must be a constant (foldable) array, got ${patternsExpr.sql}")
     else TypeCheckResult.TypeCheckSuccess

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   *
   * 100 TB role: cross-split / cross-corpus contamination and overlap
   * measurement WITHOUT a join — each split reduces map-side to one
-  * ≤(13+8k)-byte buffer inside `ObjectHashAggregateExec`; comparing
+  * ≤(9+8k)-byte buffer inside `ObjectHashAggregateExec`; comparing
   * two corpora is then a scalar over two binaries instead of a
   * shuffle of their token sets. Update hot path is one unsigned
   * compare against the current kth-min (no allocation, no set probe)
@@ -277,10 +277,10 @@ object KmvState {
       }
       if (n == 0) return (0.0, 0.0, 0.0, false)
       val jacc = rho.toDouble / n
-      // Union distinct estimate off the bottom-n threshold.
-      val unionEst =
-        if (n < kc && !satA && !satB) n.toDouble
-        else (n - 1).toDouble / uToUnit(s(n - 1))
+      // Union distinct estimate off the bottom-n threshold. (This arm
+      // only runs when at least one side is saturated, so the merged
+      // bottom-n is always an estimator sample, never a complete set.)
+      val unionEst = (n - 1).toDouble / uToUnit(s(n - 1))
       (jacc * unionEst, unionEst, jacc, false)
     }
   }
@@ -310,6 +310,13 @@ case class KmvAgg(
     if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"kmv_agg: k must be a constant (foldable) expression, got ${kExpr.sql}")
+    else if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_agg: hash argument must be BIGINT, got ${child.dataType.simpleString}")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_agg: k must be integral, got ${kExpr.dataType.simpleString}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def children: Seq[Expression] = Seq(child, kExpr)
@@ -356,6 +363,13 @@ case class KmvMergeAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_merge: argument must be BINARY (a serialized KMV sketch), " +
+          s"got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
@@ -383,9 +397,20 @@ case class KmvMergeAgg(
 }
 
 /** Base for the post-aggregation scalars — they run on one row per
-  * group, so interpreted eval is fine. */
+  * group, so interpreted eval is fine. All inputs must be BINARY
+  * (serialized sketches); anything else is an analysis-time error,
+  * not a mid-job ClassCastException. */
 abstract class KmvScalar extends Expression with CodegenFallback {
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.zipWithIndex.collect {
+      case (c, i) if c.dataType != BinaryType => s"arg ${i + 1}: ${c.dataType.simpleString}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: sketch argument(s) must be BINARY (a serialized KMV sketch); got " +
+        bad.mkString(", "))
+  }
 }
 
 /** `kmv_n(sketch)` — retained-hash count (= exact distinct count while

@@ -153,12 +153,15 @@ object Warc {
         bodyUdf(col("payload")).as("html"))
   }
 
-  /** WET extracted-text records as `(url, date, text)`. */
+  /** WET extracted-text records as `(url, date, text)`. Bytes→string is
+    * the codegen'd `decode(payload, 'UTF-8')` built-in — no UDF on the
+    * hot text path (the HTTP-envelope parse in [[pages]] keeps its UDF
+    * because no built-in splits an HTTP message). */
   def wetText(spark: SparkSession, glob: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val toText = udf((p: Array[Byte]) => new String(p, StandardCharsets.UTF_8))
     read(spark, glob)
       .filter(col("warc_type") === "conversion")
-      .select(col("uri").as("url"), col("date"), toText(col("payload")).as("text"))
+      .select(col("uri").as("url"), col("date"),
+        decode(col("payload"), "UTF-8").as("text"))
   }
 }

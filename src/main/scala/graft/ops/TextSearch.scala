@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * queries like "pull the docs about X", and the hybrid
   * search shape every RAG stack runs: BM25 list ⊕ ANN list → RRF).
   * The reference's search surface is vector-only
-  * (`app/vector_search.py`); BM25+RRF is part of this engine's
+  * (`scripts/test.out.py:14-19`); BM25+RRF is part of this engine's
   * north-star extension surface.
   *
   * Scale design (100 TB):

@@ -76,6 +76,14 @@ object OverlapStats {
   /** Pairwise overlap audit off a merged (group, sk) frame: one row
     * per unordered group pair with `(inter, n_union, jaccard, exact)`.
     *
+    * CANONICAL CONVENTION: EVERY unordered pair of present groups gets
+    * a row, including zero-intersection pairs — "these splits share
+    * nothing" is an answer a contamination monitor must state, not an
+    * absent row. The DuckDB oracles replay this with a cross join of
+    * the per-group counts LEFT-joined to the shared-shingle pairs
+    * (COALESCE(inter, 0)), so a sparse fixture with disjoint splits
+    * stays hash-identical.
+    *
     * The merged frame is COLLECTED (bounded: #groups ≤ `maxGroups`
     * sketches of ≤ 9+8k bytes — 3 × ~256 KB for the split monitor, the
     * same constant-bounded-sidecar pattern as the IVF codebooks) and

@@ -388,16 +388,19 @@ object PipelineQueries {
       |cnt AS (SELECT split, COUNT(*) AS n FROM sh GROUP BY split),
       |pairs AS (SELECT x.split AS split_a, y.split AS split_b, COUNT(*) AS inter
       |          FROM sh x JOIN sh y ON x.sg = y.sg AND x.split < y.split
-      |          GROUP BY x.split, y.split)
-      |SELECT p.split_a, p.split_b,
-      |  p.inter,
-      |  ca.n + cb.n - p.inter AS n_union,
-      |  round(CAST(p.inter AS DOUBLE) / CAST(ca.n + cb.n - p.inter AS DOUBLE), 6) AS jaccard,
+      |          GROUP BY x.split, y.split),
+      |allp AS (SELECT ca.split AS split_a, cb.split AS split_b,
+      |                ca.n AS na, cb.n AS nb
+      |         FROM cnt ca JOIN cnt cb ON ca.split < cb.split)
+      |SELECT a.split_a, a.split_b,
+      |  COALESCE(p.inter, 0) AS inter,
+      |  a.na + a.nb - COALESCE(p.inter, 0) AS n_union,
+      |  round(CAST(COALESCE(p.inter, 0) AS DOUBLE)
+      |        / CAST(a.na + a.nb - COALESCE(p.inter, 0) AS DOUBLE), 6) AS jaccard,
       |  TRUE AS exact
-      |FROM pairs p
-      |JOIN cnt ca ON ca.split = p.split_a
-      |JOIN cnt cb ON cb.split = p.split_b
-      |ORDER BY split_a, split_b""".stripMargin
+      |FROM allp a
+      |LEFT JOIN pairs p ON p.split_a = a.split_a AND p.split_b = a.split_b
+      |ORDER BY 1, 2""".stripMargin
 
   /** Banded MinHash LSH candidates. Oracle-checked: the base hash is
     * the big-endian first 8 bytes of md5(shingle) and the band key is
@@ -2166,16 +2169,19 @@ object PipelineQueries {
       |cnt AS (SELECT split, COUNT(*) AS n FROM sh GROUP BY split),
       |pairs AS (SELECT x.split AS split_a, y.split AS split_b, COUNT(*) AS inter
       |          FROM sh x JOIN sh y ON x.sg = y.sg AND x.split < y.split
-      |          GROUP BY x.split, y.split)
-      |SELECT p.split_a, p.split_b,
-      |  p.inter,
-      |  ca.n + cb.n - p.inter AS n_union,
-      |  round(CAST(p.inter AS DOUBLE) / CAST(ca.n + cb.n - p.inter AS DOUBLE), 6) AS jaccard,
+      |          GROUP BY x.split, y.split),
+      |allp AS (SELECT ca.split AS split_a, cb.split AS split_b,
+      |                ca.n AS na, cb.n AS nb
+      |         FROM cnt ca JOIN cnt cb ON ca.split < cb.split)
+      |SELECT a.split_a, a.split_b,
+      |  COALESCE(p.inter, 0) AS inter,
+      |  a.na + a.nb - COALESCE(p.inter, 0) AS n_union,
+      |  round(CAST(COALESCE(p.inter, 0) AS DOUBLE)
+      |        / CAST(a.na + a.nb - COALESCE(p.inter, 0) AS DOUBLE), 6) AS jaccard,
       |  TRUE AS exact
-      |FROM pairs p
-      |JOIN cnt ca ON ca.split = p.split_a
-      |JOIN cnt cb ON cb.split = p.split_b
-      |ORDER BY split_a, split_b""".stripMargin
+      |FROM allp a
+      |LEFT JOIN pairs p ON p.split_a = a.split_a AND p.split_b = a.split_b
+      |ORDER BY 1, 2""".stripMargin
 
   /** Incremental BM25 postings maintenance
     * ([[graft.pipeline.PostingsRefresh]]): a standing (doc, term, tf,
