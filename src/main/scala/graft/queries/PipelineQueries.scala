@@ -1106,6 +1106,59 @@ object PipelineQueries {
        |FROM h GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** WebDataset tar-shard sink+source roundtrip — completes the
+    * format-fidelity trio (parquet→ORC, parquet→JSON, parquet→tar):
+    * documents → [[graft.pipeline.WebDataset.writeShards]] (hand-rolled
+    * POSIX ustar, `{doc_id}.txt` + `{doc_id}.cls` sample fields,
+    * 4 MB shards so every sf produces a multi-shard layout) →
+    * [[graft.pipeline.WebDataset.readShards]] → samples reassembled
+    * from their field files → the same per-lang aggregate + exact
+    * order-independent md5-fold digest as the JSON roundtrip, oracled
+    * against DuckDB over the ORIGINAL parquet. A hash-green row proves
+    * the tar write→read path preserves every text byte and every
+    * sample↔field association (a swapped or truncated field would
+    * shift a doc's digest or lang group). Byte lengths via
+    * `octet_length`/`strlen` — both engines count UTF-8 bytes.
+    * Reference capability: the LAION-style shard delivery format
+    * (`WebDataset.scala` header) as a lossless interchange, previously
+    * spec-only. */
+  private val docWdsRoundtrip: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-wds-${ProcessHandle.current().pid()}"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // no stale shards from a prior layout
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("string").as("key"), col("text"), col("lang"))
+    graft.pipeline.WebDataset.writeShards(
+      docs, tmp, Seq("text" -> "txt", "lang" -> "cls"),
+      keyCol = "key", maxShardBytes = 1L << 22)
+    graft.pipeline.WebDataset.readShards(s, tmp)
+      .select(col("key"),
+        when(col("ext") === "cls", decode(col("data"), "UTF-8")).as("lang_v"),
+        when(col("ext") === "txt", decode(col("data"), "UTF-8")).as("text_v"))
+      .groupBy("key")
+      .agg(max("lang_v").as("lang"), max("text_v").as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("text"))).as("sum_bytes"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_hash"))
+      .orderBy("lang")
+  }
+
+  private val docWdsRoundtripSql = {
+    val pows = (1 to 15).map(j => s"($j, ${BigInt(16).pow(15 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |h AS (SELECT lang, strlen(text) AS nb, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(text), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) AS hv
+       |  FROM documents CROSS JOIN pows p GROUP BY lang, doc_id, text)
+       |SELECT lang, COUNT(*) AS n, CAST(SUM(nb) AS BIGINT) AS sum_bytes,
+       |  bit_xor(hv) AS text_hash
+       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Blocklist curation gate ([[graft.expr.BlocklistExpr]]): per-doc
     * matched-phrase audit over a fixed phrase blocklist via ONE
     * Aho–Corasick pass per document — O(len + matches) regardless of
@@ -2881,6 +2934,7 @@ object PipelineQueries {
     "table_drift" -> tableDrift,
     "doc_blocklist" -> docBlocklist,
     "doc_orc_roundtrip" -> docOrcRoundtrip,
+    "doc_wds_roundtrip" -> docWdsRoundtrip,
     "doc_json_roundtrip" -> docJsonRoundtrip,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
@@ -2968,6 +3022,7 @@ object PipelineQueries {
     "table_drift" -> tableDriftSql,
     "doc_blocklist" -> docBlocklistSql,
     "doc_orc_roundtrip" -> docOrcRoundtripSql,
+    "doc_wds_roundtrip" -> docWdsRoundtripSql,
     "doc_json_roundtrip" -> docJsonRoundtripSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,

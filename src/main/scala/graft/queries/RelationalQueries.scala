@@ -1076,6 +1076,43 @@ object RelationalQueries {
       |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
       |ORDER BY b.user_id, b.event_id""".stripMargin
 
+  // q41: the TOLERANCE-bounded backward as-of join (pandas merge_asof's
+  // most-used optional) through the native operator: each purchase
+  // picks the greatest click ts <= its ts per user, but only when the
+  // gap is within one day (86_400e6 µs); a farther match nulls out.
+  // The 1-day bound sits near the gap median of the generated events
+  // (~36 h), so BOTH arms — match retained and match rejected — carry
+  // thousands of rows at every sf. Oracle: inequality-join replay with
+  // the gap bound folded into the join predicate — the backward
+  // candidate is the gap-MINIMAL one, so bounding the predicate equals
+  // bounding the selected match (what the exec does at
+  // AsOfJoinExec.backOk).
+  private val q41: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.AsOfJoin.join(
+        purchases, clicks, Seq("user_id"), "ts", "ts", "left_outer",
+        tolerance = Some(86400000000L))
+      .select(col("user_id"), col("event_id"), col("click_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q41Sql =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, max(c.us) AS click_us
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+      |                  AND p.us - c.us <= 86400000000
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -1120,7 +1157,8 @@ object RelationalQueries {
     "q36_retention_cohorts" -> q36,
     "q37_asof_native" -> q37,
     "q38_asof_forward" -> q38,
-    "q39_asof_nearest" -> q39)
+    "q39_asof_nearest" -> q39,
+    "q41_asof_tolerance" -> q41)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1165,5 +1203,6 @@ object RelationalQueries {
     "q36_retention_cohorts" -> q36Sql,
     "q37_asof_native" -> q37Sql,
     "q38_asof_forward" -> q38Sql,
-    "q39_asof_nearest" -> q39Sql)
+    "q39_asof_nearest" -> q39Sql,
+    "q41_asof_tolerance" -> q41Sql)
 }
