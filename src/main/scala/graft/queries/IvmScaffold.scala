@@ -172,6 +172,24 @@ object IvmScaffold {
     }
   }
 
+  /** The published READ-optimized substring index: [[trigramsV1]]
+    * advanced to corpus v2 (idempotent — `doc_substring_incremental`
+    * replays the same delta batch), then re-laid-out bucketed+sorted
+    * by TRIGRAM via [[graft.pipeline.TrigramRefresh.publish]] so
+    * `tg IN (...)` searches bucket-prune. Returns the catalog table
+    * name (session-registered, data in the pid-scoped root). */
+  def trigramsPublished(s: SparkSession, d: String): String = {
+    val corpus = textCorpus(s, d)
+    val idx = trigramsV1(s, d)
+    val table = "graft_tg_pub_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    once(d, "tgpub") { dir =>
+      graft.pipeline.TrigramRefresh.refresh(s, corpus, idx, 1, 2)
+      graft.pipeline.TrigramRefresh.publish(s, idx, table, dir)
+    }
+    table
+  }
+
   /** Standing near-dup cluster view ([[graft.pipeline.ClustersRefresh]])
     * of [[textCorpus]] v1. */
   def clustersV1(s: SparkSession, d: String): String = {

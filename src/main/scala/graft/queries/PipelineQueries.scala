@@ -2021,6 +2021,30 @@ object PipelineQueries {
       |WHERE contains(text, p)
       |ORDER BY pattern, doc_id""".stripMargin
 
+  /** The PUBLISHED standing substring index
+    * ([[graft.pipeline.TrigramRefresh.publish]]): the maintained
+    * trigram MergeTable re-laid-out bucketed+sorted BY TRIGRAM as a
+    * catalog table, then searched — the production deployment shape,
+    * where a `%pattern%` query's `tg IN (...)` filter BUCKET-PRUNES
+    * the posting scan to the |pattern-trigram| hash buckets
+    * (`SelectedBucketsCount` in PLANS.md; `TrigramPublishSpec` pins
+    * the pruned scan) instead of reading the whole index. Same three
+    * patterns and the same contains-scan oracle as
+    * `doc_substring_incremental`, so the round-trip
+    * maintained-index → published-layout → search ≡ corpus scan is
+    * proven end-to-end: a row lost or duplicated in the re-layout
+    * would break the hash. */
+  private val docSubstringStanding: Q = (s, d) => {
+    val table = IvmScaffold.trigramsPublished(s, d)
+    val postings = s.table(table)
+    val docs2 = graft.pipeline.MergeTable.read(s, IvmScaffold.textCorpus(s, d), 2)
+    Seq("freshly injected", "updated:", "merge slow").map { p =>
+      TextSearch.substringSearch(docs2, postings, p).withColumn("pattern", lit(p))
+    }.reduce(_ unionByName _)
+      .select("pattern", "doc_id")
+      .orderBy("pattern", "doc_id")
+  }
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -2909,6 +2933,7 @@ object PipelineQueries {
     "doc_time_travel" -> docTimeTravel,
     "doc_substring_search" -> docSubstringSearch,
     "doc_substring_incremental" -> docSubstringIncremental,
+    "doc_substring_standing" -> docSubstringStanding,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -2997,6 +3022,7 @@ object PipelineQueries {
     "doc_time_travel" -> docTimeTravelSql,
     "doc_substring_search" -> docSubstringSearchSql,
     "doc_substring_incremental" -> docSubstringIncrementalSql,
+    "doc_substring_standing" -> docSubstringIncrementalSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
