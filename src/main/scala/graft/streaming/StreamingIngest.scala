@@ -258,7 +258,21 @@ object StreamingIngest {
     * (bucket pruning composes across version ranges). Either way every
     * artifact ends equal to its from-scratch rebuild at the latest
     * corpus version — the invariant the streaming case in
-    * `StreamingSpec` pins for all three artifact kinds. */
+    * `StreamingSpec` pins for all three artifact kinds.
+    *
+    * Retention (`retainVersions`): without it the CoW version chain
+    * grows unboundedly — at 100 TB a long-lived stream accumulates one
+    * manifest (and its unshared data files) per micro-batch forever.
+    * With `retainVersions = Some(n)`, each batch ends by
+    * [[graft.pipeline.MergeTable.vacuum]]ing the corpus down to its
+    * newest n versions — AFTER every artifact advanced, and never past
+    * the oldest version a LAGGING artifact still reflects (a crash
+    * between merge and artifact write leaves a cursor behind; its next
+    * advance reads that version's manifest as the refresh pre-image,
+    * so the keep horizon stretches to cover it rather than reclaiming
+    * it). Time-travel reads of retained versions keep working; reads
+    * of reclaimed versions fail loudly (the [[graft.pipeline
+    * .MergeTable.read]] manifest check) — never wrongly. */
   def startMergeUpsertMaintained(
       spark: SparkSession,
       landingDir: String,
@@ -268,7 +282,10 @@ object StreamingIngest {
       checkpointDir: String,
       maintain: Seq[Maintained],
       deleteCol: Option[String] = None,
-      versionCol: Option[String] = None): StreamingQuery = {
+      versionCol: Option[String] = None,
+      retainVersions: Option[Int] = None): StreamingQuery = {
+    retainVersions.foreach(n => require(n >= 1,
+      s"retainVersions must keep at least the latest version, got $n"))
     val changes = spark.readStream.schema(schema).json(landingDir)
     changes.writeStream
       .outputMode("append")
@@ -277,7 +294,14 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertBatch(batch, tableDir, keyCol, deleteCol, versionCol)
           .foreach { v =>
-            maintain.foreach(_.advance(batch.sparkSession, tableDir, v))
+            val s = batch.sparkSession
+            maintain.foreach(_.advance(s, tableDir, v))
+            retainVersions.foreach { n =>
+              val minReflected =
+                maintain.flatMap(_.version(s)).minOption.getOrElse(v)
+              val keep = math.max(n, v - minReflected + 1)
+              graft.pipeline.MergeTable.vacuum(s, tableDir, keep)
+            }
           }
       }
       .start()

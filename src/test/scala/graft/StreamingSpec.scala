@@ -292,7 +292,8 @@ class StreamingSpec extends SparkSpec {
       ccView, tgView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
-        "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"))
+        "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"),
+        retainVersions = Some(2))
         .awaitTermination(60000)
 
     def statsNow(): Map[String, (Long, Long)] =
@@ -387,6 +388,20 @@ class StreamingSpec extends SparkSpec {
         |{"doc_id":1,"grp":"a","v":11,"text":"the quick brown fox jumps over the dog","_del":false}""".stripMargin)
     stream()
     allEqualBatch()
+
+    // retention under the loop (retainVersions = 2): after the second
+    // batch the corpus is at v3 and vacuum ran inside the stream —
+    // v1 is reclaimed, v2/v3 retained. Maintained answers are
+    // untouched (allEqualBatch above ran on the vacuumed table),
+    // time travel to the RETAINED v2 still works, and a read of the
+    // reclaimed v1 fails loudly, never wrongly.
+    assert(MergeTable.versions(spark, table) == Seq(2, 3),
+      s"retainVersions=2 must leave exactly v2,v3: ${MergeTable.versions(spark, table)}")
+    assert(MergeTable.read(spark, table, version = 2)
+      .select("doc_id").as[Long].collect().nonEmpty,
+      "time travel to a retained version must keep working after vacuum")
+    intercept[Exception](MergeTable.read(spark, table, version = 1).collect())
+
     assert(!statsNow().contains("c"), "emptied group must drop out")
     assert(!quantNow().contains("c"), "emptied group must drop out of quantiles")
     assert(!postingsRows(MergeTable.read(spark, postings)).exists(_._1 == 4L),
@@ -414,6 +429,9 @@ class StreamingSpec extends SparkSpec {
       """{"doc_id":5,"grp":"a","v":7,"text":"one more arrival after pruning","_del":false}""")
     stream()
     allEqualBatch()
+    // the retention horizon slides with the stream: still exactly 2
+    assert(MergeTable.versions(spark, table) == Seq(3, 4),
+      s"horizon must slide to v3,v4: ${MergeTable.versions(spark, table)}")
   }
 
   test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {
