@@ -28,11 +28,19 @@ sealed trait Maintained {
   def version(spark: SparkSession): Option[Int]
 
   /** Bring the artifact from [[version]] to corpus version `to`
-    * (build from scratch on first call, no-op if already there). */
+    * (build from scratch on first call, no-op if already there).
+    * Per-advance wall time lands on stderr (`[maintain] ...`), so any
+    * batch's whole-loop cost decomposes to its per-artifact lines —
+    * the observability behind the SCALE.md maintained-batch budget. */
   final def advance(spark: SparkSession, corpusDir: String, to: Int): Unit =
     version(spark) match {
       case Some(p) if p >= to => ()
-      case from => doAdvance(spark, corpusDir, from, to)
+      case from =>
+        val t0 = System.nanoTime()
+        doAdvance(spark, corpusDir, from, to)
+        System.err.println(f"[maintain] ${getClass.getSimpleName}%-18s " +
+          f"${from.map(_.toString).getOrElse("build")}->$to " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
   protected def doAdvance(
