@@ -25,13 +25,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * cross-engine oracle twin by definition.
   */
 final class AcAutomaton(patterns: Array[String]) {
-  // flat trie: per-node child map + fail link + matched-pattern list
-  private val children = scala.collection.mutable.ArrayBuffer(
-    scala.collection.mutable.HashMap.empty[Char, Int])
-  private val fail = scala.collection.mutable.ArrayBuffer(0)
-  private val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-
-  locally {
+  // Construction uses the readable growable trie (per-node child map +
+  // BFS fail links with fail-merged output lists), then FLATTENS to a
+  // CSR sorted-edge-array layout — the inner loop at 100 TB does one
+  // binary search over a node's sorted edge slice per character
+  // (primitive arrays, no per-char hashing or boxing; VERDICT r9
+  // stretch #8 — measured 1.6× over the HashMap-per-node walk at a
+  // 10⁴-phrase blocklist, SCALE.md; `BlocklistSpec` property-pins the
+  // layout against contains-per-pattern ground truth).
+  //
+  // edgeStart(n)..edgeStart(n+1): node n's edges, chars ascending, in
+  // (edgeChars, edgeTargets); failArr: fail links; outStart/outPats:
+  // CSR of each node's matched-pattern indices (fail-closure merged).
+  private val (edgeStart, edgeChars, edgeTargets, failArr, outStart, outPats) = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+    val fail = scala.collection.mutable.ArrayBuffer(0)
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     patterns.zipWithIndex.foreach { case (p, idx) =>
       var node = 0
       for (c <- p) {
@@ -57,6 +67,44 @@ final class AcAutomaton(patterns: Array[String]) {
         out(v) = out(v) ::: out(fail(v))
       }
     }
+    // flatten
+    val n = children.length
+    val es = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { es(i + 1) = es(i) + children(i).size; i += 1 }
+    val ec = new Array[Char](es(n)); val et = new Array[Int](es(n))
+    i = 0
+    while (i < n) {
+      var k = es(i)
+      children(i).toArray.sortBy(_._1).foreach { case (c, t) =>
+        ec(k) = c; et(k) = t; k += 1 }
+      i += 1
+    }
+    val os = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { os(i + 1) = os(i) + out(i).size; i += 1 }
+    val op = new Array[Int](os(n))
+    i = 0
+    while (i < n) {
+      var k = os(i)
+      out(i).foreach { p => op(k) = p; k += 1 }
+      i += 1
+    }
+    (es, ec, et, fail.toArray, os, op)
+  }
+
+  /** Target of node's `c`-edge, or -1 — binary search over the node's
+    * sorted edge slice. */
+  private def step(node: Int, c: Char): Int = {
+    var lo = edgeStart(node); var hi = edgeStart(node + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = edgeChars(mid)
+      if (mc == c) return edgeTargets(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   /** Indices of the DISTINCT patterns occurring in `text`, ascending. */
@@ -66,10 +114,11 @@ final class AcAutomaton(patterns: Array[String]) {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      while (node != 0 && !children(node).contains(c)) node = fail(node)
-      node = children(node).getOrElse(c, 0)
-      var o = out(node)
-      while (o.nonEmpty) { hit(o.head) = true; o = o.tail }
+      var nxt = step(node, c)
+      while (node != 0 && nxt < 0) { node = failArr(node); nxt = step(node, c) }
+      node = if (nxt >= 0) nxt else 0
+      var o = outStart(node); val oEnd = outStart(node + 1)
+      while (o < oEnd) { hit(outPats(o)) = true; o += 1 }
       i += 1
     }
     (0 until patterns.length).filter(hit).toArray
@@ -80,9 +129,10 @@ final class AcAutomaton(patterns: Array[String]) {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      while (node != 0 && !children(node).contains(c)) node = fail(node)
-      node = children(node).getOrElse(c, 0)
-      if (out(node).nonEmpty) return true
+      var nxt = step(node, c)
+      while (node != 0 && nxt < 0) { node = failArr(node); nxt = step(node, c) }
+      node = if (nxt >= 0) nxt else 0
+      if (outStart(node + 1) > outStart(node)) return true
       i += 1
     }
     false

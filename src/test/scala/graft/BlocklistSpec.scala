@@ -29,6 +29,30 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("flattened CSR automaton equals contains ground truth on seeded random workloads") {
+    // the sorted-edge-array layout (VERDICT r9 stretch #8) property-
+    // pinned: a tiny alphabet forces dense shared prefixes, deep
+    // fail-link chains and nested/overlapping patterns — the shapes
+    // where a flattening bug (wrong edge slice, missed fail-merged
+    // output, off-by-one in CSR offsets) would surface
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 50) {
+      val alphabet = "abc"
+      val nPats = 1 + rnd.nextInt(12)
+      val pats = Array.fill(nPats)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+        .distinct.filter(_.nonEmpty)
+      val ac = new AcAutomaton(pats)
+      for (_ <- 1 to 20) {
+        val t = (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(3))).mkString
+        val got = ac.matches(t).map(pats(_)).toSeq
+        val want = reference(t, pats.toSeq)
+        assert(got == want, s"round $round pats=${pats.mkString(",")} text='$t': got $got want $want")
+        assert(ac.anyMatch(t) == want.nonEmpty)
+      }
+    }
+  }
+
   test("automaton handles fail-link chains across long repeated text") {
     val pats = Array("aaab", "aab", "ab", "b")
     val ac = new AcAutomaton(pats)
