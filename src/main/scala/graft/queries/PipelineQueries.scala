@@ -2045,6 +2045,35 @@ object PipelineQueries {
       .orderBy("pattern", "doc_id")
   }
 
+  /** Small-files compaction ([[graft.pipeline.MergeTable.compact]]):
+    * the CoW corpus (at v2 after the scaffold's merge) is compacted —
+    * every bucket rewritten into a bounded file count as a NEW
+    * version — and read back with a per-row md5 digest, oracled
+    * against DuckDB over the logically-merged corpus. A hash-green
+    * row proves compaction is purely physical: no row lost, duplicated
+    * or altered across the rewrite (the maintenance op a 100 TB CDC
+    * table runs continuously — every micro-batch writes small files,
+    * compact folds them back into scan-efficient ones). Re-executions
+    * append further content-identical versions (idempotent by value). */
+  private val docCompactRoundtrip: Q = (s, d) => {
+    val dir = IvmScaffold.textCorpus(s, d)
+    graft.pipeline.MergeTable.compact(s, dir)
+    graft.pipeline.MergeTable.read(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val docCompactRoundtripSql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx', 'freshly injected arrival of shared boilerplate'
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, md5(text) AS text_md5
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -2934,6 +2963,7 @@ object PipelineQueries {
     "doc_substring_search" -> docSubstringSearch,
     "doc_substring_incremental" -> docSubstringIncremental,
     "doc_substring_standing" -> docSubstringStanding,
+    "doc_compact_roundtrip" -> docCompactRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3023,6 +3053,7 @@ object PipelineQueries {
     "doc_substring_search" -> docSubstringSearchSql,
     "doc_substring_incremental" -> docSubstringIncrementalSql,
     "doc_substring_standing" -> docSubstringIncrementalSql,
+    "doc_compact_roundtrip" -> docCompactRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

@@ -1113,6 +1113,80 @@ object RelationalQueries {
       |GROUP BY p.user_id, p.event_id
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // q42: point-in-time-correct feature enrichment
+  // ([[graft.ops.PointInTime.enrich]] — the Feast/Tecton
+  // `get_historical_features` shape over the native as-of operator):
+  // each purchase (the training example) is enriched with the latest
+  // click feature at-or-before its timestamp (unbounded) AND the
+  // latest view feature within a 2-day staleness bound — a plain
+  // equi-join on the newest feature version would leak FUTURE values
+  // into training, the canonical offline/online-skew bug this join
+  // prevents. Feature values are ts-derived (micros) so same-(user,ts)
+  // feature-row ties cannot differ across engines (the q37 rule).
+  // Oracle: DuckDB's native ASOF for the unbounded table + the
+  // gap-bounded inequality replay for the staleness table.
+  private val q42: Q = (s, d) => {
+    import graft.ops.PointInTime
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+    val views = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("view_us"))
+    PointInTime.enrich(purchases, "ts", Seq(
+        PointInTime.FeatureTable(clicks, Seq("user_id"), "ts"),
+        PointInTime.FeatureTable(views, Seq("user_id"), "ts",
+          staleness = Some(172800000000L))))
+      .select("user_id", "event_id", "click_us", "view_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q42Sql =
+    """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+      |      FROM events WHERE event_type = 'click'),
+      |v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'view'),
+      |pc AS (SELECT p.user_id, p.event_id, p.ts, c.click_us
+      |       FROM p ASOF LEFT JOIN c
+      |       ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |pv AS (SELECT p.user_id, p.event_id, max(v.us) AS view_us
+      |       FROM p LEFT JOIN v
+      |         ON v.user_id = p.user_id AND v.us <= epoch_us(p.ts)
+      |        AND epoch_us(p.ts) - v.us <= 172800000000
+      |       GROUP BY p.user_id, p.event_id)
+      |SELECT pc.user_id, pc.event_id, pc.click_us, pv.view_us
+      |FROM pc JOIN pv ON pc.user_id = pv.user_id AND pc.event_id = pv.event_id
+      |ORDER BY 1, 2""".stripMargin
+
+  // q43: the skew-salted join ([[graft.ops.SkewJoin.salted]]) oracled
+  // for SEMANTICS: fact side salted across 8 sub-keys, dim side
+  // replicated 8×, joined on (key, salt) — must equal the plain
+  // equi-join exactly (DuckDB replays the plain join; a salting bug —
+  // lost key, double-counted replica — breaks n or sum_qty).
+  // `SkewJoinSpec` pins the plan-shape half (hot key fans out over
+  // salt tasks); this row pins the result half cross-engine.
+  // l_quantity is integer-valued, so the double sum is exact and
+  // order-independent.
+  private val q43: Q = (s, d) => {
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    graft.ops.SkewJoin.salted(fact, dim, "l_orderkey", "o_orderkey", saltBuckets = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q43Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -1158,7 +1232,9 @@ object RelationalQueries {
     "q37_asof_native" -> q37,
     "q38_asof_forward" -> q38,
     "q39_asof_nearest" -> q39,
-    "q41_asof_tolerance" -> q41)
+    "q41_asof_tolerance" -> q41,
+    "q42_pit_features" -> q42,
+    "q43_skew_salted" -> q43)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1204,5 +1280,7 @@ object RelationalQueries {
     "q37_asof_native" -> q37Sql,
     "q38_asof_forward" -> q38Sql,
     "q39_asof_nearest" -> q39Sql,
-    "q41_asof_tolerance" -> q41Sql)
+    "q41_asof_tolerance" -> q41Sql,
+    "q42_pit_features" -> q42Sql,
+    "q43_skew_salted" -> q43Sql)
 }
