@@ -1187,6 +1187,31 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // q44: Bloom-prefiltered star join ([[graft.ops.BloomJoin]]) — the
+  // explicit runtime-filter shape: a selective dim (urgent orders,
+  // ~20%) reduces to ONE constant-size Bloom sketch, the fact scan
+  // probes it BEFORE the join's shuffle, and the real join makes the
+  // superset exact. Must equal the plain equi-join — DuckDB replays
+  // the plain join; a false NEGATIVE in the sketch (the one thing
+  // Bloom promises away) would lose rows and break the hash.
+  private val q44: Q = (s, d) => {
+    val fact = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.ops.BloomJoin.prefiltered(fact, dim, "l_orderkey", "o_orderkey",
+        expectedItems = 1L << 20, fpp = 0.001)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q44Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -1234,7 +1259,8 @@ object RelationalQueries {
     "q39_asof_nearest" -> q39,
     "q41_asof_tolerance" -> q41,
     "q42_pit_features" -> q42,
-    "q43_skew_salted" -> q43)
+    "q43_skew_salted" -> q43,
+    "q44_bloom_join" -> q44)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1282,5 +1308,6 @@ object RelationalQueries {
     "q39_asof_nearest" -> q39Sql,
     "q41_asof_tolerance" -> q41Sql,
     "q42_pit_features" -> q42Sql,
-    "q43_skew_salted" -> q43Sql)
+    "q43_skew_salted" -> q43Sql,
+    "q44_bloom_join" -> q44Sql)
 }
