@@ -164,7 +164,9 @@ object MergeTable {
     require(nBuckets > 0)
     require(versions(spark, dir).isEmpty, s"$dir already is a MergeTable")
     writeVersion(withBucket(df, keyCol, nBuckets), dir, 1, nBuckets)
-    commitManifest(spark, dir, 1, Manifest(nBuckets, listWritten(spark, dir, 1)))
+    val written = listWritten(spark, dir, 1)
+    ZoneMaps.write(spark, dir, 1, written.values.flatten.toSeq)
+    commitManifest(spark, dir, 1, Manifest(nBuckets, written))
   }
 
   /** Read a version (default: latest) as a DataFrame. */
@@ -249,6 +251,14 @@ object MergeTable {
       val entries = (m.entries -- touched) ++
         touched.toSeq.sorted.map(b => b -> written.getOrElse(b, Seq.empty))
           .filter(_._2.nonEmpty)
+      // zone sidecar ∝ delta: carried files copy their previous zone
+      // lines by reference, only the rewritten buckets' files get a
+      // footer harvest
+      val carriedRel = (m.entries -- touched).values.flatten.toSet
+      val carried = ZoneMaps.read(spark, dir, v)
+        .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
+        .getOrElse(Map.empty)
+      ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
       commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries))
       nv
     } finally upd.unpersist()
@@ -396,8 +406,84 @@ object MergeTable {
     // still carry the old schema — compaction aligns them
     writeVersion(byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
       dir, nv, m.nBuckets)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, listWritten(spark, dir, nv)))
+    val written = listWritten(spark, dir, nv)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written))
     nv
+  }
+
+  /** Re-LAYOUT the latest version: each bucket rewritten RANGE-SPLIT
+    * by `byCol` into ~`filesPerBucket` files, sorted within each file
+    * — contents unchanged (a [[compact]] variant). The point: on a
+    * hash-bucketed table every file naturally spans the whole value
+    * range of every non-key column, so the [[ZoneMaps]] sidecar can
+    * never skip anything; after `clusterBy(col)`, a file covers one
+    * narrow `byCol` slice of one bucket and a range predicate via
+    * [[readWhere]] prunes to ~(selectivity × files) BEFORE any scan
+    * task launches (the Delta/Iceberg OPTIMIZE ZORDER move, 1-D).
+    * Layout is per-(bucket, range) task: `repartitionByRange` on
+    * (bucket, byCol) with enough partitions for `filesPerBucket`
+    * slices per bucket. Returns the committed version. */
+  def clusterBy(
+      spark: SparkSession, dir: String, byCol: String,
+      filesPerBucket: Int = 4): Int = {
+    require(filesPerBucket > 0)
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    require(read(spark, dir, v).columns.contains(byCol),
+      s"no column $byCol to cluster by")
+    // bucket id comes from the manifest per-bucket read (clusterBy
+    // doesn't know the key column, and must not change assignments)
+    val nv = nextVersion(spark, dir)
+    val parts = m.entries.keys.toSeq.sorted.map { b =>
+      val files = m.entries(b).map(p => s"$dir/$p")
+      readFiles(spark, files).withColumn(Bucket, lit(b))
+    }
+    val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    union
+      .repartitionByRange(m.entries.size * filesPerBucket,
+        col(Bucket), col(byCol))
+      .sortWithinPartitions(col(Bucket), col(byCol))
+      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
+    val written = listWritten(spark, dir, nv)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written))
+    nv
+  }
+
+  /** Zone-pruned range scan: read ONLY the files whose [[ZoneMaps]]
+    * [min, max] can intersect `[lo, hi]` on `column`, then apply the
+    * exact predicate (pruning is a superset pass — files without a
+    * zone for `column` are kept, so the answer is exact regardless of
+    * layout or sidecar presence). On a [[clusterBy]]'d table this
+    * skips ~(1 − selectivity) of the files before any scan task runs.
+    * Use [[prunedFiles]] for the skip evidence. */
+  def readWhere(
+      spark: SparkSession, dir: String, column: String,
+      lo: BigDecimal, hi: BigDecimal, version: Int = -1): DataFrame = {
+    val (kept, _) = prunedFiles(spark, dir, column, lo, hi, version)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val pred = col(column) >= lit(lo.bigDecimal) && col(column) <= lit(hi.bigDecimal)
+    if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
+    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
+  }
+
+  /** The file-skipping decision behind [[readWhere]]:
+    * (files kept, total files) for `column ∈ [lo, hi]` at `version`. */
+  def prunedFiles(
+      spark: SparkSession, dir: String, column: String,
+      lo: BigDecimal, hi: BigDecimal, version: Int = -1): (Seq[String], Int) = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val rel = m.entries.values.flatten.toSeq.sorted
+    val zones = ZoneMaps.forVersion(spark, dir, v, rel)
+    val kept = rel.filter { r =>
+      zones.get(r).flatMap(_.get(column)) match {
+        case Some(z) => z.mightIntersect(lo, hi)
+        case None => true // no zone — never skip on absence of evidence
+      }
+    }
+    (kept, rel.size)
   }
 
   /** Delete data files referenced by NO manifest among the latest
@@ -426,6 +512,9 @@ object MergeTable {
         }
       } else if (name.startsWith("_v") && name.endsWith(".manifest")) {
         val v = name.stripPrefix("_v").stripSuffix(".manifest").toInt
+        if (!keep.contains(v)) { f.delete(st.getPath, false); deleted += name }
+      } else if (name.startsWith("_v") && name.endsWith(".zones")) {
+        val v = name.stripPrefix("_v").stripSuffix(".zones").toInt
         if (!keep.contains(v)) { f.delete(st.getPath, false); deleted += name }
       }
     }

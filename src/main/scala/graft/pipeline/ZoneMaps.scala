@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+/** Per-file numeric ZONE MAPS (min / max / null presence) for
+  * [[MergeTable]] versions — the data-skipping index every lakehouse
+  * keeps (Delta/Iceberg file stats; Moerkotte's "small materialized
+  * aggregates", VLDB'98): a value-range predicate can skip every file
+  * whose [min, max] cannot intersect it, BEFORE any scan task runs.
+  *
+  * Stats come from PARQUET FOOTERS, not a data rescan: the writer
+  * already computed per-rowgroup min/max; harvesting reads a few KB of
+  * footer per file, distributed (one task per file batch), and the
+  * driver holds one line per file × numeric column — O(files), the
+  * same order as the manifest itself.
+  *
+  * Sidecar `_v<N>.zones` next to the version's manifest, text lines
+  * `relpath TAB col TAB kind TAB min TAB max TAB hasNulls` (kind ∈
+  * long|double; min/max empty for an all-null file). Non-numeric
+  * columns carry no line and are simply never skipped on. The sidecar
+  * is written BEFORE the manifest commit (a crash in between leaves an
+  * orphan zones file, never a manifest without zones... and a missing
+  * sidecar only degrades to harvest-at-read, never to a wrong answer).
+  *
+  * Incremental discipline ([[MergeTable.merge]]): carried-forward
+  * files COPY their previous zone lines by reference; only the files
+  * the merge actually wrote get a footer harvest — sidecar refresh
+  * cost ∝ delta, the house IVM rule applied to statistics.
+  *
+  * Zone maps prune only where the layout clusters the column —
+  * see [[MergeTable.clusterBy]], which range-lays each bucket by a
+  * chosen column exactly so that narrow predicates skip most files
+  * (`ZoneMapSpec` pins kept ≪ total and result equality).
+  */
+object ZoneMaps {
+
+  /** One file×column zone. min/max are the exact decimal strings of
+    * the footer stats (BigDecimal-comparable without precision loss —
+    * a long > 2^53 would corrupt through a double). */
+  final case class Zone(kind: String, min: String, max: String, hasNulls: Boolean) {
+    def allNull: Boolean = min.isEmpty
+    /** Could a row of this file satisfy `col ∈ [lo, hi]`? */
+    def mightIntersect(lo: BigDecimal, hi: BigDecimal): Boolean =
+      !allNull && BigDecimal(min) <= hi && BigDecimal(max) >= lo
+  }
+
+  private def zonesPath(dir: String, v: Int) = new Path(s"$dir/_v$v.zones")
+
+  /** Harvest footer stats for `relPaths` of `dir` — distributed, one
+    * footer open per file, numeric leaf columns only. */
+  def harvest(
+      spark: SparkSession, dir: String, relPaths: Seq[String])
+      : Map[String, Map[String, Zone]] = {
+    if (relPaths.isEmpty) return Map.empty
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val tasks = math.max(1, math.min(relPaths.size, 64))
+    spark.sparkContext.parallelize(relPaths, tasks).map { rel =>
+      val in = HadoopInputFile.fromPath(new Path(s"$dir/$rel"), conf.value)
+      val r = ParquetFileReader.open(in)
+      try {
+        // fold rowgroup stats up to one (min, max, hasNulls) per column;
+        // a column with any unparseable rowgroup (NaN-bearing float
+        // stats are writer-dependent) is POISONED — no zone, never a
+        // mis-prune
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, (String, BigDecimal, BigDecimal, Boolean, Boolean)]
+        val poisoned = scala.collection.mutable.HashSet.empty[String]
+        r.getFooter.getBlocks.asScala.foreach { blk =>
+          blk.getColumns.asScala.foreach { cc =>
+            val kind = cc.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => "long"
+              case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
+              case _ => null
+            }
+            val st = cc.getStatistics
+            val name = if (cc.getPath == null) null else cc.getPath.toDotString
+            if (kind == null && name != null) poisoned += name
+            else if (st == null || st.isEmpty) poisoned += name
+            else {
+              val nulls = st.getNumNulls != 0 // -1 (unknown) counts as "may have"
+              val parsed =
+                if (!st.hasNonNullValue) Some((null: BigDecimal, null: BigDecimal))
+                else
+                  try Some((BigDecimal(st.genericGetMin.toString),
+                    BigDecimal(st.genericGetMax.toString)))
+                  catch { case _: NumberFormatException => None }
+              parsed match {
+                case None => poisoned += name
+                case Some((mn, mx)) =>
+                  val nonNull = mn != null
+                  acc.get(name) match {
+                    case None => acc(name) = (kind, mn, mx, nulls, nonNull)
+                    case Some((k, omn, omx, on, ov)) =>
+                      acc(name) = (k,
+                        if (!nonNull) omn else if (!ov) mn else omn.min(mn),
+                        if (!nonNull) omx else if (!ov) mx else omx.max(mx),
+                        on || nulls, ov || nonNull)
+                  }
+              }
+            }
+          }
+        }
+        rel -> (acc -- poisoned).toMap.map { case (c, (k, mn, mx, nulls, nonNull)) =>
+          c -> Zone(k,
+            if (nonNull) mn.bigDecimal.toPlainString else "",
+            if (nonNull) mx.bigDecimal.toPlainString else "", nulls)
+        }
+      } finally r.close()
+    }.collect().toMap
+  }
+
+  /** Write the sidecar for version `v`: `newFiles` get harvested,
+    * `carried` (file → zones read from a previous sidecar) copy by
+    * reference. Call BEFORE the manifest commit. */
+  def write(
+      spark: SparkSession, dir: String, v: Int,
+      newFiles: Seq[String],
+      carried: Map[String, Map[String, Zone]] = Map.empty): Unit = {
+    val all = carried ++ harvest(spark, dir, newFiles)
+    val body = all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, z) =>
+        s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}"
+      }
+    }.mkString("", "\n", "\n")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(zonesPath(dir, v), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Read version `v`'s sidecar; None when absent (pre-zones version —
+    * callers fall back to [[harvest]]). */
+  def read(
+      spark: SparkSession, dir: String, v: Int)
+      : Option[Map[String, Map[String, Zone]]] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = zonesPath(dir, v)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", -1)
+        require(a.length == 6, s"corrupt zones line: $l")
+        (a(0), a(1), Zone(a(2), a(3), a(4), a(5).toBoolean))
+      }.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      })
+    }
+  }
+
+  /** Zones of version `v`, restricted to `relPaths` — sidecar when
+    * present, footer harvest otherwise. */
+  def forVersion(
+      spark: SparkSession, dir: String, v: Int, relPaths: Seq[String])
+      : Map[String, Map[String, Zone]] =
+    read(spark, dir, v) match {
+      case Some(m) =>
+        val wanted = relPaths.toSet
+        val missing = relPaths.filterNot(m.contains)
+        m.filter { case (rel, _) => wanted.contains(rel) } ++
+          harvest(spark, dir, missing)
+      case None => harvest(spark, dir, relPaths)
+    }
+}

@@ -2074,6 +2074,38 @@ object PipelineQueries {
       |SELECT doc_id, lang, md5(text) AS text_md5
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  /** Zone-map file skipping ([[graft.pipeline.ZoneMaps]] +
+    * [[graft.pipeline.MergeTable.clusterBy]] / `readWhere`): the CoW
+    * stats corpus is re-laid-out range-clustered by `n_chars` (a
+    * content-identical new version) and a narrow range predicate is
+    * answered by the zone-pruned scan — footer-harvested per-file
+    * min/max skip every file whose range cannot intersect, BEFORE any
+    * scan task runs, and the exact predicate makes the superset pass
+    * precise. Oracle: DuckDB filters the logically-merged corpus — a
+    * file wrongly skipped would lose rows and break the hash
+    * (`ZoneMapSpec` pins the skip ratio itself; this row pins
+    * exactness cross-engine). */
+  private val docZonemapScan: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "n_chars", filesPerBucket = 4)
+    graft.pipeline.MergeTable.readWhere(
+        s, dir, "n_chars", BigDecimal(100), BigDecimal(200), version = v)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docZonemapScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, n_chars FROM merged
+      |WHERE n_chars BETWEEN 100 AND 200
+      |ORDER BY doc_id""".stripMargin
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -2964,6 +2996,7 @@ object PipelineQueries {
     "doc_substring_incremental" -> docSubstringIncremental,
     "doc_substring_standing" -> docSubstringStanding,
     "doc_compact_roundtrip" -> docCompactRoundtrip,
+    "doc_zonemap_scan" -> docZonemapScan,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3054,6 +3087,7 @@ object PipelineQueries {
     "doc_substring_incremental" -> docSubstringIncrementalSql,
     "doc_substring_standing" -> docSubstringIncrementalSql,
     "doc_compact_roundtrip" -> docCompactRoundtripSql,
+    "doc_zonemap_scan" -> docZonemapScanSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{MergeTable, ZoneMaps}
+
+/** [[graft.pipeline.ZoneMaps]] + [[MergeTable.clusterBy]] +
+  * [[MergeTable.readWhere]] — footer-harvested file stats, the
+  * range-clustered layout that makes them prunable, and the
+  * zone-pruned scan: kept ≪ total on a clustered table, exact result
+  * regardless of layout, sidecar maintenance ∝ delta through merges. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String): Unit =
+    MergeTable.create(spark,
+      dir,
+      (1L to 4000L).map(i => (i, i % 97, s"p$i")).toDF("id", "score", "tag"),
+      "id", nBuckets = 4)
+
+  test("clusterBy + readWhere: narrow range skips most files, result is exact") {
+    val dir = s"${Files.createTempDirectory("graft-zones")}/t"
+    mkTable(dir)
+
+    // pre-cluster: hash layout scatters `score` — zones exist but a
+    // narrow predicate can skip (almost) nothing
+    val (keptBefore, totalBefore) = MergeTable.prunedFiles(
+      spark, dir, "score", BigDecimal(10), BigDecimal(12))
+    assert(totalBefore > 0 && keptBefore.size == totalBefore,
+      s"hash layout should be unprunable on score: ${keptBefore.size}/$totalBefore")
+
+    val v = MergeTable.clusterBy(spark, dir, "score", filesPerBucket = 8)
+    val (kept, total) = MergeTable.prunedFiles(
+      spark, dir, "score", BigDecimal(10), BigDecimal(12), version = v)
+    assert(total >= 16, s"expected a multi-file clustered layout, got $total")
+    assert(kept.size <= total / 2,
+      s"a ~3% range must skip most files on the clustered layout: ${kept.size}/$total")
+
+    val got = MergeTable.readWhere(spark, dir, "score",
+        BigDecimal(10), BigDecimal(12), version = v)
+      .select("id").as[Long].collect().toSet
+    val want = (1L to 4000L).filter(i => i % 97 >= 10 && i % 97 <= 12).toSet
+    assert(got == want && want.nonEmpty)
+
+    // clusterBy preserved content exactly
+    val all = MergeTable.read(spark, dir, v)
+      .select("id", "score", "tag").as[(Long, Long, String)].collect().toSet
+    assert(all == (1L to 4000L).map(i => (i, i % 97, s"p$i")).toSet)
+  }
+
+  test("merge carries unchanged files' zones by reference and harvests only rewritten ones") {
+    val dir = s"${Files.createTempDirectory("graft-zones2")}/t"
+    mkTable(dir)
+    val z1 = ZoneMaps.read(spark, dir, 1).get
+    assert(z1.nonEmpty && z1.values.forall(_.contains("score")))
+
+    // touch ONE key → one bucket rewritten; other buckets' files (and
+    // their zone lines) must carry forward verbatim
+    MergeTable.merge(spark, dir,
+      Seq((42L, 1000L, "rewritten")).toDF("id", "score", "tag"), "id")
+    val z2 = ZoneMaps.read(spark, dir, 2).get
+    val idx1 = MergeTable.fileIndex(spark, dir, 1)
+    val idx2 = MergeTable.fileIndex(spark, dir, 2)
+    val carried = idx2.values.flatten.toSet.intersect(idx1.values.flatten.toSet)
+    assert(carried.nonEmpty, "a one-key merge must carry most buckets forward")
+    carried.foreach { rel =>
+      assert(z2(rel) == z1(rel), s"carried file $rel must keep its zone lines")
+    }
+    // the rewritten bucket's new file reflects the new extreme value
+    val newFiles = idx2.values.flatten.toSet -- idx1.values.flatten.toSet
+    assert(newFiles.exists(rel =>
+      BigDecimal(z2(rel)("score").max) == BigDecimal(1000)),
+      s"rewritten bucket's zone must see score=1000: ${newFiles.map(z2(_)("score"))}")
+
+    // readWhere still exact across the merge (no clustering — superset
+    // pass + exact predicate)
+    val got = MergeTable.readWhere(spark, dir, "score",
+      BigDecimal(999), BigDecimal(2000)).select("id").as[Long].collect().toSet
+    assert(got == Set(42L))
+  }
+
+  test("vacuum reclaims old zone sidecars with their manifests") {
+    val dir = s"${Files.createTempDirectory("graft-zones3")}/t"
+    mkTable(dir)
+    MergeTable.merge(spark, dir, Seq((1L, 5L, "x")).toDF("id", "score", "tag"), "id")
+    assert(ZoneMaps.read(spark, dir, 1).isDefined)
+    MergeTable.vacuum(spark, dir, keepVersions = 1)
+    assert(ZoneMaps.read(spark, dir, 1).isEmpty, "v1 zones must be reclaimed")
+    assert(ZoneMaps.read(spark, dir, 2).isDefined, "latest zones must survive")
+  }
+}
