@@ -433,6 +433,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivorship: per near-dup component keep the row
+    * with the HIGHEST `scoreCol` (ties to lowest id) — the policy real
+    * curation runs, where dropping by min-id can discard the clean
+    * copy and keep the boilerplate-wrapped one. Singletons survive
+    * untouched. Deterministic for any score type with a total order;
+    * use an integer-valued score when a cross-engine oracle replays
+    * the choice (float score ties would be engine-dependent only if
+    * the score itself were computed differently — the tie-break on id
+    * keeps even equal scores deterministic). One aggregation over the
+    * component assignment — no extra corpus pass beyond
+    * [[connectedComponents]]. */
+  def dropNearDupsBy(
+      df: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(comps, Seq("id")) // only clustered rows — singletons bypass
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val losers = scored
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dedup convenience: drop all but the lowest-id row per
     * identical normalized text. */
   def dropExactDups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

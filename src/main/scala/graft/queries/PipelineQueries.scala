@@ -641,6 +641,57 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware dedup survivorship ([[Dedup.dropNearDupsBy]]): the
+    * same near-dup component graph as `dedup_cluster_survivors`, but
+    * the survivor per component is the HIGHEST-quality member (score =
+    * distinct-token count, an integer both engines compute identically
+    * — `doc_quality`'s n_uniq), ties to lowest id — the policy real
+    * curation runs: min-id can keep the boilerplate-wrapped copy and
+    * drop the clean one. The oracle replays the identical closure plus
+    * a ROW_NUMBER over (n_uniq DESC, id) per component — distributed
+    * label propagation + windowed survivor choice ≡ recursive CTE +
+    * window, row-for-row. */
+  private val dedupSurvivorQuality: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_uniq", size(array_distinct(toks(col("text")))).cast("long"))
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+    Dedup.dropNearDupsBy(docs, pairs, "n_uniq")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val dedupSurvivorQualitySql =
+    s"""WITH RECURSIVE $wordBlocksSql,
+       |sh AS (SELECT DISTINCT a.doc_id,
+       |         a.word || ' ' || b.word || ' ' || c.word AS s
+       |       FROM w a
+       |       JOIN w b ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+       |       JOIN w c ON a.doc_id = c.doc_id AND c.seq = a.seq + 2),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pj AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS common
+       |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |       GROUP BY x.doc_id, y.doc_id),
+       |pr AS (SELECT id_a, id_b FROM pj
+       |       JOIN cnt ca ON ca.doc_id = id_a
+       |       JOIN cnt cb ON cb.doc_id = id_b
+       |       WHERE CAST(common AS DOUBLE)
+       |             / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.2),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+       |          UNION ALL SELECT id_b, id_a FROM pr),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+       |q AS (SELECT doc_id, len(list_distinct(toks)) AS n_uniq FROM t),
+       |win AS (SELECT c.id,
+       |          ROW_NUMBER() OVER (PARTITION BY c.comp
+       |                             ORDER BY q.n_uniq DESC, c.id) AS rn
+       |        FROM comp c JOIN q ON q.doc_id = c.id),
+       |losers AS (SELECT id FROM win WHERE rn > 1)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   /** SemDeDup-shaped embedding dedup (Abbas et al. 2023 cluster
     * semantic dedup, with deterministic sign-LSH cells instead of
     * KMeans): the oracle-checked sign-LSH near-dup pair graph →
@@ -2990,6 +3041,7 @@ object PipelineQueries {
     "emb_neardup_exact" -> embNearDupExact,
     "emb_neardup_lsh" -> embNearDupLsh,
     "dedup_cluster_survivors" -> dedupClusterSurvivors,
+    "dedup_survivor_quality" -> dedupSurvivorQuality,
     "doc_curate_e2e" -> docCurateE2e,
     "doc_time_travel" -> docTimeTravel,
     "doc_substring_search" -> docSubstringSearch,
@@ -3081,6 +3133,7 @@ object PipelineQueries {
     "emb_neardup_exact" -> embNearDupExactSql,
     "emb_neardup_lsh" -> embNearDupLshSql,
     "dedup_cluster_survivors" -> dedupClusterSurvivorsSql,
+    "dedup_survivor_quality" -> dedupSurvivorQualitySql,
     "doc_curate_e2e" -> docCurateE2eSql,
     "doc_time_travel" -> docTimeTravelSql,
     "doc_substring_search" -> docSubstringSearchSql,
