@@ -119,6 +119,27 @@ object Layout {
     acc
   }
 
+  /** Hilbert-curve value of a 2-D point — the locality-better sibling
+    * of [[zValue]]: consecutive curve positions are ALWAYS
+    * grid-adjacent (|Δx|+|Δy| = 1, the curve's defining property —
+    * Morton order jumps at power-of-two boundaries), so range-split
+    * files cover tighter bounding boxes and 2-D range predicates
+    * prune harder (the Iceberg/Databricks OPTIMIZE curve choice;
+    * Hilbert 1891, the standard xy2d bit transform).
+    *
+    * Implemented as the native codegen'd
+    * [[graft.expr.HilbertValue]] expression — the sequential
+    * rotate-and-accumulate loop stays an actual loop inside generated
+    * code. (An unrolled `when`-chain formulation grows the expression
+    * tree ~5× per level with no subtree sharing and OOMs the driver
+    * past ~8 levels — pinned in the expression's scaladoc.) Inputs
+    * clamp into `[0, 2^bits - 1]` like [[zValue]]; `2*bits ≤ 62`. */
+  def hilbertValue(xCol: Column, yCol: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.toColumn(graft.expr.HilbertValue(
+      Bridge.toExpr(xCol.cast("long")), Bridge.toExpr(yCol.cast("long")), bits))
+  }
+
   /** Write `df` globally clustered by the z-order of `clusterCols` into
     * `numFiles` range-partitioned files: `repartitionByRange` on the
     * z-value splits the curve into contiguous segments (one per file),

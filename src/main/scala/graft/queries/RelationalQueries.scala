@@ -1212,6 +1212,39 @@ object RelationalQueries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // q45: Hilbert-curve clustering value ([[graft.pipeline.Layout
+  // .hilbertValue]]) — the locality-better sibling of z-order
+  // (consecutive curve positions are always grid-adjacent, so
+  // range-split files cover tighter 2-D bounding boxes). The
+  // sequential xy2d rotate loop unrolls into a pure codegen'd Column
+  // chain; the oracle replays the SAME unrolled transform as one
+  // chained CTE per level — exact integer agreement on every row or
+  // the hash breaks. `HilbertSpec` pins the curve property itself
+  // (adjacency + bijectivity) that distinguishes Hilbert from Morton.
+  private val q45: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        graft.pipeline.Layout.hilbertValue(
+          col("user_id") % 1024, col("event_id") % 1024, bits = 10).as("h"))
+      .orderBy("event_id")
+
+  private val q45Sql = {
+    val bits = 10
+    val init = "s0 AS (SELECT event_id, CAST(user_id % 1024 AS BIGINT) AS x, " +
+      "CAST(event_id % 1024 AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM events)"
+    val ctes = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""s${i + 1} AS (SELECT event_id,
+         |  CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+         |  d + $s * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |FROM s$i)""".stripMargin
+    }
+    s"WITH $init,\n${ctes.mkString(",\n")}\n" +
+      s"SELECT event_id, d AS h FROM s$bits ORDER BY event_id"
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -1260,7 +1293,8 @@ object RelationalQueries {
     "q41_asof_tolerance" -> q41,
     "q42_pit_features" -> q42,
     "q43_skew_salted" -> q43,
-    "q44_bloom_join" -> q44)
+    "q44_bloom_join" -> q44,
+    "q45_hilbert_value" -> q45)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1309,5 +1343,6 @@ object RelationalQueries {
     "q41_asof_tolerance" -> q41Sql,
     "q42_pit_features" -> q42Sql,
     "q43_skew_salted" -> q43Sql,
-    "q44_bloom_join" -> q44Sql)
+    "q44_bloom_join" -> q44Sql,
+    "q45_hilbert_value" -> q45Sql)
 }
