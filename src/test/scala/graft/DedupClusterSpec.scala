@@ -50,6 +50,38 @@ class DedupClusterSpec extends SparkSpec {
     assert(!kept.contains(2L), "exact dup must fold into the cluster")
   }
 
+  test("alternating star contraction equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(101L)
+    for (round <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (1 to 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select(col("id").cast("long"), col("comp").cast("long"))
+          .as[(Long, Long)].collect().toMap
+      val lp = labels(Dedup.connectedComponents(pairs, maxIter = 60))
+      val alt = labels(Dedup.connectedComponentsAlternating(pairs))
+      assert(alt == lp, s"round $round: alternating != label propagation")
+    }
+  }
+
+  test("beyond-cap diameter: label propagation fails LOUDLY, star contraction converges") {
+    // a 60-node chain has diameter 59 — label propagation at the
+    // default 15-round cap cannot finish, and silently under-merged
+    // components would be the worst outcome; the guard must throw.
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // the O(log n) alternating form finishes well under its cap and
+    // labels the whole chain as one component rooted at 1
+    val alt = Dedup.connectedComponentsAlternating(chain)
+      .select(col("id").cast("long"), col("comp").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(alt == (1L to 60L).map(_ -> 1L).toMap)
+  }
+
   test("dropExactDups convenience") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     assert(Dedup.dropExactDups(docs).select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
