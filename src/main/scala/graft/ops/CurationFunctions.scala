@@ -14,7 +14,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   * `mask_pii`, `strip_boilerplate`, `sanitize_text`, `quality_score`,
   * `lang_id` (returns `struct(lang, score)`), `token_count`,
   * `subword_count`, `fingerprint`, `rolling_hash`, `hash_priority`,
-  * `z_value(c1, c2[, c3])` (Morton interleave at 16 bits/column).
+  * `z_value(c1, c2[, c3])` (Morton interleave at 16 bits/column),
+  * `hilbert_value(x, y)` (Hilbert curve position at 16 bits/axis).
   */
 object CurationFunctions {
 
@@ -45,6 +46,11 @@ object CurationFunctions {
         require(es.size >= 2 && es.size <= 3,
           "z_value takes 2 or 3 columns at 16 bits each")
         Bridge.toExpr(SparkSession.active, graft.pipeline.Layout.zValue(es.map(Bridge.toColumn)))
+      }),
+      "hilbert_value" -> (es => {
+        require(es.size == 2, "hilbert_value takes 2 columns (16 bits each)")
+        Bridge.toExpr(SparkSession.active, graft.pipeline.Layout.hilbertValue(
+          Bridge.toColumn(es(0)), Bridge.toColumn(es(1))))
       }))
   }
 

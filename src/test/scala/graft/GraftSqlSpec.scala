@@ -77,9 +77,13 @@ class GraftSqlSpec extends SparkSpec {
     val z = spark.sql("SELECT z_value(5, 3)").head().getLong(0)
     assert(z == 27L) // matches LayoutSpec's interleave fixture
 
+    val h = spark.sql("SELECT hilbert_value(3, 4)").head().getLong(0)
+    assert(h == graft.expr.Spatial.hilbert(3, 4, 16), "SQL ≡ kernel")
+
     // wrong arity is an analysis-time error, not a silent truncation
     intercept[Exception](spark.sql("SELECT token_count()").collect())
     intercept[Exception](spark.sql("SELECT mask_pii('a', 'b')").collect())
     intercept[Exception](spark.sql("SELECT z_value(1)").collect())
+    intercept[Exception](spark.sql("SELECT hilbert_value(1)").collect())
   }
 }
