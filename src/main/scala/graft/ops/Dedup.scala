@@ -455,8 +455,8 @@ object Dedup {
       // side of the neighborhood onto it
       val nbrs = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val m = nbrs.groupBy("src")
-        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val m = nbrs.groupBy("src").agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
       val side =
         if (large) nbrs.filter(col("dst") > col("src"))
         else nbrs.filter(col("dst") <= col("src"))
