@@ -1210,6 +1210,48 @@ object PipelineQueries {
        |FROM h GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** CSV sink+source roundtrip — the fourth fidelity format (after
+    * ORC, JSON, WebDataset tar), and the one whose quoting rules are
+    * the classic cross-engine trap. The generator's text contains no
+    * CSV-hostile bytes, so the query PLANTS them: every doc's text
+    * gets a suffix holding a double quote, a comma, and an EMBEDDED
+    * NEWLINE before the CSV write; read-back uses the enforced schema
+    * + multiLine (the production contract). The per-lang digest of
+    * the planted text is oracled against DuckDB computing the SAME
+    * planted text from the original parquet — so a hash-green row
+    * proves Spark's CSV quote/escape/multiline machinery round-trips
+    * every byte, including the ones CSV exists to mangle. */
+  private val docCsvRoundtrip: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-csv-${ProcessHandle.current().pid()}"
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" \"quoted, and\nsplit\" tail")).as("text"))
+    planted.write.mode("overwrite").option("quoteAll", "true").csv(tmp)
+    s.read.schema(planted.schema).option("multiLine", "true").csv(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("text"))).as("sum_bytes"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_hash"))
+      .orderBy("lang")
+  }
+
+  private val docCsvRoundtripSql = {
+    val pows = (1 to 15).map(j => s"($j, ${BigInt(16).pow(15 - j)})").mkString(", ")
+    s"""WITH pows AS (SELECT * FROM (VALUES $pows) AS p(j, w)),
+       |pl AS (SELECT doc_id, lang,
+       |         text || ' "quoted, and' || chr(10) || 'split" tail' AS text
+       |       FROM documents),
+       |h AS (SELECT lang, strlen(text) AS nb, CAST(SUM(
+       |    CAST(strpos('0123456789abcdef',
+       |          substr(md5(text), CAST(p.j AS INT), 1)) - 1
+       |      AS BIGINT) * p.w) AS BIGINT) AS hv
+       |  FROM pl CROSS JOIN pows p GROUP BY lang, doc_id, text)
+       |SELECT lang, COUNT(*) AS n, CAST(SUM(nb) AS BIGINT) AS sum_bytes,
+       |  bit_xor(hv) AS text_hash
+       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Blocklist curation gate ([[graft.expr.BlocklistExpr]]): per-doc
     * matched-phrase audit over a fixed phrase blocklist via ONE
     * Aho–Corasick pass per document — O(len + matches) regardless of
@@ -3075,6 +3117,7 @@ object PipelineQueries {
     "doc_blocklist" -> docBlocklist,
     "doc_orc_roundtrip" -> docOrcRoundtrip,
     "doc_wds_roundtrip" -> docWdsRoundtrip,
+    "doc_csv_roundtrip" -> docCsvRoundtrip,
     "doc_json_roundtrip" -> docJsonRoundtrip,
     "graph_pagerank" -> graphPagerank,
     "doc_dup_passages" -> docDupPassages,
@@ -3167,6 +3210,7 @@ object PipelineQueries {
     "doc_blocklist" -> docBlocklistSql,
     "doc_orc_roundtrip" -> docOrcRoundtripSql,
     "doc_wds_roundtrip" -> docWdsRoundtripSql,
+    "doc_csv_roundtrip" -> docCsvRoundtripSql,
     "doc_json_roundtrip" -> docJsonRoundtripSql,
     "graph_pagerank" -> graphPagerankSql,
     "doc_dup_passages" -> docDupPassagesSql,
