@@ -64,13 +64,17 @@ object TrigramRefresh {
     * needs (the classic LSM flush / read-replica split). */
   def publish(
       spark: SparkSession, tgDir: String, table: String, path: String,
-      nBuckets: Int = 16, version: Int = -1): Unit =
+      nBuckets: Int = 16, version: Int = -1): Unit = {
     MergeTable.read(spark, tgDir, version)
       .select("doc_id", "tg")
       .write.mode("overwrite")
       .option("path", path)
       .bucketBy(nBuckets, "tg").sortBy("tg")
       .saveAsTable(table)
+    // a REpublish overwrites the path — drop the session's cached file
+    // listing or readers keep resolving the previous layout's files
+    spark.catalog.refreshTable(table)
+  }
 
   /** Advance the trigram table across a corpus version transition.
     * Returns the committed index-table version. */

@@ -222,12 +222,30 @@ object CorpusViews {
     }
   }
 
+  /** Read-replica publication policy for [[TrigramIndex]]: after an
+    * advance reflecting corpus version `v` with `v % every == 0`, the
+    * maintained (write-optimized, pk-bucketed) index is re-laid-out
+    * via [[TrigramRefresh.publish]] into the bucketed-BY-TRIGRAM
+    * catalog table `table` (data at `path`) that substring searches
+    * bucket-prune against. The replica lags the maintained index by
+    * at most `every − 1` corpus versions — the freshness/refresh-cost
+    * dial every read-replica deployment exposes. */
+  final case class TrigramPublishPolicy(
+      table: String, path: String, nBuckets: Int = 16, every: Int = 1) {
+    require(every >= 1, s"publish cadence must be >= 1, got $every")
+  }
+
   /** Standing trigram substring index ([[TrigramRefresh]]) at
     * `indexDir`, built from the corpus on first advance — the
     * `%pattern%` lookups of [[graft.ops.TextSearch.substringSearch]]
-    * stay fresh against the CDC stream. */
+    * stay fresh against the CDC stream. With a [[TrigramPublishPolicy]]
+    * the read-optimized bucketed-by-trigram table republishes on the
+    * policy's cadence, so the WHOLE serving path (maintained index →
+    * published layout → bucket-pruned search) rides the stream
+    * (`TrigramPublishSpec` pins it). */
   final case class TrigramIndex(
-      indexDir: String, textCol: String = "text") extends Maintained {
+      indexDir: String, textCol: String = "text",
+      publish: Option[TrigramPublishPolicy] = None) extends Maintained {
 
     def version(spark: SparkSession): Option[Int] = readCursor(spark, indexDir)
 
@@ -238,6 +256,10 @@ object CorpusViews {
           TrigramRefresh.build(spark, corpusDir, indexDir, textCol, version = to)
         case Some(p) =>
           TrigramRefresh.refresh(spark, corpusDir, indexDir, p, to, textCol)
+      }
+      publish.foreach { pol =>
+        if (to % pol.every == 0)
+          TrigramRefresh.publish(spark, indexDir, pol.table, pol.path, pol.nBuckets)
       }
       writeCursor(spark, indexDir, to)
     }

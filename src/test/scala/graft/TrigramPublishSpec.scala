@@ -53,4 +53,49 @@ class TrigramPublishSpec extends SparkSpec {
       assert(got == want && want.nonEmpty)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft_tg_pub_spec")
   }
+
+  test("the published replica rides the CDC stream: search stays ≡ contains scan after every batch") {
+    import graft.streaming.{CorpusViews, StreamingIngest}
+    val root = Files.createTempDirectory("graft-tg-stream")
+    val (corpus, idx) = (s"$root/corpus", s"$root/idx")
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    val table = "graft_tg_pub_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      MergeTable.create(spark, corpus, Seq(
+          (1L, "alpha needle body"), (2L, "plain body"), (3L, "gamma texts"))
+        .toDF("doc_id", "text"), "doc_id", nBuckets = 4)
+      val art = CorpusViews.TrigramIndex(idx,
+        publish = Some(CorpusViews.TrigramPublishPolicy(table, s"$root/pub", nBuckets = 8)))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, _del BOOLEAN")
+      def stream() = StreamingIngest.startMergeUpsertMaintained(
+        spark, landing, corpus, "doc_id", schema, s"$root/ckpt", Seq(art),
+        deleteCol = Some("_del")).awaitTermination(60000)
+      def check(): Unit = {
+        // the publish refreshed ITS (micro-batch-cloned) session; a
+        // reader session drops its own cached relation — the standard
+        // Spark contract after any external overwrite of a table
+        spark.catalog.refreshTable(table)
+        val docs = MergeTable.read(spark, corpus)
+        val got = TextSearch.substringSearch(docs, spark.table(table), "needle")
+          .as[Long].collect().toSet
+        val want = docs.filter(col("text").contains("needle"))
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == want, s"published replica stale or wrong: $got vs $want")
+      }
+      // batch 1: new doc with the needle, rewrite 2 to ALSO contain it
+      Files.writeString(java.nio.file.Paths.get(landing, "b1.json"),
+        """{"doc_id":4,"text":"fresh needle arrival","_del":false}
+          |{"doc_id":2,"text":"now a needle here","_del":false}""".stripMargin)
+      stream(); check()
+      // batch 2: delete doc 1 — its needle must leave the replica
+      Files.writeString(java.nio.file.Paths.get(landing, "b2.json"),
+        """{"doc_id":1,"text":"","_del":true}""")
+      stream(); check()
+      assert(!TextSearch.substringSearch(
+          MergeTable.read(spark, corpus), spark.table(table), "needle")
+        .as[Long].collect().toSet.contains(1L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
