@@ -29,6 +29,7 @@ object GraftFunctions {
       graft.expr.TextNormExpr.functions ++
       graft.expr.QuantileSketchExpr.functions ++
       graft.expr.KmvExpr.functions ++
+      graft.expr.CmsExpr.functions ++
       graft.expr.BlocklistExpr.functions ++
       graft.expr.SplitTextGen.functions ++
       graft.ops.CurationFunctions.functions

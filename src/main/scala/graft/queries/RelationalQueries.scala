@@ -1245,6 +1245,53 @@ object RelationalQueries {
       s"SELECT event_id, d AS h FROM s$bits ORDER BY event_id"
   }
 
+  // events_freq_cms: the count-min sketch family
+  // ([[graft.expr.CmsExpr]]) — per-event-type user-frequency sketches
+  // (1024×4), probed for a fixed key set. The sketch is a SUM of
+  // per-row increment matrices (canonical, partition-invariant), its
+  // multiply-shift row hashes are 64-bit-wraparound arithmetic DuckDB
+  // replays exactly in HUGEINT (the MinHash-oracle technique), and the
+  // estimate is the min over rows — so the ORACLE rebuilds the whole
+  // sketch cell-for-cell and must agree on every probe. One-sided
+  // error and the exact-regime property are pinned in `CmsSpec`.
+  private val q46: Q = (s, d) => {
+    import graft.expr.CmsExpr._
+    val sk = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(cmsAgg(col("user_id"), 1024, 4).as("sk"))
+    val probes = s.range(1, 21).select(col("id").as("k"))
+    sk.crossJoin(broadcast(probes))
+      .select(col("event_type"), col("k"), cmsQuery(col("sk"), col("k")).as("est"))
+      .orderBy("event_type", "k")
+  }
+
+  private val q46Sql = {
+    val d = 4; val logW = 10
+    val div = (BigInt(1) << (64 - logW)).toString
+    val mod = (BigInt(1) << 64).toString
+    val consts = (0 until d).map(i =>
+      s"($i, CAST('${java.lang.Long.toUnsignedString(graft.expr.Cms.aConst(i))}' AS HUGEINT), " +
+        s"CAST('${java.lang.Long.toUnsignedString(graft.expr.Cms.bConst(i))}' AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH rows_c(i, a, b) AS (SELECT * FROM (VALUES $consts) t(i, a, b)),
+       |ev AS (SELECT event_type, CAST(user_id AS HUGEINT) AS x FROM events),
+       |cells AS (SELECT event_type, r.i,
+       |    CAST(((x * r.a + r.b) % $mod) // $div AS BIGINT) AS slot,
+       |    COUNT(*) AS c
+       |  FROM ev CROSS JOIN rows_c r GROUP BY event_type, r.i, slot),
+       |probes AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 21)),
+       |pslots AS (SELECT p.k, r.i,
+       |    CAST(((CAST(p.k AS HUGEINT) * r.a + r.b) % $mod) // $div AS BIGINT) AS slot
+       |  FROM probes p CROSS JOIN rows_c r)
+       |SELECT et.event_type, ps.k, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+       |FROM (SELECT DISTINCT event_type FROM events) et
+       |CROSS JOIN pslots ps
+       |LEFT JOIN cells c
+       |  ON c.event_type = et.event_type AND c.i = ps.i AND c.slot = ps.slot
+       |GROUP BY et.event_type, ps.k
+       |ORDER BY et.event_type, ps.k""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_filter_scan" -> q01,
     "q02_agg_lineitem" -> q02,
@@ -1294,7 +1341,8 @@ object RelationalQueries {
     "q42_pit_features" -> q42,
     "q43_skew_salted" -> q43,
     "q44_bloom_join" -> q44,
-    "q45_hilbert_value" -> q45)
+    "q45_hilbert_value" -> q45,
+    "events_freq_cms" -> q46)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_scan" -> q01Sql,
@@ -1344,5 +1392,6 @@ object RelationalQueries {
     "q42_pit_features" -> q42Sql,
     "q43_skew_salted" -> q43Sql,
     "q44_bloom_join" -> q44Sql,
-    "q45_hilbert_value" -> q45Sql)
+    "q45_hilbert_value" -> q45Sql,
+    "events_freq_cms" -> q46Sql)
 }
