@@ -163,6 +163,14 @@ object IvmScaffold {
       graft.pipeline.OverlapStats.compute(s, textCorpus(s, d), version = 1)
     }
 
+  /** CMS frequency cells ([[graft.pipeline.FreqStats]] — per-source
+    * v64-key sketches) of [[statsCorpus]] v1. */
+  def cmsView1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "cmsview") {
+      graft.pipeline.FreqStats.compute(s, statsCorpus(s, d), "source", "v64",
+        version = 1)
+    }
+
   /** Standing trigram substring index ([[graft.pipeline.TrigramRefresh]])
     * built from [[textCorpus]] v1. */
   def trigramsV1(s: SparkSession, d: String): String = {

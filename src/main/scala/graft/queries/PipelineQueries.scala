@@ -2414,6 +2414,65 @@ object PipelineQueries {
       |LEFT JOIN pairs p ON p.split_a = a.split_a AND p.split_b = a.split_b
       |ORDER BY 1, 2""".stripMargin
 
+  /** Incremental frequency-sketch maintenance
+    * ([[graft.pipeline.FreqStats]] — the count-min instance of the
+    * maintained-sketch family): per-source CMS cells over the v64 key
+    * axis, built at corpus v1 and REFRESHED through the
+    * update/delete/insert transition by re-sketching changed buckets
+    * only (unchanged cells carry forward byte-identically — a CMS is
+    * a sum of increment matrices, canonical under any merge tree),
+    * then merged per source and probed for every key 0..63. The
+    * oracle rebuilds the sketch CELL-FOR-CELL over the
+    * logically-merged corpus in DuckDB (the multiply-shift HUGEINT
+    * replay of `events_freq_cms`), so incremental ≡ full rebuild
+    * cross-engine — deletes included — down to every estimate. */
+  private val docFreqIncremental: Q = (s, d) => {
+    import graft.expr.CmsExpr._
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val view2 = graft.pipeline.FreqStats.refresh(
+      s, dir, IvmScaffold.cmsView1(s, d), "source", "v64",
+      fromVersion = 1, toVersion = 2)
+    val merged = graft.pipeline.FreqStats.merged(view2, "source")
+    val probes = s.range(0, 64).select(col("id").as("k"))
+    merged.crossJoin(broadcast(probes))
+      .select(col("source"), col("k"), cmsQuery(col("sk"), col("k")).as("est"))
+      .orderBy("source", "k")
+  }
+
+  private val docFreqIncrementalSql = {
+    val d = 4; val logW = 8 // w = 256
+    val div = (BigInt(1) << (64 - logW)).toString
+    val mod = (BigInt(1) << 64).toString
+    val consts = (0 until d).map(i =>
+      s"($i, CAST('${java.lang.Long.toUnsignedString(graft.expr.Cms.aConst(i))}' AS HUGEINT), " +
+        s"CAST('${java.lang.Long.toUnsignedString(graft.expr.Cms.bConst(i))}' AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH merged AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64
+       |         ELSE n_chars % 64 END AS v64
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'injected', doc_id % 1000 % 64
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |rows_c(i, a, b) AS (SELECT * FROM (VALUES $consts) t(i, a, b)),
+       |cells AS (SELECT source, r.i,
+       |    CAST(((CAST(v64 AS HUGEINT) * r.a + r.b) % $mod) // $div AS BIGINT) AS slot,
+       |    COUNT(*) AS c
+       |  FROM merged CROSS JOIN rows_c r GROUP BY source, r.i, slot),
+       |probes AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 64)),
+       |pslots AS (SELECT p.k, r.i,
+       |    CAST(((CAST(p.k AS HUGEINT) * r.a + r.b) % $mod) // $div AS BIGINT) AS slot
+       |  FROM probes p CROSS JOIN rows_c r)
+       |SELECT src.source, ps.k, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+       |FROM (SELECT DISTINCT source FROM merged) src
+       |CROSS JOIN pslots ps
+       |LEFT JOIN cells c
+       |  ON c.source = src.source AND c.i = ps.i AND c.slot = ps.slot
+       |GROUP BY src.source, ps.k
+       |ORDER BY src.source, ps.k""".stripMargin
+  }
+
   /** Incremental BM25 postings maintenance
     * ([[graft.pipeline.PostingsRefresh]]): a standing (doc, term, tf,
     * dl) inverted index built at corpus v1 and MAINTAINED to v2 —
@@ -3106,6 +3165,7 @@ object PipelineQueries {
     "doc_quantile_incremental" -> docQuantileIncremental,
     "knn_ivf_incremental" -> knnIvfIncremental,
     "doc_overlap_incremental" -> docOverlapIncremental,
+    "doc_freq_incremental" -> docFreqIncremental,
     "doc_clusters_incremental" -> docClustersIncremental,
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
@@ -3199,6 +3259,7 @@ object PipelineQueries {
     "doc_quantile_incremental" -> docQuantileIncrementalSql,
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "doc_overlap_incremental" -> docOverlapIncrementalSql,
+    "doc_freq_incremental" -> docFreqIncrementalSql,
     "doc_clusters_incremental" -> docClustersIncrementalSql,
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
