@@ -235,6 +235,39 @@ object CorpusViews {
     require(every >= 1, s"publish cadence must be >= 1, got $every")
   }
 
+  /** Per-group CMS frequency cell view ([[graft.pipeline.FreqStats]])
+    * frozen to `viewDir/v<N>` parquet per reflected corpus version —
+    * the standing "how often does key X appear per group, right now"
+    * monitor: after every ingest batch any key's frequency estimate
+    * costs the changed buckets' re-sketch plus one bounded merge and
+    * a scalar probe, never a key-grouped corpus scan. */
+  final case class FreqView(
+      viewDir: String, groupCol: String, keyCol: String,
+      w: Int = 256, d: Int = 4) extends FrozenCellView {
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val view = from match {
+        case Some(p) =>
+          graft.pipeline.FreqStats.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p"), groupCol, keyCol, p, to, w, d)
+        case None =>
+          graft.pipeline.FreqStats.compute(
+            spark, corpusDir, groupCol, keyCol, version = to, w = w, d = d)
+      }
+      view.write.mode("overwrite").parquet(s"$viewDir/v$to")
+    }
+
+    /** The maintained per-group merged sketches at the newest frozen
+      * version: (groupCol, sk) — probe with `CmsExpr.cmsQuery`. */
+    def latest(spark: SparkSession): DataFrame = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained view under $viewDir")
+      graft.pipeline.FreqStats.merged(
+        spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol)
+    }
+  }
+
   /** Standing trigram substring index ([[TrigramRefresh]]) at
     * `indexDir`, built from the corpus on first advance — the
     * `%pattern%` lookups of [[graft.ops.TextSearch.substringSearch]]

@@ -286,10 +286,11 @@ class StreamingSpec extends SparkSpec {
     val ovView = CorpusViews.OverlapView(s"$root/oviews")
     val ccView = CorpusViews.ClustersView(s"$root/cclusters")
     val tgView = CorpusViews.TrigramIndex(s"$root/trigrams")
+    val fqView = CorpusViews.FreqView(s"$root/fviews", "grp", "v", w = 64, d = 3)
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
       CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView,
-      ccView, tgView)
+      ccView, tgView, fqView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"),
@@ -369,6 +370,14 @@ class StreamingSpec extends SparkSpec {
       assert(tgRows(MergeTable.read(spark, s"$root/trigrams")) ==
         tgRows(graft.ops.TextSearch.trigramPostings(MergeTable.read(spark, table))),
         "maintained trigram index must equal a full re-trigram")
+      def fqBytes(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Byte]] =
+        df.select(col("grp"), col("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(fqBytes(fqView.latest(spark)) ==
+        fqBytes(graft.pipeline.FreqStats.merged(
+          graft.pipeline.FreqStats.compute(spark, table, "grp", "v", w = 64, d = 3),
+          "grp")),
+        "maintained CMS cells must equal a batch rebuild, byte-for-byte")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
