@@ -7,15 +7,15 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** Maintained-family per-batch latency budget (VERDICT r9 ask #1):
-  * the CDC upsert loop refreshes TEN standing text-corpus artifacts
+  * the CDC upsert loop refreshes ELEVEN standing text-corpus artifacts
   * per batch (stats cells, quantile cells, BM25 postings, winnowed
   * fingerprints, RAG chunk index, MinHash bands, NB classifier model,
-  * KMV overlap cells, near-dup clusters, trigram postings — the
+  * KMV overlap cells, near-dup clusters, trigram postings, CMS frequency cells — the
   * [[CorpusViews]] set; the IVF cell lists are the embedding-corpus
   * sibling, probed by `IvfRefreshSpec`/ScaleProbe), but per-view
   * evidence alone doesn't show what ONE batch costs end-to-end or
   * that it stays ∝ delta as the corpus grows. This main measures the
-  * WHOLE loop — merge + all ten advances + vacuum retention — at two
+  * WHOLE loop — merge + all eleven advances + vacuum retention — at two
   * delta sizes × two corpus sizes (sf0.1 and the Amplify sf1-eq
   * decade when `SPARK_GRAFT_SF1_DIR` is set), through the real
   * streaming path ([[StreamingIngest.startMergeUpsertMaintained]],
@@ -48,7 +48,8 @@ object MaintainedProbe {
     CorpusViews.ClassifierModel(s"$root/clf", col("lang").isin("en", "fr")),
     CorpusViews.OverlapView(s"$root/overlap"),
     CorpusViews.ClustersView(s"$root/clusters"),
-    CorpusViews.TrigramIndex(s"$root/trigrams"))
+    CorpusViews.TrigramIndex(s"$root/trigrams"),
+    CorpusViews.FreqView(s"$root/freq", "lang", "n_chars"))
 
   /** Mixed delta over the corpus's CURRENT state: rewrites and deletes
     * pick the lowest live doc_ids from `offset` on (disjoint across
@@ -143,7 +144,7 @@ object MaintainedProbe {
           bs.map { case (d, s) => s""""$d":$s""" }.mkString(",")}}}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"maintained_batch","deltas":[${deltas.mkString(",")}],"rows":$json}""")
-      println("| corpus | docs | build (10 artifacts) | batch Δ=" +
+      println("| corpus | docs | build (11 artifacts) | batch Δ=" +
         deltas.head + " | batch Δ=" + deltas(1) + " |")
       println("|---|---|---|---|---|")
       rows.foreach { case (dir, n, b, bs) =>
