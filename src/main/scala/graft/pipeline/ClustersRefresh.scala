@@ -82,14 +82,19 @@ object ClustersRefresh {
     fs(spark, clustersDir).create(new Path(s"$clustersDir/v$v/_DONE"), true).close()
   }
 
-  /** Full build at `version`: exact-Jaccard pair graph + CC. */
+  /** Full build at `version`: exact-Jaccard pair graph + CC. The CC
+    * runs by alternating star contraction — a standing corpus has no
+    * diameter bound (boilerplate chains link arbitrarily long paths),
+    * and label propagation's round count is the diameter, where the
+    * contraction converges in O(log n) rounds regardless (output
+    * pinned row-equal in `DedupClusterSpec`). */
   def build(
       spark: SparkSession, corpusDir: String, clustersDir: String,
       version: Int, threshold: Double = 0.2): Unit = {
     val corpus = MergeTable.read(spark, corpusDir, version)
     val pairs = Dedup.ngramJaccardPairs(corpus, threshold = threshold)
       .select("id_a", "id_b")
-    val assign = Dedup.connectedComponents(pairs)
+    val assign = Dedup.connectedComponentsAlternating(pairs)
     writeVersion(spark, clustersDir, version, assign, pairs)
   }
 
@@ -171,7 +176,9 @@ object ClustersRefresh {
       .unionByName(edges2
         .join(subIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
       .distinct()
-    val subAssign = Dedup.connectedComponents(subEdges)
+    // alternating contraction here too: an affected component is small
+    // RELATIVE TO THE CORPUS but its internal diameter is unbounded
+    val subAssign = Dedup.connectedComponentsAlternating(subEdges)
 
     val carried = oldAssign.join(affected, Seq("comp"), "left_anti")
     writeVersion(spark, clustersDir, toVersion,

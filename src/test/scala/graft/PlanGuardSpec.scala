@@ -21,7 +21,9 @@ class PlanGuardSpec extends SparkSpec {
     "doc_bm25_top10",        // single-row (N, avgdl) corpus-stats broadcast
     "doc_hybrid_rrf_top10",  // same single-row stats broadcast via bm25
     "doc_trigram_lm",        // single-row smoothing-vocab V broadcast
-    "table_drift")           // single-row (ta, tb) totals broadcast
+    "table_drift",           // single-row (ta, tb) totals broadcast
+    "events_freq_cms",       // per-event-type sketch rows × broadcast 20-row probe set
+    "doc_freq_incremental")  // per-source sketch rows × broadcast 64-row probe set
   // doc_dsir_sample is deliberately NOT exempt: its smoothing constant
   // folds into a projection literal, so any cartesian/BNLJ appearing in
   // its plan is a regression this guard must catch
