@@ -7,10 +7,11 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** Maintained-family per-batch latency budget (VERDICT r9 ask #1):
-  * the CDC upsert loop refreshes ELEVEN standing text-corpus artifacts
+  * the CDC upsert loop refreshes TWELVE standing text-corpus artifacts
   * per batch (stats cells, quantile cells, BM25 postings, winnowed
   * fingerprints, RAG chunk index, MinHash bands, NB classifier model,
-  * KMV overlap cells, near-dup clusters, trigram postings, CMS frequency cells — the
+  * KMV overlap cells, near-dup clusters, trigram postings, CMS
+  * frequency cells, per-file Bloom point-lookup sidecar — the
   * [[CorpusViews]] set; the IVF cell lists are the embedding-corpus
   * sibling, probed by `IvfRefreshSpec`/ScaleProbe), but per-view
   * evidence alone doesn't show what ONE batch costs end-to-end or
@@ -49,7 +50,8 @@ object MaintainedProbe {
     CorpusViews.OverlapView(s"$root/overlap"),
     CorpusViews.ClustersView(s"$root/clusters"),
     CorpusViews.TrigramIndex(s"$root/trigrams"),
-    CorpusViews.FreqView(s"$root/freq", "lang", "n_chars"))
+    CorpusViews.FreqView(s"$root/freq", "lang", "n_chars"),
+    CorpusViews.BloomIndex(s"$root/corpus", "text"))
 
   /** Mixed delta over the corpus's CURRENT state: rewrites and deletes
     * pick the lowest live doc_ids from `offset` on (disjoint across
@@ -144,7 +146,7 @@ object MaintainedProbe {
           bs.map { case (d, s) => s""""$d":$s""" }.mkString(",")}}}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"maintained_batch","deltas":[${deltas.mkString(",")}],"rows":$json}""")
-      println("| corpus | docs | build (11 artifacts) | batch Δ=" +
+      println("| corpus | docs | build (12 artifacts) | batch Δ=" +
         deltas.head + " | batch Δ=" + deltas(1) + " |")
       println("|---|---|---|---|---|")
       rows.foreach { case (dir, n, b, bs) =>

@@ -169,6 +169,12 @@ object MergeTable {
     commitManifest(spark, dir, 1, Manifest(nBuckets, written))
   }
 
+  /** Read a specific rel-path subset of a version's files — the scan
+    * behind sidecar-pruned reads ([[readWhere]], [[FileBlooms]]). */
+  private[pipeline] def readRel(
+      spark: SparkSession, dir: String, relPaths: Seq[String]): DataFrame =
+    readFiles(spark, relPaths.map(p => s"$dir/$p"))
+
   /** Read a version (default: latest) as a DataFrame. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, dir)
@@ -516,6 +522,11 @@ object MergeTable {
       } else if (name.startsWith("_v") && name.endsWith(".zones")) {
         val v = name.stripPrefix("_v").stripSuffix(".zones").toInt
         if (!keep.contains(v)) { f.delete(st.getPath, false); deleted += name }
+      } else if (name.startsWith("_v") && name.contains(".blooms.")) {
+        val v = name.stripPrefix("_v").takeWhile(_.isDigit)
+        if (v.nonEmpty && !keep.contains(v.toInt)) {
+          f.delete(st.getPath, false); deleted += name
+        }
       }
     }
     deleted.result()

@@ -492,4 +492,43 @@ object CorpusViews {
       writeCursor(spark, indexDir, to)
     }
   }
+
+  /** Standing per-file Bloom point-lookup sidecar
+    * ([[graft.pipeline.FileBlooms]]) over `column` of the corpus
+    * ITSELF — unlike the other artifacts this one lives next to the
+    * corpus manifests, so the sidecar's own `_v<N>.blooms.<col>` stamp
+    * IS the version cursor (no separate marker to fall out of sync).
+    * A crash mid-write leaves at worst a truncated sidecar whose
+    * missing lines degrade to keep-the-file — never a wrong skip —
+    * and the next advance rewrites it whole. Refresh sketches only
+    * the files the merge wrote ([[graft.pipeline.FileBlooms.refresh]]
+    * carries the rest by reference), so per-batch cost ∝ delta like
+    * the rest of the family. */
+  final case class BloomIndex(dir: String, column: String)
+      extends Maintained {
+
+    def version(spark: SparkSession): Option[Int] = {
+      val f = fs(spark, dir)
+      val p = new Path(dir)
+      if (!f.exists(p)) None
+      else f.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("_v") &&
+            n.endsWith(s".blooms.$column") =>
+          n.stripPrefix("_v").stripSuffix(s".blooms.$column") }
+        .collect { case s if s.nonEmpty && s.forall(_.isDigit) => s.toInt }
+        .maxOption
+    }
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      require(corpusDir == dir,
+        s"BloomIndex of $dir advanced against a different corpus $corpusDir")
+      from match {
+        case None =>
+          graft.pipeline.FileBlooms.build(spark, dir, column, version = to); ()
+        case Some(p) =>
+          graft.pipeline.FileBlooms.refresh(spark, dir, column, p, to)
+      }
+    }
+  }
 }

@@ -8,7 +8,7 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** The Maintained-family per-batch latency BUDGET claim, pinned: one
-  * CDC batch through the full ten-artifact maintained set costs ∝ the
+  * CDC batch through an eleven-artifact maintained set costs ∝ the
   * DELTA, not the corpus — so the same fixed-size delta batch on a
   * 10× larger corpus must stay within a small factor of the small-
   * corpus batch (a corpus-proportional loop would be ~10×), and a
@@ -18,7 +18,7 @@ import graft.streaming.{CorpusViews, StreamingIngest}
   * spec pins the scaling SHAPE at unit size with generous noise
   * margins. (Refresh-undercuts-rebuild is deliberately NOT pinned
   * here: at unit size the loop's per-batch constants — stream start,
-  * ten advances' fixed job overhead, vacuum — dominate a 20-doc
+  * the advances' fixed job overhead, vacuum — dominate a 20-doc
   * delta, so the comparison only becomes meaningful at the probe's
   * corpus sizes; SCALE.md carries that evidence.)
   */
@@ -46,7 +46,8 @@ class MaintainedBudgetSpec extends SparkSpec {
     CorpusViews.ClassifierModel(s"$root/clf", col("lang") === "en"),
     CorpusViews.OverlapView(s"$root/overlap"),
     CorpusViews.ClustersView(s"$root/clusters"),
-    CorpusViews.TrigramIndex(s"$root/trigrams"))
+    CorpusViews.TrigramIndex(s"$root/trigrams"),
+    CorpusViews.BloomIndex(s"$root/corpus", "text"))
 
   /** Build corpus + full maintained set at `n` docs, then run two
     * sequential 20-doc delta batches through the streaming loop

@@ -287,10 +287,11 @@ class StreamingSpec extends SparkSpec {
     val ccView = CorpusViews.ClustersView(s"$root/cclusters")
     val tgView = CorpusViews.TrigramIndex(s"$root/trigrams")
     val fqView = CorpusViews.FreqView(s"$root/fviews", "grp", "v", w = 64, d = 3)
+    val bloomIdx = CorpusViews.BloomIndex(table, "text")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
       CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView,
-      ccView, tgView, fqView)
+      ccView, tgView, fqView, bloomIdx)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"),
@@ -378,6 +379,20 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.FreqStats.compute(spark, table, "grp", "v", w = 64, d = 3),
           "grp")),
         "maintained CMS cells must equal a batch rebuild, byte-for-byte")
+      // maintained bloom sidecar: every CURRENT text is findable
+      // through the pruned point lookup, and the lookup equals the
+      // plain filter (superset pass exact after every CDC batch)
+      val vNow = MergeTable.latestVersion(spark, table)
+      assert(bloomIdx.version(spark).contains(vNow),
+        "bloom sidecar must reflect the corpus head")
+      val texts = MergeTable.read(spark, table)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val probeTexts = texts.map(_._2).distinct.toSeq
+      val viaBloom = graft.pipeline.FileBlooms
+        .readWhereEq(spark, table, "text", probeTexts, vNow)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaBloom == texts.map(_._1).toSet,
+        "bloom-pruned lookup must find every live doc by its text")
     }
 
     // batch 1: update 2 (group move a→b, text rewrite), insert 4 (new group c)
