@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Re-identification safety gates over quasi-identifier columns —
+  * the release-policy step a training corpus with user-derived
+  * metadata passes before leaving the curation pipeline (the
+  * complement of [[TextSanitize]]'s in-text PII masking: masking
+  * hides values, these SUPPRESS rows whose attribute COMBINATION is
+  * itself identifying).
+  *
+  * - k-anonymity by suppression (Sweeney, IJUFKS 2002): a row
+  *   survives only if ≥ k rows share its full quasi-identifier
+  *   combination — otherwise the combination is a fingerprint.
+  * - l-diversity (Machanavajjhala et al., ICDE 2006): a surviving
+  *   combination must also carry ≥ l DISTINCT values of a sensitive
+  *   column — a 50-row group that all share one diagnosis is
+  *   k-anonymous yet leaks the diagnosis.
+  *
+  * Shape at scale: ONE map-side-combined aggregation reduces the
+  * corpus to its quasi-combination profile (bounded by combination
+  * cardinality, ≪ rows), joined back null-safely. The data rows
+  * stream through a broadcast hash join when the profile is small —
+  * no row shuffle — and degrade to a shuffled equi-join when an
+  * adversarial quasi-set makes the profile row-sized (AQE's call,
+  * deliberately unhinted). Generalization (value coarsening) is a
+  * plain Column the caller applies first — bucketing `n_chars div
+  * 100` IS the generalization step, so suppression composes with any
+  * coarsening policy.
+  */
+object Privacy {
+
+  /** Null-safe equality on every quasi column — NULL is a value of a
+    * quasi-identifier (two rows with a missing zip code still share
+    * it), so the join back must not drop null groups. */
+  private def quasiJoin(df: DataFrame, prof: DataFrame, quasiCols: Seq[String]): Column =
+    quasiCols.map(c => df(c) <=> prof(s"__q_$c")).reduce(_ && _)
+
+  private def profile(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: Option[String])
+      : DataFrame = {
+    val aggs = count(lit(1L)).as("__n") +:
+      sensitiveCol.map(s => count_distinct(col(s)).as("__l")).toSeq
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) ++
+        Seq(col("__n")) ++ sensitiveCol.map(_ => col("__l")): _*)
+  }
+
+  /** Rows whose quasi-identifier combination occurs ≥ `k` times.
+    * Exact suppression semantics; column set and order unchanged. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && quasiCols.nonEmpty)
+    val prof = profile(df, quasiCols, None).filter(col("__n") >= k)
+    df.join(prof, quasiJoin(df, prof, quasiCols), "inner")
+      .select(df.columns.map(df(_)): _*)
+  }
+
+  /** Rows surviving BOTH gates: combination size ≥ `k` and ≥ `l`
+    * distinct `sensitiveCol` values within it. `l = 1` degrades to
+    * plain k-anonymity (any non-empty group has one value). */
+  def lDiversify(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1 && quasiCols.nonEmpty)
+    val prof = profile(df, quasiCols, Some(sensitiveCol))
+      .filter(col("__n") >= k && col("__l") >= l)
+    df.join(prof, quasiJoin(df, prof, quasiCols), "inner")
+      .select(df.columns.map(df(_)): _*)
+  }
+
+  /** The audit behind the gates: one row per quasi combination with
+    * its size, distinct-sensitive count (when given) and whether the
+    * k/l policy suppresses it — what a release review reads. */
+  def anonymityProfile(
+      df: DataFrame, quasiCols: Seq[String], k: Int,
+      sensitiveCol: Option[String] = None, l: Int = 1): DataFrame = {
+    require(k >= 1 && l >= 1 && quasiCols.nonEmpty)
+    val prof = profile(df, quasiCols, sensitiveCol)
+    val lCol = if (sensitiveCol.isDefined) col("__l") else lit(1L)
+    prof.select(
+      quasiCols.map(c => col(s"__q_$c").as(c)) ++ Seq(
+        col("__n").as("n"),
+        lCol.as("n_sensitive"),
+        (col("__n") < k || lCol < l).as("suppressed")): _*)
+  }
+}

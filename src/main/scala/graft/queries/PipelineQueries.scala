@@ -2199,6 +2199,88 @@ object PipelineQueries {
       |WHERE n_chars BETWEEN 100 AND 200
       |ORDER BY doc_id""".stripMargin
 
+  /** k-anonymity by suppression ([[graft.ops.Privacy.kAnonymize]],
+    * Sweeney 2002): docs whose (lang, source, generalized-length)
+    * quasi-identifier combination is shared by < 3 rows are
+    * re-identification fingerprints and get suppressed before
+    * release. The `div 100` bucketing IS the generalization step —
+    * a plain Column applied ahead of the gate. Oracle: DuckDB
+    * replays the window-count rule; the engine's
+    * profile-broadcast-join formulation must agree row-for-row,
+    * null groups included. Both arms live at every sf (45/252
+    * combos pass/suppress at sf0.01). */
+  private val docKAnonymity: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("nb", expr("n_chars div 100"))
+    graft.ops.Privacy.kAnonymize(docs, Seq("lang", "source", "nb"), k = 3)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  private val docKAnonymitySql =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |    COUNT(*) OVER (PARTITION BY lang, source, n_chars // 100) AS n
+      |  FROM documents) t
+      |WHERE n >= 3 ORDER BY doc_id""".stripMargin
+
+  /** l-diversity audit ([[graft.ops.Privacy.anonymityProfile]],
+    * Machanavajjhala et al. 2006): per (source, generalized-length)
+    * combination, its size, distinct-language count and whether the
+    * k=3 / l=2 policy suppresses it — k-anonymous groups that all
+    * share one sensitive value still leak it. Oracle: the same
+    * grouped counts in DuckDB; fixture buckets chosen so pass AND
+    * suppress arms are non-empty at every sf. */
+  private val docLDiversity: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("nb", expr("n_chars div 40"))
+    graft.ops.Privacy.anonymityProfile(
+        docs, Seq("source", "nb"), k = 3, sensitiveCol = Some("lang"), l = 2)
+      .orderBy("source", "nb")
+  }
+
+  private val docLDiversitySql =
+    """SELECT source, n_chars // 40 AS nb,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_sensitive,
+      |  (COUNT(*) < 3 OR COUNT(DISTINCT lang) < 2) AS suppressed
+      |FROM documents GROUP BY source, nb ORDER BY source, nb""".stripMargin
+
+  /** Bloom file-skipping ([[graft.pipeline.FileBlooms]]): the
+    * equality-lookup complement of `doc_zonemap_scan`. A per-file
+    * Bloom sidecar is built over the merged corpus's TEXT column —
+    * high-cardinality strings, where a zone map's [min, max] on a
+    * hash layout spans everything and prunes nothing — and a 3-value
+    * point lookup reads only the files whose sketch might hold a
+    * probe, exact predicate applied after. Oracle: DuckDB filters the
+    * logically-merged corpus with the same IN — a file wrongly
+    * skipped (a sketch false NEGATIVE, impossible by construction)
+    * would lose rows and break the hash (`FileBloomsSpec` pins the
+    * skip ratio and the carried-by-reference refresh; this row pins
+    * exactness cross-engine). Probe values are the three docs' full
+    * texts, collected driver-side (3 strings — a bounded sidecar). */
+  private val docBloomskipScan: Q = (s, d) => {
+    val dir = IvmScaffold.textCorpus(s, d)
+    val v = graft.pipeline.MergeTable.latestVersion(s, dir)
+    graft.pipeline.FileBlooms.build(s, dir, "text", version = v)
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id").isin(12L, 24L, 41L))
+      .select("text").collect().map(_.getString(0)).toSeq
+    graft.pipeline.FileBlooms.readWhereEq(s, dir, "text", probes, version = v)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val docBloomskipScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text,
+      |    lang
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'freshly injected arrival of shared boilerplate', 'xx'
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, md5(text) AS text_md5 FROM merged
+      |WHERE text IN (SELECT text FROM documents WHERE doc_id IN (12, 24, 41))
+      |ORDER BY doc_id""".stripMargin
+
   /** Time-travel read: the CoW corpus is merged v1→v2 (updates,
     * deletes, inserts) by the scaffold, and this query reads VERSION 1
     * BACK — which must still be byte-for-byte the original documents
@@ -3150,6 +3232,9 @@ object PipelineQueries {
     "doc_substring_standing" -> docSubstringStanding,
     "doc_compact_roundtrip" -> docCompactRoundtrip,
     "doc_zonemap_scan" -> docZonemapScan,
+    "doc_bloomskip_scan" -> docBloomskipScan,
+    "doc_k_anonymity" -> docKAnonymity,
+    "doc_l_diversity" -> docLDiversity,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3244,6 +3329,9 @@ object PipelineQueries {
     "doc_substring_standing" -> docSubstringIncrementalSql,
     "doc_compact_roundtrip" -> docCompactRoundtripSql,
     "doc_zonemap_scan" -> docZonemapScanSql,
+    "doc_bloomskip_scan" -> docBloomskipScanSql,
+    "doc_k_anonymity" -> docKAnonymitySql,
+    "doc_l_diversity" -> docLDiversitySql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
