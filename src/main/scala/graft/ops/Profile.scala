@@ -81,4 +81,60 @@ object Profile {
     wide.select(expr(
       s"stack(${metrics.length}, ${pieces.mkString(", ")}) AS (col_name, metric, value)"))
   }
+
+  /** Keyed TABLE DIFF — the audit between two states of a table (a
+    * corpus before/after a pipeline run, yesterday's feed vs today's):
+    * per-key row status plus per-column change attribution, reduced to
+    * one long summary frame `(metric, n)` with metric ∈ `added` (key
+    * only in `b`) | `removed` (only in `a`) | `changed` (present in
+    * both, some compared column differs) | `unchanged` |
+    * `changed:<col>` (rows where that column differs — a row changed
+    * in two columns counts once per column).
+    *
+    * ONE full-outer join on the key + ONE map-side-combined
+    * aggregation; only (key, compared columns) ride the shuffle, and
+    * the result is a constant ~(4 + #cols) rows regardless of table
+    * size. Column comparison is null-safe (`NULL → NULL` is
+    * unchanged, `NULL → value` is a change); keys compare null-safely
+    * too, so a NULL-keyed row diffs against the other side's
+    * NULL-keyed row instead of vanishing. `keyCol` must be unique per
+    * side (the MergeTable contract) — duplicate keys would cross-match
+    * in the full-outer join and overcount. `compareCols` defaults to
+    * the shared non-key columns. */
+  def diff(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else a.columns.toSeq.intersect(b.columns.toSeq).filterNot(_ == keyCol)
+    require(cols.nonEmpty, "no shared columns to compare")
+    // explicit presence flags: a NULL key joins null-safely, so key
+    // nullness cannot stand in for side presence
+    val l = a.select(lit(true).as("__l_present") +:
+      (keyCol +: cols).map(c => col(c).as(s"__l_$c")): _*)
+    val r = b.select(lit(true).as("__r_present") +:
+      (keyCol +: cols).map(c => col(c).as(s"__r_$c")): _*)
+    val j = l.join(r, col(s"__l_$keyCol") <=> col(s"__r_$keyCol"), "full_outer")
+    val inL = col("__l_present").isNotNull
+    val inR = col("__r_present").isNotNull
+    val colChanged: Seq[Column] =
+      cols.map(c => !(col(s"__l_$c") <=> col(s"__r_$c")))
+    val anyChanged = colChanged.reduce(_ || _)
+    def n(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    val aggs: Seq[(String, Column)] =
+      Seq(
+        "added" -> n(!inL && inR),
+        "removed" -> n(inL && !inR),
+        "changed" -> n(inL && inR && anyChanged),
+        "unchanged" -> n(inL && inR && !anyChanged)) ++
+        cols.zip(colChanged).map { case (c, ch) =>
+          s"changed:$c" -> n(inL && inR && ch)
+        }
+    val wide = j.agg(aggs.head._2.as("m0"),
+      aggs.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"m${i + 1}") }: _*)
+    def q(s: String): String = s"'${s.replace("'", "''")}'"
+    val pieces = aggs.zipWithIndex.map { case ((m, _), i) => s"${q(m)}, m$i" }
+    wide.select(expr(
+      s"stack(${aggs.length}, ${pieces.mkString(", ")}) AS (metric, n)"))
+  }
 }

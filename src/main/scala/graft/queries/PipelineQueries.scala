@@ -2199,6 +2199,76 @@ object PipelineQueries {
       |WHERE n_chars BETWEEN 100 AND 200
       |ORDER BY doc_id""".stripMargin
 
+  /** Keyed table diff ([[graft.ops.Profile.diff]]): the audit between
+    * the original documents table and the scaffold corpus's merged v2
+    * — one full-outer join + one aggregation reduce two corpus states
+    * to row-status counts (added = the injected inserts, removed =
+    * the %10==7 deletes, changed = the %10==3 n_chars bumps) plus
+    * per-column change attribution (n_chars and v64 change on exactly
+    * the rewritten rows; text/lang/source on none — a bug that
+    * touched the wrong column would surface by name). Oracle: DuckDB
+    * replays the merge and the FULL JOIN counts. */
+  private val tableDiffVersions: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "v64")
+    val a = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), (col("n_chars") % 64L).as("v64"))
+    val b = graft.pipeline.MergeTable.read(s, dir)
+      .select(cols.map(col): _*)
+    graft.ops.Profile.diff(a, b, "doc_id").orderBy("metric")
+  }
+
+  private val tableDiffVersionsSql =
+    """WITH a AS (
+      |  SELECT doc_id, text, lang, source, n_chars, n_chars % 64 AS v64
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, text, lang, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64
+      |         ELSE n_chars % 64 END AS v64
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected doc', 'xx', 'injected',
+      |    doc_id % 1000, doc_id % 1000 % 64
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |j AS (SELECT a.doc_id AS ak, b.doc_id AS bk,
+      |    a.text AS at, b.text AS bt, a.lang AS al, b.lang AS bl,
+      |    a.source AS asrc, b.source AS bsrc,
+      |    a.n_chars AS an, b.n_chars AS bn, a.v64 AS av, b.v64 AS bv,
+      |    (a.doc_id IS NOT NULL) AS in_a, (b.doc_id IS NOT NULL) AS in_b,
+      |    (a.text IS DISTINCT FROM b.text) AS c_text,
+      |    (a.lang IS DISTINCT FROM b.lang) AS c_lang,
+      |    (a.source IS DISTINCT FROM b.source) AS c_source,
+      |    (a.n_chars IS DISTINCT FROM b.n_chars) AS c_n,
+      |    (a.v64 IS DISTINCT FROM b.v64) AS c_v
+      |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+      |SELECT metric, n FROM (
+      |  SELECT 'added' AS metric,
+      |    CAST(SUM(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+      |  UNION ALL SELECT 'removed',
+      |    CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed',
+      |    CAST(SUM(CASE WHEN in_a AND in_b
+      |      AND (c_text OR c_lang OR c_source OR c_n OR c_v)
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'unchanged',
+      |    CAST(SUM(CASE WHEN in_a AND in_b
+      |      AND NOT (c_text OR c_lang OR c_source OR c_n OR c_v)
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed:text',
+      |    CAST(SUM(CASE WHEN in_a AND in_b AND c_text THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed:lang',
+      |    CAST(SUM(CASE WHEN in_a AND in_b AND c_lang THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed:source',
+      |    CAST(SUM(CASE WHEN in_a AND in_b AND c_source THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed:n_chars',
+      |    CAST(SUM(CASE WHEN in_a AND in_b AND c_n THEN 1 ELSE 0 END) AS BIGINT) FROM j
+      |  UNION ALL SELECT 'changed:v64',
+      |    CAST(SUM(CASE WHEN in_a AND in_b AND c_v THEN 1 ELSE 0 END) AS BIGINT) FROM j) t
+      |ORDER BY metric""".stripMargin
+
   /** k-anonymity by suppression ([[graft.ops.Privacy.kAnonymize]],
     * Sweeney 2002): docs whose (lang, source, generalized-length)
     * quasi-identifier combination is shared by < 3 rows are
@@ -3235,6 +3305,7 @@ object PipelineQueries {
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
+    "table_diff_versions" -> tableDiffVersions,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3332,6 +3403,7 @@ object PipelineQueries {
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,
+    "table_diff_versions" -> tableDiffVersionsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

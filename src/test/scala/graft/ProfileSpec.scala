@@ -65,4 +65,35 @@ class ProfileSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.length == 30, s"5 documents columns x 6 metrics, got ${rows.length}")
   }
+
+  test("diff attributes adds, removes and per-column changes exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L), (4L, "w", 40L))
+      .toDF("id", "s", "v")
+    val b = Seq((1L, "x", 10L),        // unchanged
+        (2L, "y2", 20L),               // s changed
+        (3L, "z", 35L),                // v changed
+        (5L, "new", 50L))              // added; 4 removed
+      .toDF("id", "s", "v")
+    val got = graft.ops.Profile.diff(a, b, "id")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 1L,
+      "changed:s" -> 1L, "changed:v" -> 1L))
+  }
+
+  test("diff is null-safe in values and keys") {
+    import spark.implicits._
+    val a = Seq((Some(1L), Some("x")), (Some(2L), None), (None, Some("k")))
+      .toDF("id", "s")
+    val b = Seq((Some(1L), None),      // x -> NULL is a change
+        (Some(2L), None),              // NULL -> NULL unchanged
+        (None, Some("k2")))            // NULL-keyed row pairs up, s changed
+      .toDF("id", "s")
+    val got = graft.ops.Profile.diff(a, b, "id")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "added" -> 0L, "removed" -> 0L, "changed" -> 2L, "unchanged" -> 1L,
+      "changed:s" -> 2L))
+  }
 }
