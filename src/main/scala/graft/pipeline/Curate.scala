@@ -78,7 +78,15 @@ object Curate {
         * (fixed-point log10 odds; 0 = the NB decision boundary).
         * None disables the stage. */
       classifierLabel: Option[org.apache.spark.sql.Column] = None,
-      classifierThresholdFp: Long = 0L)
+      classifierThresholdFp: Long = 0L,
+      /** release gate ([[graft.ops.Privacy.kAnonymize]]): suppress
+        * rows whose quasi-identifier combination over these columns
+        * is shared by < `kAnonK` survivors. Runs LAST — a
+        * combination that was k-anonymous in the raw corpus may have
+        * been thinned below k by the selection stages, so the gate
+        * must see the final set. Empty disables the stage. */
+      kAnonQuasi: Seq[String] = Nil,
+      kAnonK: Int = 3)
 
   /** Published-pipeline presets: each maps a documented curation recipe
     * onto this engine's stage flags, so "run C4 over this corpus" is
@@ -118,7 +126,7 @@ object Curate {
       input: Long, afterPassage: Long, afterQuality: Long,
       afterRepetition: Long, afterEntropy: Long, afterLm: Long, afterLang: Long,
       afterExact: Long, afterNearDup: Long, afterClassifier: Long,
-      afterDsir: Long, chunks: Long)
+      afterDsir: Long, afterKAnon: Long, chunks: Long)
 
   /** Calibrate `Config.minQuality` to keep ~`targetKeepRate` of a
     * corpus: the quality threshold is the `(1 - rate)` quantile of the
@@ -312,14 +320,24 @@ object Curate {
     if (dsirActive && clfActive) classified.unpersist(blocking = false)
     if (dsirActive && !clfActive) deduped.unpersist(blocking = false)
 
+    // k-anonymity release gate LAST: the suppression decision must see
+    // the final survivor set (selection can thin a combination below k)
+    val kActive = cfg.kAnonQuasi.nonEmpty
+    val released =
+      if (!kActive) selected
+      else graft.ops.Privacy.kAnonymize(selected, cfg.kAnonQuasi, cfg.kAnonK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nKAnon = if (kActive) released.count() else nDsir
+    if (kActive) selected.unpersist(blocking = false)
+
     val index = StreamingIngest.ingestBatch(
-      selected.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+      released.select(col("doc_id").cast("string").as("doc_id"), col("text")),
       cfg.embedder, cfg.chunkSize, cfg.chunkOverlap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nChunks = index.count()
-    selected.unpersist(blocking = false)
+    released.unpersist(blocking = false)
 
     (index, Report(input, nPassage, nQuality, nRepetition, nEntropy, nLm, nLang,
-      nExact, nNear, nClf, nDsir, nChunks))
+      nExact, nNear, nClf, nDsir, nKAnon, nChunks))
   }
 }

@@ -58,6 +58,37 @@ class CurateSpec extends SparkSpec {
     assert(run(nfc = true).afterExact == 1, "NFC collapses the variants")
   }
 
+  test("kAnonQuasi release gate suppresses rare quasi-combinations of the FINAL set") {
+    // 10 clean docs: 7 share (en, web), 3 singletons on rarer sources —
+    // the k=3 gate over (lang, src) must drop exactly the singletons
+    val docs = (
+      (1 to 7).map(i => (i.toLong,
+        s"alpha beta gamma delta epsilon zeta eta theta unique$i words here",
+        "en", "web")) ++
+      Seq((8L, "zulu yankee xray whiskey victor uniform tango sierra eight words here",
+        "en", "mail"),
+        (9L, "zulu yankee xray whiskey victor uniform tango sierra nine words here",
+          "en", "chat"),
+        (10L, "zulu yankee xray whiskey victor uniform tango sierra ten words here",
+          "en", "scan"))
+    ).toDF("doc_id", "text", "lang", "src")
+    def cfg(quasi: Seq[String]) =
+      Curate.Config(minQuality = 0.0, languages = Seq("en"),
+        jaccardThreshold = 0.9, chunkSize = 60, chunkOverlap = 15,
+        embedder = graft.embed.HashingEmbedder(64),
+        kAnonQuasi = quasi, kAnonK = 3)
+
+    val off = Curate.run(docs, cfg(Nil))._2
+    assert(off.afterKAnon == off.afterDsir, s"disabled gate must pass through: $off")
+
+    val (index, on) = Curate.run(docs, cfg(Seq("lang", "src")))
+    assert(on.afterDsir == 10 && on.afterKAnon == 7, s"$on")
+    val kept = index.select("doc_id").distinct().as[String].collect()
+      .map(_.toLong).toSet
+    assert(kept == (1L to 7L).toSet,
+      s"rare (lang, src) combinations must be suppressed, kept $kept")
+  }
+
   test("dsirK selects k survivors, importance-biased toward the target") {
     // 12 clean docs: half "alpha" vocabulary, half "zulu" vocabulary —
     // with a dsirTarget on the alpha docs the draw should be dominated
