@@ -2199,6 +2199,55 @@ object PipelineQueries {
       |WHERE n_chars BETWEEN 100 AND 200
       |ORDER BY doc_id""".stripMargin
 
+  /** Declarative data-quality expectations
+    * ([[graft.ops.Expectations]]): six rules — not-null, range,
+    * set-membership, regex, uniqueness, referential integrity — over
+    * two tables, evaluated into one violations report. Row + unique
+    * rules fold into ONE aggregation over ONE scan; the FK rule is
+    * one anti-join against the distinct dim keys. Thresholds chosen
+    * so violated AND clean arms both exist at every sf (37/148/403
+    * violations vs 0 for not-null and the FK at sf0.01). NULL
+    * semantics pinned cross-engine: a NULL violates range/regex/set
+    * rules (the CASE-ELSE arm in the oracle = the coalesce(holds,
+    * false) in the engine). */
+  private val docExpectations: Q = (s, d) => {
+    import graft.ops.Expectations._
+    val docs = Tables.documents(s, d)
+    val docReport = report(docs, Seq(
+      NotNull("lang"),
+      InRange("n_chars", 100L, 2000L),
+      OneOf("lang", Seq("en", "fr", "de")),
+      Matches("source", "^src[0-9]+$"),
+      Unique(Seq("lang", "source"))))
+    val fkReport = report(Tables.events(s, d), Seq(
+      ForeignKey(Seq("user_id"), Tables.customer(s, d), Seq("c_custkey"))))
+    docReport.unionAll(fkReport)
+      .select(col("rule"), col("violations").cast("long").as("violations"))
+      .orderBy("rule")
+  }
+
+  private val docExpectationsSql =
+    """SELECT rule, violations FROM (
+      |  SELECT 'not_null:lang' AS rule,
+      |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM documents
+      |  UNION ALL SELECT 'in_range:n_chars',
+      |    CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL SELECT 'one_of:lang',
+      |    CAST(SUM(CASE WHEN lang IN ('en','fr','de') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL SELECT 'matches:source',
+      |    CAST(SUM(CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL SELECT 'unique:lang,source',
+      |    CAST(COUNT(*) - COUNT(DISTINCT (lang, source)) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL SELECT 'fk:user_id', CAST(COUNT(*) AS BIGINT)
+      |  FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+      |) t ORDER BY rule""".stripMargin
+
   /** Keyed table diff ([[graft.ops.Profile.diff]]): the audit between
     * the original documents table and the scaffold corpus's merged v2
     * — one full-outer join + one aggregation reduce two corpus states
@@ -3306,6 +3355,7 @@ object PipelineQueries {
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
     "table_diff_versions" -> tableDiffVersions,
+    "doc_expectations" -> docExpectations,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3404,6 +3454,7 @@ object PipelineQueries {
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,
     "table_diff_versions" -> tableDiffVersionsSql,
+    "doc_expectations" -> docExpectationsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
