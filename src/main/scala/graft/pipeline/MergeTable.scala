@@ -492,6 +492,77 @@ object MergeTable {
     (kept, rel.size)
   }
 
+  /** METADATA-ONLY aggregates — `COUNT(*)`, `COUNT(col)`, `MIN(col)`,
+    * `MAX(col)` for numeric columns answered from the version's zone
+    * sidecar alone, ZERO data-file scan (the Delta/Iceberg
+    * count-from-stats fast path): per-file row counts and null counts
+    * sum exactly, per-file min/max fold exactly (parquet numeric
+    * footer stats are exact value bounds, unlike truncated string
+    * stats — which is why this covers numeric columns only and throws
+    * loudly otherwise, never approximates). Legacy (pre-nullCount)
+    * sidecar entries trigger one footer re-harvest of just those
+    * files — still metadata I/O, a few KB per file, never a row scan.
+    * At 100 TB this turns the most common audit queries into O(files)
+    * driver work instead of a full-corpus pass.
+    *
+    * Returns one row per requested column:
+    * `(column, n_rows, n_nonnull, min_v, max_v)` — min/max as exact
+    * plain-decimal strings (a long > 2^53 would corrupt through a
+    * double), NULL when every value is NULL. */
+  def metaAggregate(
+      spark: SparkSession, dir: String, columns: Seq[String],
+      version: Int = -1): DataFrame = {
+    require(columns.nonEmpty, "no columns requested")
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val rel = m.entries.values.flatten.toSeq.sorted
+    val first = ZoneMaps.forVersion(spark, dir, v, rel)
+    // legacy sidecar lines (no #rows / unknown nullCount) → one footer
+    // re-harvest of just those files
+    val incomplete = rel.filter { r =>
+      val cols = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+      ZoneMaps.rowCount(cols).isEmpty ||
+        columns.exists(c => cols.get(c).forall(_.nullCount < 0))
+    }
+    val zones = first ++ ZoneMaps.harvest(spark, dir, incomplete)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = columns.map { c =>
+      var n = 0L
+      var nonNull = 0L
+      var mn: BigDecimal = null
+      var mx: BigDecimal = null
+      rel.foreach { r =>
+        val cols = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+        val fileRows = ZoneMaps.rowCount(cols).getOrElse(
+          throw new IllegalStateException(s"no row count harvestable for $r"))
+        n += fileRows
+        val z = cols.getOrElse(c, throw new IllegalArgumentException(
+          s"column '$c' carries no zone in $r — metadata aggregates " +
+            "cover numeric columns only"))
+        require(z.nullCount >= 0,
+          s"column '$c' has no null count in $r even after re-harvest")
+        nonNull += fileRows - z.nullCount
+        if (!z.allNull) {
+          val zmn = BigDecimal(z.min); val zmx = BigDecimal(z.max)
+          mn = if (mn == null) zmn else mn.min(zmn)
+          mx = if (mx == null) zmx else mx.max(zmx)
+        }
+      }
+      Row(c, n, nonNull,
+        if (mn == null) null else mn.bigDecimal.toPlainString,
+        if (mx == null) null else mx.bigDecimal.toPlainString)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nonnull", LongType, nullable = false),
+      StructField("min_v", StringType, nullable = true),
+      StructField("max_v", StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Delete data files referenced by NO manifest among the latest
     * `keepVersions` (plus orphans from dead writers). Returns deleted
     * paths. Old manifests beyond the horizon are dropped too. */

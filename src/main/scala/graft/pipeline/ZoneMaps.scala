@@ -24,8 +24,10 @@ import org.apache.spark.util.SerializableConfiguration
   * same order as the manifest itself.
   *
   * Sidecar `_v<N>.zones` next to the version's manifest, text lines
-  * `relpath TAB col TAB kind TAB min TAB max TAB hasNulls` (kind ∈
-  * long|double; min/max empty for an all-null file). Non-numeric
+  * `relpath TAB col TAB kind TAB min TAB max TAB hasNulls TAB
+  * nullCount` (kind ∈ long|double; min/max empty for an all-null
+  * file; one `#rows` pseudo-line per file carries its row count;
+  * legacy 6-field lines parse with nullCount unknown). Non-numeric
   * columns carry no line and are simply never skipped on. The sidecar
   * is written BEFORE the manifest commit (a crash in between leaves an
   * orphan zones file, never a manifest without zones... and a missing
@@ -45,13 +47,32 @@ object ZoneMaps {
 
   /** One file×column zone. min/max are the exact decimal strings of
     * the footer stats (BigDecimal-comparable without precision loss —
-    * a long > 2^53 would corrupt through a double). */
-  final case class Zone(kind: String, min: String, max: String, hasNulls: Boolean) {
+    * a long > 2^53 would corrupt through a double). `nullCount` is the
+    * exact per-file null count when every rowgroup recorded one, −1
+    * (unknown) otherwise — the extra statistic that turns zones into
+    * a METADATA-ONLY aggregate source ([[MergeTable.metaAggregate]]):
+    * COUNT(col) = rows − nullCount needs no scan when it's known.
+    * Legacy 6-field sidecar lines parse with nullCount = −1, so old
+    * versions degrade to a footer re-harvest, never a wrong answer. */
+  final case class Zone(
+      kind: String, min: String, max: String, hasNulls: Boolean,
+      nullCount: Long = -1L) {
     def allNull: Boolean = min.isEmpty
     /** Could a row of this file satisfy `col ∈ [lo, hi]`? */
     def mightIntersect(lo: BigDecimal, hi: BigDecimal): Boolean =
       !allNull && BigDecimal(min) <= hi && BigDecimal(max) >= lo
   }
+
+  /** Reserved pseudo-column carrying the per-file ROW COUNT (footer
+    * block counts summed) — `#` cannot appear in a parquet column
+    * path, so it never collides with a real column. Stored as a Zone
+    * with kind `count` and min = max = the row count. */
+  val RowsKey = "#rows"
+
+  /** The file's row count, when its zones carry one (new-format
+    * sidecars and fresh harvests always do; legacy sidecars don't). */
+  def rowCount(cols: Map[String, Zone]): Option[Long] =
+    cols.get(RowsKey).map(_.min.toLong)
 
   private def zonesPath(dir: String, v: Int) = new Path(s"$dir/_v$v.zones")
 
@@ -67,14 +88,17 @@ object ZoneMaps {
       val in = HadoopInputFile.fromPath(new Path(s"$dir/$rel"), conf.value)
       val r = ParquetFileReader.open(in)
       try {
-        // fold rowgroup stats up to one (min, max, hasNulls) per column;
-        // a column with any unparseable rowgroup (NaN-bearing float
-        // stats are writer-dependent) is POISONED — no zone, never a
-        // mis-prune
+        // fold rowgroup stats up to one (min, max, hasNulls, nullCount)
+        // per column; a column with any unparseable rowgroup
+        // (NaN-bearing float stats are writer-dependent) is POISONED —
+        // no zone, never a mis-prune. nullCount stays exact only while
+        // every rowgroup reports one (−1 from any block → −1 total).
         val acc = scala.collection.mutable.LinkedHashMap
-          .empty[String, (String, BigDecimal, BigDecimal, Boolean, Boolean)]
+          .empty[String, (String, BigDecimal, BigDecimal, Boolean, Boolean, Long)]
         val poisoned = scala.collection.mutable.HashSet.empty[String]
+        var fileRows = 0L
         r.getFooter.getBlocks.asScala.foreach { blk =>
+          fileRows += blk.getRowCount
           blk.getColumns.asScala.foreach { cc =>
             val kind = cc.getPrimitiveType.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => "long"
@@ -86,7 +110,8 @@ object ZoneMaps {
             if (kind == null && name != null) poisoned += name
             else if (st == null || st.isEmpty) poisoned += name
             else {
-              val nulls = st.getNumNulls != 0 // -1 (unknown) counts as "may have"
+              val blkNulls = st.getNumNulls // -1 = writer didn't record
+              val nulls = blkNulls != 0     // -1 (unknown) counts as "may have"
               val parsed =
                 if (!st.hasNonNullValue) Some((null: BigDecimal, null: BigDecimal))
                 else
@@ -98,22 +123,27 @@ object ZoneMaps {
                 case Some((mn, mx)) =>
                   val nonNull = mn != null
                   acc.get(name) match {
-                    case None => acc(name) = (kind, mn, mx, nulls, nonNull)
-                    case Some((k, omn, omx, on, ov)) =>
+                    case None =>
+                      acc(name) = (kind, mn, mx, nulls, nonNull, blkNulls)
+                    case Some((k, omn, omx, on, ov, onc)) =>
                       acc(name) = (k,
                         if (!nonNull) omn else if (!ov) mn else omn.min(mn),
                         if (!nonNull) omx else if (!ov) mx else omx.max(mx),
-                        on || nulls, ov || nonNull)
+                        on || nulls, ov || nonNull,
+                        if (onc < 0 || blkNulls < 0) -1L else onc + blkNulls)
                   }
               }
             }
           }
         }
-        rel -> (acc -- poisoned).toMap.map { case (c, (k, mn, mx, nulls, nonNull)) =>
-          c -> Zone(k,
-            if (nonNull) mn.bigDecimal.toPlainString else "",
-            if (nonNull) mx.bigDecimal.toPlainString else "", nulls)
+        val cols = (acc -- poisoned).toMap.map {
+          case (c, (k, mn, mx, nulls, nonNull, nc)) =>
+            c -> Zone(k,
+              if (nonNull) mn.bigDecimal.toPlainString else "",
+              if (nonNull) mx.bigDecimal.toPlainString else "", nulls, nc)
         }
+        rel -> (cols + (RowsKey ->
+          Zone("count", fileRows.toString, fileRows.toString, false, 0L)))
       } finally r.close()
     }.collect().toMap
   }
@@ -128,7 +158,7 @@ object ZoneMaps {
     val all = carried ++ harvest(spark, dir, newFiles)
     val body = all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, z) =>
-        s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}"
+        s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}\t${z.nullCount}"
       }
     }.mkString("", "\n", "\n")
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,8 +185,10 @@ object ZoneMaps {
       } finally in.close()
       Some(text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
         val a = l.split("\t", -1)
-        require(a.length == 6, s"corrupt zones line: $l")
-        (a(0), a(1), Zone(a(2), a(3), a(4), a(5).toBoolean))
+        require(a.length == 6 || a.length == 7, s"corrupt zones line: $l")
+        // 6 fields = legacy (pre-nullCount) sidecar → nullCount unknown
+        val nc = if (a.length == 7) a(6).toLong else -1L
+        (a(0), a(1), Zone(a(2), a(3), a(4), a(5).toBoolean, nc))
       }.groupBy(_._1).map { case (rel, rows) =>
         rel -> rows.map(r => r._2 -> r._3).toMap
       })

@@ -2199,6 +2199,49 @@ object PipelineQueries {
       |WHERE n_chars BETWEEN 100 AND 200
       |ORDER BY doc_id""".stripMargin
 
+  /** Metadata-only aggregates ([[graft.pipeline.MergeTable
+    * .metaAggregate]]): COUNT(*) / COUNT(col) / MIN / MAX over three
+    * numeric columns of the CoW stats corpus answered from the zone
+    * sidecar alone — per-file row counts and null counts sum exactly,
+    * per-file min/max fold exactly, ZERO data-file scan (the
+    * Delta/Iceberg count-from-stats fast path; `ZoneMapSpec` proves
+    * scanlessness by corrupting every data file first). Pinned at the
+    * merged v2 so later content-identical re-clusterings cannot move
+    * the version under the query. Oracle: DuckDB aggregates the
+    * logically-merged corpus — a lost file, a double-counted carried
+    * file, or a stale min/max breaks the hash. */
+  private val docMetaAgg: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    graft.pipeline.MergeTable.metaAggregate(
+        s, dir, Seq("doc_id", "n_chars", "v64"), version = 2)
+      .select(col("column").as("col_name"), col("n_rows"),
+        col("n_nonnull"), col("min_v"), col("max_v"))
+      .orderBy("col_name")
+  }
+
+  private val docMetaAggSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64 ELSE n_chars % 64 END AS v64
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000, (doc_id % 1000) % 64
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT col_name, n_rows, n_nonnull, min_v, max_v FROM (
+      |  SELECT 'doc_id' AS col_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+      |    CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM merged
+      |  UNION ALL SELECT 'n_chars',
+      |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(n_chars) AS BIGINT),
+      |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM merged
+      |  UNION ALL SELECT 'v64',
+      |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(v64) AS BIGINT),
+      |    CAST(MIN(v64) AS VARCHAR), CAST(MAX(v64) AS VARCHAR) FROM merged
+      |) t ORDER BY col_name""".stripMargin
+
   /** Declarative data-quality expectations
     * ([[graft.ops.Expectations]]): six rules — not-null, range,
     * set-membership, regex, uniqueness, referential integrity — over
@@ -3356,6 +3399,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversity,
     "table_diff_versions" -> tableDiffVersions,
     "doc_expectations" -> docExpectations,
+    "doc_meta_agg" -> docMetaAgg,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3455,6 +3499,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversitySql,
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_expectations" -> docExpectationsSql,
+    "doc_meta_agg" -> docMetaAggSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,

@@ -81,6 +81,74 @@ class ZoneMapSpec extends SparkSpec {
     assert(got == Set(42L))
   }
 
+  test("metaAggregate: exact counts/min/max incl. planted nulls, vs a real scan") {
+    val dir = s"${Files.createTempDirectory("graft-meta")}/t"
+    // nulls planted on ~1/3 of score; one value pushed to a long > 2^53
+    // (a double roundtrip would corrupt it — the plain-decimal string
+    // path must not)
+    val big = (1L << 53) + 3L
+    val rows = (1L to 999L).map { i =>
+      (i, if (i % 3 == 0) None else Some(if (i == 500) big else i % 97), s"p$i")
+    }
+    MergeTable.create(spark, dir, rows.toDF("id", "score", "tag"), "id", nBuckets = 4)
+    val got = MergeTable.metaAggregate(spark, dir, Seq("id", "score"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("id") == ((999L, 999L, "1", "999")))
+    val nonNull = rows.count(_._2.isDefined).toLong
+    assert(got("score") == ((999L, nonNull, "0", big.toString)))
+  }
+
+  test("metaAggregate answers with ZERO data scan: exact even after every data file is corrupted") {
+    val dir = s"${Files.createTempDirectory("graft-meta2")}/t"
+    mkTable(dir)
+    MergeTable.merge(spark, dir, Seq((42L, 1000L, "x")).toDF("id", "score", "tag"), "id")
+    // clobber every parquet file — any code path that opens one (scan
+    // OR footer harvest) now fails loudly, so a correct answer proves
+    // the sidecar alone carried it
+    val root = new java.io.File(dir)
+    def clobber(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(clobber)
+      else if (f.getName.endsWith(".parquet"))
+        Files.write(f.toPath, Array[Byte](0, 1, 2, 3))
+    clobber(root)
+    val got = MergeTable.metaAggregate(spark, dir, Seq("score"))
+      .as[(String, Long, Long, String, String)].head()
+    assert(got == (("score", 4000L, 4000L, "0", "1000")))
+    intercept[Exception] { // the corruption itself is real
+      MergeTable.read(spark, dir).count()
+    }
+  }
+
+  test("metaAggregate: legacy 6-field sidecar degrades to a footer re-harvest, not a wrong answer") {
+    val dir = s"${Files.createTempDirectory("graft-meta3")}/t"
+    mkTable(dir)
+    // rewrite the sidecar in the legacy format: drop nullCount and the
+    // #rows pseudo-lines
+    val sidecar = new java.io.File(dir, "_v1.zones")
+    val legacy = scala.io.Source.fromFile(sidecar).getLines()
+      .filterNot(_.split("\t")(1) == graft.pipeline.ZoneMaps.RowsKey)
+      .map(_.split("\t").take(6).mkString("\t"))
+      .mkString("", "\n", "\n")
+    Files.write(sidecar.toPath, legacy.getBytes("UTF-8"))
+    // drop the local-FS checksum shadow or Hadoop rejects the rewrite
+    new java.io.File(dir, "._v1.zones.crc").delete()
+    assert(graft.pipeline.ZoneMaps.read(spark, dir, 1).get
+      .values.forall(m => graft.pipeline.ZoneMaps.rowCount(m).isEmpty))
+    val got = MergeTable.metaAggregate(spark, dir, Seq("score"))
+      .as[(String, Long, Long, String, String)].head()
+    assert(got == (("score", 4000L, 4000L, "0", "96")))
+  }
+
+  test("metaAggregate refuses non-numeric columns loudly") {
+    val dir = s"${Files.createTempDirectory("graft-meta4")}/t"
+    mkTable(dir)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.metaAggregate(spark, dir, Seq("tag")).collect()
+    }
+    assert(e.getMessage.contains("tag"), e.getMessage)
+  }
+
   test("vacuum reclaims old zone sidecars with their manifests") {
     val dir = s"${Files.createTempDirectory("graft-zones3")}/t"
     mkTable(dir)
