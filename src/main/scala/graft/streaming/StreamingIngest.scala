@@ -191,7 +191,19 @@ object StreamingIngest {
     * (same keys → same rows), so the extra version is content-identical
     * and readers never observe a duplicate or a lost delete
     * (`StreamingSpec` proves it). Old versions are reclaimable with
-    * [[graft.pipeline.MergeTable.vacuum]]. */
+    * [[graft.pipeline.MergeTable.vacuum]].
+    *
+    * Expectations (the DLT expect-or-quarantine pattern at the CDC
+    * gate): when `expectations` row rules are declared, every change
+    * record is checked BEFORE it can touch the table — violating
+    * records (NULL violates, per [[graft.ops.Expectations]]) divert to
+    * `quarantineDir/batch_id=N` parquet with a `violated` array naming
+    * each failed rule, and only clean records merge. A bad upstream
+    * deploy poisons the quarantine, not the corpus — and nothing is
+    * dropped silently, which is why `quarantineDir` is REQUIRED with
+    * rules. Delete records gate too: a delete whose record is malformed
+    * is a corrupt instruction, not a pass. Quarantine writes overwrite
+    * their batch directory, so a retried batch is idempotent. */
   def startMergeUpsert(
       spark: SparkSession,
       landingDir: String,
@@ -200,18 +212,39 @@ object StreamingIngest {
       schema: org.apache.spark.sql.types.StructType,
       checkpointDir: String,
       deleteCol: Option[String] = None,
-      versionCol: Option[String] = None): StreamingQuery = {
+      versionCol: Option[String] = None,
+      expectations: Seq[graft.ops.Expectations.RowRule] = Nil,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    require(expectations.isEmpty || quarantineDir.nonEmpty,
+      "expectations need a quarantineDir — violations are never dropped silently")
     val changes = spark.readStream.schema(schema).json(landingDir)
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, tableDir, keyCol, deleteCol, versionCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val clean = gateBatch(batch, batchId, expectations, quarantineDir)
+        upsertBatch(clean, tableDir, keyCol, deleteCol, versionCol)
         ()
       }
       .start()
   }
+
+  /** Split one micro-batch on `expectations`: violating rows land in
+    * `quarantineDir/batch_id=N` (overwrite — retry-idempotent) with
+    * their `violated` rule names; the clean remainder is returned.
+    * No rules → the batch passes through untouched. */
+  private def gateBatch(
+      batch: DataFrame, batchId: Long,
+      expectations: Seq[graft.ops.Expectations.RowRule],
+      quarantineDir: Option[String]): DataFrame =
+    if (expectations.isEmpty) batch
+    else {
+      val (valid, bad) = graft.ops.Expectations.quarantine(batch, expectations)
+      bad.write.mode("overwrite")
+        .parquet(s"${quarantineDir.get}/batch_id=$batchId")
+      valid
+    }
 
   /** One micro-batch of CDC upsert: resolve intra-batch conflicts per
     * [[startMergeUpsert]]'s contract, merge into the table, and return
@@ -272,7 +305,11 @@ object StreamingIngest {
     * so the keep horizon stretches to cover it rather than reclaiming
     * it). Time-travel reads of retained versions keep working; reads
     * of reclaimed versions fail loudly (the [[graft.pipeline
-    * .MergeTable.read]] manifest check) — never wrongly. */
+    * .MergeTable.read]] manifest check) — never wrongly.
+    *
+    * `expectations`/`quarantineDir` gate change records exactly as in
+    * [[startMergeUpsert]] — quarantined records never reach the merge,
+    * so no maintained artifact ever has to unwind a bad row. */
   def startMergeUpsertMaintained(
       spark: SparkSession,
       landingDir: String,
@@ -283,16 +320,21 @@ object StreamingIngest {
       maintain: Seq[Maintained],
       deleteCol: Option[String] = None,
       versionCol: Option[String] = None,
-      retainVersions: Option[Int] = None): StreamingQuery = {
+      retainVersions: Option[Int] = None,
+      expectations: Seq[graft.ops.Expectations.RowRule] = Nil,
+      quarantineDir: Option[String] = None): StreamingQuery = {
     retainVersions.foreach(n => require(n >= 1,
       s"retainVersions must keep at least the latest version, got $n"))
+    require(expectations.isEmpty || quarantineDir.nonEmpty,
+      "expectations need a quarantineDir — violations are never dropped silently")
     val changes = spark.readStream.schema(schema).json(landingDir)
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, tableDir, keyCol, deleteCol, versionCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(gateBatch(batch, batchId, expectations, quarantineDir),
+            tableDir, keyCol, deleteCol, versionCol)
           .foreach { v =>
             val s = batch.sparkSession
             maintain.foreach(_.advance(s, tableDir, v))

@@ -225,6 +225,57 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Map(1L -> "one-v2", 3L -> "three"))
   }
 
+  test("CDC expectations gate: violating change records quarantine, never touch the table") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.MergeTable
+    import graft.ops.Expectations.{Check, NotNull}
+    val landing = Files.createTempDirectory("graft-gate-landing").toString
+    val table = Files.createTempDirectory("graft-gate-table").toString + "/t"
+    val q = Files.createTempDirectory("graft-gate-q").toString + "/quarantine"
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ver", LongType), StructField("_del", BooleanType)))
+    MergeTable.create(spark,
+      table, Seq((1L, "one", 0L)).toDF("id", "name", "ver"), "id", nBuckets = 4)
+    val rules = Seq(
+      NotNull("name"),
+      Check("id_positive", col("id") > 0L))
+
+    def run(): Unit = StreamingIngest.startMergeUpsert(
+      spark, landing, table, "id", schema, ckpt,
+      deleteCol = Some("_del"), versionCol = Some("ver"),
+      expectations = rules, quarantineDir = Some(q))
+      .awaitTermination(60000)
+
+    // batch 1: one clean insert, two violators (negative id; null name)
+    Files.writeString(java.nio.file.Paths.get(landing, "g1.json"),
+      """{"id":3,"name":"three","ver":1,"_del":false}
+        |{"id":-7,"name":"neg","ver":1,"_del":false}
+        |{"id":4,"name":null,"ver":1,"_del":false}""".stripMargin)
+    run()
+    def state(): Map[Long, String] =
+      MergeTable.read(spark, table).select("id", "name")
+        .as[(Long, String)].collect().toMap
+    assert(state() == Map(1L -> "one", 3L -> "three"),
+      "violators must not reach the table")
+    val quarantined = spark.read.parquet(q)
+      .select(col("id"), col("violated"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(quarantined == Map(
+      -7L -> Seq("id_positive"), 4L -> Seq("not_null:name")))
+
+    // batch 2, same checkpoint: a clean update converges; a malformed
+    // DELETE (null name) is a corrupt instruction — quarantined, so
+    // key 1 survives
+    Files.writeString(java.nio.file.Paths.get(landing, "g2.json"),
+      """{"id":3,"name":"three-v2","ver":2,"_del":false}
+        |{"id":1,"name":null,"ver":2,"_del":true}""".stripMargin)
+    run()
+    assert(state() == Map(1L -> "one", 3L -> "three-v2"))
+    assert(spark.read.parquet(q).count() == 3)
+  }
+
   test("watermarked streaming dedup drops in-window re-deliveries, state survives restart") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-wmdedup")
