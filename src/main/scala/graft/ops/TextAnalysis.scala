@@ -185,6 +185,53 @@ object TextAnalysis {
         round(log(col("n_chars_h").cast("double")) - col("__s") / col("n_chars_h"), 4)
           .as("char_entropy"))
 
+  /** Per-document TF-IDF keyword extraction — the classic
+    * content-tagging / search-boosting signal (Salton & Buckley 1988):
+    * for each document, the k terms with the highest
+    * `tf · ln((N+1)/(df+1))`, the smoothed IDF that keeps
+    * corpus-universal terms near zero without a division by zero.
+    *
+    * Exactness discipline (the DSIR fixed-point rule): tf, df and N
+    * are exact BIGINTs; the IDF is fixed-pointed —
+    * `floor(ln((N+1)/(df+1)) · 10⁶)` — BEFORE the tf multiply, so the
+    * ranking key `score_fp = tf · idf_fp` is an exact BIGINT and the
+    * per-document order (score DESC, term ASC) cannot drift across
+    * partitions, re-runs, or engines. The one `ln` is of a division of
+    * bit-identical integer-valued doubles.
+    *
+    * 100 TB shape: explode → (doc, term) map-side-combined count →
+    * (term) count for df (rows in, one per DISTINCT (doc, term) — the
+    * tf aggregation already collapsed duplicates) → term-keyed join of
+    * tf against df (both sides already term-partitioned by their aggs)
+    * → per-doc top-k window. The window shuffles (doc, term, score)
+    * triples — bounded by distinct terms per doc, never corpus text;
+    * partition key = document, so skew is bounded by document length.
+    * N comes from one count of the input (column-pruned scan or
+    * parquet count-star fast path), not a collect of data.
+    *
+    * Returns `(idCol, rn, term, score_fp)`, rn = 1..k. */
+  def topKeywords(
+      df: DataFrame, tokensCol: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokensCol).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfFp = floor(
+      log(lit((n + 1).toDouble) / (col("df") + 1L).cast("double")) * lit(1e6))
+      .cast("long")
+    val scored = tf.join(dfreq, "term")
+      .select(col(idCol), col("term"), (col("tf") * idfFp).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn").cast("long").as("rn"),
+        col("term"), col("score_fp"))
+  }
+
   /** Character-trigram language-model score — the CCNet-style
     * perplexity proxy (Wenzek et al. 2020 use a KenLM 5-gram model; no
     * model files ship in this environment, so the profile is trained

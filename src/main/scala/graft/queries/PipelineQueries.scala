@@ -1864,6 +1864,36 @@ object PipelineQueries {
       |    4) AS char_entropy
       |FROM grp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction ([[TextAnalysis.topKeywords]]): each
+    * document's top-3 terms by `tf · ln((N+1)/(df+1))`. tf/df/N are
+    * exact BIGINTs and the IDF is fixed-pointed at 10⁻⁶ BEFORE the tf
+    * multiply (the DSIR rule), so the ranking key is an exact BIGINT
+    * and the (score DESC, term ASC) order is engine-invariant. The
+    * DuckDB oracle replays tf, df, the fixed-point IDF and the window
+    * step-for-step. */
+  private val docKeywordsTfidf: Q = (s, d) =>
+    TextAnalysis.topKeywords(
+        Tables.documents(s, d), toks(col("text")), k = 3)
+      .orderBy("doc_id", "rn")
+
+  private val docKeywordsTfidfSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf * CAST(floor(
+      |      ln((n.n + 1) / CAST(dfq.df + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS BIGINT) AS score_fp
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score_fp,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_fp DESC, term ASC) AS rn
+      |  FROM s)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, score_fp
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   /** Incremental DISTINCT-count maintenance via bucket-level HLL
     * sketches ([[graft.pipeline.SketchedStats]]): per-source distinct
     * `n_chars % 64` built at v1, maintained to v2 by re-sketching ONLY
@@ -3450,6 +3480,7 @@ object PipelineQueries {
     "doc_source_cap" -> docSourceCap,
     "doc_trigram_lm" -> docTrigramLm,
     "doc_char_entropy" -> docCharEntropy,
+    "doc_keywords_tfidf" -> docKeywordsTfidf,
     "doc_dsir_sample" -> docDsirSample,
     "doc_quality_classifier" -> docQualityClassifier,
     "doc_classifier_incremental" -> docClassifierIncremental,
@@ -3550,6 +3581,7 @@ object PipelineQueries {
     "doc_source_cap" -> docSourceCapSql,
     "doc_trigram_lm" -> docTrigramLmSql,
     "doc_char_entropy" -> docCharEntropySql,
+    "doc_keywords_tfidf" -> docKeywordsTfidfSql,
     "doc_dsir_sample" -> docDsirSampleSql,
     "doc_quality_classifier" -> docQualityClassifierSql,
     "doc_classifier_incremental" -> docClassifierIncrementalSql,

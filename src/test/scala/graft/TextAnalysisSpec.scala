@@ -157,4 +157,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(re == got)
   }
+
+  test("topKeywords: hand-computed tf-idf ranks, lexicographic tie-break, layout invariance") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val toksCol = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.topKeywords(d, toksCol, k = 2)
+        .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // N=3; df: apple 1, date 1 → idf_fp floor(ln(2)·1e6) = 693147;
+    //          banana 2, cherry 2 → floor(ln(4/3)·1e6) = 287682
+    val ln2 = math.floor(math.log(4.0 / 2.0) * 1e6).toLong
+    val ln43 = math.floor(math.log(4.0 / 3.0) * 1e6).toLong
+    val want = Seq(
+      (1L, 1L, "apple", 2 * ln2), (1L, 2L, "banana", ln43),
+      (2L, 1L, "banana", ln43), (2L, 2L, "cherry", ln43), // tie → term ASC
+      (3L, 1L, "cherry", 3 * ln43), (3L, 2L, "date", ln2))
+    assert(run(df) == want)
+    assert(run(df.repartition(7)) == want, "layout must not move the ranks")
+  }
 }
