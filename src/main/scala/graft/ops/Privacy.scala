@@ -85,4 +85,40 @@ object Privacy {
         lCol.as("n_sensitive"),
         (col("__n") < k || lCol < l).as("suppressed")): _*)
   }
+
+  /** Right-to-be-forgotten propagation audit: after a deletion request
+    * lands, PROVE the ids are gone from every derived artifact — the
+    * GDPR/CCPA erasure obligation covers indexes, postings, chunk
+    * stores and fingerprints, not just the source table, and a
+    * maintained-view family is exactly where a deletion silently
+    * survives (a stale index version, a lagging refresh cursor).
+    * Returns one `(artifact, residual)` row per artifact, in
+    * declaration order; a compliant state is all-zero — anything else
+    * names the leaking artifact.
+    *
+    * Each artifact costs one column-pruned filtered count (the id
+    * column only crosses the scan). `ids` is an in-literal — a
+    * deletion request batch is human-scale (≤ ~10k, enforced); audits
+    * of larger batches should join against a deletion table instead. */
+  def forgottenAudit(
+      ids: Seq[Any],
+      artifacts: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(ids.nonEmpty, "no ids to audit")
+    require(ids.length <= 10000,
+      s"${ids.length} ids — batch audits beyond 10k should anti-join a deletion table")
+    require(artifacts.nonEmpty, "no artifacts declared")
+    require(artifacts.map(_._1).distinct.length == artifacts.length,
+      "duplicate artifact names")
+    val spark = artifacts.head._2.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = artifacts.map { case (name, df, idCol) =>
+      Row(name, df.filter(col(idCol).isin(ids: _*)).count())
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("artifact", StringType, nullable = false),
+        StructField("residual", LongType, nullable = false))))
+  }
 }

@@ -61,4 +61,23 @@ class PrivacySpec extends SparkSpec {
       .as[(Long, String, String, String)].head()
     assert(row == ((5L, "94110", "20s", "flu")))
   }
+
+  test("forgottenAudit counts residuals per artifact, in declaration order, and is sensitive") {
+    val corpus = Seq((1L, "a"), (3L, "c")).toDF("doc_id", "text")
+    val cleanIdx = Seq((1L, "t1"), (3L, "t3")).toDF("doc_id", "term")
+    // a leaking artifact: the deleted ids 2 and 4 both survive here
+    val leaky = Seq((2L, "x"), (4L, "y"), (4L, "z")).toDF("doc_id", "fp")
+    val got = Privacy.forgottenAudit(Seq(2L, 4L), Seq(
+        ("corpus", corpus, "doc_id"),
+        ("index", cleanIdx, "doc_id"),
+        ("fingerprints", leaky, "doc_id")))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("corpus", 0L), ("index", 0L), ("fingerprints", 3L)))
+    intercept[IllegalArgumentException](
+      Privacy.forgottenAudit(Nil, Seq(("corpus", corpus, "doc_id"))))
+    intercept[IllegalArgumentException](
+      Privacy.forgottenAudit(Seq(1L), Seq(
+        ("a", corpus, "doc_id"), ("a", cleanIdx, "doc_id"))))
+  }
 }

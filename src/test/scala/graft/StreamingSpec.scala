@@ -484,6 +484,19 @@ class StreamingSpec extends SparkSpec {
     assert(!ragRows(MergeTable.read(spark, s"$root/rag")).exists(_._2 == 4L),
       "deleted doc's chunks must leave the RAG index")
 
+    // right-to-be-forgotten propagation: the audit proves the deleted
+    // doc is gone from EVERY standing artifact, not just the corpus
+    val audit = graft.ops.Privacy.forgottenAudit(Seq(4L), Seq(
+        ("corpus", MergeTable.read(spark, table), "doc_id"),
+        ("postings", MergeTable.read(spark, postings), "doc_id"),
+        ("fingerprints", MergeTable.read(spark, fps), "doc_id"),
+        ("rag", MergeTable.read(spark, s"$root/rag"), "doc_id"),
+        ("bands", MergeTable.read(spark, s"$root/bands"), "doc_id"),
+        ("trigrams", MergeTable.read(spark, s"$root/trigrams"), "doc_id")))
+      .as[(String, Long)].collect()
+    assert(audit.length == 6 && audit.forall(_._2 == 0L),
+      s"a deleted doc must leave every maintained artifact: ${audit.toSeq}")
+
     // artifacts advanced incrementally: frozen view versions + cursors
     val frozen = new java.io.File(views).listFiles().map(_.getName).toSet
     assert(frozen.exists(_.startsWith("v")), s"frozen views missing: $frozen")
