@@ -418,6 +418,70 @@ object MergeTable {
     nv
   }
 
+  /** [[compact]] restricted to `buckets`: each listed bucket's files
+    * coalesce into one rewrite, every OTHER bucket (files and zone
+    * lines) carries into the new version by reference. Merges rewrite
+    * whole touched buckets, so ordinary CDC never fragments a bucket —
+    * the targets here are [[clusterBy]] layouts a write-heavy phase
+    * wants coalesced back, and schema-evolved buckets a reader wants
+    * physically aligned, without paying [[compact]]'s full-table
+    * rewrite. Content-identical by construction. */
+  def compactBuckets(spark: SparkSession, dir: String, buckets: Seq[Int]): Int = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    require(buckets.nonEmpty, "no buckets to compact")
+    val targets = buckets.distinct.sorted
+    require(targets.forall(m.entries.contains),
+      s"unknown buckets: ${targets.filterNot(m.entries.contains)}")
+    val byBucket = targets.map { b =>
+      readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
+    }
+    val nv = nextVersion(spark, dir)
+    writeVersion(byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+      dir, nv, m.nBuckets)
+    val written = listWritten(spark, dir, nv)
+    val entries = (m.entries -- targets) ++
+      targets.map(b => b -> written.getOrElse(b, Seq.empty)).filter(_._2.nonEmpty)
+    val carriedRel = (m.entries -- targets).values.flatten.toSet
+    val carried = ZoneMaps.read(spark, dir, v)
+      .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
+      .getOrElse(Map.empty)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries))
+    nv
+  }
+
+  /** Re-hash the table to `newNBuckets` — the admin lever that keeps
+    * BUCKET SIZE bounded as a corpus grows (the Iceberg
+    * rewrite-partitions move): every merge reads and rewrites whole
+    * touched buckets, so at a fixed bucket count a 100× corpus makes
+    * every future upsert 100× more expensive; re-bucketing restores
+    * the per-merge I/O budget at the cost of ONE deliberate full pass
+    * (unavoidable — changing the modulus can move every key).
+    * Content-identical; committed as a normal new version, so time
+    * travel to pre-rebucket versions keeps working.
+    *
+    * Bucket-keyed consumers (the [[BucketedView]] IVM family, standing
+    * indexes) are INVALIDATED by renumbering — [[changedBucketIds]]
+    * across the boundary throws `bucket count mismatch` rather than
+    * mis-pruning, and maintained views must rebuild at the new
+    * numbering. Schedule rebuckets like the rare capacity events they
+    * are. */
+  def rebucket(
+      spark: SparkSession, dir: String, keyCol: String,
+      newNBuckets: Int): Int = {
+    require(newNBuckets > 0)
+    val v = latestVersion(spark, dir)
+    val old = read(spark, dir, v)
+    require(old.columns.contains(keyCol), s"no key column '$keyCol'")
+    val nv = nextVersion(spark, dir)
+    writeVersion(withBucket(old, keyCol, newNBuckets), dir, nv, newNBuckets)
+    val written = listWritten(spark, dir, nv)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
+    commitManifest(spark, dir, nv, Manifest(newNBuckets, written))
+    nv
+  }
+
   /** Re-LAYOUT the latest version: each bucket rewritten RANGE-SPLIT
     * by `byCol` into ~`filesPerBucket` files, sorted within each file
     * — contents unchanged (a [[compact]] variant). The point: on a

@@ -90,6 +90,74 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.fileIndex(spark, dir, cv).values.forall(_.size == 1))
   }
 
+  test("compactBuckets: targeted coalesce rewrites only listed buckets, the rest carry by reference") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    // clusterBy lays each bucket range-split into multiple files — the
+    // layout a write-heavy phase wants coalesced back
+    val cv = MergeTable.clusterBy(spark, dir, "score", filesPerBucket = 4)
+    val before = rows(MergeTable.read(spark, dir, cv))
+    val idx1 = MergeTable.fileIndex(spark, dir, cv)
+    assert(idx1.values.exists(_.size > 1), "clustered fixture must be multi-file")
+
+    val targets = idx1.filter(_._2.size > 1).keys.toSeq.sorted.take(2)
+    val nv = MergeTable.compactBuckets(spark, dir, targets)
+    assert(rows(MergeTable.read(spark, dir, nv)) == before,
+      "targeted compaction must be content-identical")
+    val idx2 = MergeTable.fileIndex(spark, dir, nv)
+    idx1.foreach { case (b, files) =>
+      if (targets.contains(b))
+        assert(idx2(b).size == 1 && idx2(b).forall(_.startsWith(s"v$nv/")),
+          s"listed bucket $b must coalesce: ${idx2(b)}")
+      else assert(idx2(b) == files, s"bucket $b must carry by reference")
+    }
+    // carried files keep their zone lines verbatim; compacted buckets'
+    // new files get fresh lines — and the metadata-only aggregate
+    // still answers exactly over the mixed sidecar
+    val z1 = graft.pipeline.ZoneMaps.read(spark, dir, cv).get
+    val z2 = graft.pipeline.ZoneMaps.read(spark, dir, nv).get
+    idx1.filterNot { case (b, _) => targets.contains(b) }.values.flatten
+      .foreach(rel => assert(z2(rel) == z1(rel)))
+    val meta = MergeTable.metaAggregate(spark, dir, Seq("id"), version = nv)
+      .as[(String, Long, Long, String, String)].head()
+    assert(meta == (("id", 100L, 100L, "0", "99")))
+    intercept[IllegalArgumentException](
+      MergeTable.compactBuckets(spark, dir, Seq(99)))
+  }
+
+  test("rebucket: content-identical re-hash; key pruning works at the new count; IVM fails loudly across the boundary") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    MergeTable.merge(spark, dir, Seq((42L, "pre", 1.0)).toDF("id", "name", "score"), "id")
+    val before = rows(MergeTable.read(spark, dir))
+
+    val rv = MergeTable.rebucket(spark, dir, "id", newNBuckets = 16)
+    assert(MergeTable.bucketCount(spark, dir, rv) == 16)
+    assert(rows(MergeTable.read(spark, dir, rv)) == before)
+    // time travel across the boundary still works
+    assert(rows(MergeTable.read(spark, dir, version = 2)) == before)
+
+    // key-pruned read resolves through the NEW modulus
+    val hit = MergeTable.readForKeys(spark, dir, Seq(42L).toDF("id"), "id")
+    assert(rows(hit) == Map(42L -> (("pre", 1.0))))
+
+    // merging after the rebucket touches ≤ 1 of the 16 buckets
+    val idxBefore = MergeTable.fileIndex(spark, dir, rv)
+    val mv = MergeTable.merge(spark, dir,
+      Seq((7L, "post", 2.0)).toDF("id", "name", "score"), "id")
+    val idxAfter = MergeTable.fileIndex(spark, dir, mv)
+    val changed = idxBefore.keySet.union(idxAfter.keySet)
+      .filter(b => idxBefore.get(b) != idxAfter.get(b))
+    assert(changed.size == 1, s"one key must touch one bucket: $changed")
+    assert(rows(MergeTable.read(spark, dir)) == before + (7L -> (("post", 2.0))))
+
+    // a bucket-keyed incremental consumer cannot silently span the
+    // renumbering — it must fail loudly and rebuild
+    val e = intercept[IllegalArgumentException](
+      MergeTable.changedBucketIds(spark, dir, 2, rv))
+    assert(e.getMessage.contains("bucket count mismatch"))
+  }
+
   test("a dead writer's orphan data dir is invisible and never collides") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
