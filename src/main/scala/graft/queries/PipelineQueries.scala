@@ -2197,6 +2197,65 @@ object PipelineQueries {
       |SELECT doc_id, lang, md5(text) AS text_md5
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  /** Re-bucketing roundtrip ([[graft.pipeline.MergeTable.rebucket]]):
+    * a fresh CoW table of the documents is created hash-bucketed at 4,
+    * merged (update + delete + insert — so the rebucket input is a
+    * multi-version table, not a pristine create), re-hashed to 16
+    * buckets, and read back with a per-row digest, oracled against
+    * DuckDB's logical replay. A hash-green row proves the capacity
+    * operation is purely physical: every key survives the modulus
+    * change, none duplicates (a key landing in two new buckets would
+    * double a row; a dropped bucket would lose one). A post-rebucket
+    * point lookup through `readForKeys` rides the SAME result frame,
+    * pinning that key pruning resolves through the new modulus. */
+  private val docRebucketRoundtrip: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-rebucket-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 4)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        col("lang"), concat(lit("updated:"), col("lang")).as("text"),
+        (col("doc_id") % 10 === 7).as("_del"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("xx").as("lang"),
+          lit("freshly injected arrival of shared boilerplate").as("text"),
+          lit(false).as("_del")))
+    graft.pipeline.MergeTable.merge(s, dir, updates, "doc_id",
+      deleteCol = Some("_del"), validate = false)
+    graft.pipeline.MergeTable.rebucket(s, dir, "doc_id", newNBuckets = 16)
+    val all = graft.pipeline.MergeTable.read(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+    // the point lookup resolves through the NEW modulus — union it in
+    // so a pruning bug breaks the hash (duplicate rows) loudly
+    val probe = graft.pipeline.MergeTable.readForKeys(
+        s, dir, all.sparkSession.range(4, 5).select(col("id").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+    all.unionAll(probe).orderBy("doc_id", "text_md5")
+  }
+
+  private val docRebucketRoundtripSql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx', 'freshly injected arrival of shared boilerplate'
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, md5(text) AS text_md5 FROM (
+      |  SELECT * FROM merged
+      |  UNION ALL SELECT * FROM merged WHERE doc_id = 4) t
+      |ORDER BY doc_id, text_md5""".stripMargin
+
   /** Zone-map file skipping ([[graft.pipeline.ZoneMaps]] +
     * [[graft.pipeline.MergeTable.clusterBy]] / `readWhere`): the CoW
     * stats corpus is re-laid-out range-clustered by `n_chars` (a
@@ -3430,6 +3489,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersions,
     "doc_expectations" -> docExpectations,
     "doc_meta_agg" -> docMetaAgg,
+    "doc_rebucket_roundtrip" -> docRebucketRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
     "doc_quality" -> docQuality,
@@ -3531,6 +3591,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_expectations" -> docExpectationsSql,
     "doc_meta_agg" -> docMetaAggSql,
+    "doc_rebucket_roundtrip" -> docRebucketRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,
     "doc_quality" -> docQualitySql,
