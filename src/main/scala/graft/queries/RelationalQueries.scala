@@ -157,10 +157,17 @@ object RelationalQueries {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
-  // q08: running-sum window (rows frame, unique ordering key).
+  // q08: running-sum window (rows frame). The window order carries
+  // l_quantity as the FINAL tie-break: the synthetic lineitem has
+  // duplicate (orderkey, linenumber) keys, and a ROWS frame over a
+  // tied sort key makes the running sum depend on the engine's
+  // arbitrary tie order (caught as a 1-row cross-engine flake at
+  // sf0.1). With quantity in the order, rows tied on EVERYTHING
+  // produce the same output multiset regardless of which comes first,
+  // so the result is total-order-deterministic in both engines.
   private val q08: Q = (s, d) => {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -171,7 +178,7 @@ object RelationalQueries {
   private val q08Sql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
