@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan ADVISOR — the 100 TB lint: walks a query's physical plan and
+  * flags the shapes that are tolerable at test scale and fatal at
+  * cluster scale, each with the concrete fix. The checks encode this
+  * repo's own plan discipline (PLANS.md / SCALE.md) as executable
+  * review:
+  *
+  *  - `cartesian`     — CartesianProduct / non-trivial
+  *                      BroadcastNestedLoopJoin: O(n·m) pairs. Fix:
+  *                      add an equi/range key, or broadcast a
+  *                      provably tiny side deliberately.
+  *  - `broadcastable` — a shuffle join (SMJ/SHJ) whose build side the
+  *                      optimizer ESTIMATES under the broadcast
+  *                      threshold: two exchanges + sorts where one
+  *                      broadcast would do. Fix: `broadcast(dim)` or
+  *                      fix the stats that blinded the optimizer.
+  *  - `udf`           — a ScalaUDF in the plan: codegen fence and
+  *                      per-row boxing on the hot path. Fix: native
+  *                      `functions._` / a codegen Expression.
+  *  - `global_window` — a Window with NO partition keys: every row
+  *                      through ONE task, the canonical scale cliff.
+  *                      Fix: partition the window, or re-express as
+  *                      an aggregation.
+  *  - `unpushed_scan` — a file scan carrying data filters of which
+  *                      NONE reached the reader as pushed filters:
+  *                      the scan decodes rows the filter then drops.
+  *                      Fix: filter on plain columns (not wrapped in
+  *                      expressions), or cast the literal, not the
+  *                      column.
+  *  - `codegen_gap`   — (info) fraction of codegen-eligible operators
+  *                      actually inside WholeStageCodegen spans.
+  *  - `shuffles`      — (info) exchange count: each is a full
+  *                      materialization boundary at scale.
+  *
+  * Heuristics over ESTIMATES, deliberately: the advisor reads the
+  * same statistics the optimizer did, so its suggestions are exactly
+  * the interventions (hints, stats fixes) available to the user. It
+  * never rewrites anything — `AdvisorSpec` pins that every advisory
+  * fires on a crafted offender and stays silent on the clean twin. */
+object Advisor {
+
+  final case class Advisory(level: String, rule: String, node: String, message: String)
+
+  /** Advisories for `df`'s physical plan, severity-ordered
+    * (warn before info). */
+  def advise(df: Dataset[_]): Seq[Advisory] = {
+    val plan = df.queryExecution.executedPlan
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val all = collect(plan)
+    val warns = Seq.newBuilder[Advisory]
+    val infos = Seq.newBuilder[Advisory]
+
+    all.foreach {
+      case p: CartesianProductExec =>
+        warns += Advisory("warn", "cartesian", p.nodeName,
+          "cartesian product: O(n*m) pairs — add an equi/range join key " +
+            "or broadcast a provably tiny side")
+      case p: BroadcastNestedLoopJoinExec
+          // a deliberately broadcast-tiny cross join (the 1-row
+          // constants pattern) is fine; flag once the build side's
+          // ESTIMATE stops being trivial
+          if buildEstimate(p).forall(_ > 1024) =>
+        warns += Advisory("warn", "cartesian", p.nodeName,
+          (if (p.condition.isEmpty) "broadcast cross join"
+           else "nested-loop join with a non-equi condition") +
+            ": every probe row scans the whole build side — add an " +
+            "equi key or a banded range key, or keep the broadcast " +
+            "side provably tiny")
+      case p: SortMergeJoinExec =>
+        smallSide(p, threshold).foreach { bytes =>
+          warns += Advisory("warn", "broadcastable", p.nodeName,
+            s"sort-merge join with a ~$bytes-byte side (under the " +
+              s"$threshold-byte broadcast threshold): two shuffles + " +
+              "sorts where one broadcast would do — hint broadcast() " +
+              "or fix the blinding stats")
+        }
+      case p: ShuffledHashJoinExec =>
+        smallSide(p, threshold).foreach { bytes =>
+          warns += Advisory("warn", "broadcastable", p.nodeName,
+            s"shuffled hash join with a ~$bytes-byte side: broadcast it " +
+              "and skip both exchanges")
+        }
+      case p: WindowExec if p.partitionSpec.isEmpty =>
+        warns += Advisory("warn", "global_window", p.nodeName,
+          "window with no PARTITION BY: the whole input sorts through " +
+            "ONE task — partition the window or re-express as an " +
+            "aggregation")
+      case s: FileSourceScanExec =>
+        // IsNotNull pushes are derived constraints, not the user's
+        // predicate — a scan whose ONLY pushes are IsNotNull while it
+        // carries a real data filter decodes rows just to drop them
+        val nontrivial = s.dataFilters.exists(f =>
+          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+        val pushedReal = s.metadata.getOrElse("PushedFilters", "")
+          .replaceAll("IsNotNull\\([^)]*\\)", "").exists(_.isLetter)
+        if (nontrivial && !pushedReal)
+          warns += Advisory("warn", "unpushed_scan", s.nodeName,
+            "the scan's real predicate did not push to the reader " +
+              "(only derived IsNotNull did): every row decodes only to " +
+              "be dropped — filter on bare columns (no wrapping " +
+              "expression) so the source can push")
+      case _ => ()
+    }
+
+    all.foreach { p =>
+      if (p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+        warns += Advisory("warn", "udf", p.nodeName,
+          "ScalaUDF on the hot path: codegen fence + per-row " +
+            "(de)serialization — prefer functions._ or a codegen " +
+            "Expression")
+    }
+
+    val exchanges = all.count(_.isInstanceOf[Exchange])
+    if (exchanges > 0)
+      infos += Advisory("info", "shuffles", "plan",
+        s"$exchanges exchange(s): each is a full materialization " +
+          "boundary — check keys line up so partitionings are reused")
+    // a codegen SPAN ends at InputAdapter — nodes below it run
+    // interpreted (or in their own span)
+    def span(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: org.apache.spark.sql.execution.InputAdapter => Seq.empty
+      case o => o +: o.children.flatMap(span)
+    }
+    val inCodegen = all.collect {
+      case w: WholeStageCodegenExec => span(w.child).size }.sum
+    val eligible = all.count(p =>
+      !p.isInstanceOf[WholeStageCodegenExec] &&
+        !p.isInstanceOf[org.apache.spark.sql.execution.InputAdapter])
+    if (eligible > 0)
+      infos += Advisory("info", "codegen_gap", "plan",
+        s"$inCodegen of $eligible operators inside WholeStageCodegen " +
+          "spans")
+
+    warns.result().distinct ++ infos.result()
+  }
+
+  /** Render advisories as a DataFrame (for notebooks / SQL users). */
+  def adviseDf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = advise(df).map(a => Row(a.level, a.rule, a.node, a.message))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("level", StringType, nullable = false),
+        StructField("rule", StringType, nullable = false),
+        StructField("node", StringType, nullable = false),
+        StructField("message", StringType, nullable = false))))
+  }
+
+  /** Every operator, descending through AQE wrappers and codegen
+    * spans (subqueries excluded — they advise separately). */
+  private def collect(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
+      case other => Seq(other) ++ other.children.flatMap(collect)
+    }
+    self
+  }
+
+  /** The smaller join side's estimated bytes when it is under
+    * `threshold` (and the threshold is enabled) — read from the
+    * LOGICAL join the physical node links back to, i.e. the
+    * optimizer's own numbers. */
+  private def smallSide(join: SparkPlan, threshold: Long): Option[BigInt] = {
+    if (threshold <= 0) None
+    else join.logicalLink.flatMap {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)
+          .filter(_ <= threshold).minOption
+      case _ => None
+    }
+  }
+
+  /** The build side's estimated bytes for a nested-loop join. */
+  private def buildEstimate(p: BroadcastNestedLoopJoinExec): Option[BigInt] =
+    p.logicalLink.map {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.left.stats.sizeInBytes.min(j.right.stats.sizeInBytes)
+      case other => other.stats.sizeInBytes
+    }
+
+}

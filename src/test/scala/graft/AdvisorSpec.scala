@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Advisor
+
+/** [[graft.plans.Advisor]] — the 100 TB plan lint: every advisory
+  * fires on a crafted offender and stays silent on the clean twin. */
+class AdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed fixtures: LocalRelation plans constant-fold and
+  // carry no scans/stats (the PlanGuardSpec lesson)
+  private lazy val (factPath, dimPath) = {
+    val root = Files.createTempDirectory("graft-advisor").toString
+    (1L to 5000L).map(i => (i, i % 97, s"p$i")).toDF("id", "k", "tag")
+      .write.parquet(s"$root/fact")
+    (0L until 97L).map(i => (i, s"d$i")).toDF("k", "name")
+      .write.parquet(s"$root/dim")
+    (s"$root/fact", s"$root/dim")
+  }
+  private def fact = spark.read.parquet(factPath)
+  private def dim = spark.read.parquet(dimPath)
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    Advisor.advise(df).filter(_.level == "warn").map(_.rule).toSet
+
+  private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("cartesian: crossJoin flags, equi join of the same tables does not") {
+    assert(rules(fact.crossJoin(dim)).contains("cartesian"))
+    assert(!rules(fact.join(broadcast(dim), "k")).contains("cartesian"))
+  }
+
+  test("broadcastable: a forced shuffle join of a tiny dim suggests broadcast") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "1048576",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // force the planner past the broadcast it would have picked
+      val smj = fact.join(dim.hint("merge"), "k")
+      assert(rules(smj).contains("broadcastable"), Advisor.advise(smj).toString)
+      val bhj = fact.join(broadcast(dim), "k")
+      assert(!rules(bhj).contains("broadcastable"))
+    }
+  }
+
+  test("udf: a ScalaUDF flags, the codegen twin does not") {
+    val f = udf((s: String) => s.length)
+    assert(rules(fact.select(f(col("tag")).as("n"))).contains("udf"))
+    assert(!rules(fact.select(length(col("tag")).as("n"))).contains("udf"))
+  }
+
+  test("global_window: no PARTITION BY flags, a partitioned window does not") {
+    import org.apache.spark.sql.expressions.Window
+    val global = Window.orderBy("id")
+    val byK = Window.partitionBy("k").orderBy("id")
+    assert(rules(fact.withColumn("rn", row_number().over(global)))
+      .contains("global_window"))
+    assert(!rules(fact.withColumn("rn", row_number().over(byK)))
+      .contains("global_window"))
+  }
+
+  test("unpushed_scan: an expression-wrapped filter flags, a bare-column filter does not") {
+    // a filter the parquet reader cannot push (expression over the column)
+    val wrapped = fact.filter(length(col("tag")) % 7 === 3)
+    assert(rules(wrapped).contains("unpushed_scan"), Advisor.advise(wrapped).toString)
+    val pushed = fact.filter(col("k") === 5L)
+    assert(!rules(pushed).contains("unpushed_scan"))
+  }
+
+  test("registry lint: structural warnings fire ONLY on documented exceptions") {
+    // `broadcastable` is size-dependent (at sf0.001 every side is under
+    // the threshold and AQE broadcasts at runtime) and `unpushed_scan`
+    // fires on computed predicates that CANNOT push (hash-threshold
+    // sampling, shingle filters) — both are review signals, not
+    // registry invariants. The three STRUCTURAL rules below are
+    // invariants: a new query tripping one is a regression unless its
+    // exception is documented at the query site.
+    val deliberateCartesian = Set(
+      "emb_neardup_exact",      // documented all-pairs oracle twin
+      "q19_fuzzy_levenshtein")  // 25-name broadcast dim, all-pairs by intent
+    val deliberateGlobalWindow = Set(
+      "doc_hybrid_rrf_top10")   // RRF over two PRE-TRUNCATED top-k lists
+    val deliberateUdf = Set(
+      // JIT'd closures where interpreted HOFs cost ~3 lambda dispatches
+      // per element, or driver-side pipeline steps — each documented
+      "chunk_stats", "dedup_contamination", "dedup_contamination_bloom",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_simhash_pairs", "doc_repetition", "doc_trigram_lm",
+      "knn_ivf_top5", "knn_pq_rerank_top5", "ragas_testset_candidates")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        Advisor.advise(fn(spark, sf0001))
+          .filter(_.level == "warn")
+          .collect {
+            case a if a.rule == "cartesian" && !deliberateCartesian(name) =>
+              s"$name:${a.rule}"
+            case a if a.rule == "global_window" && !deliberateGlobalWindow(name) =>
+              s"$name:${a.rule}"
+            case a if a.rule == "udf" && !deliberateUdf(name) =>
+              s"$name:${a.rule}"
+          }
+    }
+    assert(offenders.isEmpty, s"undocumented plan smells: $offenders")
+  }
+
+  test("clean aggregation carries no warnings, info lines report shuffles + codegen") {
+    val clean = fact.groupBy("k").agg(sum("id").as("s"))
+    val advs = Advisor.advise(clean)
+    assert(advs.forall(_.level == "info"), advs.toString)
+    assert(advs.exists(_.rule == "shuffles"))
+    assert(advs.exists(_.rule == "codegen_gap"))
+    // and the DataFrame rendering round-trips
+    val df = Advisor.adviseDf(clean)
+    assert(df.columns.toSeq == Seq("level", "rule", "node", "message"))
+    assert(df.count() == advs.length)
+  }
+}
