@@ -2380,6 +2380,38 @@ object PipelineQueries {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
       |) t ORDER BY rule""".stripMargin
 
+  /** The expect-or-quarantine SPLIT ([[graft.ops.Expectations
+    * .quarantine]]) as an oracle row: every document violating any of
+    * three row rules, with the `violated` array naming each failed
+    * rule in declaration order — the DLT quarantine payload. The
+    * DuckDB twin rebuilds the array with the identical
+    * CASE-per-rule + list_filter chain (NULL violates, per the house
+    * rule), so a dropped rule name, a wrong order, or a row on the
+    * wrong side of the split breaks the hash. Thresholds keep both
+    * multi-rule and single-rule arms populated at every sf. */
+  private val docQuarantine: Q = (s, d) => {
+    import graft.ops.Expectations._
+    val (_, bad) = quarantine(Tables.documents(s, d), Seq(
+      NotNull("lang"),
+      InRange("n_chars", 150L, 1200L),
+      OneOf("lang", Seq("en", "fr", "de"))))
+    bad.select(col("doc_id"), col("violated")).orderBy("doc_id")
+  }
+
+  private val docQuarantineSql =
+    """SELECT doc_id, violated FROM (
+      |  SELECT doc_id,
+      |    list_filter([
+      |      CASE WHEN NOT coalesce(lang IS NOT NULL, FALSE)
+      |           THEN 'not_null:lang' END,
+      |      CASE WHEN NOT coalesce(n_chars BETWEEN 150 AND 1200, FALSE)
+      |           THEN 'in_range:n_chars' END,
+      |      CASE WHEN NOT coalesce(lang IN ('en', 'fr', 'de'), FALSE)
+      |           THEN 'one_of:lang' END],
+      |      x -> x IS NOT NULL) AS violated
+      |  FROM documents) t
+      |WHERE len(violated) > 0 ORDER BY doc_id""".stripMargin
+
   /** Keyed table diff ([[graft.ops.Profile.diff]]): the audit between
     * the original documents table and the scaffold corpus's merged v2
     * — one full-outer join + one aggregation reduce two corpus states
@@ -3488,6 +3520,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversity,
     "table_diff_versions" -> tableDiffVersions,
     "doc_expectations" -> docExpectations,
+    "doc_quarantine" -> docQuarantine,
     "doc_meta_agg" -> docMetaAgg,
     "doc_rebucket_roundtrip" -> docRebucketRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -3590,6 +3623,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversitySql,
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_expectations" -> docExpectationsSql,
+    "doc_quarantine" -> docQuarantineSql,
     "doc_meta_agg" -> docMetaAggSql,
     "doc_rebucket_roundtrip" -> docRebucketRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
