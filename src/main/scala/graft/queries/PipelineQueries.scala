@@ -2380,6 +2380,47 @@ object PipelineQueries {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
       |) t ORDER BY rule""".stripMargin
 
+  /** Dataset card ([[graft.pipeline.CorpusCard]]): the "datasheets
+    * for datasets" release report — volume, length distribution,
+    * language mix, exact-duplication rate and quality flags as one
+    * long-form frame. Every value is an exact BIGINT (10⁻⁶
+    * fixed-point means in INTEGER division), which is what lets a
+    * dataset card be an ORACLE row: DuckDB rebuilds every metric and
+    * must agree bit-for-bit. ONE map-side-combined agg for all
+    * scalars + one bounded lang group-by. */
+  private val docCorpusCard: Q = (s, d) =>
+    graft.pipeline.CorpusCard.card(Tables.documents(s, d), toks(col("text")))
+
+  private val docCorpusCardSql =
+    s"""WITH t AS (SELECT text, lang, $toksSql AS toks FROM documents),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+      |  CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+      |    AS BIGINT) AS distinct_docs,
+      |  CAST(SUM(CASE WHEN len(toks) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+      |  FROM t),
+      |r AS (
+      |  SELECT 'volume' AS section, 'n_docs' AS metric, n_docs AS value FROM s
+      |  UNION ALL SELECT 'volume', 'n_tokens', n_tokens FROM s
+      |  UNION ALL SELECT 'volume', 'n_chars', n_chars FROM s
+      |  UNION ALL SELECT 'length', 'min_chars', min_chars FROM s
+      |  UNION ALL SELECT 'length', 'max_chars', max_chars FROM s
+      |  UNION ALL SELECT 'length', 'mean_chars_fp6',
+      |    (1000000 * n_chars) // n_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'distinct_docs', distinct_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'n_exact_dup_docs',
+      |    n_docs - distinct_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'dup_rate_fp6',
+      |    (1000000 * (n_docs - distinct_docs)) // n_docs FROM s
+      |  UNION ALL SELECT 'quality', 'short_docs_lt50_tokens', short_docs FROM s
+      |  UNION ALL SELECT 'languages', 'lang:' || COALESCE(lang, 'null'),
+      |    CAST(COUNT(*) AS BIGINT) FROM t GROUP BY 2)
+      |SELECT section, metric, CAST(value AS BIGINT) AS value
+      |FROM r ORDER BY section, metric""".stripMargin
+
   /** The expect-or-quarantine SPLIT ([[graft.ops.Expectations
     * .quarantine]]) as an oracle row: every document violating any of
     * three row rules, with the `violated` array naming each failed
@@ -3521,6 +3562,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersions,
     "doc_expectations" -> docExpectations,
     "doc_quarantine" -> docQuarantine,
+    "doc_corpus_card" -> docCorpusCard,
     "doc_meta_agg" -> docMetaAgg,
     "doc_rebucket_roundtrip" -> docRebucketRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -3624,6 +3666,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_expectations" -> docExpectationsSql,
     "doc_quarantine" -> docQuarantineSql,
+    "doc_corpus_card" -> docCorpusCardSql,
     "doc_meta_agg" -> docMetaAggSql,
     "doc_rebucket_roundtrip" -> docRebucketRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,

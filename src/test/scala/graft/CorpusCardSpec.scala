@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusCard
+
+/** [[graft.pipeline.CorpusCard]] — hand-computed card values incl. a
+  * whitespace-variant duplicate, a NULL language, integer fixed-point
+  * means, and layout invariance. */
+class CorpusCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("en"), "alpha beta gamma"),
+    (2L, Some("en"), "alpha  beta gamma"), // whitespace variant → exact dup
+    (3L, Some("fr"), "uno"),
+    (4L, None: Option[String], "x y z")
+  ).toDF("doc_id", "lang", "text")
+
+  private def run(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    CorpusCard.card(df,
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("card values are exact: volume, length, dup rate, languages, quality") {
+    val got = run(fixture)
+    val chars = Seq(16L, 17L, 3L, 5L)
+    assert(got(("volume", "n_docs")) == 4L)
+    assert(got(("volume", "n_tokens")) == 3 + 3 + 1 + 3)
+    assert(got(("volume", "n_chars")) == chars.sum)
+    assert(got(("length", "min_chars")) == 3L)
+    assert(got(("length", "max_chars")) == 17L)
+    assert(got(("length", "mean_chars_fp6")) == 1000000L * chars.sum / 4)
+    assert(got(("duplication", "distinct_docs")) == 3L)
+    assert(got(("duplication", "n_exact_dup_docs")) == 1L)
+    assert(got(("duplication", "dup_rate_fp6")) == 250000L)
+    assert(got(("languages", "lang:en")) == 2L)
+    assert(got(("languages", "lang:fr")) == 1L)
+    assert(got(("languages", "lang:null")) == 1L)
+    assert(got(("quality", "short_docs_lt50_tokens")) == 4L)
+    assert(got.size == 13, got.toString)
+  }
+
+  test("layout invariance: repartition does not move a single value") {
+    assert(run(fixture) == run(fixture.repartition(7)))
+  }
+}
