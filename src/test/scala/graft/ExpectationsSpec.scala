@@ -63,6 +63,39 @@ class ExpectationsSpec extends SparkSpec {
       e.getMessage.contains("unique:lang,src=1"), e.getMessage)
   }
 
+  test("randomized reference: report + quarantine equal a plain-Scala evaluator on seeded data") {
+    val rng = new scala.util.Random(20260814L)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rng.nextInt(40)
+      val rows: Seq[(Long, Option[String], Option[Long], String)] =
+        (1L to n).map { i =>
+          (i,
+            if (rng.nextInt(5) == 0) None
+            else Some(Seq("en", "fr", "xx")(rng.nextInt(3))),
+            if (rng.nextInt(6) == 0) None else Some(rng.nextInt(300).toLong),
+            s"src${rng.nextInt(4)}")
+        }
+      val df = rows.toDF("id", "lang", "n", "src")
+      val lo = rng.nextInt(100).toLong
+      val hi = lo + rng.nextInt(200)
+      val ruleSeq: Seq[RowRule] = Seq(
+        NotNull("lang"), InRange("n", lo, hi), OneOf("lang", Seq("en", "fr")))
+      // plain-Scala reference evaluator (NULL violates)
+      def holds(r: (Long, Option[String], Option[Long], String)): Seq[Boolean] =
+        Seq(r._2.isDefined,
+          r._3.exists(v => v >= lo && v <= hi),
+          r._2.exists(Set("en", "fr")))
+      val refViol = rows.map(holds).transpose.map(_.count(!_).toLong)
+      val got = Expectations.report(df, ruleSeq)
+        .as[(String, Long)].collect().map(_._2).toSeq
+      assert(got == refViol, s"lo=$lo hi=$hi rows=$rows")
+      val (valid, bad) = Expectations.quarantine(df, ruleSeq)
+      val refValid = rows.filter(r => holds(r).forall(identity)).map(_._1).toSet
+      assert(valid.select("id").as[Long].collect().toSet == refValid)
+      assert(bad.count() == n - refValid.size)
+    }
+  }
+
   test("quarantine splits rows and attributes each failed rule by name") {
     val rowRules = rules.collect { case r: RowRule => r }
     val (valid, bad) = Expectations.quarantine(fixture, rowRules)
