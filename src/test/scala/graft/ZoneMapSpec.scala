@@ -99,6 +99,34 @@ class ZoneMapSpec extends SparkSpec {
     assert(got("score") == ((999L, nonNull, "0", big.toString)))
   }
 
+  test("metaAggregate randomized reference: equals the real aggregation on seeded data incl. all-null and post-merge states") {
+    val rng = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val dir = s"${Files.createTempDirectory(s"graft-meta-rnd$trial")}/t"
+      val n = 50 + rng.nextInt(400)
+      val allNull = rng.nextInt(4) == 0
+      val rows = (1L to n).map { i =>
+        (i,
+          if (allNull || rng.nextInt(3) == 0) None
+          else Some(rng.nextLong() % 1000000L), s"p$i")
+      }
+      MergeTable.create(spark, dir, rows.toDF("id", "score", "tag"),
+        "id", nBuckets = 1 + rng.nextInt(6))
+      if (rng.nextBoolean()) // half the trials audit a post-merge state
+        MergeTable.merge(spark, dir,
+          Seq((1L + rng.nextInt(n).toLong, Some(rng.nextLong() % 1000L), "upd"))
+            .toDF("id", "score", "tag"), "id")
+      val want = MergeTable.read(spark, dir)
+        .agg(count(lit(1)), count(col("score")),
+          min(col("score")).cast("string"), max(col("score")).cast("string"))
+        .as[(Long, Long, Option[String], Option[String])].head()
+      val got = MergeTable.metaAggregate(spark, dir, Seq("score"))
+        .as[(String, Long, Long, Option[String], Option[String])].head()
+      assert((got._2, got._3, got._4, got._5) == want,
+        s"trial $trial (n=$n, allNull=$allNull): $got vs $want")
+    }
+  }
+
   test("metaAggregate answers with ZERO data scan: exact even after every data file is corrupted") {
     val dir = s"${Files.createTempDirectory("graft-meta2")}/t"
     mkTable(dir)
