@@ -24,8 +24,8 @@ import org.apache.spark.sql.types._
   * State: a d×w matrix of exact counts — a SUM of per-row increment
   * matrices, so merge is elementwise addition and the serialized form
   * is CANONICAL (partition- and merge-tree-invariant), like every
-  * sketch in this family. The shuffle carries one (16 + 8·d·w)-byte
-  * buffer per group, never the keys.
+  * sketch in this family. The shuffle carries one (8 + 8·d·w)-byte
+  * buffer per group (two int dims + the matrix), never the keys.
   *
   * Row hashes are multiply-shift (Dietzfelbinger et al.):
   * `slot_i(x) = ((x·A_i + B_i) mod 2^64) >>> (64 − log₂ w)` with odd
@@ -130,7 +130,22 @@ case class CmsAgg(
       TypeCheckResult.TypeCheckFailure(
         s"cms_agg: width/depth must be integral, got " +
           s"${wExpr.dataType.simpleString}/${dExpr.dataType.simpleString}")
-    else TypeCheckResult.TypeCheckSuccess
+    else if (wExpr.eval() == null || dExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "cms_agg: width and depth must be non-null literals")
+    else {
+      // the dims are foldable: evaluate them HERE so a bad shape fails
+      // analysis once, not inside CmsState's require on every task
+      val wv = wExpr.eval().asInstanceOf[Number].longValue()
+      val dv = dExpr.eval().asInstanceOf[Number].intValue()
+      if (wv <= 0 || wv > (1L << 30) || (wv & (wv - 1)) != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_agg: width must be a power of two in 1..2^30, got $wv")
+      else if (dv <= 0 || dv > 16)
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_agg: depth must be in 1..16, got $dv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def children: Seq[Expression] = Seq(child, wExpr, dExpr)
   override protected def withNewChildrenInternal(

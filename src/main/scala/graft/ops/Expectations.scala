@@ -84,8 +84,10 @@ object Expectations {
     require(rules.map(_.name).distinct.length == rules.length,
       "duplicate rule names — name Check rules uniquely")
     val ord: Map[String, Int] = rules.map(_.name).zipWithIndex.toMap
+    // coalesce: sum() is NULL (not 0) over an empty table — an empty
+    // input has zero violations, and the report must say so
     val inline: Seq[(String, Column)] = rules.collect {
-      case r: RowRule => r.name -> sum(violated(r))
+      case r: RowRule => r.name -> coalesce(sum(violated(r)), lit(0L))
       case u: Unique => u.name ->
         (count(lit(1L)) - count_distinct(struct(u.columns.map(col): _*)))
     }

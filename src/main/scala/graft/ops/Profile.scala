@@ -120,7 +120,10 @@ object Profile {
     val colChanged: Seq[Column] =
       cols.map(c => !(col(s"__l_$c") <=> col(s"__r_$c")))
     val anyChanged = colChanged.reduce(_ || _)
-    def n(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    // coalesce: sum() is NULL over an empty (both-sides-empty) diff —
+    // every status count must read 0, not NULL
+    def n(pred: Column): Column =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
     val aggs: Seq[(String, Column)] =
       Seq(
         "added" -> n(!inL && inR),

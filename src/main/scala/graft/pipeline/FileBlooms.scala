@@ -114,8 +114,17 @@ object FileBlooms {
     val body = all.toSeq.sortBy(_._1).map { case (r, bytes) =>
       s"$r\t${Base64.getEncoder.encodeToString(bytes)}"
     }.mkString("", "\n", "\n")
-    val out = fs(spark, dir).create(sidecarPath(dir, v, column), true)
+    // temp + rename: maintained BloomIndex uses this sidecar's PRESENCE
+    // as its version cursor, so a crash mid-write must never leave a
+    // torn file at the final path (it would make version() report the
+    // version complete and poison every later read)
+    val f = fs(spark, dir)
+    val fin = sidecarPath(dir, v, column)
+    val tmp = new Path(s"$dir/._v$v.blooms.$column.tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    f.delete(fin, false)
+    require(f.rename(tmp, fin), s"rename $tmp -> $fin failed")
   }
 
   /** The sidecar for (`column`, `v`); None when absent (unindexed —

@@ -547,8 +547,22 @@ object MergeTable {
     val m = readManifest(spark, dir, v)
     val rel = m.entries.values.flatten.toSeq.sorted
     val zones = ZoneMaps.forVersion(spark, dir, v, rel)
+    // Double zones: [[readWhere]]'s filter coerces the decimal bounds
+    // to DOUBLE, so the values it actually compares are the NEAREST
+    // doubles — which can sit below lo / above hi (0.3's nearest double
+    // is under 0.3). Prune double zones against those exact doubles,
+    // widened to whichever side is looser, so pruning stays a strict
+    // superset of the filter at the representation boundary. Bounds
+    // outside double range never prune a double zone.
+    val loD = lo.toDouble
+    val hiD = hi.toDouble
+    val dblPrunable = !loD.isInfinite && !hiD.isInfinite
+    lazy val loW = lo.min(BigDecimal(new java.math.BigDecimal(loD)))
+    lazy val hiW = hi.max(BigDecimal(new java.math.BigDecimal(hiD)))
     val kept = rel.filter { r =>
       zones.get(r).flatMap(_.get(column)) match {
+        case Some(z) if z.kind == "double" =>
+          !dblPrunable || z.mightIntersect(loW, hiW)
         case Some(z) => z.mightIntersect(lo, hi)
         case None => true // no zone — never skip on absence of evidence
       }

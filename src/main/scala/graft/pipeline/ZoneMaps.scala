@@ -100,8 +100,23 @@ object ZoneMaps {
         r.getFooter.getBlocks.asScala.foreach { blk =>
           fileRows += blk.getRowCount
           blk.getColumns.asScala.foreach { cc =>
+            // footer stats are PHYSICAL values: for an INT32/INT64 whose
+            // logical annotation is decimal/date/time/timestamp/unsigned
+            // they are raw unscaled (or wrongly-ordered, for unsigned)
+            // numbers, while predicates and metaAggregate speak LOGICAL
+            // values — poison any annotated int column that is not a
+            // plain signed int, so it is never skipped on and never
+            // reported (never a wrong answer; the column just doesn't
+            // prune). FLOAT/DOUBLE carry no value-changing annotations.
+            val logical = cc.getPrimitiveType.getLogicalTypeAnnotation
+            val plainSignedInt = logical == null || (logical match {
+              case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .IntLogicalTypeAnnotation => i.isSigned
+              case _ => false
+            })
             val kind = cc.getPrimitiveType.getPrimitiveTypeName match {
-              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => "long"
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
+                  if plainSignedInt => "long"
               case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
               case _ => null
             }
@@ -161,9 +176,16 @@ object ZoneMaps {
         s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}\t${z.nullCount}"
       }
     }.mkString("", "\n", "\n")
+    // temp + rename: the sidecar's PRESENCE is a completeness signal
+    // (maintained indexes use it as a version cursor), so a crash
+    // mid-write must leave no half-file at the final path
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(zonesPath(dir, v), true)
+    val fin = zonesPath(dir, v)
+    val tmp = new Path(s"$dir/._v$v.zones.tmp")
+    val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    f.delete(fin, false)
+    require(f.rename(tmp, fin), s"rename $tmp -> $fin failed")
   }
 
   /** Read version `v`'s sidecar; None when absent (pre-zones version —

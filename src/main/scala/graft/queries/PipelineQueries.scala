@@ -2429,18 +2429,24 @@ object PipelineQueries {
     * CASE-per-rule + list_filter chain (NULL violates, per the house
     * rule), so a dropped rule name, a wrong order, or a row on the
     * wrong side of the split breaks the hash. Thresholds keep both
-    * multi-rule and single-rule arms populated at every sf. */
+    * multi-rule and single-rule arms populated at every sf. The
+    * registered OUTPUT joins the array to a '|'-delimited STRING —
+    * the driver's comparer row-sorts with pandas, which cannot hash
+    * array cells; the array shape stays in the [[graft.ops
+    * .Expectations.quarantine]] API and its specs. */
   private val docQuarantine: Q = (s, d) => {
     import graft.ops.Expectations._
     val (_, bad) = quarantine(Tables.documents(s, d), Seq(
       NotNull("lang"),
       InRange("n_chars", 150L, 1200L),
       OneOf("lang", Seq("en", "fr", "de"))))
-    bad.select(col("doc_id"), col("violated")).orderBy("doc_id")
+    bad.select(col("doc_id"),
+        array_join(col("violated"), "|").as("violated"))
+      .orderBy("doc_id")
   }
 
   private val docQuarantineSql =
-    """SELECT doc_id, violated FROM (
+    """SELECT doc_id, array_to_string(violated, '|') AS violated FROM (
       |  SELECT doc_id,
       |    list_filter([
       |      CASE WHEN NOT coalesce(lang IS NOT NULL, FALSE)

@@ -498,9 +498,12 @@ object CorpusViews {
     * ITSELF — unlike the other artifacts this one lives next to the
     * corpus manifests, so the sidecar's own `_v<N>.blooms.<col>` stamp
     * IS the version cursor (no separate marker to fall out of sync).
-    * A crash mid-write leaves at worst a truncated sidecar whose
-    * missing lines degrade to keep-the-file — never a wrong skip —
-    * and the next advance rewrites it whole. Refresh sketches only
+    * The sidecar is written to a temp path and RENAMED into place
+    * ([[graft.pipeline.FileBlooms]]), so its presence really does mean
+    * complete — a crash mid-write leaves only a temp file the cursor
+    * ignores, and the next advance redoes the whole version. A missing
+    * sketch line degrades to keep-the-file — never a wrong skip.
+    * Refresh sketches only
     * the files the merge wrote ([[graft.pipeline.FileBlooms.refresh]]
     * carries the rest by reference), so per-batch cost ∝ delta like
     * the rest of the family. */

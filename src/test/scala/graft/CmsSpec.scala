@@ -66,6 +66,15 @@ class CmsSpec extends SparkSpec {
       new CmsState(256, 4).mergeWith(new CmsState(128, 4))
     }
     intercept[Exception](new CmsState(100, 4)) // width must be a power of two
+    // bad shapes fail at ANALYSIS (checkInputDataTypes), not per-task:
+    // AnalysisException, before any job runs
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException](
+      spark.sql("SELECT cms_agg(k, 1000, 4) FROM cms_in").queryExecution.analyzed)
+    intercept[AnalysisException](
+      spark.sql("SELECT cms_agg(k, 256, 0) FROM cms_in").queryExecution.analyzed)
+    intercept[AnalysisException](
+      spark.sql("SELECT cms_agg(k, 256, 17) FROM cms_in").queryExecution.analyzed)
   }
 
   test("multiply-shift slots are replayable unsigned arithmetic") {

@@ -38,6 +38,14 @@ class ExpectationsSpec extends SparkSpec {
       "unique:lang,src" -> 1L))    // ids 1,2 share (en, src1)
   }
 
+  test("empty input reports ZERO violations (not NULL) for every rule shape") {
+    val empty = fixture.limit(0)
+    val got = Expectations.report(empty, rules).as[(String, Long)].collect()
+    assert(got.length == rules.length && got.forall(_._2 == 0L), got.toSeq)
+    // and the gate passes an empty (vacuously clean) input through
+    assert(Expectations.gate(empty, rules).count() == 0L)
+  }
+
   test("foreign key: unmatched and NULL keys count, matched ones don't") {
     val dim = Seq(10L, 20L).toDF("k")
     val facts = Seq(Some(10L), Some(20L), Some(99L), None).toDF("fk_col")

@@ -126,6 +126,43 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"interpreted re-evaluation hazard:\n${offenders.mkString("\n")}")
   }
 
+  test("every oracled query output is driver-sortable scalar columns only") {
+    // Round-10 postmortem: doc_quarantine registered an ARRAY<STRING>
+    // output column; the builder's local comparer stringifies values so
+    // it passed both sfs locally, but the DRIVER's comparer row-sorts
+    // with pandas, which cannot hash numpy arrays — the row went red
+    // only in the acceptance artifact. This lint walks every registered
+    // query that carries an oracle (rows-only queries are never sorted
+    // by the driver) and rejects any Array/Map/Struct-typed output
+    // column at the suite gate instead.
+    import org.apache.spark.sql.types._
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    def complexCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.collect {
+        case f if complex(f.dataType) =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }.toSeq
+    // teeth: a planted array-valued output must be flagged
+    import org.apache.spark.sql.functions._
+    val planted = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    assert(complexCols(planted).nonEmpty,
+      "guard lost its teeth: planted array output not flagged")
+
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if oracled(name) =>
+        complexCols(fn(spark, sf0001)).map(c => s"$name.$c")
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output would break the driver's pandas row-sort:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
     Seq("q09_topk", "knn_top5", "knn_norm_top5").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001)

@@ -82,6 +82,16 @@ class ProfileSpec extends SparkSpec {
       "changed:s" -> 1L, "changed:v" -> 1L))
   }
 
+  test("diff of two empty tables reports ZERO (not NULL) for every status") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val got = graft.ops.Profile.diff(empty, empty, "id")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "added" -> 0L, "removed" -> 0L, "changed" -> 0L, "unchanged" -> 0L,
+      "changed:s" -> 0L))
+  }
+
   test("diff is null-safe in values and keys") {
     import spark.implicits._
     val a = Seq((Some(1L), Some("x")), (Some(2L), None), (None, Some("k")))

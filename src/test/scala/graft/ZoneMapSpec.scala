@@ -177,6 +177,54 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("tag"), e.getMessage)
   }
 
+  test("logically-annotated int columns (decimal/date/timestamp) are poisoned, never zoned") {
+    // parquet stores DECIMAL-backed INT32/64 stats as raw UNSCALED values
+    // and DATE/TIMESTAMP as raw physical numbers; zones speak LOGICAL
+    // values, so harvest must refuse these columns rather than mis-prune
+    val dir = s"${Files.createTempDirectory("graft-zones-log")}/t"
+    val df = (1L to 100L).toDF("id")
+      .withColumn("dec", (col("id") * 7).cast("decimal(10,2)"))
+      .withColumn("dt", date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        col("id").cast("int")))
+      .withColumn("ts", to_timestamp(col("dt")))
+      .withColumn("f", col("id").cast("double") / 3.0)
+    MergeTable.create(spark, dir, df, "id", nBuckets = 2)
+    val zones = ZoneMaps.read(spark, dir, 1).get
+    zones.foreach { case (rel, cols) =>
+      assert(cols.contains("id") && cols.contains("f"),
+        s"$rel: plain long + double must stay zoned: ${cols.keySet}")
+      Seq("dec", "dt", "ts").foreach(c =>
+        assert(!cols.contains(c), s"$rel: annotated column $c must be poisoned"))
+    }
+    // unzoned columns are never skipped on — the scan stays exact
+    val got = MergeTable.readWhere(spark, dir, "dec",
+      BigDecimal(70), BigDecimal(140)).select("id").as[Long].collect().toSet
+    assert(got == (10L to 20L).toSet)
+    // and metadata aggregates refuse them loudly instead of reporting
+    // raw unscaled numbers
+    intercept[IllegalArgumentException] {
+      MergeTable.metaAggregate(spark, dir, Seq("dec")).collect()
+    }
+  }
+
+  test("double zones prune against the doubles the filter actually compares (ULP boundary)") {
+    // the filter coerces decimal bounds to DOUBLE: a bound just above a
+    // stored double still matches it after coercion, so pruning must
+    // not drop the file holding it
+    val dir = s"${Files.createTempDirectory("graft-zones-ulp")}/t"
+    val df = Seq((1L, 0.3), (2L, 0.1)).toDF("id", "x")
+    MergeTable.create(spark, dir, df, "id", nBuckets = 2)
+    // lo sits strictly between double(0.3) and the decimal 0.3's
+    // upper neighborhood: nearest double of lo IS 0.3, so the filter
+    // keeps the row — pruning must too
+    val lo = BigDecimal("0.30000000000000001")
+    assert(lo.toDouble == 0.3)
+    val got = MergeTable.readWhere(spark, dir, "x", lo, BigDecimal(1))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L),
+      "file holding double 0.3 was pruned at the representation boundary")
+  }
+
   test("vacuum reclaims old zone sidecars with their manifests") {
     val dir = s"${Files.createTempDirectory("graft-zones3")}/t"
     mkTable(dir)
