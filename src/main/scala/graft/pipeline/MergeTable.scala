@@ -67,7 +67,12 @@ object MergeTable {
     vs.last
   }
 
-  private case class Manifest(nBuckets: Int, entries: Map[Int, Seq[String]])
+  /** `op` records WHICH admin/DML operation committed the version
+    * (create/merge/compact/compact_buckets/rebucket/cluster) — the
+    * DESCRIBE HISTORY surface. Manifests written before the `#op`
+    * header read back as "unknown". */
+  private case class Manifest(
+      nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown")
 
   private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
     val f = fs(spark, dir)
@@ -82,11 +87,16 @@ object MergeTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     val header = lines.head.split("\t")
     require(header(0) == "#nbuckets", s"corrupt manifest _v$v at $dir")
-    val entries = lines.tail.map { l =>
+    // later '#'-prefixed lines are metadata headers (e.g. "#op\t<op>");
+    // pre-op manifests have none and read back op = "unknown"
+    val op = lines.tail.takeWhile(_.startsWith("#"))
+      .collectFirst { case l if l.startsWith("#op\t") => l.split("\t")(1) }
+      .getOrElse("unknown")
+    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(header(1).toInt, entries)
+    Manifest(header(1).toInt, entries, op)
   }
 
   /** Rename-as-commit: the manifest appears atomically or not at all. */
@@ -94,7 +104,7 @@ object MergeTable {
       spark: SparkSession, dir: String, v: Int, m: Manifest): Unit = {
     val f = fs(spark, dir)
     val tmp = new Path(s"$dir/._v$v.manifest.tmp")
-    val body = (s"#nbuckets\t${m.nBuckets}" +:
+    val body = (Seq(s"#nbuckets\t${m.nBuckets}", s"#op\t${m.op}") ++
       m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
         ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
@@ -166,7 +176,7 @@ object MergeTable {
     writeVersion(withBucket(df, keyCol, nBuckets), dir, 1, nBuckets)
     val written = listWritten(spark, dir, 1)
     ZoneMaps.write(spark, dir, 1, written.values.flatten.toSeq)
-    commitManifest(spark, dir, 1, Manifest(nBuckets, written))
+    commitManifest(spark, dir, 1, Manifest(nBuckets, written, "create"))
   }
 
   /** Read a specific rel-path subset of a version's files — the scan
@@ -265,7 +275,7 @@ object MergeTable {
         .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
         .getOrElse(Map.empty)
       ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
-      commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries))
+      commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries, "merge"))
       nv
     } finally upd.unpersist()
   }
@@ -414,7 +424,7 @@ object MergeTable {
       dir, nv, m.nBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written))
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "compact"))
     nv
   }
 
@@ -447,7 +457,8 @@ object MergeTable {
       .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
       .getOrElse(Map.empty)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries))
+    commitManifest(spark, dir, nv,
+      Manifest(m.nBuckets, entries, "compact_buckets"))
     nv
   }
 
@@ -478,7 +489,7 @@ object MergeTable {
     writeVersion(withBucket(old, keyCol, newNBuckets), dir, nv, newNBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(newNBuckets, written))
+    commitManifest(spark, dir, nv, Manifest(newNBuckets, written, "rebucket"))
     nv
   }
 
@@ -517,7 +528,7 @@ object MergeTable {
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written))
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster"))
     nv
   }
 
@@ -639,6 +650,55 @@ object MergeTable {
       StructField("max_v", StringType, nullable = true)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), schema)
+  }
+
+  /** DESCRIBE HISTORY — one row per committed (retained) version, in
+    * version order: which operation wrote it, its file/row footprint,
+    * and the delta against the previous retained version. Everything
+    * comes from manifests + zone sidecars (row counts per file are
+    * zone metadata; a missing sidecar degrades to a footer harvest) —
+    * O(files) metadata I/O, never a data scan, so auditing a 100 TB
+    * table's lineage costs the same as listing it. `ts_millis` is the
+    * manifest file's commit (modification) time. Versions reclaimed by
+    * [[vacuum]] are gone from history too — retention is the audit
+    * horizon, as in Delta's DESCRIBE HISTORY. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not a MergeTable")
+    var prevFiles: Option[Set[String]] = None
+    var prevRows: Option[Long] = None
+    val rows = vs.map { v =>
+      val m = readManifest(spark, dir, v)
+      val rel = m.entries.values.flatten.toSeq.sorted
+      val zones = ZoneMaps.forVersion(spark, dir, v, rel)
+      val nRows = rel.map { r =>
+        ZoneMaps.rowCount(zones.getOrElse(r, Map.empty)).getOrElse(
+          throw new IllegalStateException(s"no row count harvestable for $r"))
+      }.sum
+      val fileSet = rel.toSet
+      val added = prevFiles.map(p => (fileSet -- p).size.toLong)
+      val removed = prevFiles.map(p => (p -- fileSet).size.toLong)
+      val delta = prevRows.map(nRows - _)
+      val ts = f.getFileStatus(manifestPath(dir, v)).getModificationTime
+      prevFiles = Some(fileSet); prevRows = Some(nRows)
+      Row(v, m.op, m.nBuckets, rel.size.toLong, nRows,
+        added.getOrElse(rel.size.toLong), removed.getOrElse(0L),
+        delta.getOrElse(nRows), ts)
+    }
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("rows_delta", LongType, nullable = false),
+      StructField("ts_millis", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Delete data files referenced by NO manifest among the latest

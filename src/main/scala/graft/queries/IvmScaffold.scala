@@ -78,19 +78,45 @@ object IvmScaffold {
     once(d, "stats") { dir =>
       val docs = statsBase(s, d)
       graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
-      val updates = docs
-        .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          (col("n_chars") + 5L).as("n_chars"),
-          ((col("n_chars") + 5L) % 64L).as("v64"),
-          (col("doc_id") % 10 === 7).as("_del"))
-      val inserts = docs.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          lit("injected doc").as("text"), lit("xx").as("lang"),
-          lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
-          (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del"))
-      graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
+      graft.pipeline.MergeTable.merge(s, dir, statsTransition(docs),
         "doc_id", deleteCol = Some("_del"), validate = false)
+      ()
+    }
+
+  /** The stats-family v1→v2 update batch (shared with
+    * [[historyCorpus]]): n_chars+5 on doc_id%10==3, delete %10==7,
+    * insert `injected`-source clones of %10==1. */
+  private def statsTransition(docs: DataFrame): DataFrame = {
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 5L).as("n_chars"),
+        ((col("n_chars") + 5L) % 64L).as("v64"),
+        (col("doc_id") % 10 === 7).as("_del"))
+    val inserts = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("injected doc").as("text"), lit("xx").as("lang"),
+        lit("injected").as("source"), (col("doc_id") % 1000L).as("n_chars"),
+        (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del"))
+    updates.unionAll(inserts)
+  }
+
+  /** The lakehouse-admin corpus: the stats corpus taken through the
+    * FULL admin operation sequence — create v1 → merge v2 (the stats
+    * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 — so
+    * [[graft.pipeline.MergeTable.history]] has one of every op to
+    * report. Content after v2 never changes (compact/rebucket/cluster
+    * are layout-only), which is exactly what the history oracle pins:
+    * rows_delta 0 across the admin ops. */
+  def historyCorpus(s: SparkSession, d: String): String =
+    once(d, "history") { dir =>
+      val docs = statsBase(s, d)
+      graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+      graft.pipeline.MergeTable.merge(s, dir, statsTransition(docs),
+        "doc_id", deleteCol = Some("_del"), validate = false)
+      graft.pipeline.MergeTable.compact(s, dir)
+      graft.pipeline.MergeTable.rebucket(s, dir, "doc_id", 8)
+      graft.pipeline.MergeTable.clusterBy(s, dir, "n_chars", filesPerBucket = 2)
       ()
     }
 
@@ -155,6 +181,24 @@ object IvmScaffold {
     val path = once(d, tag) { dir => mk.write.parquet(dir) }
     s.read.parquet(path)
   }
+
+  /** Dataset-card lang cells ([[graft.pipeline.CorpusCard]]
+    * incremental decomposition) of [[textCorpus]] v1. */
+  def cardLangView1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "cardlang") {
+      graft.pipeline.BucketedView.compute(s, textCorpus(s, d), "l",
+        graft.pipeline.CorpusCard.langPartials(
+          PipelineQueries.toks(col("text"))), 1,
+        graft.pipeline.CorpusCard.deriveLang())
+    }
+
+  /** Dataset-card duplication-ledger cells of [[textCorpus]] v1. */
+  def cardDupView1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "carddup") {
+      graft.pipeline.BucketedView.compute(s, textCorpus(s, d), "h",
+        graft.pipeline.CorpusCard.dupPartials, 1,
+        graft.pipeline.CorpusCard.deriveDup)
+    }
 
   /** KMV shingle-overlap cells ([[graft.pipeline.OverlapStats]]) of
     * [[textCorpus]] v1. */

@@ -21,7 +21,7 @@ object PipelineQueries {
   /** Shared tokenization: lowercase, split on non-alphanumeric runs,
     * drop empties. The DuckDB twin is
     * `list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)`. */
-  private def toks(c: Column): Column =
+  private[queries] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
   private val toksSql =
@@ -2529,6 +2529,102 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN in_a AND in_b AND c_v THEN 1 ELSE 0 END) AS BIGINT) FROM j) t
       |ORDER BY metric""".stripMargin
 
+  /** INCREMENTAL dataset card ([[graft.pipeline.CorpusCard]]
+    * cell decomposition + [[graft.pipeline.BucketedView]]): the card's
+    * two cell views (per-(bucket, lang) scalars; the per-(bucket,
+    * normalized-hash) duplication ledger) built at [[IvmScaffold
+    * .textCorpus]] v1 and maintained to v2 by rebuilding ONLY the
+    * merge-touched buckets' cells — text rewrites, deletes and
+    * duplicate-injecting inserts included. The oracle rebuilds the
+    * whole card from scratch in DuckDB over the logically-merged
+    * corpus, so maintained ≡ from-scratch holds bit-for-bit
+    * cross-engine for every metric (the release deliverable is always
+    * current, like the rest of the maintained family). */
+  private val docCardIncremental: Q = (s, d) => {
+    val dir = IvmScaffold.textCorpus(s, d)
+    val lang2 = graft.pipeline.BucketedView.refresh(
+      s, dir, IvmScaffold.cardLangView1(s, d), "l",
+      graft.pipeline.CorpusCard.langPartials(toks(col("text"))), 1, 2,
+      graft.pipeline.CorpusCard.deriveLang())
+    val dup2 = graft.pipeline.BucketedView.refresh(
+      s, dir, IvmScaffold.cardDupView1(s, d), "h",
+      graft.pipeline.CorpusCard.dupPartials, 1, 2,
+      graft.pipeline.CorpusCard.deriveDup)
+    graft.pipeline.CorpusCard.cardFromCells(lang2, dup2)
+  }
+
+  private val docCardIncrementalSql =
+    s"""WITH m AS (
+      |  SELECT CASE WHEN doc_id % 10 = 3 THEN 'updated:' || lang
+      |              ELSE text END AS text, lang
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT 'freshly injected arrival of shared boilerplate', 'xx'
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |t AS (SELECT text, lang, $toksSql AS toks FROM m),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+      |  CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+      |    AS BIGINT) AS distinct_docs,
+      |  CAST(SUM(CASE WHEN len(toks) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+      |  FROM t),
+      |r AS (
+      |  SELECT 'volume' AS section, 'n_docs' AS metric, n_docs AS value FROM s
+      |  UNION ALL SELECT 'volume', 'n_tokens', n_tokens FROM s
+      |  UNION ALL SELECT 'volume', 'n_chars', n_chars FROM s
+      |  UNION ALL SELECT 'length', 'min_chars', min_chars FROM s
+      |  UNION ALL SELECT 'length', 'max_chars', max_chars FROM s
+      |  UNION ALL SELECT 'length', 'mean_chars_fp6',
+      |    (1000000 * n_chars) // n_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'distinct_docs', distinct_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'n_exact_dup_docs',
+      |    n_docs - distinct_docs FROM s
+      |  UNION ALL SELECT 'duplication', 'dup_rate_fp6',
+      |    (1000000 * (n_docs - distinct_docs)) // n_docs FROM s
+      |  UNION ALL SELECT 'quality', 'short_docs_lt50_tokens', short_docs FROM s
+      |  UNION ALL SELECT 'languages', 'lang:' || COALESCE(lang, 'null'),
+      |    CAST(COUNT(*) AS BIGINT) FROM t GROUP BY 2)
+      |SELECT section, metric, CAST(value AS BIGINT) AS value
+      |FROM r ORDER BY section, metric""".stripMargin
+
+  /** DESCRIBE HISTORY ([[graft.pipeline.MergeTable.history]]) over the
+    * admin-sequence corpus ([[IvmScaffold.historyCorpus]]): one row per
+    * committed version with its operation and row footprint — create
+    * v1, the stats merge to v2 (rows_delta = inserts − deletes), then
+    * compact/rebucket/cluster, all content-identical (rows_delta 0).
+    * Everything the engine reports comes from manifests + zone sidecars
+    * (no data scan); the DuckDB twin replays the known transition's
+    * row arithmetic from the documents table. File-level columns
+    * (n_files, files_added/removed, ts) are engine artifacts with no
+    * DuckDB counterpart — pinned by `MergeTableSpec` instead. */
+  private val docTableHistory: Q = (s, d) => {
+    val dir = IvmScaffold.historyCorpus(s, d)
+    graft.pipeline.MergeTable.history(s, dir)
+      .select(col("version"), col("op"), col("n_rows"), col("rows_delta"))
+      .orderBy("version")
+  }
+
+  private val docTableHistorySql =
+    """WITH c AS (SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS v1_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dels,
+      |  CAST(SUM(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ins
+      |  FROM documents)
+      |SELECT version, op, n_rows, rows_delta FROM (
+      |  SELECT 1 AS version, 'create' AS op, v1_rows AS n_rows,
+      |    v1_rows AS rows_delta FROM c
+      |  UNION ALL SELECT 2, 'merge', v1_rows - dels + ins, ins - dels FROM c
+      |  UNION ALL SELECT 3, 'compact', v1_rows - dels + ins,
+      |    CAST(0 AS BIGINT) FROM c
+      |  UNION ALL SELECT 4, 'rebucket', v1_rows - dels + ins,
+      |    CAST(0 AS BIGINT) FROM c
+      |  UNION ALL SELECT 5, 'cluster', v1_rows - dels + ins,
+      |    CAST(0 AS BIGINT) FROM c) t
+      |ORDER BY version""".stripMargin
+
   /** k-anonymity by suppression ([[graft.ops.Privacy.kAnonymize]],
     * Sweeney 2002): docs whose (lang, source, generalized-length)
     * quasi-identifier combination is shared by < 3 rows are
@@ -3566,9 +3662,11 @@ object PipelineQueries {
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
     "table_diff_versions" -> tableDiffVersions,
+    "doc_table_history" -> docTableHistory,
     "doc_expectations" -> docExpectations,
     "doc_quarantine" -> docQuarantine,
     "doc_corpus_card" -> docCorpusCard,
+    "doc_card_incremental" -> docCardIncremental,
     "doc_meta_agg" -> docMetaAgg,
     "doc_rebucket_roundtrip" -> docRebucketRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
@@ -3670,9 +3768,11 @@ object PipelineQueries {
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,
     "table_diff_versions" -> tableDiffVersionsSql,
+    "doc_table_history" -> docTableHistorySql,
     "doc_expectations" -> docExpectationsSql,
     "doc_quarantine" -> docQuarantineSql,
     "doc_corpus_card" -> docCorpusCardSql,
+    "doc_card_incremental" -> docCardIncrementalSql,
     "doc_meta_agg" -> docMetaAggSql,
     "doc_rebucket_roundtrip" -> docRebucketRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,

@@ -47,6 +47,53 @@ sealed trait Maintained {
       spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit
 }
 
+object Maintained {
+
+  /** Right-to-be-forgotten as ONE ACTION — the GDPR/CCPA erasure
+    * obligation over a corpus AND its standing derived artifacts
+    * (indexes, postings, chunk stores, fingerprints): one call issues
+    * the [[graft.pipeline.MergeTable]] delete, advances every
+    * registered [[Maintained]] artifact to the post-delete version
+    * (each ∝ delta, the family's maintenance contract), and returns
+    * the [[graft.ops.Privacy.forgottenAudit]] proving the ids are gone
+    * everywhere — the compliant result is all-zero `residual`s.
+    *
+    * `audited` supplies the id-bearing artifact frames as THUNKS so
+    * they are constructed AFTER the advances (an index read before its
+    * refresh would audit the stale version); the corpus itself is
+    * audited automatically as the first row. Aggregate-only artifacts
+    * (stats cells, sketches, classifier models) hold no per-id rows
+    * and have nothing to audit — they still advance, so their
+    * aggregates stop counting the erased rows.
+    *
+    * Ids already absent from the corpus are fine (erasure is
+    * idempotent); a forget of only-absent ids skips the merge but
+    * still advances laggard artifacts and audits. */
+  def forget(
+      spark: SparkSession, corpusDir: String, keyCol: String, ids: Seq[Any],
+      artifacts: Seq[Maintained],
+      audited: Seq[(String, () => DataFrame, String)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.pipeline.MergeTable
+    require(ids.nonEmpty, "no ids to forget")
+    require(ids.length <= 10000,
+      s"${ids.length} ids — erasure batches are human-scale; loop larger ones")
+    // the delete batch is the table's OWN live rows for those keys —
+    // full schema, so the merge needs no schema knowledge here
+    val live = MergeTable.read(spark, corpusDir)
+      .filter(col(keyCol).isin(ids: _*))
+      .withColumn("__forget", lit(true))
+    val v =
+      if (live.isEmpty) MergeTable.latestVersion(spark, corpusDir)
+      else MergeTable.merge(spark, corpusDir, live, keyCol,
+        deleteCol = Some("__forget"))
+    artifacts.foreach(_.advance(spark, corpusDir, v))
+    graft.ops.Privacy.forgottenAudit(ids,
+      ("corpus", MergeTable.read(spark, corpusDir), keyCol) +:
+        audited.map { case (name, mk, idCol) => (name, mk(), idCol) })
+  }
+}
+
 object CorpusViews {
 
   private def fs(spark: SparkSession, dir: String) =
@@ -219,6 +266,59 @@ object CorpusViews {
       require(vs.nonEmpty, s"no maintained view under $viewDir")
       OverlapStats.overlapPairs(OverlapStats.merged(
         spark.read.parquet(s"$viewDir/v${vs.max}"), groupCol))
+    }
+  }
+
+  /** Maintained DATASET CARD ([[graft.pipeline.CorpusCard]]): the
+    * release deliverable kept always-current like the rest of the
+    * family. Two cell frames per frozen version — per-(bucket, lang)
+    * scalar cells and the per-(bucket, normalized-text-hash)
+    * duplication ledger — maintained with touched-bucket cost via
+    * [[graft.pipeline.BucketedView]]; [[latest]] assembles the exact
+    * same `(section, metric, value)` BIGINT card a from-scratch
+    * [[graft.pipeline.CorpusCard.card]] produces (`CorpusCardSpec`
+    * pins bit-equality), without scanning any text. `tokens` is the
+    * tokenizer column, fixed at construction so every advance and the
+    * from-scratch twin tokenize identically. */
+  final case class CardView(
+      viewDir: String,
+      tokens: org.apache.spark.sql.Column,
+      langCol: String = "lang") extends FrozenCellView {
+    import graft.pipeline.{BucketedView, CorpusCard}
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val (lang, dup) = from match {
+        case Some(p) => (
+          BucketedView.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p/lang"), "l",
+            CorpusCard.langPartials(tokens), p, to,
+            CorpusCard.deriveLang(langCol)),
+          BucketedView.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p/dup"), "h",
+            CorpusCard.dupPartials, p, to, CorpusCard.deriveDup))
+        case None => (
+          BucketedView.compute(spark, corpusDir, "l",
+            CorpusCard.langPartials(tokens), to,
+            CorpusCard.deriveLang(langCol)),
+          BucketedView.compute(spark, corpusDir, "h",
+            CorpusCard.dupPartials, to, CorpusCard.deriveDup))
+      }
+      lang.write.mode("overwrite").parquet(s"$viewDir/v$to/lang")
+      dup.write.mode("overwrite").parquet(s"$viewDir/v$to/dup")
+      // the version-complete marker comes LAST: versions() only counts
+      // a frozen v<N> once both cell frames landed
+      fs(spark, viewDir).create(new Path(s"$viewDir/v$to/_SUCCESS"), true).close()
+    }
+
+    /** The maintained card at the newest frozen version — cell folds
+      * only, no corpus scan. */
+    def latest(spark: SparkSession): DataFrame = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained card under $viewDir")
+      CorpusCard.cardFromCells(
+        spark.read.parquet(s"$viewDir/v${vs.max}/lang"),
+        spark.read.parquet(s"$viewDir/v${vs.max}/dup"))
     }
   }
 

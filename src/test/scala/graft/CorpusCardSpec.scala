@@ -45,4 +45,44 @@ class CorpusCardSpec extends SparkSpec {
   test("layout invariance: repartition does not move a single value") {
     assert(run(fixture) == run(fixture.repartition(7)))
   }
+
+  test("cell-maintained card equals the from-scratch card bit-for-bit across a CDC transition") {
+    import graft.pipeline.{BucketedView, MergeTable}
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft-cardcells")}/t"
+    val tk = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    def cardOf(df: org.apache.spark.sql.DataFrame) =
+      CorpusCard.card(df, tk).as[(String, String, Long)].collect().toSeq
+    def cellsCard(lang: org.apache.spark.sql.DataFrame,
+        dup: org.apache.spark.sql.DataFrame) =
+      CorpusCard.cardFromCells(lang, dup)
+        .as[(String, String, Long)].collect().toSeq
+
+    // seed corpus: cross-BUCKET duplicates (same text, far-apart keys)
+    // so a per-bucket distinct sum would overcount — the ledger must not
+    val docs = ((1L to 40L).map(i =>
+        (i, if (i % 5 == 0) null else s"l${i % 3}",
+          if (i % 4 == 0) "shared duplicate body" else s"unique body $i")))
+      .toDF("doc_id", "lang", "text")
+    MergeTable.create(spark, dir, docs, "doc_id", nBuckets = 8)
+    val lang1 = BucketedView.compute(spark, dir, "l",
+      CorpusCard.langPartials(tk), 1, CorpusCard.deriveLang())
+    val dup1 = BucketedView.compute(spark, dir, "h",
+      CorpusCard.dupPartials, 1, CorpusCard.deriveDup)
+    assert(cellsCard(lang1, dup1) == cardOf(MergeTable.read(spark, dir, 1)))
+
+    // transition: rewrite one text into the dup group, delete a dup
+    // carrier, insert a brand-new language
+    val upd = Seq(
+      (3L, "l0", "shared duplicate body", false),
+      (4L, "l1", "", true),
+      (100L, "zz", "a freshly arrived document body", false))
+      .toDF("doc_id", "lang", "text", "_del")
+    MergeTable.merge(spark, dir, upd, "doc_id", deleteCol = Some("_del"))
+    val lang2 = BucketedView.refresh(spark, dir, lang1, "l",
+      CorpusCard.langPartials(tk), 1, 2, CorpusCard.deriveLang())
+    val dup2 = BucketedView.refresh(spark, dir, dup1, "h",
+      CorpusCard.dupPartials, 1, 2, CorpusCard.deriveDup)
+    assert(cellsCard(lang2, dup2) == cardOf(MergeTable.read(spark, dir, 2)),
+      "maintained card must equal the from-scratch card after the merge")
+  }
 }

@@ -28,6 +28,50 @@ class MergeTableSpec extends SparkSpec {
   private val base: Map[Long, (String, Double)] =
     (0L until 100L).map(i => i -> (s"name$i", i * 1.5)).toMap
 
+  test("history: one row per version with its op, footprint and deltas — from metadata only") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    // +5 inserts, -3 deletes → rows_delta = +2
+    val upd = ((100L until 105L).map(i => (i, s"new$i", 9.0, false)) ++
+      Seq(1L, 2L, 3L).map(i => (i, "", 0.0, true)))
+      .toDF("id", "name", "score", "_del")
+    MergeTable.merge(spark, dir, upd, "id", deleteCol = Some("_del"))
+    MergeTable.compact(spark, dir)
+    MergeTable.rebucket(spark, dir, "id", 8)
+    MergeTable.clusterBy(spark, dir, "score", filesPerBucket = 2)
+    val h = MergeTable.history(spark, dir)
+      .select("version", "op", "n_buckets", "n_files", "n_rows",
+        "files_added", "files_removed", "rows_delta")
+      .as[(Int, String, Int, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(h.map(r => (r._1, r._2)) == Seq(
+      1 -> "create", 2 -> "merge", 3 -> "compact",
+      4 -> "rebucket", 5 -> "cluster"))
+    assert(h.map(_._5) == Seq(100L, 102L, 102L, 102L, 102L), "n_rows")
+    assert(h.map(_._8) == Seq(100L, 2L, 0L, 0L, 0L), "rows_delta")
+    assert(h.map(_._3) == Seq(4, 4, 4, 8, 8), "n_buckets")
+    // merge is CoW: untouched buckets carry by reference, so not every
+    // file is replaced; compact/rebucket/cluster rewrite everything
+    val v2 = h(1)
+    assert(v2._6 > 0 && v2._6 < v2._4 + v2._7,
+      s"merge must add files without replacing all: $v2")
+    val v3 = h(2)
+    assert(v3._7 > 0 && v3._6 == v3._4, s"compact replaces the layout: $v3")
+    // ts is a real commit timestamp, non-decreasing across versions
+    val ts = MergeTable.history(spark, dir)
+      .select("ts_millis").as[Long].collect().toSeq
+    assert(ts == ts.sorted && ts.head > 0L)
+    // legacy manifests (no #op header) read back op = "unknown"
+    val mf = new java.io.File(dir, "_v1.manifest")
+    val stripped = scala.io.Source.fromFile(mf).getLines()
+      .filterNot(_.startsWith("#op")).mkString("", "\n", "\n")
+    Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    new java.io.File(dir, "._v1.manifest.crc").delete()
+    val ops = MergeTable.history(spark, dir)
+      .select("op").as[String].collect().toSeq
+    assert(ops == Seq("unknown", "merge", "compact", "rebucket", "cluster"))
+  }
+
   test("create + read round-trips; merge == in-memory upsert/delete reference") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashingEmbedder
 import graft.index.VectorIndex
-import graft.streaming.{CorpusViews, StreamingIngest}
+import graft.streaming.{CorpusViews, Maintained, StreamingIngest}
 
 /** ST1: streaming file ingest via foreachBatch reuses the batch pipeline;
   * ST2 semantics (event-time windows) are oracle-checked as batch queries
@@ -339,10 +339,13 @@ class StreamingSpec extends SparkSpec {
     val tgView = CorpusViews.TrigramIndex(s"$root/trigrams")
     val fqView = CorpusViews.FreqView(s"$root/fviews", "grp", "v", w = 64, d = 3)
     val bloomIdx = CorpusViews.BloomIndex(table, "text")
+    val cardToks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val cardView = CorpusViews.CardView(s"$root/card", cardToks, langCol = "grp")
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
       CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView,
-      ccView, tgView, fqView, bloomIdx)
+      ccView, tgView, fqView, bloomIdx, cardView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"),
@@ -430,6 +433,12 @@ class StreamingSpec extends SparkSpec {
           graft.pipeline.FreqStats.compute(spark, table, "grp", "v", w = 64, d = 3),
           "grp")),
         "maintained CMS cells must equal a batch rebuild, byte-for-byte")
+      def cardRows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] =
+        df.as[(String, String, Long)].collect().toSeq
+      assert(cardRows(cardView.latest(spark)) ==
+        cardRows(graft.pipeline.CorpusCard.card(
+          MergeTable.read(spark, table), cardToks, langCol = "grp")),
+        "maintained dataset card must equal a from-scratch card")
       // maintained bloom sidecar: every CURRENT text is findable
       // through the pruned point lookup, and the lookup equals the
       // plain filter (superset pass exact after every CDC batch)
@@ -520,6 +529,34 @@ class StreamingSpec extends SparkSpec {
     // the retention horizon slides with the stream: still exactly 2
     assert(MergeTable.versions(spark, table) == Seq(3, 4),
       s"horizon must slide to v3,v4: ${MergeTable.versions(spark, table)}")
+
+    // right-to-be-forgotten as ONE ACTION: a single Maintained.forget
+    // call deletes the key from the corpus, advances all twelve
+    // artifacts, and returns the all-zero audit — erasure as an
+    // operation, not a hand-rolled per-artifact loop
+    val audit2 = Maintained.forget(spark, table, "doc_id", Seq(5L),
+        maintain, Seq(
+          ("postings", () => MergeTable.read(spark, postings), "doc_id"),
+          ("fingerprints", () => MergeTable.read(spark, fps), "doc_id"),
+          ("rag", () => MergeTable.read(spark, s"$root/rag"), "doc_id"),
+          ("bands", () => MergeTable.read(spark, s"$root/bands"), "doc_id"),
+          ("trigrams", () => MergeTable.read(spark, s"$root/trigrams"), "doc_id")))
+      .as[(String, Long)].collect()
+    assert(audit2.length == 6 && audit2.forall(_._2 == 0L),
+      s"forget() must leave zero residual everywhere: ${audit2.toSeq}")
+    assert(!statsNow().keySet.contains("z") && statsNow() == batchStats(),
+      "aggregates must reflect the erasure")
+    allEqualBatch() // every artifact equals a batch rebuild post-forget
+    // erasure is idempotent: forgetting an absent id is a no-op with a
+    // clean audit, not an error
+    val audit3 = Maintained.forget(spark, table, "doc_id", Seq(5L), maintain)
+      .as[(String, Long)].collect()
+    assert(audit3.toSeq == Seq(("corpus", 0L)))
+    // and the stream keeps working off the same checkpoint afterwards
+    Files.writeString(java.nio.file.Paths.get(landing, "c4.json"),
+      """{"doc_id":6,"grp":"b","v":9,"text":"arrival after an out-of-band erasure","_del":false}""")
+    stream()
+    allEqualBatch()
   }
 
   test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {
