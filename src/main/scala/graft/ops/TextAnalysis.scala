@@ -206,20 +206,23 @@ object TextAnalysis {
     * → per-doc top-k window. The window shuffles (doc, term, score)
     * triples — bounded by distinct terms per doc, never corpus text;
     * partition key = document, so skew is bounded by document length.
-    * N comes from one count of the input (column-pruned scan or
-    * parquet count-star fast path), not a collect of data.
+    * The IDF's N is a single-row count aggregate crossJoin-broadcast
+    * onto the (bounded) df side — it rides the SAME job as everything
+    * else, no separate driver count action over the corpus.
     *
     * Returns `(idCol, rn, term, score_fp)`, rn = 1..k. */
   def topKeywords(
       df: DataFrame, tokensCol: Column, k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k > 0)
-    val n = df.count()
+    val nRow = df.agg(count(lit(1L)).as("__n"))
     val tf = df.select(col(idCol), explode(tokensCol).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRow))
     val idfFp = floor(
-      log(lit((n + 1).toDouble) / (col("df") + 1L).cast("double")) * lit(1e6))
+      log((col("__n") + 1L).cast("double") / (col("df") + 1L).cast("double"))
+        * lit(1e6))
       .cast("long")
     val scored = tf.join(dfreq, "term")
       .select(col(idCol), col("term"), (col("tf") * idfFp).as("score_fp"))

@@ -369,6 +369,8 @@ object IvmScaffold {
       t("minmax_view1")(minmaxView1(s, d)),
       t("q_view1")(qView1(s, d)),
       t("vec_corpus")(vecCorpus(s, d)),
-      t("ivf_v1")(ivfV1(s, d)))
+      t("ivf_v1")(ivfV1(s, d)),
+      t("history_corpus")(historyCorpus(s, d)),
+      t("card_views1")({ cardLangView1(s, d); cardDupView1(s, d) }))
   }
 }

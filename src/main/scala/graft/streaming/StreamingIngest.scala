@@ -309,7 +309,21 @@ object StreamingIngest {
     *
     * `expectations`/`quarantineDir` gate change records exactly as in
     * [[startMergeUpsert]] — quarantined records never reach the merge,
-    * so no maintained artifact ever has to unwind a bad row. */
+    * so no maintained artifact ever has to unwind a bad row.
+    *
+    * `aggregateExpectations` (Unique / ForeignKey — the rules a
+    * per-record quarantine CANNOT express) are evaluated per
+    * micro-batch against the POST-merge table, as a LOUD gate: a
+    * violated key constraint throws before any maintained artifact
+    * advances, so derived state never reflects a broken key and the
+    * stream halts for the operator (DLT "fail"-expectation semantics —
+    * a retried batch re-merges idempotently and re-trips until the
+    * state is repaired; the offending version remains time-travelable
+    * for diagnosis). Quarantine stays row-only by design: an aggregate
+    * violation has no single offending row to divert. Cost: one
+    * column-pruned aggregation over the table per Unique rule and one
+    * anti-join per ForeignKey rule, per batch — the price of an exact
+    * global key check; declare only the keys that matter. */
   def startMergeUpsertMaintained(
       spark: SparkSession,
       landingDir: String,
@@ -322,11 +336,16 @@ object StreamingIngest {
       versionCol: Option[String] = None,
       retainVersions: Option[Int] = None,
       expectations: Seq[graft.ops.Expectations.RowRule] = Nil,
-      quarantineDir: Option[String] = None): StreamingQuery = {
+      quarantineDir: Option[String] = None,
+      aggregateExpectations: Seq[graft.ops.Expectations.Rule] = Nil): StreamingQuery = {
     retainVersions.foreach(n => require(n >= 1,
       s"retainVersions must keep at least the latest version, got $n"))
     require(expectations.isEmpty || quarantineDir.nonEmpty,
       "expectations need a quarantineDir — violations are never dropped silently")
+    require(!aggregateExpectations.exists(
+        _.isInstanceOf[graft.ops.Expectations.RowRule]),
+      "row rules gate per-record via `expectations`; " +
+        "aggregateExpectations is for Unique/ForeignKey")
     val changes = spark.readStream.schema(schema).json(landingDir)
     changes.writeStream
       .outputMode("append")
@@ -337,6 +356,10 @@ object StreamingIngest {
             tableDir, keyCol, deleteCol, versionCol)
           .foreach { v =>
             val s = batch.sparkSession
+            if (aggregateExpectations.nonEmpty)
+              graft.ops.Expectations.gate(
+                graft.pipeline.MergeTable.read(s, tableDir, v),
+                aggregateExpectations)
             maintain.foreach(_.advance(s, tableDir, v))
             retainVersions.foreach { n =>
               val minReflected =

@@ -24,7 +24,8 @@ class PlanGuardSpec extends SparkSpec {
     "table_drift",           // single-row (ta, tb) totals broadcast
     "events_freq_cms",       // per-event-type sketch rows × broadcast 20-row probe set
     "doc_freq_incremental",  // per-source sketch rows × broadcast 64-row probe set
-    "doc_card_incremental")  // crossJoin of two single-row cell-fold aggregates
+    "doc_card_incremental",  // crossJoin of two single-row cell-fold aggregates
+    "doc_keywords_tfidf")    // single-row corpus-N broadcast onto the df side
   // doc_dsir_sample is deliberately NOT exempt: its smoothing constant
   // folds into a projection literal, so any cartesian/BNLJ appearing in
   // its plan is a regression this guard must catch

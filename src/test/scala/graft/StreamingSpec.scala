@@ -559,6 +559,48 @@ class StreamingSpec extends SparkSpec {
     allEqualBatch()
   }
 
+  test("aggregate-rule CDC gate: a key-breaking batch halts the stream before any artifact advances") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.MergeTable
+    val root = Files.createTempDirectory("graft-cdc-agg")
+    val (landing, ckpt) = (s"$root/landing", s"$root/ckpt")
+    val (table, views) = (s"$root/table/t", s"$root/views")
+    new java.io.File(landing).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("grp", StringType),
+      StructField("v", LongType), StructField("_del", BooleanType)))
+    MergeTable.create(spark, table,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "grp", "v"),
+      "doc_id", nBuckets = 4)
+    val statsView = CorpusViews.StatsView(views, "grp", "v")
+    def stream() = StreamingIngest.startMergeUpsertMaintained(
+      spark, landing, table, "doc_id", schema, ckpt, Seq(statsView),
+      deleteCol = Some("_del"),
+      aggregateExpectations = Seq(graft.ops.Expectations.Unique(Seq("v"))))
+      .awaitTermination(60000)
+
+    // clean batch: v stays a key — gate passes, the artifact advances
+    Files.writeString(java.nio.file.Paths.get(landing, "a1.json"),
+      """{"doc_id":3,"grp":"a","v":30,"_del":false}""")
+    stream()
+    assert(statsView.version(spark).contains(2))
+
+    // key-breaking batch: doc 4 reuses v=30 — each record is row-clean
+    // (no quarantinable violation), but the POST-merge table breaks
+    // unique:v; the loud gate must halt the stream BEFORE the
+    // maintained view advances
+    Files.writeString(java.nio.file.Paths.get(landing, "a2.json"),
+      """{"doc_id":4,"grp":"b","v":30,"_del":false}""")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](stream())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("unique:v"), chain)
+    assert(statsView.version(spark).contains(2),
+      "no artifact may advance past a violated key constraint")
+    // the offending version itself stays time-travelable for diagnosis
+    assert(MergeTable.latestVersion(spark, table) == 3)
+  }
+
   test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {
     import org.apache.spark.sql.types._
     import graft.pipeline.MergeTable

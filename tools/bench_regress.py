@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate (round-10 verdict ask #5).
+
+Compares a fresh Bench JSON (one line, with per-query seconds and the
+host-calibration kernel time `calib_sec`) against the committed
+baseline `tools/bench_baseline.json`, whose values are KERNEL UNITS
+(seconds / calib_sec) — host-independent, so a run on a 2x-slower host
+compares cleanly.
+
+Policy:
+  * FAIL when a carried query exceeds BAND (1.5x) of its baseline
+    units AND its baseline is above the tiny-query floor (0.75 units):
+    sub-second queries under a min-of-2 policy are noise-dominated and
+    flagged informationally instead of failing the gate.
+  * New queries (no baseline row) are reported; refresh the baseline
+    with --update after a judged round establishes their cost.
+  * Improvements are reported so a speedup can be banked with --update.
+
+Baseline locality (measured, round 11): the calibration kernel is
+CPU-bound, so it compensates CPU-speed differences but NOT the I/O /
+memory-bandwidth mix — comparing a driver-host baseline against a
+build-host run showed a +/-2x spread on unrelated carried queries in
+BOTH directions despite calibration. The committed baseline is
+therefore captured on the BUILD host class (where preflight runs) and
+pins run-over-run drift there; cross-host, cross-round comparisons
+belong to the judge's calibrated driver artifacts, read with that
+wider spread in mind (SCALE.md round-11 section).
+
+Usage:
+  python3 tools/bench_regress.py /tmp/preflight_bench.json [--update]
+"""
+import json
+import sys
+
+BAND = 1.5
+TINY_FLOOR_UNITS = 0.75
+BASELINE = "tools/bench_baseline.json"
+
+
+def main() -> int:
+    bench_path = sys.argv[1]
+    update = "--update" in sys.argv[2:]
+    # Bench emits two JSON lines (full per-query map + compact summary)
+    # and the preflight grep may capture either — pick the one with the
+    # per-query map
+    lines = [json.loads(l) for l in open(bench_path) if l.strip()]
+    bench = next((l for l in lines if "queries" in l), None)
+    if bench is None:
+        print("[bench-regress] no per-query map in bench output — skipping")
+        return 0
+    calib = bench.get("calib_sec", -1.0)
+    if calib <= 0:
+        print("[bench-regress] no calibration in bench output — skipping")
+        return 0
+    base = json.load(open(BASELINE))
+    units_base = base["units"]
+    now = {k: v / calib for k, v in bench["queries"].items()}
+
+    fails, warns, new, improved = [], [], [], []
+    for q, u in sorted(now.items()):
+        b = units_base.get(q)
+        if b is None:
+            new.append(q)
+        elif u > BAND * b:
+            line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x)"
+            (fails if b >= TINY_FLOOR_UNITS else warns).append(line)
+        elif u < b / BAND and b >= TINY_FLOOR_UNITS:
+            improved.append(f"{q}: {u:.2f}u vs baseline {b:.2f}u")
+    gone = sorted(set(units_base) - set(now))
+
+    for tag, rows in (("REGRESSION", fails), ("noise-band (tiny)", warns),
+                      ("improved", improved)):
+        for r in rows:
+            print(f"[bench-regress] {tag}: {r}")
+    if new:
+        print(f"[bench-regress] {len(new)} new (unbaselined): {', '.join(new)}")
+    if gone:
+        print(f"[bench-regress] {len(gone)} baselined but not run: {', '.join(gone)}")
+
+    if update:
+        base["units"] = {k: round(v, 4) for k, v in now.items()}
+        base["calib_sec_at_capture"] = calib
+        base["source"] = f"refreshed from {bench_path}"
+        json.dump(base, open(BASELINE, "w"), indent=1, sort_keys=True)
+        print(f"[bench-regress] baseline refreshed: {len(now)} queries")
+        return 0
+    if fails:
+        print(f"[bench-regress] FAIL: {len(fails)} carried queries regressed "
+              f"past {BAND}x after calibration")
+        return 1
+    print(f"[bench-regress] PASS: {len(now)} queries within band "
+          f"(calib {calib:.3f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,11 @@ if [ "$N_ERR" != "0" ]; then
   echo "[preflight] FAIL: $N_ERR bench errors"; exit 1
 fi
 
+echo "[preflight] Per-query bench regression check (kernel units vs tools/bench_baseline.json)"
+# round-10 verdict ask #5: a carried query >1.5x its calibrated baseline
+# fails the gate (tiny queries report but don't fail — min-of-2 noise)
+python3 tools/bench_regress.py /tmp/preflight_bench.json | tee /tmp/preflight_regress.log
+
 VTOTAL=$(grep -o 'total [0-9.]*s, [0-9]* ok, [0-9]* failed' /tmp/preflight_verify.log | tail -1)
 CTOTAL=$(tail -1 /tmp/preflight_compare.log)
 BTOTAL=$(python3 -c "import json;d=json.load(open('/tmp/preflight_bench.json'));print(f\"bench {d['value']:.1f}s, {d['n_ok']} ok, {d['n_err']} err\")")
