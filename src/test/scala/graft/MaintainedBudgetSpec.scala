@@ -8,7 +8,7 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** The Maintained-family per-batch latency BUDGET claim, pinned: one
-  * CDC batch through an eleven-artifact maintained set costs ∝ the
+  * CDC batch through a twelve-artifact maintained set costs ∝ the
   * DELTA, not the corpus — so the same fixed-size delta batch on a
   * 10× larger corpus must stay within a small factor of the small-
   * corpus batch (a corpus-proportional loop would be ~10×), and a
@@ -47,7 +47,9 @@ class MaintainedBudgetSpec extends SparkSpec {
     CorpusViews.OverlapView(s"$root/overlap"),
     CorpusViews.ClustersView(s"$root/clusters"),
     CorpusViews.TrigramIndex(s"$root/trigrams"),
-    CorpusViews.BloomIndex(s"$root/corpus", "text"))
+    CorpusViews.BloomIndex(s"$root/corpus", "text"),
+    CorpusViews.CardView(s"$root/card",
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)))
 
   /** Build corpus + full maintained set at `n` docs, then run two
     * sequential 20-doc delta batches through the streaming loop
