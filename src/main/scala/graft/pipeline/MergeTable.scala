@@ -532,6 +532,47 @@ object MergeTable {
     nv
   }
 
+  /** Multi-dimensional [[clusterBy]]: each bucket rewritten RANGE-SPLIT
+    * by the Z-ORDER value of `byCols` ([[Layout.zValue]] — interleaved
+    * bits, the Delta/Iceberg OPTIMIZE ZORDER move), contents unchanged.
+    * Where a 1-D `clusterBy(a)` makes only `a` prunable (every file
+    * still spans all of `b`), the curve localizes EVERY clustered
+    * column at once: each file covers a small bounding box in all
+    * `byCols`, so [[readWhere]] prunes on ANY of them (`ZoneMapSpec`
+    * pins both-dimension pruning + exactness). `bits` is the per-column
+    * quantization of the curve (values clamp into `[0, 2^bits-1]`;
+    * zone stats — and therefore pruning — always use the TRUE values,
+    * so clamping can only cost locality, never correctness). Columns
+    * must be numeric and non-negative at `bits` resolution — pre-bucket
+    * continuous values first. Returns the committed version. */
+  def clusterByZ(
+      spark: SparkSession, dir: String, byCols: Seq[String],
+      filesPerBucket: Int = 4, bits: Int = 16): Int = {
+    require(byCols.size >= 2, "clusterByZ needs >= 2 columns; use clusterBy for 1")
+    require(filesPerBucket > 0)
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val missing = byCols.filterNot(read(spark, dir, v).columns.contains)
+    require(missing.isEmpty, s"no columns $missing to cluster by")
+    val nv = nextVersion(spark, dir)
+    val parts = m.entries.keys.toSeq.sorted.map { b =>
+      val files = m.entries(b).map(p => s"$dir/$p")
+      readFiles(spark, files).withColumn(Bucket, lit(b))
+    }
+    val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    union
+      .withColumn("__graft_z", Layout.zValue(byCols.map(col), bits))
+      .repartitionByRange(m.entries.size * filesPerBucket,
+        col(Bucket), col("__graft_z"))
+      .sortWithinPartitions(col(Bucket), col("__graft_z"))
+      .drop("__graft_z")
+      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
+    val written = listWritten(spark, dir, nv)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z"))
+    nv
+  }
+
   /** Zone-pruned range scan: read ONLY the files whose [[ZoneMaps]]
     * [min, max] can intersect `[lo, hi]` on `column`, then apply the
     * exact predicate (pruning is a superset pass — files without a
@@ -545,6 +586,30 @@ object MergeTable {
     val (kept, _) = prunedFiles(spark, dir, column, lo, hi, version)
     val v = if (version > 0) version else latestVersion(spark, dir)
     val pred = col(column) >= lit(lo.bigDecimal) && col(column) <= lit(hi.bigDecimal)
+    if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
+    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
+  }
+
+  /** Conjunctive multi-column zone-pruned scan: read ONLY the files
+    * that survive [[prunedFiles]] on EVERY bound (a file skippable on
+    * any one dimension cannot hold a qualifying row), then apply the
+    * exact conjunction. On a [[clusterByZ]] layout every bounded
+    * column prunes — the payoff of the curve; on any other layout the
+    * extra bounds simply prune less (superset pass, exact always).
+    * Zone sidecar is re-read per bound — O(bounds × files) metadata
+    * text, trivial next to the scan it saves. */
+  def readWhereAll(
+      spark: SparkSession, dir: String,
+      bounds: Seq[(String, BigDecimal, BigDecimal)],
+      version: Int = -1): DataFrame = {
+    require(bounds.nonEmpty, "no bounds")
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val kept = bounds
+      .map { case (c, lo, hi) => prunedFiles(spark, dir, c, lo, hi, v)._1.toSet }
+      .reduce(_ intersect _).toSeq.sorted
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo.bigDecimal) && col(c) <= lit(hi.bigDecimal)
+    }.reduce(_ && _)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
     else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
   }

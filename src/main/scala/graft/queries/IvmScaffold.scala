@@ -103,11 +103,13 @@ object IvmScaffold {
 
   /** The lakehouse-admin corpus: the stats corpus taken through the
     * FULL admin operation sequence — create v1 → merge v2 (the stats
-    * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 — so
+    * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 →
+    * z-order cluster v6 on (n_chars, v64) — so
     * [[graft.pipeline.MergeTable.history]] has one of every op to
-    * report. Content after v2 never changes (compact/rebucket/cluster
-    * are layout-only), which is exactly what the history oracle pins:
-    * rows_delta 0 across the admin ops. */
+    * report and the z-order scan query reads a multi-dimensionally
+    * clustered head. Content after v2 never changes (the admin ops are
+    * layout-only), which is exactly what the history oracle pins:
+    * rows_delta 0 across them. */
   def historyCorpus(s: SparkSession, d: String): String =
     once(d, "history") { dir =>
       val docs = statsBase(s, d)
@@ -117,6 +119,8 @@ object IvmScaffold {
       graft.pipeline.MergeTable.compact(s, dir)
       graft.pipeline.MergeTable.rebucket(s, dir, "doc_id", 8)
       graft.pipeline.MergeTable.clusterBy(s, dir, "n_chars", filesPerBucket = 2)
+      graft.pipeline.MergeTable.clusterByZ(s, dir, Seq("n_chars", "v64"),
+        filesPerBucket = 2)
       ()
     }
 

@@ -2622,8 +2622,42 @@ object PipelineQueries {
       |  UNION ALL SELECT 4, 'rebucket', v1_rows - dels + ins,
       |    CAST(0 AS BIGINT) FROM c
       |  UNION ALL SELECT 5, 'cluster', v1_rows - dels + ins,
+      |    CAST(0 AS BIGINT) FROM c
+      |  UNION ALL SELECT 6, 'cluster_z', v1_rows - dels + ins,
       |    CAST(0 AS BIGINT) FROM c) t
       |ORDER BY version""".stripMargin
+
+  /** Z-ORDER clustered scan ([[graft.pipeline.MergeTable.clusterByZ]] +
+    * `readWhereAll`): the admin-sequence corpus's head version is
+    * z-order-laid on (n_chars, v64) — interleaved-bit curve, the
+    * Delta/Iceberg OPTIMIZE ZORDER move — so a conjunctive range
+    * predicate zone-prunes on BOTH columns before any scan task runs
+    * (a 1-D clustering can only ever prune one; `ZoneMapSpec` pins the
+    * both-dimension skip evidence and the 1-D control). The oracle
+    * replays the two-predicate filter over the logically merged corpus
+    * — a wrongly skipped file loses rows and breaks the hash. */
+  private val docZorderScan: Q = (s, d) => {
+    val dir = IvmScaffold.historyCorpus(s, d)
+    graft.pipeline.MergeTable.readWhereAll(s, dir, Seq(
+        ("n_chars", BigDecimal(200), BigDecimal(900)),
+        ("v64", BigDecimal(8), BigDecimal(40))))
+      .select(col("doc_id"), col("n_chars"), col("v64"))
+      .orderBy("doc_id")
+  }
+
+  private val docZorderScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64
+      |         ELSE n_chars % 64 END AS v64
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000, doc_id % 1000 % 64
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, n_chars, v64 FROM merged
+      |WHERE n_chars BETWEEN 200 AND 900 AND v64 BETWEEN 8 AND 40
+      |ORDER BY doc_id""".stripMargin
 
   /** k-anonymity by suppression ([[graft.ops.Privacy.kAnonymize]],
     * Sweeney 2002): docs whose (lang, source, generalized-length)
@@ -3663,6 +3697,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversity,
     "table_diff_versions" -> tableDiffVersions,
     "doc_table_history" -> docTableHistory,
+    "doc_zorder_scan" -> docZorderScan,
     "doc_expectations" -> docExpectations,
     "doc_quarantine" -> docQuarantine,
     "doc_corpus_card" -> docCorpusCard,
@@ -3769,6 +3804,7 @@ object PipelineQueries {
     "doc_l_diversity" -> docLDiversitySql,
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_table_history" -> docTableHistorySql,
+    "doc_zorder_scan" -> docZorderScanSql,
     "doc_expectations" -> docExpectationsSql,
     "doc_quarantine" -> docQuarantineSql,
     "doc_corpus_card" -> docCorpusCardSql,

@@ -177,6 +177,55 @@ class ZoneMapSpec extends SparkSpec {
     assert(e.getMessage.contains("tag"), e.getMessage)
   }
 
+  test("clusterByZ: BOTH dimensions prune; 1-D clustering only ever prunes its own") {
+    // two decorrelated dimensions: a 1-D layout on `a` leaves every
+    // file spanning all of `b`, while the z-curve localizes both
+    val dir = s"${Files.createTempDirectory("graft-zorder")}/t"
+    val df = (1L to 8000L)
+      .map(i => (i, i % 97, (i * 31) % 89, s"p$i"))
+      .toDF("id", "a", "b", "tag")
+    MergeTable.create(spark, dir, df, "id", nBuckets = 2)
+
+    // 1-D control: clusterBy(a) — `a` prunes, `b` cannot
+    val v1d = MergeTable.clusterBy(spark, dir, "a", filesPerBucket = 16)
+    val (aKept1, total1) = MergeTable.prunedFiles(
+      spark, dir, "a", BigDecimal(10), BigDecimal(15), version = v1d)
+    val (bKept1, _) = MergeTable.prunedFiles(
+      spark, dir, "b", BigDecimal(10), BigDecimal(15), version = v1d)
+    assert(aKept1.size <= total1 / 2, s"control: a must prune: ${aKept1.size}/$total1")
+    assert(bKept1.size == total1,
+      s"control: a-only layout must NOT prune b: ${bKept1.size}/$total1")
+
+    // the curve: clusterByZ(a, b) — BOTH dimensions prune. With 16
+    // curve segments per bucket each file covers a ~quarter-width box
+    // per dimension, so a narrow (6%) range must skip a meaningful
+    // share of files on EITHER column — the thing no 1-D layout can do
+    val vz = MergeTable.clusterByZ(spark, dir, Seq("a", "b"),
+      filesPerBucket = 16)
+    val (aKept, total) = MergeTable.prunedFiles(
+      spark, dir, "a", BigDecimal(10), BigDecimal(15), version = vz)
+    val (bKept, _) = MergeTable.prunedFiles(
+      spark, dir, "b", BigDecimal(10), BigDecimal(15), version = vz)
+    assert(aKept.size <= total * 6 / 10, s"z layout: a must prune: ${aKept.size}/$total")
+    assert(bKept.size <= total * 6 / 10, s"z layout: b must prune: ${bKept.size}/$total")
+
+    // conjunctive pruned scan intersects the survivors and stays exact
+    val got = MergeTable.readWhereAll(spark, dir, Seq(
+        ("a", BigDecimal(10), BigDecimal(15)),
+        ("b", BigDecimal(20), BigDecimal(60))), version = vz)
+      .select("id").as[Long].collect().toSet
+    val want = (1L to 8000L).filter(i =>
+      i % 97 >= 10 && i % 97 <= 15 &&
+        (i * 31) % 89 >= 20 && (i * 31) % 89 <= 60).toSet
+    assert(got == want && want.nonEmpty)
+
+    // layout-only: content identical through the z rewrite
+    val all = MergeTable.read(spark, dir, vz)
+      .select("id", "a", "b", "tag").as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(all == (1L to 8000L).map(i => (i, i % 97, (i * 31) % 89, s"p$i")).toSet)
+  }
+
   test("logically-annotated int columns (decimal/date/timestamp) are poisoned, never zoned") {
     // parquet stores DECIMAL-backed INT32/64 stats as raw UNSCALED values
     // and DATE/TIMESTAMP as raw physical numbers; zones speak LOGICAL
