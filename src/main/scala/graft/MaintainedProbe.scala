@@ -7,13 +7,13 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** Maintained-family per-batch latency budget (VERDICT r9 ask #1):
-  * the CDC upsert loop refreshes THIRTEEN standing text-corpus
+  * the CDC upsert loop refreshes FOURTEEN standing text-corpus
   * artifacts per batch (stats cells, quantile cells, BM25 postings,
   * winnowed fingerprints, RAG chunk index, MinHash bands, NB
   * classifier model, KMV overlap cells, near-dup clusters, trigram
   * postings, CMS frequency cells, per-file Bloom point-lookup sidecar,
-  * dataset-card cells — the [[CorpusViews]] set; the IVF cell lists
-  * are the embedding-corpus sibling, probed by
+  * dataset-card cells, table-profile cells — the [[CorpusViews]] set;
+  * the IVF cell lists are the embedding-corpus sibling, probed by
   * `IvfRefreshSpec`/ScaleProbe), but per-view
   * evidence alone doesn't show what ONE batch costs end-to-end or
   * that it stays ∝ delta as the corpus grows. This main measures the
@@ -54,7 +54,9 @@ object MaintainedProbe {
     CorpusViews.FreqView(s"$root/freq", "lang", "n_chars"),
     CorpusViews.BloomIndex(s"$root/corpus", "text"),
     CorpusViews.CardView(s"$root/card",
-      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)))
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)),
+    CorpusViews.ProfileView(s"$root/prof",
+      Seq("doc_id", "text", "lang", "n_chars")))
 
   /** Mixed delta over the corpus's CURRENT state: rewrites and deletes
     * pick the lowest live doc_ids from `offset` on (disjoint across
@@ -149,7 +151,7 @@ object MaintainedProbe {
           bs.map { case (d, s) => s""""$d":$s""" }.mkString(",")}}}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"maintained_batch","deltas":[${deltas.mkString(",")}],"rows":$json}""")
-      println("| corpus | docs | build (13 artifacts) | batch Δ=" +
+      println("| corpus | docs | build (14 artifacts) | batch Δ=" +
         deltas.head + " | batch Δ=" + deltas(1) + " |")
       println("|---|---|---|---|---|")
       rows.foreach { case (dir, n, b, bs) =>

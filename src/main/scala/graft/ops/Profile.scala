@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{NumericType, StringType, StructField}
 
 /** One-pass table profiling — the "what is in this table" report every
   * 100 TB ingest starts with: per-column null counts, exact distincts,
@@ -74,6 +74,87 @@ object Profile {
     val aggs = metrics.zipWithIndex.map { case ((_, _, a), i) => a.as(s"m$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single row: stack(n, 'col', 'metric', value, ...)
+    def q(s: String): String = s"'${s.replace("'", "''")}'"
+    val pieces = metrics.zipWithIndex.map { case ((c, m, _), i) =>
+      s"${q(c)}, ${q(m)}, m$i"
+    }
+    wide.select(expr(
+      s"stack(${metrics.length}, ${pieces.mkString(", ")}) AS (col_name, metric, value)"))
+  }
+
+  // ----- incremental decomposition ([[graft.pipeline.BucketedView]]) -----
+  //
+  // Every profile metric EXCEPT exact n_distinct is algebraic over
+  // bucket cells: counts/nulls/decimal sums re-SUM, min/max re-fold,
+  // and the mean stays bit-equal because the global decimal sum is the
+  // exact sum of exact per-bucket decimal sums divided by the summed
+  // count — the same one IEEE division. Exact distincts are the one
+  // non-decomposable metric (the card's dup-ledger approach would cost
+  // a cell row per distinct value PER COLUMN); the maintained profile
+  // simply omits them, which is also Delta's choice for its column
+  // stats. Cell aliases encode (metric kind)__(column), so the cell
+  // frame is self-describing and a reader needs no schema side-channel.
+
+  private def quoted(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Per-bucket partials for every [[profile]] metric except
+    * n_distinct. Profiled column names must not contain `__` (the
+    * alias separator). */
+  def cellPartials(fields: Seq[StructField]): Seq[Column] =
+    fields.flatMap { f =>
+      require(!f.name.contains("__"),
+        s"profiled column name may not contain '__': ${f.name}")
+      val c = quoted(f.name)
+      val base = Seq(
+        count(c).as(s"cnt__${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nul__${f.name}"))
+      f.dataType match {
+        case _: NumericType => base ++ Seq(
+          min(c).as(s"mn__${f.name}"),
+          max(c).as(s"mx__${f.name}"),
+          sum(c.cast("decimal(28,6)")).as(s"sm__${f.name}"))
+        case StringType => base ++ Seq(
+          min(length(c)).as(s"lmn__${f.name}"),
+          max(length(c)).as(s"lmx__${f.name}"),
+          sum(length(c).cast("decimal(28,6)")).as(s"lsm__${f.name}"))
+        case _ => base
+      }
+    }
+
+  /** The profile (minus n_distinct) from maintained cells — same long
+    * `(col_name, metric, value)` shape and arithmetic as [[profile]],
+    * so maintained ≡ from-scratch holds bit-for-bit on the shared
+    * metrics. One aggregation over cell state, never over data. */
+  def profileFromCells(cells: DataFrame): DataFrame = {
+    val colNames = cells.columns.toSeq
+      .filter(_.startsWith("cnt__")).map(_.stripPrefix("cnt__"))
+    require(colNames.nonEmpty, "no profile cells found")
+    val has = cells.columns.toSet
+    def a(prefix: String, c: String): Column = col(s"${prefix}__$c")
+    val metrics: Seq[(String, String, Column)] = colNames.flatMap { c =>
+      // coalesce: an empty cell frame (empty table) must read 0, not NULL
+      val base = Seq(
+        (c, "count", coalesce(sum(a("cnt", c)), lit(0L)).cast("double")),
+        (c, "nulls", coalesce(sum(a("nul", c)), lit(0L)).cast("double")))
+      val num =
+        if (!has(s"mn__$c")) Nil
+        else Seq(
+          (c, "min", min(a("mn", c)).cast("double")),
+          (c, "max", max(a("mx", c)).cast("double")),
+          (c, "mean",
+            round(sum(a("sm", c)).cast("double") / sum(a("cnt", c)), 6)))
+      val str =
+        if (!has(s"lmn__$c")) Nil
+        else Seq(
+          (c, "min_len", min(a("lmn", c)).cast("double")),
+          (c, "max_len", max(a("lmx", c)).cast("double")),
+          (c, "avg_len",
+            round(sum(a("lsm", c)).cast("double") / sum(a("cnt", c)), 6)))
+      base ++ num ++ str
+    }
+    val aggs = metrics.zipWithIndex.map { case ((_, _, e), i) => e.as(s"m$i") }
+    val wide = cells.agg(aggs.head, aggs.tail: _*)
     def q(s: String): String = s"'${s.replace("'", "''")}'"
     val pieces = metrics.zipWithIndex.map { case ((c, m, _), i) =>
       s"${q(c)}, ${q(m)}, m$i"

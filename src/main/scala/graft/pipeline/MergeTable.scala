@@ -462,6 +462,29 @@ object MergeTable {
     nv
   }
 
+  /** OPTIMIZE — the auto-targeted small-files pass (Delta's OPTIMIZE
+    * without a WHERE): inspect the latest manifest, find every bucket
+    * whose file count exceeds `targetFilesPerBucket` (clustered
+    * layouts fragment by design; ordinary CDC merges never do — they
+    * rewrite whole buckets), and coalesce exactly those via ONE
+    * [[compactBuckets]] — every other bucket's files and zone lines
+    * carry into the new version by reference. Pure manifest
+    * inspection decides the target list: O(buckets) driver work, no
+    * scan. Returns (committed version, compacted buckets); a
+    * defragmented table no-ops at its current version with Nil. */
+  def optimize(
+      spark: SparkSession, dir: String,
+      targetFilesPerBucket: Int = 4): (Int, Seq[Int]) = {
+    require(targetFilesPerBucket > 0)
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val fragmented = m.entries
+      .filter { case (_, files) => files.size > targetFilesPerBucket }
+      .keys.toSeq.sorted
+    if (fragmented.isEmpty) (v, Nil)
+    else (compactBuckets(spark, dir, fragmented), fragmented)
+  }
+
   /** Re-hash the table to `newNBuckets` — the admin lever that keeps
     * BUCKET SIZE bounded as a corpus grows (the Iceberg
     * rewrite-partitions move): every merge reads and rewrites whole
@@ -544,12 +567,21 @@ object MergeTable {
     * zone stats — and therefore pruning — always use the TRUE values,
     * so clamping can only cost locality, never correctness). Columns
     * must be numeric and non-negative at `bits` resolution — pre-bucket
-    * continuous values first. Returns the committed version. */
+    * continuous values first. `curve = "hilbert"` (2 columns only)
+    * swaps Morton interleaving for the native codegen'd
+    * [[graft.expr.HilbertValue]] — consecutive curve positions are
+    * always grid-adjacent, so range-split files cover tighter bounding
+    * boxes than Morton's power-of-two jumps allow (the
+    * Databricks/Iceberg OPTIMIZE curve choice). Returns the committed
+    * version. */
   def clusterByZ(
       spark: SparkSession, dir: String, byCols: Seq[String],
-      filesPerBucket: Int = 4, bits: Int = 16): Int = {
+      filesPerBucket: Int = 4, bits: Int = 16, curve: String = "z"): Int = {
     require(byCols.size >= 2, "clusterByZ needs >= 2 columns; use clusterBy for 1")
     require(filesPerBucket > 0)
+    require(curve == "z" || curve == "hilbert", s"unknown curve: $curve")
+    require(curve != "hilbert" || byCols.size == 2,
+      "the hilbert curve is 2-D; use curve=z for more columns")
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     val missing = byCols.filterNot(read(spark, dir, v).columns.contains)
@@ -560,8 +592,12 @@ object MergeTable {
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
     val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val curveCol =
+      if (curve == "hilbert")
+        Layout.hilbertValue(col(byCols(0)), col(byCols(1)), bits)
+      else Layout.zValue(byCols.map(col), bits)
     union
-      .withColumn("__graft_z", Layout.zValue(byCols.map(col), bits))
+      .withColumn("__graft_z", curveCol)
       .repartitionByRange(m.entries.size * filesPerBucket,
         col(Bucket), col("__graft_z"))
       .sortWithinPartitions(col(Bucket), col("__graft_z"))

@@ -186,6 +186,24 @@ object IvmScaffold {
     s.read.parquet(path)
   }
 
+  /** The columns the maintained-profile family profiles, in report
+    * order — shared by the v1 scaffold and the refresh query. */
+  val profileCols: Seq[String] =
+    Seq("doc_id", "text", "lang", "source", "n_chars", "v64")
+
+  /** Maintained-profile cells ([[graft.ops.Profile]] minus n_distinct)
+    * of [[statsCorpus]] v1. */
+  def profileView1(s: SparkSession, d: String): DataFrame =
+    frozenView(s, d, "profview") {
+      val dir = statsCorpus(s, d)
+      val fields = graft.pipeline.MergeTable.read(s, dir, 1).schema.fields
+        .filter(f => profileCols.contains(f.name)).toSeq
+        .sortBy(f => profileCols.indexOf(f.name))
+      graft.pipeline.BucketedView.compute(s, dir, "g",
+        graft.ops.Profile.cellPartials(fields), 1,
+        _.withColumn("g", lit(1)))
+    }
+
   /** Dataset-card lang cells ([[graft.pipeline.CorpusCard]]
     * incremental decomposition) of [[textCorpus]] v1. */
   def cardLangView1(s: SparkSession, d: String): DataFrame =

@@ -2627,6 +2627,68 @@ object PipelineQueries {
       |    CAST(0 AS BIGINT) FROM c) t
       |ORDER BY version""".stripMargin
 
+  /** INCREMENTAL table profile ([[graft.ops.Profile]] cell
+    * decomposition + [[graft.pipeline.BucketedView]]): every profile
+    * metric except exact n_distinct — the one with no bounded cell
+    * form — maintained with touched-bucket cost across the statsCorpus
+    * v1→v2 transition, then folded from cell state alone. The oracle
+    * recomputes the same report from scratch in DuckDB over the
+    * logically-merged corpus (decimal-exact sums divided once, as in
+    * `table_profile`), so maintained ≡ from-scratch holds bit-for-bit
+    * cross-engine — deletes of extremes and the injected new source
+    * included. */
+  private val docProfileIncremental: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val fields = graft.pipeline.MergeTable.read(s, dir, 2).schema.fields
+      .filter(f => IvmScaffold.profileCols.contains(f.name)).toSeq
+      .sortBy(f => IvmScaffold.profileCols.indexOf(f.name))
+    val cells2 = graft.pipeline.BucketedView.refresh(
+      s, dir, IvmScaffold.profileView1(s, d), "g",
+      graft.ops.Profile.cellPartials(fields), 1, 2,
+      _.withColumn("g", lit(1)))
+    graft.ops.Profile.profileFromCells(cells2.drop("bucket", "g"))
+      .orderBy("col_name", "metric")
+  }
+
+  private val docProfileIncrementalSql = {
+    def numBlock(c: String) = Seq(
+      "count" -> s"CAST(count($c) AS DOUBLE)",
+      "nulls" -> s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+      "min" -> s"CAST(min($c) AS DOUBLE)",
+      "max" -> s"CAST(max($c) AS DOUBLE)",
+      "mean" -> s"round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6)")
+    def strBlock(c: String) = Seq(
+      "count" -> s"CAST(count($c) AS DOUBLE)",
+      "nulls" -> s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)",
+      "min_len" -> s"CAST(min(len($c)) AS DOUBLE)",
+      "max_len" -> s"CAST(max(len($c)) AS DOUBLE)",
+      "avg_len" -> s"round(CAST(sum(CAST(len($c) AS DECIMAL(38,6))) AS DOUBLE) / count($c), 6)")
+    val blocks = Seq(
+      "doc_id" -> numBlock("doc_id"), "text" -> strBlock("text"),
+      "lang" -> strBlock("lang"), "source" -> strBlock("source"),
+      "n_chars" -> numBlock("n_chars"), "v64" -> numBlock("v64"))
+    val wide = blocks.flatMap { case (c, ms) =>
+      ms.map { case (m, e) => s"$e AS ${c}__$m" } }.mkString(",\n  ")
+    val branches = blocks.flatMap { case (c, ms) =>
+      ms.map { case (m, _) =>
+        s"SELECT '$c' AS col_name, '$m' AS metric, ${c}__$m AS value FROM w" } }
+    s"""WITH merged AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+       |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64
+       |         ELSE n_chars % 64 END AS v64
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'injected doc', 'xx', 'injected',
+       |    doc_id % 1000, doc_id % 1000 % 64
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |w AS (SELECT
+       |  $wide
+       |FROM merged)
+       |${branches.mkString("\n UNION ALL ")}
+       |ORDER BY col_name, metric""".stripMargin
+  }
+
   /** Z-ORDER clustered scan ([[graft.pipeline.MergeTable.clusterByZ]] +
     * `readWhereAll`): the admin-sequence corpus's head version is
     * z-order-laid on (n_chars, v64) — interleaved-bit curve, the
@@ -3698,6 +3760,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersions,
     "doc_table_history" -> docTableHistory,
     "doc_zorder_scan" -> docZorderScan,
+    "doc_profile_incremental" -> docProfileIncremental,
     "doc_expectations" -> docExpectations,
     "doc_quarantine" -> docQuarantine,
     "doc_corpus_card" -> docCorpusCard,
@@ -3805,6 +3868,7 @@ object PipelineQueries {
     "table_diff_versions" -> tableDiffVersionsSql,
     "doc_table_history" -> docTableHistorySql,
     "doc_zorder_scan" -> docZorderScanSql,
+    "doc_profile_incremental" -> docProfileIncrementalSql,
     "doc_expectations" -> docExpectationsSql,
     "doc_quarantine" -> docQuarantineSql,
     "doc_corpus_card" -> docCorpusCardSql,

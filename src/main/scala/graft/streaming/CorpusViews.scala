@@ -322,6 +322,50 @@ object CorpusViews {
     }
   }
 
+  /** Maintained TABLE PROFILE ([[graft.ops.Profile]] minus exact
+    * n_distinct — the one metric with no bounded cell decomposition;
+    * Delta's column-stats choice too): per-bucket cells carrying every
+    * other metric's partials, refreshed with touched-bucket cost and
+    * folded by [[latest]] into the same long `(col_name, metric,
+    * value)` report a from-scratch profile produces, bit-for-bit on
+    * the shared metrics — the always-current "what is in this table"
+    * view next to the dataset card. `cols` fixes the profiled columns
+    * (resolved against the corpus schema at advance time). */
+  final case class ProfileView(
+      viewDir: String, cols: Seq[String]) extends FrozenCellView {
+    import graft.pipeline.{BucketedView, MergeTable}
+    import graft.ops.Profile
+
+    protected def doAdvance(
+        spark: SparkSession, corpusDir: String, from: Option[Int], to: Int): Unit = {
+      val fields = MergeTable.read(spark, corpusDir, to).schema.fields
+        .filter(f => cols.contains(f.name)).toSeq
+        .sortBy(f => cols.indexOf(f.name))
+      require(fields.map(_.name) == cols,
+        s"profiled columns missing from corpus: ${cols.diff(fields.map(_.name))}")
+      val partials = Profile.cellPartials(fields)
+      val derive: DataFrame => DataFrame =
+        _.withColumn("g", org.apache.spark.sql.functions.lit(1))
+      val view = from match {
+        case Some(p) =>
+          BucketedView.refresh(spark, corpusDir,
+            spark.read.parquet(s"$viewDir/v$p"), "g", partials, p, to, derive)
+        case None =>
+          BucketedView.compute(spark, corpusDir, "g", partials, to, derive)
+      }
+      view.write.mode("overwrite").parquet(s"$viewDir/v$to")
+    }
+
+    /** The maintained profile at the newest frozen version — one fold
+      * over cell state, no corpus scan. */
+    def latest(spark: SparkSession): DataFrame = {
+      val vs = versions(spark)
+      require(vs.nonEmpty, s"no maintained profile under $viewDir")
+      Profile.profileFromCells(
+        spark.read.parquet(s"$viewDir/v${vs.max}").drop("bucket", "g"))
+    }
+  }
+
   /** Read-replica publication policy for [[TrigramIndex]]: after an
     * advance reflecting corpus version `v` with `v % every == 0`, the
     * maintained (write-optimized, pk-bucketed) index is re-laid-out

@@ -8,7 +8,7 @@ import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, StreamingIngest}
 
 /** The Maintained-family per-batch latency BUDGET claim, pinned: one
-  * CDC batch through a twelve-artifact maintained set costs ∝ the
+  * CDC batch through a thirteen-artifact maintained set costs ∝ the
   * DELTA, not the corpus — so the same fixed-size delta batch on a
   * 10× larger corpus must stay within a small factor of the small-
   * corpus batch (a corpus-proportional loop would be ~10×), and a
@@ -49,7 +49,9 @@ class MaintainedBudgetSpec extends SparkSpec {
     CorpusViews.TrigramIndex(s"$root/trigrams"),
     CorpusViews.BloomIndex(s"$root/corpus", "text"),
     CorpusViews.CardView(s"$root/card",
-      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)))
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)),
+    CorpusViews.ProfileView(s"$root/prof",
+      Seq("doc_id", "text", "lang", "n_chars")))
 
   /** Build corpus + full maintained set at `n` docs, then run two
     * sequential 20-doc delta batches through the streaming loop

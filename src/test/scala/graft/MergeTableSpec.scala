@@ -72,6 +72,31 @@ class MergeTableSpec extends SparkSpec {
     assert(ops == Seq("unknown", "merge", "compact", "rebucket", "cluster"))
   }
 
+  test("optimize: coalesces only fragmented buckets, no-ops when defragmented") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    // a clustered layout fragments every bucket by design
+    val vc = MergeTable.clusterBy(spark, dir, "score", filesPerBucket = 6)
+    val before = MergeTable.fileIndex(spark, dir, vc)
+    assert(before.values.exists(_.size > 2), "clusterBy must fragment")
+    val (vo, compacted) = MergeTable.optimize(spark, dir, targetFilesPerBucket = 2)
+    assert(vo == vc + 1)
+    assert(compacted == before.filter(_._2.size > 2).keys.toSeq.sorted)
+    val after = MergeTable.fileIndex(spark, dir, vo)
+    assert(after.values.forall(_.size <= 2),
+      s"optimize must defragment: ${after.view.mapValues(_.size).toMap}")
+    // untouched buckets carry by reference
+    before.filter(_._2.size <= 2).foreach { case (b, files) =>
+      assert(after(b) == files, s"bucket $b must carry by reference")
+    }
+    assert(rows(MergeTable.read(spark, dir, vo)) == base, "content identical")
+    // history records the pass; a defragmented table no-ops
+    val ops = MergeTable.history(spark, dir)
+      .select("op").as[String].collect().toSeq
+    assert(ops == Seq("create", "cluster", "compact_buckets"))
+    assert(MergeTable.optimize(spark, dir, targetFilesPerBucket = 2) == ((vo, Nil)))
+  }
+
   test("create + read round-trips; merge == in-memory upsert/delete reference") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 8)

@@ -66,6 +66,45 @@ class ProfileSpec extends SparkSpec {
     assert(rows.length == 30, s"5 documents columns x 6 metrics, got ${rows.length}")
   }
 
+  test("cell-maintained profile equals from-scratch (minus n_distinct) across a CDC transition") {
+    import spark.implicits._
+    import graft.pipeline.{BucketedView, MergeTable}
+    import graft.ops.Profile
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft-profcells")}/t"
+    val docs = (1L to 300L).map(i =>
+        (i, if (i % 7 == 0) None else Some(i % 53), s"body $i"))
+      .toDF("id", "score", "s")
+    MergeTable.create(spark, dir, docs, "id", nBuckets = 8)
+    val fields = MergeTable.read(spark, dir, 1).schema.fields
+      .filter(f => Seq("id", "score", "s").contains(f.name)).toSeq
+    val derive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("g", lit(1))
+    def fromScratch(v: Int) =
+      Profile.profile(MergeTable.read(spark, dir, v).select("id", "score", "s"))
+        .filter(col("metric") =!= "n_distinct")
+        .as[(String, String, Double)].collect().toSet
+    def folded(cells: org.apache.spark.sql.DataFrame) =
+      Profile.profileFromCells(cells.drop("bucket", "g"))
+        .as[(String, String, Double)].collect().toSet
+    val cells1 = BucketedView.compute(spark, dir, "g",
+      Profile.cellPartials(fields), 1, derive)
+    assert(folded(cells1) == fromScratch(1))
+
+    // transition: delete the current max score carrier's row, null one
+    // score, insert a new extreme — the cases signed-delta IVM cannot
+    // maintain and touched-bucket cells must
+    val upd = Seq(
+      (52L, None: Option[Long], "", true),     // deletes a max carrier
+      (3L, None: Option[Long], "now null", false),
+      (400L, Some(99L), "new extreme", false))
+      .toDF("id", "score", "s", "_del")
+    MergeTable.merge(spark, dir, upd, "id", deleteCol = Some("_del"))
+    val cells2 = BucketedView.refresh(spark, dir, cells1, "g",
+      Profile.cellPartials(fields), 1, 2, derive)
+    assert(folded(cells2) == fromScratch(2),
+      "maintained profile must equal from-scratch after the merge")
+  }
+
   test("diff attributes adds, removes and per-column changes exactly") {
     import spark.implicits._
     val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L), (4L, "w", 40L))

@@ -342,10 +342,12 @@ class StreamingSpec extends SparkSpec {
     val cardToks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       t => length(t) > 0)
     val cardView = CorpusViews.CardView(s"$root/card", cardToks, langCol = "grp")
+    val profView = CorpusViews.ProfileView(s"$root/prof",
+      Seq("doc_id", "grp", "v", "text"))
     val maintain = Seq(statsView, quantView,
       CorpusViews.PostingsIndex(postings),
       CorpusViews.FingerprintIndex(fps), ragIdx, bandIdx, clfModel, ovView,
-      ccView, tgView, fqView, bloomIdx, cardView)
+      ccView, tgView, fqView, bloomIdx, cardView, profView)
     def stream() =
       StreamingIngest.startMergeUpsertMaintained(spark, landing, table,
         "doc_id", schema, ckpt, maintain, deleteCol = Some("_del"),
@@ -439,6 +441,13 @@ class StreamingSpec extends SparkSpec {
         cardRows(graft.pipeline.CorpusCard.card(
           MergeTable.read(spark, table), cardToks, langCol = "grp")),
         "maintained dataset card must equal a from-scratch card")
+      def profRows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] =
+        df.as[(String, String, Double)].collect().toSet
+      assert(profRows(profView.latest(spark)) ==
+        profRows(graft.ops.Profile.profile(
+            MergeTable.read(spark, table).select("doc_id", "grp", "v", "text"))
+          .filter(col("metric") =!= "n_distinct")),
+        "maintained profile must equal a from-scratch profile minus n_distinct")
       // maintained bloom sidecar: every CURRENT text is findable
       // through the pruned point lookup, and the lookup equals the
       // plain filter (superset pass exact after every CDC batch)

@@ -224,6 +224,27 @@ class ZoneMapSpec extends SparkSpec {
       .select("id", "a", "b", "tag").as[(Long, Long, Long, String)]
       .collect().toSet
     assert(all == (1L to 8000L).map(i => (i, i % 97, (i * 31) % 89, s"p$i")).toSet)
+
+    // hilbert variant: the native codegen curve gives the same
+    // both-dimension pruning contract (tighter boxes, never looser
+    // than correctness requires) with identical content
+    val vh = MergeTable.clusterByZ(spark, dir, Seq("a", "b"),
+      filesPerBucket = 16, bits = 7, curve = "hilbert")
+    val (aKeptH, totalH) = MergeTable.prunedFiles(
+      spark, dir, "a", BigDecimal(10), BigDecimal(15), version = vh)
+    val (bKeptH, _) = MergeTable.prunedFiles(
+      spark, dir, "b", BigDecimal(10), BigDecimal(15), version = vh)
+    assert(aKeptH.size <= totalH * 6 / 10,
+      s"hilbert: a must prune: ${aKeptH.size}/$totalH")
+    assert(bKeptH.size <= totalH * 6 / 10,
+      s"hilbert: b must prune: ${bKeptH.size}/$totalH")
+    val allH = MergeTable.read(spark, dir, vh)
+      .select("id", "a", "b", "tag").as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(allH == all, "hilbert re-layout must be content-identical")
+    intercept[IllegalArgumentException] { // hilbert is 2-D only
+      MergeTable.clusterByZ(spark, dir, Seq("a", "b", "id"), curve = "hilbert")
+    }
   }
 
   test("logically-annotated int columns (decimal/date/timestamp) are poisoned, never zoned") {
