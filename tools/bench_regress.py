@@ -8,10 +8,20 @@ baseline `tools/bench_baseline.json`, whose values are KERNEL UNITS
 compares cleanly.
 
 Policy:
-  * FAIL when a carried query exceeds BAND (1.5x) of its baseline
-    units AND its baseline is above the tiny-query floor (0.75 units):
-    sub-second queries under a min-of-2 policy are noise-dominated and
-    flagged informationally instead of failing the gate.
+  * FAIL when a carried query exceeds max(BAND x baseline,
+    baseline + SLACK) kernel units. The ratio band (1.5x) catches real
+    work growth on substantial queries; the absolute slack (1.5 units)
+    absorbs the fixed per-query job-overhead jitter that dominates
+    small queries under a min-of-2 policy — measured same-host
+    run-to-run noise reaches 2.4x on ~1-unit baselines (the host
+    itself drifts ~15% between runs per the calibration kernel), so a
+    pure ratio band false-alarms there. Queries above the ratio band
+    but inside the slack are reported informationally.
+  * Noise-aware: the baseline records each query's own min..max run
+    SPREAD from the capture run. A query whose fresh units stay inside
+    spread x baseline has not left its own demonstrated noise envelope
+    (scaffold-heavy IVM queries show ~2x intra-run spread under
+    min-of-2) and reports instead of failing.
   * New queries (no baseline row) are reported; refresh the baseline
     with --update after a judged round establishes their cost.
   * Improvements are reported so a speedup can be banked with --update.
@@ -33,7 +43,7 @@ import json
 import sys
 
 BAND = 1.5
-TINY_FLOOR_UNITS = 0.75
+SLACK_UNITS = 1.5
 BASELINE = "tools/bench_baseline.json"
 
 
@@ -53,22 +63,29 @@ def main() -> int:
         print("[bench-regress] no calibration in bench output — skipping")
         return 0
     base = json.load(open(BASELINE))
-    units_base = base["units"]
+    # baseline rows are {"u": units, "spread": capture-run max/min}
+    # (legacy plain-float rows read as spread 1.5)
+    def row(v):
+        return (v["u"], v.get("spread", 1.5)) if isinstance(v, dict) else (v, 1.5)
+    units_base = {k: row(v) for k, v in base["units"].items()}
     now = {k: v / calib for k, v in bench["queries"].items()}
 
     fails, warns, new, improved = [], [], [], []
     for q, u in sorted(now.items()):
-        b = units_base.get(q)
-        if b is None:
+        if q not in units_base:
             new.append(q)
+            continue
+        b, spread = units_base[q]
+        line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x, spread {spread:.2f})"
+        if u > max(BAND * b, b + SLACK_UNITS, spread * b):
+            fails.append(line)
         elif u > BAND * b:
-            line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x)"
-            (fails if b >= TINY_FLOOR_UNITS else warns).append(line)
-        elif u < b / BAND and b >= TINY_FLOOR_UNITS:
+            warns.append(line)
+        elif u < b / BAND and b >= 1.0:
             improved.append(f"{q}: {u:.2f}u vs baseline {b:.2f}u")
     gone = sorted(set(units_base) - set(now))
 
-    for tag, rows in (("REGRESSION", fails), ("noise-band (tiny)", warns),
+    for tag, rows in (("REGRESSION", fails), ("above-band (within slack)", warns),
                       ("improved", improved)):
         for r in rows:
             print(f"[bench-regress] {tag}: {r}")
@@ -78,7 +95,15 @@ def main() -> int:
         print(f"[bench-regress] {len(gone)} baselined but not run: {', '.join(gone)}")
 
     if update:
-        base["units"] = {k: round(v, 4) for k, v in now.items()}
+        ranges = bench.get("ranges", {})
+        def spread_of(q):
+            r = ranges.get(q)
+            if not r or not r.get("min"):
+                return 1.5
+            return round(max(1.0, r["max"] / r["min"]), 3)
+        base["units"] = {
+            k: {"u": round(v, 4), "spread": spread_of(k)}
+            for k, v in now.items()}
         base["calib_sec_at_capture"] = calib
         base["source"] = f"refreshed from {bench_path}"
         json.dump(base, open(BASELINE, "w"), indent=1, sort_keys=True)

@@ -49,6 +49,7 @@ echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
 # sends the still-writing sbt trips pipefail+set -e, killing the script
 # AFTER a successful bench (races; bit one gate run)
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
+  SPARK_GRAFT_BENCH_FILE=/tmp/preflight_bench_full.json \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1 \
   > /tmp/preflight_bench.json
 cat /tmp/preflight_bench.json
@@ -59,8 +60,9 @@ fi
 
 echo "[preflight] Per-query bench regression check (kernel units vs tools/bench_baseline.json)"
 # round-10 verdict ask #5: a carried query >1.5x its calibrated baseline
-# fails the gate (tiny queries report but don't fail — min-of-2 noise)
-python3 tools/bench_regress.py /tmp/preflight_bench.json | tee /tmp/preflight_regress.log
+# fails the gate (tiny queries report but don't fail — min-of-2 noise).
+# The self-archive carries the per-query map; the stdout tail may not.
+python3 tools/bench_regress.py /tmp/preflight_bench_full.json | tee /tmp/preflight_regress.log
 
 VTOTAL=$(grep -o 'total [0-9.]*s, [0-9]* ok, [0-9]* failed' /tmp/preflight_verify.log | tail -1)
 CTOTAL=$(tail -1 /tmp/preflight_compare.log)
