@@ -608,6 +608,32 @@ class StreamingSpec extends SparkSpec {
       "no artifact may advance past a violated key constraint")
     // the offending version itself stays time-travelable for diagnosis
     assert(MergeTable.latestVersion(spark, table) == 3)
+
+    // the FK arm of the same gate: a fresh loop whose grp values must
+    // exist in a dimension — a record referencing an unknown group is
+    // row-clean but breaks referential integrity post-merge
+    val root2 = Files.createTempDirectory("graft-cdc-fk")
+    val (landing2, ckpt2) = (s"$root2/landing", s"$root2/ckpt")
+    val table2 = s"$root2/table/t"
+    new java.io.File(landing2).mkdirs()
+    val dim = Seq("a", "b").toDF("g")
+    MergeTable.create(spark, table2,
+      Seq((1L, "a", 10L)).toDF("doc_id", "grp", "v"), "doc_id", nBuckets = 2)
+    def stream2() = StreamingIngest.startMergeUpsertMaintained(
+      spark, landing2, table2, "doc_id", schema, ckpt2, Nil,
+      deleteCol = Some("_del"),
+      aggregateExpectations = Seq(
+        graft.ops.Expectations.ForeignKey(Seq("grp"), dim, Seq("g"))))
+      .awaitTermination(60000)
+    Files.writeString(java.nio.file.Paths.get(landing2, "f1.json"),
+      """{"doc_id":2,"grp":"b","v":20,"_del":false}""")
+    stream2() // known group: passes
+    Files.writeString(java.nio.file.Paths.get(landing2, "f2.json"),
+      """{"doc_id":3,"grp":"zz","v":30,"_del":false}""")
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](stream2())
+    val chain2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain2.contains("fk:grp"), chain2)
   }
 
   test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {

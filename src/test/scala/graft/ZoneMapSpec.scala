@@ -295,6 +295,49 @@ class ZoneMapSpec extends SparkSpec {
       "file holding double 0.3 was pruned at the representation boundary")
   }
 
+  test("randomized reference: zone-pruned scans equal plain filters under random layouts and bounds") {
+    // the pruning contract, fuzzed: for ANY layout (unclustered, 1-D
+    // clustered, z-ordered) and ANY bounds — including non-binary
+    // decimals probing the double ULP boundary — readWhere/readWhereAll
+    // must equal the plain filter. A pruning bug shows as lost rows.
+    val rng = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val dir = s"${Files.createTempDirectory(s"graft-zrnd$trial")}/t"
+      val n = 500 + rng.nextInt(2500)
+      val rows = (1L to n).map { i =>
+        (i, rng.nextInt(1000).toLong, rng.nextInt(10000) / 10.0)
+      }
+      val df = rows.toDF("id", "a", "x")
+      MergeTable.create(spark, dir, df, "id", nBuckets = 1 + rng.nextInt(4))
+      rng.nextInt(3) match {
+        case 0 => // unclustered
+        case 1 => MergeTable.clusterBy(spark, dir, "a", filesPerBucket = 4); ()
+        case 2 =>
+          MergeTable.clusterByZ(spark, dir, Seq("a", "id"),
+            filesPerBucket = 4,
+            curve = if (rng.nextBoolean()) "z" else "hilbert"); ()
+      }
+      // tenths-precision decimal bounds: the nearest double is usually
+      // NOT the decimal, so every trial probes the representation edge
+      val aLo = BigDecimal(rng.nextInt(900))
+      val aHi = aLo + 1 + rng.nextInt(200)
+      val xLo = BigDecimal(rng.nextInt(9000)) / 10
+      val xHi = xLo + BigDecimal(1 + rng.nextInt(2000)) / 10
+      def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+        d.select("id").as[Long].collect().toSet
+      val wantX = ids(MergeTable.read(spark, dir).filter(
+        col("x") >= lit(xLo.bigDecimal) && col("x") <= lit(xHi.bigDecimal)))
+      assert(ids(MergeTable.readWhere(spark, dir, "x", xLo, xHi)) == wantX,
+        s"trial $trial: readWhere(x in [$xLo,$xHi]) lost rows")
+      val wantBoth = ids(MergeTable.read(spark, dir).filter(
+        col("a") >= lit(aLo.bigDecimal) && col("a") <= lit(aHi.bigDecimal) &&
+          col("x") >= lit(xLo.bigDecimal) && col("x") <= lit(xHi.bigDecimal)))
+      assert(ids(MergeTable.readWhereAll(spark, dir, Seq(
+          ("a", aLo, aHi), ("x", xLo, xHi)))) == wantBoth,
+        s"trial $trial: readWhereAll lost rows")
+    }
+  }
+
   test("vacuum reclaims old zone sidecars with their manifests") {
     val dir = s"${Files.createTempDirectory("graft-zones3")}/t"
     mkTable(dir)
