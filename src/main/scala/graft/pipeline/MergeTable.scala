@@ -592,12 +592,8 @@ object MergeTable {
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
     val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val curveCol =
-      if (curve == "hilbert")
-        Layout.hilbertValue(col(byCols(0)), col(byCols(1)), bits)
-      else Layout.zValue(byCols.map(col), bits)
     union
-      .withColumn("__graft_z", curveCol)
+      .withColumn("__graft_z", curveOf(byCols, bits, curve))
       .repartitionByRange(m.entries.size * filesPerBucket,
         col(Bucket), col("__graft_z"))
       .sortWithinPartitions(col(Bucket), col("__graft_z"))
@@ -606,6 +602,59 @@ object MergeTable {
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z"))
+    nv
+  }
+
+  private def curveOf(byCols: Seq[String], bits: Int, curve: String): Column =
+    if (curve == "hilbert")
+      Layout.hilbertValue(col(byCols(0)), col(byCols(1)), bits)
+    else Layout.zValue(byCols.map(col), bits)
+
+  /** INCREMENTAL layout repair — [[clusterByZ]] restricted to
+    * `buckets` (the liquid-clustering move): a CDC merge rewrites its
+    * touched buckets WITHOUT curve order, so a long-lived z-laid table
+    * slowly loses its pruning power exactly where it churns; instead
+    * of paying a full-table re-layout, re-curve ONLY the buckets the
+    * merges touched ([[changedBucketIds]] across the version range
+    * names them) — every other bucket's files and zone lines carry
+    * into the new version by reference, so layout maintenance cost
+    * tracks the churn, not the table. Content-identical; committed as
+    * op `cluster_z`. */
+  def reclusterBuckets(
+      spark: SparkSession, dir: String, byCols: Seq[String],
+      buckets: Seq[Int], filesPerBucket: Int = 4, bits: Int = 16,
+      curve: String = "z"): Int = {
+    require(byCols.size >= 2, "reclusterBuckets needs >= 2 columns")
+    require(buckets.nonEmpty, "no buckets to recluster")
+    require(filesPerBucket > 0)
+    require(curve == "z" || curve == "hilbert", s"unknown curve: $curve")
+    require(curve != "hilbert" || byCols.size == 2,
+      "the hilbert curve is 2-D; use curve=z for more columns")
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val targets = buckets.distinct.sorted
+    require(targets.forall(m.entries.contains),
+      s"unknown buckets: ${targets.filterNot(m.entries.contains)}")
+    val byBucket = targets.map { b =>
+      readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
+    }
+    val nv = nextVersion(spark, dir)
+    byBucket.reduce(_.unionByName(_, allowMissingColumns = true))
+      .withColumn("__graft_z", curveOf(byCols, bits, curve))
+      .repartitionByRange(targets.size * filesPerBucket,
+        col(Bucket), col("__graft_z"))
+      .sortWithinPartitions(col(Bucket), col("__graft_z"))
+      .drop("__graft_z")
+      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
+    val written = listWritten(spark, dir, nv)
+    val entries = (m.entries -- targets) ++
+      targets.map(b => b -> written.getOrElse(b, Seq.empty)).filter(_._2.nonEmpty)
+    val carriedRel = (m.entries -- targets).values.flatten.toSet
+    val carried = ZoneMaps.read(spark, dir, v)
+      .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
+      .getOrElse(Map.empty)
+    ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries, "cluster_z"))
     nv
   }
 

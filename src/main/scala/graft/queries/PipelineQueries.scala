@@ -2256,6 +2256,62 @@ object PipelineQueries {
       |  UNION ALL SELECT * FROM merged WHERE doc_id = 4) t
       |ORDER BY doc_id, text_md5""".stripMargin
 
+  /** Incremental re-clustering roundtrip
+    * ([[graft.pipeline.MergeTable.reclusterBuckets]] — the
+    * liquid-clustering move): a fresh CoW table is z-order-laid on
+    * (n_chars, v64), a CDC merge then rewrites its touched buckets
+    * WITHOUT curve order (the layout decays exactly where the table
+    * churns), and the repair re-curves ONLY the merge-touched buckets
+    * ([[graft.pipeline.MergeTable.changedBucketIds]] names them) —
+    * untouched buckets carry by reference. The result rides the
+    * conjunctive zone-pruned scan, so the oracle (DuckDB's
+    * two-predicate filter of the logically merged corpus) breaks if
+    * the repair loses a row, duplicates one, or the pruned scan skips
+    * a file it must not. `ZoneMapSpec` pins the restored skip ratio
+    * and the by-reference carry. */
+  private val docReclusterRoundtrip: Q = (s, d) => {
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-recluster-q-" + dirKey)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (root.exists) del(root)
+    val dir = root.toString
+    val M = graft.pipeline.MergeTable
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (col("n_chars") % 64L).as("v64"))
+    M.create(s, dir, docs, "doc_id", nBuckets = 4)
+    val vz = M.clusterByZ(s, dir, Seq("n_chars", "v64"), filesPerBucket = 4)
+    val updates = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
+      .select(col("doc_id"), (col("n_chars") + 5L).as("n_chars"),
+        ((col("n_chars") + 5L) % 64L).as("v64"),
+        (col("doc_id") % 10 === 7).as("_del"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          (col("doc_id") % 1000L).as("n_chars"),
+          (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del")))
+    val vm = M.merge(s, dir, updates, "doc_id",
+      deleteCol = Some("_del"), validate = false)
+    val touched = M.changedBucketIds(s, dir, vz, vm)
+    M.reclusterBuckets(s, dir, Seq("n_chars", "v64"), touched,
+      filesPerBucket = 4)
+    M.readWhereAll(s, dir, Seq(
+        ("n_chars", BigDecimal(200), BigDecimal(900)),
+        ("v64", BigDecimal(8), BigDecimal(40))))
+      .select(col("doc_id"), col("n_chars"), col("v64"))
+      .orderBy("doc_id")
+  }
+
+  // same logical answer as the z-order scan: the merged corpus's
+  // two-predicate filter — the engine path differs (decayed layout +
+  // targeted repair + pruned scan vs a fresh full re-layout).
+  // def, not val: docZorderScanSql initializes later in the file
+  private def docReclusterRoundtripSql = docZorderScanSql
+
   /** Zone-map file skipping ([[graft.pipeline.ZoneMaps]] +
     * [[graft.pipeline.MergeTable.clusterBy]] / `readWhere`): the CoW
     * stats corpus is re-laid-out range-clustered by `n_chars` (a
@@ -3761,6 +3817,7 @@ object PipelineQueries {
     "doc_table_history" -> docTableHistory,
     "doc_zorder_scan" -> docZorderScan,
     "doc_profile_incremental" -> docProfileIncremental,
+    "doc_recluster_roundtrip" -> docReclusterRoundtrip,
     "doc_expectations" -> docExpectations,
     "doc_quarantine" -> docQuarantine,
     "doc_corpus_card" -> docCorpusCard,
@@ -3869,6 +3926,7 @@ object PipelineQueries {
     "doc_table_history" -> docTableHistorySql,
     "doc_zorder_scan" -> docZorderScanSql,
     "doc_profile_incremental" -> docProfileIncrementalSql,
+    "doc_recluster_roundtrip" -> docReclusterRoundtripSql,
     "doc_expectations" -> docExpectationsSql,
     "doc_quarantine" -> docQuarantineSql,
     "doc_corpus_card" -> docCorpusCardSql,
