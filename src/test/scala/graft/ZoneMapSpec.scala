@@ -247,6 +247,93 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("reclusterBuckets: repairs churned buckets, carries untouched buckets by reference, content exact") {
+    val dir = s"${Files.createTempDirectory("graft-recluster")}/t"
+    val mk = (i: Long) => (i, i % 97, (i * 31) % 89, s"p$i")
+    MergeTable.create(spark, dir,
+      (1L to 16000L).map(mk).toDF("id", "a", "b", "tag"), "id", nBuckets = 8)
+    val vz = MergeTable.clusterByZ(spark, dir, Seq("a", "b"), filesPerBucket = 8)
+
+    // rows the pruned scan actually reads — the metric layout quality
+    // is ABOUT (file counts mislead when merge packs a bucket into
+    // fewer, bigger files)
+    def scannedRows(colName: String, lo: Int, hi: Int, v: Int): Long = {
+      val (kept, _) = MergeTable.prunedFiles(
+        spark, dir, colName, BigDecimal(lo), BigDecimal(hi), version = v)
+      if (kept.isEmpty) 0L
+      else spark.read.parquet(kept.map(p => s"$dir/$p"): _*).count()
+    }
+    val freshA = scannedRows("a", 10, 15, vz)
+    val freshB = scannedRows("b", 20, 40, vz)
+    assert(freshA < 16000 && freshB < 16000, "fresh z layout must prune")
+
+    // decay: a merge rewrites its touched buckets WITHOUT curve order
+    val upd = Seq(5L, 1005L).map(i => (i, i % 97, (i * 31) % 89, s"u$i"))
+      .toDF("id", "a", "b", "tag")
+    val vm = MergeTable.merge(spark, dir, upd, "id")
+    val touched = MergeTable.changedBucketIds(spark, dir, vz, vm)
+    val untouched = (0 until 8).filterNot(touched.contains)
+    assert(touched.nonEmpty && untouched.nonEmpty,
+      s"need a partial churn: touched=$touched")
+    val decayedA = scannedRows("a", 10, 15, vm)
+    assert(decayedA > freshA,
+      s"merge must decay pruning on touched buckets: $decayedA vs fresh $freshA")
+
+    // the repair: re-curve ONLY the touched buckets
+    val vr = MergeTable.reclusterBuckets(spark, dir, Seq("a", "b"),
+      touched, filesPerBucket = 8)
+
+    // (a) content identity through the repair
+    val before = MergeTable.read(spark, dir, vm)
+      .select("id", "a", "b", "tag").as[(Long, Long, Long, String)].collect().toSet
+    val after = MergeTable.read(spark, dir, vr)
+      .select("id", "a", "b", "tag").as[(Long, Long, Long, String)].collect().toSet
+    assert(after == before, "reclusterBuckets must be layout-only")
+
+    // (b) untouched buckets: same physical files (by-reference carry —
+    // identical relative paths, so byte-identity is structural), and
+    // their zone lines carried verbatim
+    val idxM = MergeTable.fileIndex(spark, dir, vm)
+    val idxR = MergeTable.fileIndex(spark, dir, vr)
+    untouched.foreach { bkt =>
+      assert(idxR(bkt) == idxM(bkt),
+        s"untouched bucket $bkt must carry its files by reference")
+    }
+    val zM = ZoneMaps.read(spark, dir, vm).get
+    val zR = ZoneMaps.read(spark, dir, vr).get
+    untouched.flatMap(idxM(_)).foreach { rel =>
+      assert(zR(rel) == zM(rel), s"carried file $rel must keep its zone lines")
+    }
+    // touched buckets WERE rewritten
+    touched.foreach { bkt =>
+      assert(idxR(bkt).toSet.intersect(idxM(bkt).toSet).isEmpty,
+        s"touched bucket $bkt must be rewritten")
+    }
+
+    // (c) pruning restored to ~the fresh clusterByZ level on BOTH dims
+    val repairedA = scannedRows("a", 10, 15, vr)
+    val repairedB = scannedRows("b", 20, 40, vr)
+    assert(repairedA <= freshA * 13 / 10,
+      s"repair must restore a-pruning: $repairedA vs fresh $freshA")
+    assert(repairedB <= freshB * 13 / 10,
+      s"repair must restore b-pruning: $repairedB vs fresh $freshB")
+    assert(decayedA > repairedA, s"repair must beat the decayed layout")
+
+    // scans stay exact on the repaired layout
+    val got = MergeTable.readWhereAll(spark, dir, Seq(
+        ("a", BigDecimal(10), BigDecimal(15)),
+        ("b", BigDecimal(20), BigDecimal(60))), version = vr)
+      .select("id").as[Long].collect().toSet
+    val want = before.collect {
+      case (id, a, b, _) if a >= 10 && a <= 15 && b >= 20 && b <= 60 => id }
+    assert(got == want && want.nonEmpty)
+
+    // guards: unknown bucket ids refuse loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.reclusterBuckets(spark, dir, Seq("a", "b"), Seq(99))
+    }
+  }
+
   test("logically-annotated int columns (decimal/date/timestamp) are poisoned, never zoned") {
     // parquet stores DECIMAL-backed INT32/64 stats as raw UNSCALED values
     // and DATE/TIMESTAMP as raw physical numbers; zones speak LOGICAL
@@ -309,13 +396,26 @@ class ZoneMapSpec extends SparkSpec {
       }
       val df = rows.toDF("id", "a", "x")
       MergeTable.create(spark, dir, df, "id", nBuckets = 1 + rng.nextInt(4))
-      rng.nextInt(3) match {
+      rng.nextInt(4) match {
         case 0 => // unclustered
         case 1 => MergeTable.clusterBy(spark, dir, "a", filesPerBucket = 4); ()
         case 2 =>
           MergeTable.clusterByZ(spark, dir, Seq("a", "id"),
             filesPerBucket = 4,
             curve = if (rng.nextBoolean()) "z" else "hilbert"); ()
+        case 3 => // churned-then-repaired layout: z, decay merge, recluster
+          val vz = MergeTable.clusterByZ(spark, dir, Seq("a", "id"),
+            filesPerBucket = 4)
+          val keys = (1 to 1 + rng.nextInt(5))
+            .map(_ => 1L + rng.nextInt(n)).distinct
+          val vm = MergeTable.merge(spark, dir,
+            keys.map(k => (k, rng.nextInt(1000).toLong,
+              rng.nextInt(10000) / 10.0)).toDF("id", "a", "x"), "id")
+          val touched = MergeTable.changedBucketIds(spark, dir, vz, vm)
+          if (touched.nonEmpty)
+            MergeTable.reclusterBuckets(spark, dir, Seq("a", "id"),
+              touched, filesPerBucket = 4)
+          ()
       }
       // tenths-precision decimal bounds: the nearest double is usually
       // NOT the decimal, so every trial probes the representation edge

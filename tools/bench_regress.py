@@ -44,10 +44,14 @@ import sys
 
 BAND = 1.5
 SLACK_UNITS = 1.5
+SPREAD_CAP = 2.5
 BASELINE = "tools/bench_baseline.json"
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: bench_regress.py <bench json> [--update]", file=sys.stderr)
+        return 2
     bench_path = sys.argv[1]
     update = "--update" in sys.argv[2:]
     # Bench emits two JSON lines (full per-query map + compact summary)
@@ -76,6 +80,9 @@ def main() -> int:
             new.append(q)
             continue
         b, spread = units_base[q]
+        # cap the spread exemption so one noisy capture run cannot
+        # permanently widen the gate past SPREAD_CAP x (ADVICE r11)
+        spread = min(spread, SPREAD_CAP)
         line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x, spread {spread:.2f})"
         if u > max(BAND * b, b + SLACK_UNITS, spread * b):
             fails.append(line)

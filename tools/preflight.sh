@@ -13,6 +13,25 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Round-11 lesson: the gate stamp ran at one commit, then never-compiled
+# working-tree edits were swept into the snapshot HEAD — zeroing the
+# round's artifacts a second time (round 6 was the first). The stamp
+# must describe the commit it sits on, so by default preflight REFUSES
+# to run on a dirty tree. Mid-development runs can override with
+# ALLOW_DIRTY=1, but such a run is NOT a gate stamp and says so.
+DIRTY=$(git status --porcelain)
+if [ -n "$DIRTY" ]; then
+  if [ "${ALLOW_DIRTY:-}" != "1" ]; then
+    echo "[preflight] FAIL: working tree is dirty — a gate stamp must describe"
+    echo "[preflight]       the commit it sits on. Commit first, or rerun with"
+    echo "[preflight]       ALLOW_DIRTY=1 for a mid-development (non-stamp) run."
+    echo "$DIRTY" | sed 's/^/[preflight]   /'
+    exit 1
+  fi
+  echo "[preflight] WARNING: dirty tree (ALLOW_DIRTY=1) — this run is NOT a gate stamp"
+fi
+HEAD_SHA=$(git rev-parse --short HEAD)
+
 SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 OUT=${OUT:-/tmp/preflight_vout}
@@ -67,4 +86,8 @@ python3 tools/bench_regress.py /tmp/preflight_bench_full.json | tee /tmp/preflig
 VTOTAL=$(grep -o 'total [0-9.]*s, [0-9]* ok, [0-9]* failed' /tmp/preflight_verify.log | tail -1)
 CTOTAL=$(tail -1 /tmp/preflight_compare.log)
 BTOTAL=$(python3 -c "import json;d=json.load(open('/tmp/preflight_bench.json'));print(f\"bench {d['value']:.1f}s, {d['n_ok']} ok, {d['n_err']} err\")")
-echo "[preflight] PASS: verify $VTOTAL | compare: $CTOTAL | $BTOTAL"
+if [ -n "$DIRTY" ]; then
+  echo "[preflight] PASS (NON-STAMP, dirty tree): verify $VTOTAL | compare: $CTOTAL | $BTOTAL"
+else
+  echo "[preflight] PASS at HEAD $HEAD_SHA (clean tree): verify $VTOTAL | compare: $CTOTAL | $BTOTAL"
+fi
