@@ -101,6 +101,33 @@ object IvmScaffold {
     updates.unionAll(inserts)
   }
 
+  /** The recluster-roundtrip corpus: the narrow (doc_id, n_chars, v64)
+    * stats projection z-order-laid, decayed by a CDC merge replaying
+    * the SAME [[statsTransition]] every stats-family oracle replays
+    * (projected — projection commutes with the transition's row arms,
+    * so the `docZorderScanSql` oracle stays correct BY CONSTRUCTION,
+    * not by a hand-kept copy), then repaired by a targeted
+    * [[graft.pipeline.MergeTable.reclusterBuckets]] of exactly the
+    * merge-touched buckets. Latched via [[once]] (pid-scoped root +
+    * session memo), so concurrent suite/bench/compare runs can never
+    * race a delete+create+merge rebuild of a shared path. */
+  def reclusterCorpus(s: SparkSession, d: String): String =
+    once(d, "recluster") { dir =>
+      val M = graft.pipeline.MergeTable
+      val docs = statsBase(s, d).select(col("doc_id"), col("n_chars"), col("v64"))
+      M.create(s, dir, docs, "doc_id", nBuckets = 4)
+      val vz = M.clusterByZ(s, dir, Seq("n_chars", "v64"), filesPerBucket = 4)
+      val updates = statsTransition(statsBase(s, d))
+        .select(col("doc_id"), col("n_chars"), col("v64"), col("_del"))
+      val vm = M.merge(s, dir, updates, "doc_id",
+        deleteCol = Some("_del"), validate = false)
+      val touched = M.changedBucketIds(s, dir, vz, vm)
+      if (touched.nonEmpty)
+        M.reclusterBuckets(s, dir, Seq("n_chars", "v64"), touched,
+          filesPerBucket = 4)
+      ()
+    }
+
   /** The lakehouse-admin corpus: the stats corpus taken through the
     * FULL admin operation sequence — create v1 → merge v2 (the stats
     * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 →

@@ -2267,39 +2267,14 @@ object PipelineQueries {
     * conjunctive zone-pruned scan, so the oracle (DuckDB's
     * two-predicate filter of the logically merged corpus) breaks if
     * the repair loses a row, duplicates one, or the pruned scan skips
-    * a file it must not. `ZoneMapSpec` pins the restored skip ratio
-    * and the by-reference carry. */
+    * a file it must not. The corpus build lives in
+    * [[IvmScaffold.reclusterCorpus]] — its decay merge replays the
+    * shared `statsTransition`, so the oracle aliasing below is correct
+    * by construction. `ZoneMapSpec` pins the restored skip ratio and
+    * the by-reference carry. */
   private val docReclusterRoundtrip: Q = (s, d) => {
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-recluster-q-" + dirKey)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    if (root.exists) del(root)
-    val dir = root.toString
-    val M = graft.pipeline.MergeTable
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), (col("n_chars") % 64L).as("v64"))
-    M.create(s, dir, docs, "doc_id", nBuckets = 4)
-    val vz = M.clusterByZ(s, dir, Seq("n_chars", "v64"), filesPerBucket = 4)
-    val updates = docs
-      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 7)
-      .select(col("doc_id"), (col("n_chars") + 5L).as("n_chars"),
-        ((col("n_chars") + 5L) % 64L).as("v64"),
-        (col("doc_id") % 10 === 7).as("_del"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          (col("doc_id") % 1000L).as("n_chars"),
-          (col("doc_id") % 1000L % 64L).as("v64"), lit(false).as("_del")))
-    val vm = M.merge(s, dir, updates, "doc_id",
-      deleteCol = Some("_del"), validate = false)
-    val touched = M.changedBucketIds(s, dir, vz, vm)
-    M.reclusterBuckets(s, dir, Seq("n_chars", "v64"), touched,
-      filesPerBucket = 4)
-    M.readWhereAll(s, dir, Seq(
+    val dir = IvmScaffold.reclusterCorpus(s, d)
+    graft.pipeline.MergeTable.readWhereAll(s, dir, Seq(
         ("n_chars", BigDecimal(200), BigDecimal(900)),
         ("v64", BigDecimal(8), BigDecimal(40))))
       .select(col("doc_id"), col("n_chars"), col("v64"))
@@ -2308,7 +2283,9 @@ object PipelineQueries {
 
   // same logical answer as the z-order scan: the merged corpus's
   // two-predicate filter — the engine path differs (decayed layout +
-  // targeted repair + pruned scan vs a fresh full re-layout).
+  // targeted repair + pruned scan vs a fresh full re-layout), but the
+  // decay merge IS the shared IvmScaffold.statsTransition, so the two
+  // queries cannot drift apart.
   // def, not val: docZorderScanSql initializes later in the file
   private def docReclusterRoundtripSql = docZorderScanSql
 
