@@ -724,11 +724,52 @@ object MergeTable {
       zones.get(r).flatMap(_.get(column)) match {
         case Some(z) if z.kind == "double" =>
           !dblPrunable || z.mightIntersect(loW, hiW)
+        case Some(z) if z.kind == "str" => true // string zone, numeric bounds
         case Some(z) => z.mightIntersect(lo, hi)
         case None => true // no zone — never skip on absence of evidence
       }
     }
     (kept, rel.size)
+  }
+
+  /** [[prunedFiles]] for STRING bounds: a file is skippable when its
+    * [[ZoneMaps]] `str` zone (truncated UTF-8 min/max, Parquet/Iceberg
+    * convention) cannot intersect `[lo, hi]` in code-point order —
+    * which is Spark's `UTF8String` order and DuckDB's binary
+    * collation, so pruning and the exact filter agree. The common
+    * shape is equality (`lo == hi`): `lang = 'en'`, `source = 'web'` —
+    * exactly the low-cardinality predicates a curated-corpus scan
+    * filters on, prunable once the layout clusters the column
+    * ([[clusterBy]] works on strings unchanged). */
+  def prunedFilesStr(
+      spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, version: Int = -1): (Seq[String], Int) = {
+    require(lo != null && hi != null, "null bounds")
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val rel = m.entries.values.flatten.toSeq.sorted
+    val zones = ZoneMaps.forVersion(spark, dir, v, rel)
+    val kept = rel.filter { r =>
+      zones.get(r).flatMap(_.get(column)) match {
+        case Some(z) if z.kind == "str" => z.mightIntersectStr(lo, hi)
+        case _ => true // numeric/absent zone — never skip without evidence
+      }
+    }
+    (kept, rel.size)
+  }
+
+  /** Zone-pruned STRING range scan — [[readWhere]] for string columns:
+    * read only the files whose truncated-UTF-8 zones can intersect
+    * `[lo, hi]`, then apply the exact predicate (superset pass — exact
+    * regardless of layout, sidecar presence or zone truncation). */
+  def readWhereStr(
+      spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, version: Int = -1): DataFrame = {
+    val (kept, _) = prunedFilesStr(spark, dir, column, lo, hi, version)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
+    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
   }
 
   /** METADATA-ONLY aggregates — `COUNT(*)`, `COUNT(col)`, `MIN(col)`,
@@ -779,6 +820,11 @@ object MergeTable {
         val z = cols.getOrElse(c, throw new IllegalArgumentException(
           s"column '$c' carries no zone in $r — metadata aggregates " +
             "cover numeric columns only"))
+        // str zones are truncated BOUNDS, not exact values — reporting
+        // them as MIN/MAX would approximate, which this surface never does
+        require(z.kind == "long" || z.kind == "double",
+          s"column '$c' is non-numeric (${z.kind}) — metadata aggregates " +
+            "cover numeric columns only")
         require(z.nullCount >= 0,
           s"column '$c' has no null count in $r even after re-harvest")
         nonNull += fileRows - z.nullCount

@@ -45,23 +45,108 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object ZoneMaps {
 
-  /** One file×column zone. min/max are the exact decimal strings of
-    * the footer stats (BigDecimal-comparable without precision loss —
-    * a long > 2^53 would corrupt through a double). `nullCount` is the
-    * exact per-file null count when every rowgroup recorded one, −1
-    * (unknown) otherwise — the extra statistic that turns zones into
-    * a METADATA-ONLY aggregate source ([[MergeTable.metaAggregate]]):
-    * COUNT(col) = rows − nullCount needs no scan when it's known.
-    * Legacy 6-field sidecar lines parse with nullCount = −1, so old
-    * versions degrade to a footer re-harvest, never a wrong answer. */
+  /** One file×column zone. For numeric kinds min/max are the exact
+    * decimal strings of the footer stats (BigDecimal-comparable
+    * without precision loss — a long > 2^53 would corrupt through a
+    * double). For kind `str` (UTF8-annotated BINARY) they are BOUNDS,
+    * not exact values — truncated to [[StrBoundCp]] code points with
+    * the upper bound incremented at the truncation point (the
+    * Parquet/Iceberg convention), `min == null` meaning all-null and
+    * `max == null` (with min non-null) meaning increment overflowed →
+    * unbounded above. `nullCount` is the exact per-file null count
+    * when every rowgroup recorded one, −1 (unknown) otherwise — the
+    * extra statistic that turns zones into a METADATA-ONLY aggregate
+    * source ([[MergeTable.metaAggregate]]): COUNT(col) = rows −
+    * nullCount needs no scan when it's known. Legacy 6-field sidecar
+    * lines parse with nullCount = −1, so old versions degrade to a
+    * footer re-harvest, never a wrong answer. */
   final case class Zone(
       kind: String, min: String, max: String, hasNulls: Boolean,
       nullCount: Long = -1L) {
-    def allNull: Boolean = min.isEmpty
+    def allNull: Boolean = if (kind == "str") min == null else min.isEmpty
     /** Could a row of this file satisfy `col ∈ [lo, hi]`? */
     def mightIntersect(lo: BigDecimal, hi: BigDecimal): Boolean =
       !allNull && BigDecimal(min) <= hi && BigDecimal(max) >= lo
+    /** Could a row of this file satisfy `col ∈ [lo, hi]` in CODE-POINT
+      * order — which IS Spark's `UTF8String` order, parquet's UTF8
+      * stat order and DuckDB's binary collation, and is NOT Java
+      * `String.compareTo` (UTF-16 code units misorder supplementary
+      * characters against `[U+E000, U+FFFF]`). */
+    def mightIntersectStr(lo: String, hi: String): Boolean =
+      kind == "str" && !allNull && cpCompare(min, hi) <= 0 &&
+        (max == null || cpCompare(max, lo) >= 0)
   }
+
+  /** Sidecar format: 2 = "#format" header, str zones, %-escaped
+    * fields, written by poisoning-safe harvests. Headerless (format-1)
+    * sidecars predate the logical-type poisoning fix and their `long`
+    * lines are dropped on read — see [[read]]. */
+  val FormatVersion = 2
+
+  /** String zones are truncated to this many CODE POINTS — bounded
+    * sidecar lines no matter how long the column's values run (the
+    * `text` column is whole documents). */
+  val StrBoundCp = 16
+
+  // sidecar field sentinels for str zones: esc() turns every real
+  // value's '%' into "%25", so no escaped real value can collide
+  private val StrNone = "%none" // all-null file (in-memory: min = null)
+  private val StrInf = "%inf"   // unbounded upper (in-memory: max = null)
+
+  /** Code-point lexicographic compare — equals UTF-8 byte order for
+    * valid strings, the order Spark, parquet stats and DuckDB share. */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Truncate to [[StrBoundCp]] code points — a PREFIX sorts ≤ the
+    * full string, so this is always a valid lower bound. */
+  private[graft] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StrBoundCp) s
+    else s.substring(0, s.offsetByCodePoints(0, StrBoundCp))
+
+  /** Truncated UPPER bound: when the value fits, the value itself
+    * (exact); otherwise the [[StrBoundCp]]-prefix with its last
+    * incrementable code point bumped (skipping the surrogate gap) and
+    * the tail dropped — strictly greater than every string sharing the
+    * prefix. None when every prefix code point is already U+10FFFF
+    * (no finite bound exists → unbounded above). */
+  private[graft] def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StrBoundCp) return Some(s)
+    val cps = s.codePoints().limit(StrBoundCp).toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < Character.MAX_CODE_POINT) {
+        val next = cps(i) + 1
+        cps(i) =
+          if (next >= Character.MIN_SURROGATE.toInt &&
+            next <= Character.MAX_SURROGATE.toInt) 0xE000
+          else next
+        return Some(new String(cps, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  // %-escape the characters that would corrupt the TAB/newline line
+  // format; '%' itself is always followed by '2' in escaped output, so
+  // the "%none"/"%inf" sentinels can never collide with a real value
+  private def esc(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+  private def unesc(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
 
   /** Reserved pseudo-column carrying the per-file ROW COUNT (footer
     * block counts summed) — `#` cannot appear in a parquet column
@@ -95,6 +180,9 @@ object ZoneMaps {
         // every rowgroup reports one (−1 from any block → −1 total).
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[String, (String, BigDecimal, BigDecimal, Boolean, Boolean, Long)]
+        // string columns fold separately (code-point order, not decimal)
+        val accS = scala.collection.mutable.LinkedHashMap
+          .empty[String, (String, String, Boolean, Boolean, Long)]
         val poisoned = scala.collection.mutable.HashSet.empty[String]
         var fileRows = 0L
         r.getFooter.getBlocks.asScala.foreach { blk =>
@@ -118,12 +206,55 @@ object ZoneMaps {
               case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
                   if plainSignedInt => "long"
               case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
+              case PrimitiveTypeName.BINARY
+                  if logical.isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "str"
               case _ => null
             }
             val st = cc.getStatistics
             val name = if (cc.getPath == null) null else cc.getPath.toDotString
             if (kind == null && name != null) poisoned += name
             else if (st == null || st.isEmpty) poisoned += name
+            else if (kind == "str") {
+              // decode stats as UTF-8; a lossy decode (invalid bytes in
+              // a string-annotated column) poisons rather than risking
+              // replacement-character reordering. Footer string stats
+              // may already be writer-truncated BOUNDS, which is fine —
+              // zones treat them as bounds, never exact values.
+              def dec(v: Any): String = {
+                val bytes = v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val s = new String(bytes, StandardCharsets.UTF_8)
+                if (java.util.Arrays.equals(
+                  s.getBytes(StandardCharsets.UTF_8), bytes)) s
+                else null
+              }
+              val blkNulls = st.getNumNulls
+              val nulls = blkNulls != 0
+              val parsed =
+                if (!st.hasNonNullValue) Some((null: String, null: String))
+                else {
+                  val mn = dec(st.genericGetMin)
+                  val mx = dec(st.genericGetMax)
+                  if (mn == null || mx == null) None else Some((mn, mx))
+                }
+              parsed match {
+                case None => poisoned += name
+                case Some((mn, mx)) =>
+                  val nonNull = mn != null
+                  accS.get(name) match {
+                    case None =>
+                      accS(name) = (mn, mx, nulls, nonNull, blkNulls)
+                    case Some((omn, omx, on, ov, onc)) =>
+                      accS(name) = (
+                        if (!nonNull) omn
+                        else if (!ov || cpCompare(mn, omn) < 0) mn else omn,
+                        if (!nonNull) omx
+                        else if (!ov || cpCompare(mx, omx) > 0) mx else omx,
+                        on || nulls, ov || nonNull,
+                        if (onc < 0 || blkNulls < 0) -1L else onc + blkNulls)
+                  }
+              }
+            }
             else {
               val blkNulls = st.getNumNulls // -1 = writer didn't record
               val nulls = blkNulls != 0     // -1 (unknown) counts as "may have"
@@ -157,7 +288,13 @@ object ZoneMaps {
               if (nonNull) mn.bigDecimal.toPlainString else "",
               if (nonNull) mx.bigDecimal.toPlainString else "", nulls, nc)
         }
-        rel -> (cols + (RowsKey ->
+        val strCols = (accS -- poisoned).toMap.map {
+          case (c, (mn, mx, nulls, nonNull, nc)) =>
+            c -> Zone("str",
+              if (nonNull) truncLower(mn) else null,
+              if (nonNull) truncUpper(mx).orNull else null, nulls, nc)
+        }
+        rel -> (cols ++ strCols + (RowsKey ->
           Zone("count", fileRows.toString, fileRows.toString, false, 0L)))
       } finally r.close()
     }.collect().toMap
@@ -171,11 +308,17 @@ object ZoneMaps {
       newFiles: Seq[String],
       carried: Map[String, Map[String, Zone]] = Map.empty): Unit = {
     val all = carried ++ harvest(spark, dir, newFiles)
-    val body = all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, z) =>
-        s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}\t${z.nullCount}"
-      }
-    }.mkString("", "\n", "\n")
+    val body = (s"#format\t$FormatVersion" +:
+      all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (c, z) =>
+          val (mn, mx) =
+            if (z.kind == "str")
+              (if (z.min == null) StrNone else esc(z.min),
+                if (z.max == null) StrInf else esc(z.max))
+            else (z.min, z.max)
+          s"$rel\t$c\t${z.kind}\t$mn\t$mx\t${z.hasNulls}\t${z.nullCount}"
+        }
+      }).mkString("", "\n", "\n")
     // temp + rename: the sidecar's PRESENCE is a completeness signal
     // (maintained indexes use it as a version cursor), so a crash
     // mid-write must leave no half-file at the final path
@@ -205,15 +348,32 @@ object ZoneMaps {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         new String(bos.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
-      Some(text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+      // "#format\t<N>" header (format 2+: str zones, %-escaped fields,
+      // poisoning-safe long zones). A headerless sidecar predates the
+      // logical-type poisoning fix, so its `long` lines may hold RAW
+      // PHYSICAL values for decimal/date/timestamp columns — drop them
+      // (those columns degrade to unprunable/re-harvest, never a
+      // mis-prune); `double`/`count` lines were always logical-safe.
+      val fmt = lines.headOption
+        .filter(_.startsWith("#format\t"))
+        .map(_.split("\t")(1).toInt).getOrElse(1)
+      val zoneLines = lines.filterNot(_.startsWith("#format\t"))
+      Some(zoneLines.map { l =>
         val a = l.split("\t", -1)
         require(a.length == 6 || a.length == 7, s"corrupt zones line: $l")
         // 6 fields = legacy (pre-nullCount) sidecar → nullCount unknown
         val nc = if (a.length == 7) a(6).toLong else -1L
-        (a(0), a(1), Zone(a(2), a(3), a(4), a(5).toBoolean, nc))
-      }.groupBy(_._1).map { case (rel, rows) =>
-        rel -> rows.map(r => r._2 -> r._3).toMap
-      })
+        val (mn, mx) =
+          if (a(2) == "str")
+            (if (a(3) == StrNone) null else unesc(a(3)),
+              if (a(4) == StrInf || a(4) == StrNone) null else unesc(a(4)))
+          else (a(3), a(4))
+        (a(0), a(1), Zone(a(2), mn, mx, a(5).toBoolean, nc))
+      }.filterNot(r => fmt < 2 && r._3.kind == "long")
+        .groupBy(_._1).map { case (rel, rows) =>
+          rel -> rows.map(r => r._2 -> r._3).toMap
+        })
     }
   }
 

@@ -2321,6 +2321,41 @@ object PipelineQueries {
       |WHERE n_chars BETWEEN 100 AND 200
       |ORDER BY doc_id""".stripMargin
 
+  /** STRING zone-map file skipping ([[graft.pipeline.ZoneMaps]] `str`
+    * zones — truncated UTF-8 min/max, the Parquet/Iceberg
+    * string-bounds convention, upper bound incremented at the
+    * truncation point): the stats corpus re-laid-out
+    * range-clustered by `lang` and a lang range answered by
+    * [[graft.pipeline.MergeTable.readWhereStr]] — exactly the
+    * low-cardinality string predicate (`lang`, `source`) a curated-
+    * corpus scan filters on, previously never prunable because zones
+    * carried only long/double kinds. Pruning compares in code-point
+    * (= UTF-8 byte) order, the order Spark's `UTF8String` and
+    * DuckDB's binary collation share, so the pruned scan and the
+    * oracle's BETWEEN agree exactly ('de' ≤ lang ≤ 'es' covers
+    * de/en/es, not fr/xx/zh). `ZoneMapSpec` pins the skip ratio and
+    * the truncation edges; this row pins exactness cross-engine. */
+  private val docZonemapStringScan: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "lang", filesPerBucket = 4)
+    graft.pipeline.MergeTable.readWhereStr(
+        s, dir, "lang", "de", "es", version = v)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docZonemapStringScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, n_chars FROM merged
+      |WHERE lang BETWEEN 'de' AND 'es'
+      |ORDER BY doc_id""".stripMargin
+
   /** Metadata-only aggregates ([[graft.pipeline.MergeTable
     * .metaAggregate]]): COUNT(*) / COUNT(col) / MIN / MAX over three
     * numeric columns of the CoW stats corpus answered from the zone
@@ -3787,6 +3822,7 @@ object PipelineQueries {
     "doc_substring_standing" -> docSubstringStanding,
     "doc_compact_roundtrip" -> docCompactRoundtrip,
     "doc_zonemap_scan" -> docZonemapScan,
+    "doc_zonemap_string_scan" -> docZonemapStringScan,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
@@ -3896,6 +3932,7 @@ object PipelineQueries {
     "doc_substring_standing" -> docSubstringIncrementalSql,
     "doc_compact_roundtrip" -> docCompactRoundtripSql,
     "doc_zonemap_scan" -> docZonemapScanSql,
+    "doc_zonemap_string_scan" -> docZonemapStringScanSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,

@@ -438,6 +438,86 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("string zones: clusterBy(lang) + readWhereStr prunes files, equality and range scans exact") {
+    val dir = s"${Files.createTempDirectory("graft-zstr")}/t"
+    val langs = Vector("de", "en", "es", "fr", "xx", "zh")
+    val rows = (1L to 6000L).map(i => (i, langs((i % 6).toInt), s"body $i"))
+    MergeTable.create(spark, dir, rows.toDF("id", "lang", "text"), "id", nBuckets = 2)
+
+    // hash layout: zones exist but every file spans all langs
+    val (k0, t0) = MergeTable.prunedFilesStr(spark, dir, "lang", "de", "de")
+    assert(t0 > 0 && k0.size == t0, s"hash layout unprunable: ${k0.size}/$t0")
+
+    val v = MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 6)
+    val (k1, t1) = MergeTable.prunedFilesStr(
+      spark, dir, "lang", "de", "de", version = v)
+    assert(t1 >= 8, s"expected multi-file clustered layout, got $t1")
+    assert(k1.size <= t1 / 2,
+      s"one of six langs must skip most files: ${k1.size}/$t1")
+
+    val eq = MergeTable.readWhereStr(spark, dir, "lang", "de", "de", version = v)
+      .select("id").as[Long].collect().toSet
+    assert(eq == (1L to 6000L).filter(_ % 6 == 0).toSet)
+    val range = MergeTable
+      .readWhereStr(spark, dir, "lang", "de", "es", version = v)
+      .select("id").as[Long].collect().toSet
+    assert(range == (1L to 6000L).filter(i => (i % 6) <= 2).toSet)
+  }
+
+  test("string zone truncation: bounds valid at multi-byte code points, surrogate gap, increment overflow") {
+    import graft.pipeline.ZoneMaps.{cpCompare, truncLower, truncUpper}
+    // short values carry exact bounds
+    assert(truncLower("short") == "short" && truncUpper("short") == Some("short"))
+    // ascii past the bound: prefix lower, incremented upper
+    assert(truncLower("a" * 17) == "a" * 16)
+    assert(truncUpper("a" * 17) == Some("a" * 15 + "b"))
+    // multi-byte code points count as ONE: 16 emoji survive whole
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(truncLower(emoji * 16 + "tail") == emoji * 16)
+    assert(truncUpper(emoji * 16 + "tail") ==
+      Some(emoji * 15 + new String(Character.toChars(0x1F601))))
+    // incrementing into the surrogate gap lands at U+E000
+    assert(truncUpper("x" * 15 + "\uD7FF" + "tail") == Some("x" * 15 + "\uE000"))
+    // U+10FFFF carries left; an all-top prefix has NO finite upper bound
+    val top = new String(Character.toChars(0x10FFFF))
+    assert(truncUpper("a" + top * 15 + "tail") == Some("b"))
+    assert(truncUpper(top * 16 + "tail").isEmpty)
+    // cpCompare is code-point (= UTF-8 byte) order, NOT Java's UTF-16
+    // order: U+FFFF sorts BELOW a supplementary char
+    assert(cpCompare("\uFFFF", emoji) < 0 && "\uFFFF".compareTo(emoji) > 0)
+  }
+
+  test("string zones: scans exact under truncation, supplementary chars, empty and null values") {
+    val dir = s"${Files.createTempDirectory("graft-zstr2")}/t"
+    val emoji = new String(Character.toChars(0x1F600))
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "prefixprefixprefix-AAAA", // > 16 cps, shared prefix
+      2L -> "prefixprefixprefix-BBBB",
+      3L -> (emoji * 20),              // long multi-byte value
+      4L -> "\uFFFF",                  // BMP top vs supplementary order
+      5L -> "",                        // empty string IS a value
+      6L -> null)
+    MergeTable.create(spark, dir, rows.toDF("id", "s"), "id", nBuckets = 3)
+    def want(lo: String, hi: String): Set[Long] = rows.collect {
+      case (id, v)
+          if v != null && graft.pipeline.ZoneMaps.cpCompare(v, lo) >= 0 &&
+            graft.pipeline.ZoneMaps.cpCompare(v, hi) <= 0 => id }.toSet
+    def got(lo: String, hi: String): Set[Long] =
+      MergeTable.readWhereStr(spark, dir, "s", lo, hi)
+        .select("id").as[Long].collect().toSet
+    val probes = Seq(
+      ("", "\uFFFF"),                     // wide: everything but emoji row
+      ("", emoji * 25),                   // wide incl. supplementary
+      ("prefixprefixprefix-AAAA", "prefixprefixprefix-AAAA"), // truncated eq
+      ("prefixprefixprefix-AAAA!", "prefixprefixprefix-BBBA"), // between twins
+      ("\uFFFF", "\uFFFF"),               // eq at the BMP top
+      ("", ""),                           // eq on the empty string
+      ("zz", "zzz"))                      // above all ascii, below U+FFFF
+    probes.foreach { case (lo, hi) =>
+      assert(got(lo, hi) == want(lo, hi), s"bounds [$lo, $hi]")
+    }
+  }
+
   test("vacuum reclaims old zone sidecars with their manifests") {
     val dir = s"${Files.createTempDirectory("graft-zones3")}/t"
     mkTable(dir)
