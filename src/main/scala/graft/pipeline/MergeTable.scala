@@ -67,12 +67,28 @@ object MergeTable {
     vs.last
   }
 
+  /** The table's recorded clustered-layout INTENT — which curve, over
+    * which columns, at what per-bucket file split the table is meant
+    * to be laid out in. Set by [[clusterBy]] / [[clusterByZ]] /
+    * [[reclusterBuckets]] and CARRIED across merges and compactions:
+    * those decay the physical order where they rewrite, not the
+    * intent (the Delta liquid-clustering convention — clustering keys
+    * are a table property, not a one-shot rewrite). Cleared by
+    * [[rebucket]] (a full unordered rewrite). [[advise]] reads it to
+    * recommend repairs; [[maintain]] applies them. `curve` is
+    * `range` (1-D), `z` or `hilbert`; `bits` is the curve
+    * quantization (0 for range). */
+  final case class TableLayout(
+      curve: String, cols: Seq[String], filesPerBucket: Int, bits: Int)
+
   /** `op` records WHICH admin/DML operation committed the version
     * (create/merge/compact/compact_buckets/rebucket/cluster) — the
     * DESCRIBE HISTORY surface. Manifests written before the `#op`
-    * header read back as "unknown". */
+    * header read back as "unknown"; `layout` rides a `#layout` header
+    * the same way (absent = no recorded intent). */
   private case class Manifest(
-      nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown")
+      nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown",
+      layout: Option[TableLayout] = None)
 
   private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
     val f = fs(spark, dir)
@@ -92,11 +108,16 @@ object MergeTable {
     val op = lines.tail.takeWhile(_.startsWith("#"))
       .collectFirst { case l if l.startsWith("#op\t") => l.split("\t")(1) }
       .getOrElse("unknown")
+    val layout = lines.tail.takeWhile(_.startsWith("#"))
+      .collectFirst { case l if l.startsWith("#layout\t") =>
+        val a = l.split("\t")
+        TableLayout(a(1), a(2).split(",").toSeq, a(3).toInt, a(4).toInt)
+      }
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(header(1).toInt, entries, op)
+    Manifest(header(1).toInt, entries, op, layout)
   }
 
   /** Rename-as-commit: the manifest appears atomically or not at all. */
@@ -105,6 +126,8 @@ object MergeTable {
     val f = fs(spark, dir)
     val tmp = new Path(s"$dir/._v$v.manifest.tmp")
     val body = (Seq(s"#nbuckets\t${m.nBuckets}", s"#op\t${m.op}") ++
+      m.layout.map(l => s"#layout\t${l.curve}\t${l.cols.mkString(",")}" +
+        s"\t${l.filesPerBucket}\t${l.bits}").toSeq ++
       m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
         ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
@@ -275,7 +298,8 @@ object MergeTable {
         .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
         .getOrElse(Map.empty)
       ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
-      commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries, "merge"))
+      commitManifest(spark, dir, nv,
+        Manifest(m.nBuckets, entries, "merge", m.layout))
       nv
     } finally upd.unpersist()
   }
@@ -424,7 +448,8 @@ object MergeTable {
       dir, nv, m.nBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "compact"))
+    commitManifest(spark, dir, nv,
+      Manifest(m.nBuckets, written, "compact", m.layout))
     nv
   }
 
@@ -458,7 +483,7 @@ object MergeTable {
       .getOrElse(Map.empty)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
     commitManifest(spark, dir, nv,
-      Manifest(m.nBuckets, entries, "compact_buckets"))
+      Manifest(m.nBuckets, entries, "compact_buckets", m.layout))
     nv
   }
 
@@ -484,6 +509,87 @@ object MergeTable {
     if (fragmented.isEmpty) (v, Nil)
     else (compactBuckets(spark, dir, fragmented), fragmented)
   }
+
+  /** The table's recorded clustered-layout intent at `version` (see
+    * [[TableLayout]]); None when never clustered or since rebucketed. */
+  def layout(
+      spark: SparkSession, dir: String, version: Int = -1): Option[TableLayout] = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    readManifest(spark, dir, v).layout
+  }
+
+  /** One [[advise]] recommendation: apply `action` ("recluster" or
+    * "compact") to `buckets`, for `reason`. */
+  final case class Maintenance(action: String, buckets: Seq[Int], reason: String)
+
+  /** MAINTENANCE ADVISOR — the predictive-optimization shape: decide
+    * per bucket, from the manifest chain alone (O(versions + files)
+    * driver-side metadata, never a data scan), whether it needs a
+    * layout repair or a compaction:
+    *
+    *  - **recluster**: the table has a recorded [[TableLayout]] and
+    *    buckets were rewritten (merge, compaction) since the last
+    *    layout commit — their curve order decayed exactly where the
+    *    table churned ([[changedBucketIds]] names them); repair ∝
+    *    churn via [[reclusterBuckets]].
+    *  - **compact**: buckets whose file count exceeds TWICE the
+    *    recorded layout's `filesPerBucket` (or `targetFilesPerBucket`
+    *    when given / the table has no layout) and that are NOT
+    *    already slated for recluster (the repair rewrite compacts as
+    *    it re-curves). Twice, because a fresh curve layout naturally
+    *    overshoots by a file where range-partition boundaries straddle
+    *    buckets — the advisor flags only clear fragmentation.
+    *
+    * A fresh layout gets an EMPTY list. `targetFilesPerBucket = 0`
+    * (default) means "the recorded layout's split, else 4". */
+  def advise(
+      spark: SparkSession, dir: String,
+      targetFilesPerBucket: Int = 0): Seq[Maintenance] = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    // newest version committed BY a layout op — the decay baseline
+    val layoutV = versions(spark, dir).reverse.find { pv =>
+      val op = readManifest(spark, dir, pv).op
+      op == "cluster" || op == "cluster_z"
+    }
+    val churned: Seq[Int] = (m.layout, layoutV) match {
+      case (Some(_), Some(lv)) if lv < v => changedBucketIds(spark, dir, lv, v)
+      case _ => Seq.empty
+    }
+    val target =
+      if (targetFilesPerBucket > 0) targetFilesPerBucket
+      else m.layout.map(_.filesPerBucket).getOrElse(4)
+    val fragmented = m.entries
+      .filter { case (_, files) => files.size > 2 * target }
+      .keys.toSeq.sorted.filterNot(churned.contains)
+    Seq(
+      m.layout.filter(_ => churned.nonEmpty).map(l => Maintenance(
+        "recluster", churned,
+        s"${l.curve}(${l.cols.mkString(",")}) layout decayed by rewrites " +
+          s"since v${layoutV.get}")),
+      Option.when(fragmented.nonEmpty)(Maintenance(
+        "compact", fragmented, s"more than ${2 * target} files per bucket"))
+    ).flatten
+  }
+
+  /** Apply [[advise]]: one [[reclusterBuckets]] over the churned set
+    * (using the recorded [[TableLayout]]), one [[compactBuckets]] over
+    * the fragmented set — each a single committed version whose cost
+    * tracks the affected buckets, not the table. Returns the advice
+    * taken with the version each commit produced; a healthy table
+    * returns Nil at its current version. */
+  def maintain(
+      spark: SparkSession, dir: String,
+      targetFilesPerBucket: Int = 0): Seq[(Maintenance, Int)] =
+    advise(spark, dir, targetFilesPerBucket).map {
+      case a @ Maintenance("recluster", buckets, _) =>
+        val l = layout(spark, dir).get
+        a -> reclusterBuckets(spark, dir, l.cols, buckets,
+          l.filesPerBucket, if (l.curve == "range") 16 else l.bits, l.curve)
+      case a @ Maintenance("compact", buckets, _) =>
+        a -> compactBuckets(spark, dir, buckets)
+      case a => throw new IllegalStateException(s"unknown advice: $a")
+    }
 
   /** Re-hash the table to `newNBuckets` — the admin lever that keeps
     * BUCKET SIZE bounded as a corpus grows (the Iceberg
@@ -551,7 +657,8 @@ object MergeTable {
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster"))
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster",
+      Some(TableLayout("range", Seq(byCol), filesPerBucket, 0))))
     nv
   }
 
@@ -601,12 +708,14 @@ object MergeTable {
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z"))
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z",
+      Some(TableLayout(curve, byCols, filesPerBucket, bits))))
     nv
   }
 
   private def curveOf(byCols: Seq[String], bits: Int, curve: String): Column =
-    if (curve == "hilbert")
+    if (curve == "range") col(byCols.head) // 1-D: the raw column IS the order
+    else if (curve == "hilbert")
       Layout.hilbertValue(col(byCols(0)), col(byCols(1)), bits)
     else Layout.zValue(byCols.map(col), bits)
 
@@ -624,12 +733,17 @@ object MergeTable {
       spark: SparkSession, dir: String, byCols: Seq[String],
       buckets: Seq[Int], filesPerBucket: Int = 4, bits: Int = 16,
       curve: String = "z"): Int = {
-    require(byCols.size >= 2, "reclusterBuckets needs >= 2 columns")
     require(buckets.nonEmpty, "no buckets to recluster")
     require(filesPerBucket > 0)
-    require(curve == "z" || curve == "hilbert", s"unknown curve: $curve")
-    require(curve != "hilbert" || byCols.size == 2,
-      "the hilbert curve is 2-D; use curve=z for more columns")
+    require(curve match {
+      // "range" is the 1-D [[clusterBy]] repair: raw-column order, no
+      // curve quantization — so [[maintain]] repairs 1-D layouts with
+      // the same bucket-restricted machinery
+      case "range" => byCols.size == 1
+      case "hilbert" => byCols.size == 2
+      case "z" => byCols.size >= 2
+      case _ => false
+    }, s"unsupported curve/arity: $curve over ${byCols.mkString(",")}")
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     val targets = buckets.distinct.sorted
@@ -654,7 +768,9 @@ object MergeTable {
       .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
       .getOrElse(Map.empty)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
-    commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries, "cluster_z"))
+    commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries,
+      if (curve == "range") "cluster" else "cluster_z",
+      Some(TableLayout(curve, byCols, filesPerBucket, bits))))
     nv
   }
 

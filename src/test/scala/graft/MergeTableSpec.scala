@@ -343,6 +343,90 @@ class MergeTableSpec extends SparkSpec {
     assert(feed == Set(("update", 1L, "tagged", Some("gold"))))
   }
 
+  test("advise/maintain: churned buckets get exactly a recluster, fresh layouts get nothing") {
+    val dir = tmpDir()
+    val mk = (i: Long) => (i, i % 97, (i * 31) % 89, s"p$i")
+    MergeTable.create(spark, dir,
+      (1L to 8000L).map(mk).toDF("id", "a", "b", "tag"), "id", nBuckets = 8)
+
+    // no recorded layout → nothing to repair, nothing fragmented
+    assert(MergeTable.advise(spark, dir).isEmpty)
+    assert(MergeTable.layout(spark, dir).isEmpty)
+
+    val vz = MergeTable.clusterByZ(spark, dir, Seq("a", "b"), filesPerBucket = 4)
+    // fresh layout → no advice; intent recorded
+    assert(MergeTable.advise(spark, dir).isEmpty)
+    assert(MergeTable.layout(spark, dir) ==
+      Some(MergeTable.TableLayout("z", Seq("a", "b"), 4, 16)))
+
+    // churn a couple of buckets; intent survives the merge
+    val vm = MergeTable.merge(spark, dir,
+      Seq(5L, 1005L).map(mk).toDF("id", "a", "b", "tag"), "id")
+    val touched = MergeTable.changedBucketIds(spark, dir, vz, vm)
+    assert(MergeTable.layout(spark, dir).isDefined)
+    val advice = MergeTable.advise(spark, dir)
+    assert(advice.map(a => (a.action, a.buckets)) ==
+      Seq(("recluster", touched)), s"got $advice")
+
+    // apply → layout repaired as ONE cluster_z commit over exactly the
+    // churned buckets; a repaired table advises nothing
+    val applied = MergeTable.maintain(spark, dir)
+    assert(applied.size == 1 && applied.head._1.action == "recluster")
+    assert(MergeTable.advise(spark, dir).isEmpty)
+    // content identity through the repair
+    val got = MergeTable.read(spark, dir)
+      .select("id", "a", "b", "tag").as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(got == (1L to 8000L).map(mk).toSet)
+    // history shows the full advise→apply chain
+    val ops = MergeTable.history(spark, dir)
+      .select("version", "op").as[(Int, String)].collect().sortBy(_._1).map(_._2)
+    assert(ops sameElements
+      Array("create", "cluster_z", "merge", "cluster_z"), ops.mkString(","))
+
+    // rebucket clears the intent → no recluster advice despite rewrites
+    MergeTable.rebucket(spark, dir, "id", 4)
+    assert(MergeTable.layout(spark, dir).isEmpty)
+    assert(MergeTable.advise(spark, dir).isEmpty)
+  }
+
+  test("advise/maintain: 1-D range layouts repair via the same machinery; explicit target flags fragmentation") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (1L to 6000L).map(i => (i, i % 97, s"p$i")).toDF("id", "score", "tag"),
+      "id", nBuckets = 4)
+    val vc = MergeTable.clusterBy(spark, dir, "score", filesPerBucket = 6)
+    assert(MergeTable.layout(spark, dir) ==
+      Some(MergeTable.TableLayout("range", Seq("score"), 6, 0)))
+
+    val vm = MergeTable.merge(spark, dir,
+      Seq((7L, 1000L, "x")).toDF("id", "score", "tag"), "id")
+    val touched = MergeTable.changedBucketIds(spark, dir, vc, vm)
+    assert(MergeTable.advise(spark, dir).map(_.action) == Seq("recluster"))
+    val applied = MergeTable.maintain(spark, dir)
+    assert(applied.map(_._1.buckets) == Seq(touched))
+    assert(MergeTable.advise(spark, dir).isEmpty)
+    // the repaired bucket prunes again on the 1-D column
+    val (kept, total) = MergeTable.prunedFiles(
+      spark, dir, "score", BigDecimal(10), BigDecimal(12))
+    assert(kept.size <= total / 2, s"${kept.size}/$total")
+    val got = MergeTable.readWhere(spark, dir, "score",
+      BigDecimal(999), BigDecimal(2000)).select("id").as[Long].collect().toSet
+    assert(got == Set(7L))
+
+    // an explicit tighter target flags the buckets for compaction
+    val adv = MergeTable.advise(spark, dir, targetFilesPerBucket = 1)
+    assert(adv.map(_.action) == Seq("compact") && adv.head.buckets.nonEmpty)
+    val applied2 = MergeTable.maintain(spark, dir, targetFilesPerBucket = 1)
+    assert(applied2.map(_._1.action) == Seq("compact"))
+    // that compaction coalesced but UN-ORDERED those buckets — the
+    // advisor now correctly flags them for a layout repair, and one
+    // more maintain round restores a quiet table
+    assert(MergeTable.advise(spark, dir).map(_.action) == Seq("recluster"))
+    MergeTable.maintain(spark, dir)
+    assert(MergeTable.advise(spark, dir).isEmpty)
+  }
+
   test("update batches must be unique on the merge key") {
     val dir = tmpDir()
     MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)

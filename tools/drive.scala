@@ -19,8 +19,9 @@ val masked = spark.sql(
   "SELECT mask_pii('mail me at a@b.com') AS m").head().getString(0)
 assert(!masked.contains("a@b.com"), s"mask_pii: $masked")
 
-// 3. lakehouse admin loop: create -> merge -> history -> clusterByZ ->
-//    readWhereAll -> optimize -> forget (one call, maintained artifacts)
+// 3. lakehouse admin loop: create -> merge -> clusterByZ ->
+//    readWhereAll -> optimize -> advise -> maintain -> history ->
+//    forget (one call, maintained artifacts)
 import graft.pipeline.MergeTable
 import graft.streaming.{CorpusViews, Maintained}
 val root = java.nio.file.Files.createTempDirectory("graft-drive").toString
@@ -43,15 +44,27 @@ val want = spark.range(1, 2001).filter((col("id") % 5).between(1, 2) && ((col("i
 assert(got == want, s"zorder scan $got != $want")
 val (vo, compacted) = MergeTable.optimize(spark, t, targetFilesPerBucket = 2)
 assert(compacted.nonEmpty, "optimize must coalesce the clustered layout")
+// advise -> apply -> history: the optimize pass coalesced but
+// UN-ORDERED its buckets, so the advisor flags exactly those for a
+// layout repair; one maintain() quiets the table again
+val advice = MergeTable.advise(spark, t)
+assert(advice.map(_.action) == Seq("recluster"), advice.toString)
+assert(advice.head.buckets.sorted == compacted.sorted,
+  s"advice ${advice.head.buckets} != compacted $compacted")
+val maintained = MergeTable.maintain(spark, t)
+assert(maintained.size == 1 && MergeTable.advise(spark, t).isEmpty,
+  "maintain must quiet the table")
 val hist = MergeTable.history(spark, t).select("op").as[String].collect().toSeq
-assert(hist == Seq("create", "merge", "cluster_z", "compact_buckets"), hist.toString)
+assert(hist == Seq("create", "merge", "cluster_z", "compact_buckets",
+  "cluster_z"), hist.toString)
 
 // 4. maintained family + one-call erasure
 val stats = CorpusViews.StatsView(s"$root/stats", "a", "b")
 val prof = CorpusViews.ProfileView(s"$root/prof", Seq("doc_id", "text", "a", "b"))
 val card = CorpusViews.CardView(s"$root/card",
   filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0), langCol = "a")
-Seq(stats, prof, card).foreach(_.advance(spark, t, vo))
+val vHead = MergeTable.latestVersion(spark, t)
+Seq(stats, prof, card).foreach(_.advance(spark, t, vHead))
 assert(prof.latest(spark).count() > 0, "maintained profile")
 assert(card.latest(spark).count() > 0, "maintained card")
 val audit = Maintained.forget(spark, t, "doc_id", Seq(42L),
