@@ -50,10 +50,24 @@ object CorpusCard {
   /** Shared final shaping: `scalars` is ONE row with the named global
     * aggregates, `langRows` is `(l, value)` — both the from-scratch
     * [[card]] and the cell-maintained [[cardFromCells]] land here, so
-    * the two paths cannot diverge in shape or arithmetic. */
-  private def assemble(scalars: DataFrame, langRows: DataFrame): DataFrame = {
-    val spark = scalars.sparkSession
+    * the two paths cannot diverge in shape or arithmetic. The
+    * EMPTY-CORPUS shape is decided here too, once for both paths:
+    * count-like scalars coalesce to 0 (a SUM over no rows is NULL on
+    * the from-cells path, a COUNT is 0 on the from-scratch path),
+    * min/max stay NULL (no values — NULL is the honest answer on both
+    * paths), and the fixed-point means guard `n_docs = 0` explicitly
+    * (ANSI `0 DIV 0` would throw where the pre-coalesce NULL
+    * numerator used to null-propagate). */
+  private def assemble(scalars0: DataFrame, langRows: DataFrame): DataFrame = {
+    val spark = scalars0.sparkSession
     import spark.implicits._
+    val scalars = scalars0.select(
+      coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+      coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+      col("min_chars"), col("max_chars"),
+      coalesce(col("distinct_docs"), lit(0L)).as("distinct_docs"),
+      coalesce(col("short_docs"), lit(0L)).as("short_docs"))
     val scalarRows = scalars.select(explode(map(
       lit("volume|n_docs"), col("n_docs"),
       lit("volume|n_tokens"), col("n_tokens"),
@@ -62,12 +76,14 @@ object CorpusCard {
       lit("length|max_chars"), col("max_chars"),
       // 1e-6 fixed-point mean in pure integer arithmetic
       lit("length|mean_chars_fp6"),
-      expr("(1000000 * n_chars) DIV n_docs"),
+      expr("CASE WHEN n_docs = 0 THEN NULL " +
+        "ELSE (1000000 * n_chars) DIV n_docs END"),
       lit("duplication|distinct_docs"), col("distinct_docs"),
       lit("duplication|n_exact_dup_docs"),
       col("n_docs") - col("distinct_docs"),
       lit("duplication|dup_rate_fp6"),
-      expr("(1000000 * (n_docs - distinct_docs)) DIV n_docs"),
+      expr("CASE WHEN n_docs = 0 THEN NULL " +
+        "ELSE (1000000 * (n_docs - distinct_docs)) DIV n_docs END"),
       lit("quality|short_docs_lt50_tokens"), col("short_docs"))))
     val langKeyed = langRows
       .select(concat(lit("languages|lang:"), col("l")).as("key"), col("value"))

@@ -319,7 +319,10 @@ object StreamingIngest {
     * stream halts for the operator (DLT "fail"-expectation semantics —
     * a retried batch re-merges idempotently and re-trips until the
     * state is repaired; the offending version remains time-travelable
-    * for diagnosis). Quarantine stays row-only by design: an aggregate
+    * for diagnosis, and the retention vacuum ALSO runs before the halt
+    * so a crash-looping retry keeps the version chain at its bound
+    * instead of growing it per attempt). Quarantine stays row-only by
+    * design: an aggregate
     * violation has no single offending row to divert. Cost: one
     * column-pruned aggregation over the table per Unique rule and one
     * anti-join per ForeignKey rule, per batch — the price of an exact
@@ -356,17 +359,35 @@ object StreamingIngest {
             tableDir, keyCol, deleteCol, versionCol)
           .foreach { v =>
             val s = batch.sparkSession
-            if (aggregateExpectations.nonEmpty)
-              graft.ops.Expectations.gate(
-                graft.pipeline.MergeTable.read(s, tableDir, v),
-                aggregateExpectations)
-            maintain.foreach(_.advance(s, tableDir, v))
-            retainVersions.foreach { n =>
+            def vacuumRetained(): Unit = retainVersions.foreach { n =>
               val minReflected =
                 maintain.flatMap(_.version(s)).minOption.getOrElse(v)
               val keep = math.max(n, v - minReflected + 1)
               graft.pipeline.MergeTable.vacuum(s, tableDir, keep)
             }
+            if (aggregateExpectations.nonEmpty)
+              try graft.ops.Expectations.gate(
+                graft.pipeline.MergeTable.read(s, tableDir, v),
+                aggregateExpectations)
+              catch { case e: Throwable =>
+                // the gate halts this batch below; vacuum FIRST so a
+                // crash-looping supervisor retrying a violating batch
+                // (each restart re-merges it and commits another
+                // violating version) keeps the chain at the retention
+                // bound instead of growing it per attempt. The latest
+                // violating version always survives the bound —
+                // time-travelable for diagnosis. Residual: when
+                // artifacts LAG (a crash landed between merge and
+                // advance), the keep horizon must stretch back to
+                // their reflected version, so retries accumulate
+                // versions up to that lag until the input is repaired
+                // — bounded by lag + retries, reclaimed by the first
+                // clean batch's vacuum.
+                vacuumRetained()
+                throw e
+              }
+            maintain.foreach(_.advance(s, tableDir, v))
+            vacuumRetained()
           }
       }
       .start()

@@ -85,4 +85,34 @@ class CorpusCardSpec extends SparkSpec {
     assert(cellsCard(lang2, dup2) == cardOf(MergeTable.read(spark, dir, 2)),
       "maintained card must equal the from-scratch card after the merge")
   }
+
+  test("empty corpus: maintained and from-scratch cards agree — counts 0, min/max/means NULL") {
+    import graft.pipeline.{BucketedView, MergeTable}
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft-cardempty")}/t"
+    val tk = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    // real cell schemas via the real machinery, then emptied — the
+    // shape an erased/filtered-out corpus hands cardFromCells
+    MergeTable.create(spark, dir,
+      Seq((1L, "en", "body")).toDF("doc_id", "lang", "text"), "doc_id", 2)
+    val lang1 = BucketedView.compute(spark, dir, "l",
+      CorpusCard.langPartials(tk), 1, CorpusCard.deriveLang())
+    val dup1 = BucketedView.compute(spark, dir, "h",
+      CorpusCard.dupPartials, 1, CorpusCard.deriveDup)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Option[Long])].collect().toSeq
+    val fromScratch = rows(CorpusCard.card(fixture.filter(lit(false)), tk))
+    val fromCells = rows(CorpusCard.cardFromCells(
+      lang1.filter(lit(false)), dup1.filter(lit(false))))
+    assert(fromScratch == fromCells,
+      s"empty-card shapes diverge: $fromScratch vs $fromCells")
+    val m = fromScratch.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("volume", "n_docs")) == Some(0L))
+    assert(m(("volume", "n_tokens")) == Some(0L))
+    assert(m(("quality", "short_docs_lt50_tokens")) == Some(0L))
+    assert(m(("duplication", "distinct_docs")) == Some(0L))
+    assert(m(("length", "min_chars")).isEmpty)
+    assert(m(("length", "max_chars")).isEmpty)
+    assert(m(("length", "mean_chars_fp6")).isEmpty)
+    assert(m(("duplication", "dup_rate_fp6")).isEmpty)
+  }
 }

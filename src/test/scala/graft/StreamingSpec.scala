@@ -621,7 +621,7 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a", 10L)).toDF("doc_id", "grp", "v"), "doc_id", nBuckets = 2)
     def stream2() = StreamingIngest.startMergeUpsertMaintained(
       spark, landing2, table2, "doc_id", schema, ckpt2, Nil,
-      deleteCol = Some("_del"),
+      deleteCol = Some("_del"), retainVersions = Some(2),
       aggregateExpectations = Seq(
         graft.ops.Expectations.ForeignKey(Seq("grp"), dim, Seq("g"))))
       .awaitTermination(60000)
@@ -634,6 +634,16 @@ class StreamingSpec extends SparkSpec {
     val chain2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(chain2.contains("fk:grp"), chain2)
+
+    // crash-looping supervisor: every restart re-merges the violating
+    // batch and commits another violating version — the gate must
+    // vacuum to the retention bound BEFORE it throws, so retries hold
+    // the version chain at the bound instead of growing it per attempt
+    (1 to 2).foreach { _ =>
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](stream2())
+    }
+    assert(MergeTable.versions(spark, table2).size == 2,
+      s"retries must not grow the chain: ${MergeTable.versions(spark, table2)}")
   }
 
   test("CDC upsert with maintained IVF: incremental advance, then a drifted wave retrains in-stream") {
