@@ -802,14 +802,42 @@ object MergeTable {
   def readWhereAll(
       spark: SparkSession, dir: String,
       bounds: Seq[(String, BigDecimal, BigDecimal)],
+      version: Int = -1): DataFrame =
+    readWhereBounds(spark, dir,
+      bounds.map { case (c, lo, hi) => NumBound(c, lo, hi) }, version)
+
+  /** A typed per-column bound for [[readWhereBounds]] — numeric
+    * ([[NumBound]], BigDecimal range against long/double zones) or
+    * string ([[StrBound]], code-point range against truncated-UTF-8
+    * `str` zones). */
+  sealed trait Bound { def column: String }
+  final case class NumBound(column: String, lo: BigDecimal, hi: BigDecimal)
+    extends Bound
+  final case class StrBound(column: String, lo: String, hi: String)
+    extends Bound
+
+  /** Conjunctive zone-pruned scan over MIXED numeric and string
+    * bounds — [[readWhereAll]] generalized: a file survives only if
+    * EVERY bound might intersect its zone (numeric bounds prune via
+    * [[prunedFiles]], string bounds via [[prunedFilesStr]]), then the
+    * exact conjunction applies. The common curated-corpus shape —
+    * `lang = 'en' AND n_chars BETWEEN a AND b` — prunes on whichever
+    * columns the layout localizes and stays exact on all of them
+    * (superset pass; an unclustered or truncation-widened dimension
+    * simply prunes less). */
+  def readWhereBounds(
+      spark: SparkSession, dir: String, bounds: Seq[Bound],
       version: Int = -1): DataFrame = {
     require(bounds.nonEmpty, "no bounds")
     val v = if (version > 0) version else latestVersion(spark, dir)
-    val kept = bounds
-      .map { case (c, lo, hi) => prunedFiles(spark, dir, c, lo, hi, v)._1.toSet }
-      .reduce(_ intersect _).toSeq.sorted
-    val pred = bounds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo.bigDecimal) && col(c) <= lit(hi.bigDecimal)
+    val kept = bounds.map {
+      case NumBound(c, lo, hi) => prunedFiles(spark, dir, c, lo, hi, v)._1.toSet
+      case StrBound(c, lo, hi) => prunedFilesStr(spark, dir, c, lo, hi, v)._1.toSet
+    }.reduce(_ intersect _).toSeq.sorted
+    val pred = bounds.map {
+      case NumBound(c, lo, hi) =>
+        col(c) >= lit(lo.bigDecimal) && col(c) <= lit(hi.bigDecimal)
+      case StrBound(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
     else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)

@@ -128,6 +128,29 @@ object IvmScaffold {
       ()
     }
 
+  /** The ADVISOR-driven sibling of [[reclusterCorpus]]: same z-layout
+    * and decay merge (the shared [[statsTransition]]), but the repair
+    * is chosen and applied by [[graft.pipeline.MergeTable.maintain]] —
+    * the advisor must flag exactly the churned buckets from the
+    * manifest chain alone and quiet the table in one pass, or the
+    * build fails loudly. */
+  def maintainCorpus(s: SparkSession, d: String): String =
+    once(d, "maintain") { dir =>
+      val M = graft.pipeline.MergeTable
+      val docs = statsBase(s, d).select(col("doc_id"), col("n_chars"), col("v64"))
+      M.create(s, dir, docs, "doc_id", nBuckets = 4)
+      M.clusterByZ(s, dir, Seq("n_chars", "v64"), filesPerBucket = 4)
+      M.merge(s, dir,
+        statsTransition(statsBase(s, d))
+          .select(col("doc_id"), col("n_chars"), col("v64"), col("_del")),
+        "doc_id", deleteCol = Some("_del"), validate = false)
+      val applied = M.maintain(s, dir)
+      require(applied.map(_._1.action) == Seq("recluster"),
+        s"advisor must flag the churned buckets for repair: $applied")
+      require(M.advise(s, dir).isEmpty, "maintain must quiet the table")
+      ()
+    }
+
   /** The lakehouse-admin corpus: the stats corpus taken through the
     * FULL admin operation sequence — create v1 → merge v2 (the stats
     * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 →

@@ -2356,6 +2356,59 @@ object PipelineQueries {
       |WHERE lang BETWEEN 'de' AND 'es'
       |ORDER BY doc_id""".stripMargin
 
+  /** MIXED-bound conjunctive pruned scan
+    * ([[graft.pipeline.MergeTable.readWhereBounds]]): the curated-
+    * corpus shape — `lang = 'de' AND n_chars BETWEEN 100 AND 600` —
+    * against the lang-clustered stats corpus. The string bound prunes
+    * (the layout localizes `lang`), the numeric bound rides the exact
+    * filter (superset pass — an unclustered dimension prunes less,
+    * never wrongly), and the oracle's two-predicate WHERE breaks if
+    * either the str-zone pruning or the intersection loses a file. */
+  private val docZonemapMixedScan: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val M = graft.pipeline.MergeTable
+    val v = M.clusterBy(s, dir, "lang", filesPerBucket = 4)
+    M.readWhereBounds(s, dir, Seq(
+        M.StrBound("lang", "de", "de"),
+        M.NumBound("n_chars", BigDecimal(100), BigDecimal(600))), version = v)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docZonemapMixedScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, n_chars FROM merged
+      |WHERE lang = 'de' AND n_chars BETWEEN 100 AND 600
+      |ORDER BY doc_id""".stripMargin
+
+  /** Advisor-driven maintenance roundtrip
+    * ([[graft.pipeline.MergeTable.advise]]/`maintain` — the
+    * predictive-optimization loop): the z-laid corpus decays under the
+    * shared CDC transition and the ADVISOR — reading nothing but the
+    * manifest chain — must name exactly the churned buckets, repair
+    * them in one targeted recluster, and leave a quiet table (the
+    * [[IvmScaffold.maintainCorpus]] build fails loudly otherwise).
+    * The conjunctive pruned scan over the repaired layout then hashes
+    * against the same DuckDB oracle as the explicit-repair twin —
+    * correct by construction via the shared transition. */
+  private val docMaintainRoundtrip: Q = (s, d) => {
+    val dir = IvmScaffold.maintainCorpus(s, d)
+    graft.pipeline.MergeTable.readWhereAll(s, dir, Seq(
+        ("n_chars", BigDecimal(200), BigDecimal(900)),
+        ("v64", BigDecimal(8), BigDecimal(40))))
+      .select(col("doc_id"), col("n_chars"), col("v64"))
+      .orderBy("doc_id")
+  }
+
+  // def, not val: docZorderScanSql initializes later in the file
+  private def docMaintainRoundtripSql = docZorderScanSql
+
   /** Metadata-only aggregates ([[graft.pipeline.MergeTable
     * .metaAggregate]]): COUNT(*) / COUNT(col) / MIN / MAX over three
     * numeric columns of the CoW stats corpus answered from the zone
@@ -3823,6 +3876,8 @@ object PipelineQueries {
     "doc_compact_roundtrip" -> docCompactRoundtrip,
     "doc_zonemap_scan" -> docZonemapScan,
     "doc_zonemap_string_scan" -> docZonemapStringScan,
+    "doc_zonemap_mixed_scan" -> docZonemapMixedScan,
+    "doc_maintain_roundtrip" -> docMaintainRoundtrip,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
@@ -3933,6 +3988,8 @@ object PipelineQueries {
     "doc_compact_roundtrip" -> docCompactRoundtripSql,
     "doc_zonemap_scan" -> docZonemapScanSql,
     "doc_zonemap_string_scan" -> docZonemapStringScanSql,
+    "doc_zonemap_mixed_scan" -> docZonemapMixedScanSql,
+    "doc_maintain_roundtrip" -> docMaintainRoundtripSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,

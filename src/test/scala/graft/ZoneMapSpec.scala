@@ -462,6 +462,14 @@ class ZoneMapSpec extends SparkSpec {
       .readWhereStr(spark, dir, "lang", "de", "es", version = v)
       .select("id").as[Long].collect().toSet
     assert(range == (1L to 6000L).filter(i => (i % 6) <= 2).toSet)
+
+    // mixed numeric + string conjunction: both bounds exact, string
+    // side prunes on this layout
+    val mixed = MergeTable.readWhereBounds(spark, dir, Seq(
+        MergeTable.StrBound("lang", "de", "en"),
+        MergeTable.NumBound("id", BigDecimal(100), BigDecimal(4000))),
+      version = v).select("id").as[Long].collect().toSet
+    assert(mixed == (100L to 4000L).filter(i => (i % 6) <= 1).toSet)
   }
 
   test("string zone truncation: bounds valid at multi-byte code points, surrogate gap, increment overflow") {
