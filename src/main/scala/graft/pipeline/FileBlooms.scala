@@ -195,6 +195,7 @@ object FileBlooms {
     val (kept, _) = prunedFilesEq(spark, dir, column, values, v)
     val pred: Column = col(column).isin(values: _*)
     if (kept.isEmpty) MergeTable.read(spark, dir, v).filter(pred).limit(0)
-    else MergeTable.readRel(spark, dir, kept).filter(pred)
+    else MergeTable.applyDeletes(spark, dir, v,
+      MergeTable.readRel(spark, dir, kept).filter(pred))
   }
 }

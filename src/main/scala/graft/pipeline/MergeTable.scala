@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   *
   * Update batches must be unique on the merge key (checked with one
   * bounded aggregation unless `validate=false`); deletes ride the
-  * batch as a boolean column.
+  * batch as a boolean column (copy-on-write), or commit WITHOUT any
+  * data rewrite via [[deleteKeys]] (merge-on-read: a hash-bucketed
+  * key ledger under `d<N>/`, applied by every read path and
+  * materialized by whatever next rewrites each bucket — the Iceberg
+  * v2 equality-delete / Delta deletion-vector shape, so a 10k-id
+  * erasure on a 100 TB table costs kilobytes now and defers the purge
+  * to routine maintenance).
   */
 object MergeTable {
 
@@ -81,14 +87,23 @@ object MergeTable {
   final case class TableLayout(
       curve: String, cols: Seq[String], filesPerBucket: Int, bits: Int)
 
+  /** One pending merge-on-read delete-ledger file: `rel` holds `rows`
+    * DISTINCT keys (one column, the merge key at the table's type), all
+    * hashing into `bucket`. Committed by [[deleteKeys]], applied by
+    * every read path, materialized by any rewrite of the bucket. */
+  final case class DvFile(bucket: Int, rel: String, rows: Long)
+
   /** `op` records WHICH admin/DML operation committed the version
-    * (create/merge/compact/compact_buckets/rebucket/cluster) — the
-    * DESCRIBE HISTORY surface. Manifests written before the `#op`
+    * (create/merge/compact/compact_buckets/rebucket/cluster/delete) —
+    * the DESCRIBE HISTORY surface. Manifests written before the `#op`
     * header read back as "unknown"; `layout` rides a `#layout` header
-    * the same way (absent = no recorded intent). */
+    * the same way (absent = no recorded intent); `dv`/`dvKey` ride
+    * `#dv`/`#dvkey` headers (the merge-on-read delete ledger — empty =
+    * no pending deletes, the pre-feature default). */
   private case class Manifest(
       nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown",
-      layout: Option[TableLayout] = None)
+      layout: Option[TableLayout] = None, dv: Seq[DvFile] = Seq.empty,
+      dvKey: Option[String] = None)
 
   private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
     val f = fs(spark, dir)
@@ -113,11 +128,18 @@ object MergeTable {
         val a = l.split("\t")
         TableLayout(a(1), a(2).split(",").toSeq, a(3).toInt, a(4).toInt)
       }
+    val headers = lines.tail.takeWhile(_.startsWith("#"))
+    val dvKey = headers
+      .collectFirst { case l if l.startsWith("#dvkey\t") => l.split("\t")(1) }
+    val dv = headers.collect { case l if l.startsWith("#dv\t") =>
+      val a = l.split("\t")
+      DvFile(a(1).toInt, a(3), a(2).toLong)
+    }
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(header(1).toInt, entries, op, layout)
+    Manifest(header(1).toInt, entries, op, layout, dv, dvKey)
   }
 
   /** Rename-as-commit: the manifest appears atomically or not at all. */
@@ -128,6 +150,9 @@ object MergeTable {
     val body = (Seq(s"#nbuckets\t${m.nBuckets}", s"#op\t${m.op}") ++
       m.layout.map(l => s"#layout\t${l.curve}\t${l.cols.mkString(",")}" +
         s"\t${l.filesPerBucket}\t${l.bits}").toSeq ++
+      m.dvKey.filter(_ => m.dv.nonEmpty).map(k => s"#dvkey\t$k").toSeq ++
+      m.dv.sortBy(d => (d.bucket, d.rel))
+        .map(d => s"#dv\t${d.bucket}\t${d.rows}\t${d.rel}") ++
       m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
         ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
@@ -146,15 +171,21 @@ object MergeTable {
 
   /** List the data files a fresh `v<N>` directory produced, per bucket. */
   private def listWritten(
-      spark: SparkSession, dir: String, v: Int): Map[Int, Seq[String]] = {
+      spark: SparkSession, dir: String, v: Int): Map[Int, Seq[String]] =
+    listWrittenUnder(spark, dir, s"v$v")
+
+  /** [[listWritten]] generalized to any `<prefix><N>` bucket-partitioned
+    * directory (`v<N>` data, `d<N>` delete ledgers). */
+  private def listWrittenUnder(
+      spark: SparkSession, dir: String, sub: String): Map[Int, Seq[String]] = {
     val f = fs(spark, dir)
-    val vDir = new Path(s"$dir/v$v")
+    val vDir = new Path(s"$dir/$sub")
     if (!f.exists(vDir)) Map.empty
     else f.listStatus(vDir).toSeq.filter(_.isDirectory).flatMap { bDir =>
       val b = bDir.getPath.getName.stripPrefix(s"$Bucket=").toInt
       f.listStatus(bDir.getPath).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => b -> s"v$v/$Bucket=$b/${s.getPath.getName}")
+        .map(s => b -> s"$sub/$Bucket=$b/${s.getPath.getName}")
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
   }
 
@@ -162,13 +193,16 @@ object MergeTable {
     df.withColumn(Bucket, pmod(hash(col(keyCol)), lit(n)))
 
   /** Next writable version: past both the latest COMMITTED manifest and
-    * any orphan `v<N>/` data directory a dead writer left behind. */
+    * any orphan `v<N>/` data or `d<N>/` ledger directory a dead writer
+    * left behind. */
   private def nextVersion(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     val dataVs = f.listStatus(new Path(dir)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
-        s.drop(1).toInt }
+      .collect {
+        case s if (s.startsWith("v") || s.startsWith("d")) &&
+          s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
+      }
     (versions(spark, dir) ++ dataVs).max + 1
   }
 
@@ -203,18 +237,46 @@ object MergeTable {
   }
 
   /** Read a specific rel-path subset of a version's files — the scan
-    * behind sidecar-pruned reads ([[readWhere]], [[FileBlooms]]). */
+    * behind sidecar-pruned reads ([[readWhere]], [[FileBlooms]]). Does
+    * NOT apply pending merge-on-read deletes (no version context);
+    * callers with a version use [[applyDeletes]] on the result. */
   private[pipeline] def readRel(
       spark: SparkSession, dir: String, relPaths: Seq[String]): DataFrame =
     readFiles(spark, relPaths.map(p => s"$dir/$p"))
 
-  /** Read a version (default: latest) as a DataFrame. */
+  /** Anti-join `df` against the version's pending delete ledger — the
+    * merge-on-read apply every read path shares. A no-op (the exact
+    * same plan) when the ledger is empty, so pre-[[deleteKeys]] tables
+    * cost nothing. `buckets` restricts the ledger files read (a key's
+    * ledger entry lives in its own hash bucket, so a bucket-pruned
+    * scan needs only its buckets' ledger files); the ledger is tiny
+    * next to the data — Spark broadcasts the anti-join's build side. */
+  private def applyDv(
+      spark: SparkSession, dir: String, m: Manifest, df: DataFrame,
+      buckets: Option[Set[Int]] = None): DataFrame = {
+    val rel = m.dv.filter(d => buckets.forall(_.contains(d.bucket))).map(_.rel)
+    if (rel.isEmpty) df
+    else {
+      val k = m.dvKey.getOrElse(
+        throw new IllegalStateException(s"dv ledger without #dvkey at $dir"))
+      df.join(readFiles(spark, rel.map(p => s"$dir/$p")), Seq(k), "left_anti")
+    }
+  }
+
+  /** [[applyDv]] for callers outside this object that assembled a file
+    * subset themselves ([[FileBlooms.readWhereEq]]). */
+  private[pipeline] def applyDeletes(
+      spark: SparkSession, dir: String, version: Int, df: DataFrame): DataFrame =
+    applyDv(spark, dir, readManifest(spark, dir, version), df)
+
+  /** Read a version (default: latest) as a DataFrame — pending
+    * merge-on-read deletes applied. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     val files = m.entries.values.flatten.toSeq.sorted.map(p => s"$dir/$p")
     require(files.nonEmpty, s"version $v of $dir is empty")
-    readFiles(spark, files)
+    applyDv(spark, dir, m, readFiles(spark, files))
   }
 
   /** Bucket-pruned point lookup: read ONLY the buckets the requested
@@ -235,7 +297,7 @@ object MergeTable {
     val files = wanted.toSeq.sorted
       .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
     if (files.isEmpty) read(spark, dir, v).limit(0)
-    else readFiles(spark, files)
+    else applyDv(spark, dir, m, readFiles(spark, files), Some(wanted))
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
   }
 
@@ -280,7 +342,13 @@ object MergeTable {
         case None => upd
       }
       val merged = if (oldFiles.isEmpty) inserts else {
-        val base = withBucket(readFiles(spark, oldFiles), keyCol, m.nBuckets)
+        // pending merge-on-read deletes for the touched buckets
+        // MATERIALIZE here (the rewrite is the purge — Iceberg's
+        // rewrite-with-deletes move); untouched buckets' ledger files
+        // carry by reference below
+        val base = withBucket(
+          applyDv(spark, dir, m, readFiles(spark, oldFiles), Some(touched)),
+          keyCol, m.nBuckets)
         base.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
       }
@@ -298,10 +366,90 @@ object MergeTable {
         .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
         .getOrElse(Map.empty)
       ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
+      val dvLeft = m.dv.filterNot(d => touched.contains(d.bucket))
       commitManifest(spark, dir, nv,
-        Manifest(m.nBuckets, entries, "merge", m.layout))
+        Manifest(m.nBuckets, entries, "merge", m.layout, dvLeft,
+          m.dvKey.filter(_ => dvLeft.nonEmpty)))
       nv
     } finally upd.unpersist()
+  }
+
+  /** MERGE-ON-READ delete — the Iceberg-v2 equality-delete / Delta
+    * deletion-vector move: commit a delete of `keys` WITHOUT rewriting
+    * any data file. The keys (cast to the table's key type, distinct,
+    * minus keys already pending) land as a hash-bucketed parquet
+    * ledger under `d<N>/`; the manifest carries the SAME data entries
+    * plus `#dv` lines naming the ledger files, and every read path
+    * anti-joins the ledger (a key's ledger entry lives in its own hash
+    * bucket, so bucket-pruned reads stay pruned). Cost: O(delete keys)
+    * write + one metadata commit — at 100 TB, deleting 10k doc_ids
+    * costs kilobytes, not a bucket rewrite; the physical purge is
+    * DEFERRED to whatever next rewrites each bucket ([[merge]],
+    * [[compact]]/[[optimize]], recluster) or to an explicit
+    * [[purgeDeletes]]. Keys are NOT checked against table contents
+    * (that would need the scan this call exists to avoid) — absent
+    * keys are harmless ledger rows. Keys already pending dedup away;
+    * an all-duplicate batch no-ops at the current version. Returns
+    * the committed (or current, on no-op) version. */
+  def deleteKeys(
+      spark: SparkSession, dir: String, keys: DataFrame, keyCol: String): Int = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    require(m.dvKey.forall(_ == keyCol),
+      s"table has a pending delete ledger on '${m.dvKey.get}' — one key per table")
+    val schema = read(spark, dir, v).schema
+    require(schema.fieldNames.contains(keyCol), s"no key column '$keyCol'")
+    // cast BEFORE bucketing: hash(int) != hash(long), so a caller-side
+    // type mismatch would ledger the key into the wrong bucket
+    val ks = keys.select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
+      .filter(col(keyCol).isNotNull).distinct()
+    val fresh =
+      if (m.dv.isEmpty) ks
+      else ks.join(readFiles(spark, m.dv.map(d => s"$dir/${d.rel}")),
+        Seq(keyCol), "left_anti")
+    if (fresh.isEmpty) return v
+    val nv = nextVersion(spark, dir)
+    withBucket(fresh, keyCol, m.nBuckets)
+      .repartition(m.nBuckets, col(Bucket))
+      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/d$nv")
+    val written = listWrittenUnder(spark, dir, s"d$nv")
+    // ledger row counts from parquet footers (metadata I/O only)
+    val counts = ZoneMaps.harvest(spark, dir, written.values.flatten.toSeq)
+    val newDv = written.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+      rels.sorted.map { r =>
+        DvFile(b, r, ZoneMaps.rowCount(counts.getOrElse(r, Map.empty))
+          .getOrElse(throw new IllegalStateException(s"no row count for $r")))
+      }
+    }.filter(_.rows > 0)
+    // data files unchanged: zone lines carry 100% by reference
+    val carried = ZoneMaps.read(spark, dir, v).getOrElse(Map.empty)
+      .filter { case (rel, _) => m.entries.values.flatten.toSet.contains(rel) }
+    ZoneMaps.write(spark, dir, nv, Seq.empty, carried)
+    commitManifest(spark, dir, nv,
+      Manifest(m.nBuckets, m.entries, "delete", m.layout,
+        m.dv ++ newDv, Some(keyCol)))
+    nv
+  }
+
+  /** The version's pending merge-on-read delete ledger (empty = fully
+    * materialized table). */
+  def pendingDeletes(
+      spark: SparkSession, dir: String, version: Int = -1): Seq[DvFile] = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    readManifest(spark, dir, v).dv.sortBy(d => (d.bucket, d.rel))
+  }
+
+  /** Materialize ALL pending merge-on-read deletes — one
+    * [[compactBuckets]] over exactly the buckets with ledger entries
+    * (cost ∝ dv buckets, not table; Delta's REORG PURGE). No-op at the
+    * current version when nothing is pending. */
+  def purgeDeletes(spark: SparkSession, dir: String): Int = {
+    val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    // ledger entries for buckets with no data files are vacuous (the
+    // deleted keys have no rows to match) — nothing to rewrite there
+    val bs = m.dv.map(_.bucket).distinct.sorted.filter(m.entries.contains)
+    if (bs.isEmpty) v else compactBuckets(spark, dir, bs)
   }
 
   /** Change data feed: the NET row-level difference between two
@@ -337,15 +485,26 @@ object MergeTable {
     * versions — the pruning unit every incremental consumer shares
     * ([[changes]], [[rowDeltas]], bucket-level sketch refresh). Note a
     * compaction rewrites every bucket's FILES without changing rows, so
-    * this is a superset of buckets with actual row changes. */
+    * this is a superset of buckets with actual row changes. A bucket
+    * whose merge-on-read delete ledger changed counts as changed too —
+    * its LOGICAL rows moved with zero file churn. */
   def changedBucketIds(
       spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int): Seq[Int] = {
     require(fromVersion < toVersion, s"need fromVersion < toVersion")
     val mOld = readManifest(spark, dir, fromVersion)
     val mNew = readManifest(spark, dir, toVersion)
     require(mOld.nBuckets == mNew.nBuckets, "bucket count mismatch")
-    (mOld.entries.keySet ++ mNew.entries.keySet)
-      .filter(b => mOld.entries.get(b) != mNew.entries.get(b)).toSeq.sorted
+    changedBuckets(mOld, mNew)
+  }
+
+  private def dvByBucket(m: Manifest): Map[Int, Seq[String]] =
+    m.dv.groupBy(_.bucket).map { case (b, ds) => b -> ds.map(_.rel).sorted }
+
+  private def changedBuckets(mOld: Manifest, mNew: Manifest): Seq[Int] = {
+    val (dOld, dNew) = (dvByBucket(mOld), dvByBucket(mNew))
+    (mOld.entries.keySet ++ mNew.entries.keySet ++ dOld.keySet ++ dNew.keySet)
+      .filter(b => mOld.entries.get(b) != mNew.entries.get(b) ||
+        dOld.get(b) != dNew.get(b)).toSeq.sorted
   }
 
   /** Read ONLY the given buckets of a version, with the bucket id
@@ -365,7 +524,9 @@ object MergeTable {
       else Some(readFiles(spark, fs).withColumn("bucket", lit(b)))
     }
     if (perBucket.isEmpty) template
-    else perBucket.reduce(_.unionByName(_, allowMissingColumns = true))
+    else applyDv(spark, dir, m,
+      perBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+      Some(buckets.toSet))
   }
 
   /** Signed row-delta feed — the incremental-view-maintenance form of
@@ -403,28 +564,30 @@ object MergeTable {
     val mOld = readManifest(spark, dir, fromVersion)
     val mNew = readManifest(spark, dir, toVersion)
     require(mOld.nBuckets == mNew.nBuckets, "bucket count mismatch")
-    val changed = (mOld.entries.keySet ++ mNew.entries.keySet)
-      .filter(b => mOld.entries.get(b) != mNew.entries.get(b)).toSeq.sorted
+    val changed = changedBuckets(mOld, mNew)
+    val changedSet = changed.toSet
     def filesOf(m: Manifest) =
       changed.flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
     val (oldFiles, newFiles) = (filesOf(mOld), filesOf(mNew))
     val template = read(spark, dir, toVersion).limit(0)
-    def side(files: Seq[String], as: String) =
+    def side(m: Manifest, files: Seq[String], as: String) =
       if (files.isEmpty) {
         template.select(col(keyCol).as("_k"), struct("*").as(as)).limit(0)
       } else {
         // normalize to the target version's column order (and null-fill
         // columns a pre-evolution version lacks) so the two struct
-        // sides are type-identical for the full-outer coalesce
-        val df = readFiles(spark, files)
+        // sides are type-identical for the full-outer coalesce; each
+        // side applies ITS OWN version's pending deletes, so a
+        // ledger-only commit feeds the diff its logical rows
+        val df = applyDv(spark, dir, m, readFiles(spark, files), Some(changedSet))
         val aligned = df.select(template.columns.toSeq.map { c =>
           if (df.columns.contains(c)) col(c)
           else lit(null).cast(template.schema(c).dataType).as(c)
         }: _*)
         aligned.select(col(keyCol).as("_k"), struct("*").as(as))
       }
-    val j = side(oldFiles, "_old")
-      .join(side(newFiles, "_new"), Seq("_k"), "full_outer")
+    val j = side(mOld, oldFiles, "_old")
+      .join(side(mNew, newFiles, "_new"), Seq("_k"), "full_outer")
     (j, template)
   }
 
@@ -443,8 +606,12 @@ object MergeTable {
     }
     val nv = nextVersion(spark, dir)
     // allowMissingColumns: buckets untouched since a schema evolution
-    // still carry the old schema — compaction aligns them
-    writeVersion(byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+    // still carry the old schema — compaction aligns them; the full
+    // rewrite materializes every pending merge-on-read delete (ledger
+    // cleared in the committed manifest)
+    writeVersion(
+      applyDv(spark, dir, m,
+        byBucket.reduce(_.unionByName(_, allowMissingColumns = true))),
       dir, nv, m.nBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
@@ -472,7 +639,12 @@ object MergeTable {
       readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
     }
     val nv = nextVersion(spark, dir)
-    writeVersion(byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+    // the targeted rewrite materializes the TARGET buckets' pending
+    // merge-on-read deletes; other buckets' ledger files carry below
+    writeVersion(
+      applyDv(spark, dir, m,
+        byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+        Some(targets.toSet)),
       dir, nv, m.nBuckets)
     val written = listWritten(spark, dir, nv)
     val entries = (m.entries -- targets) ++
@@ -482,8 +654,10 @@ object MergeTable {
       .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
       .getOrElse(Map.empty)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
+    val dvLeft = m.dv.filterNot(d => targets.contains(d.bucket))
     commitManifest(spark, dir, nv,
-      Manifest(m.nBuckets, entries, "compact_buckets", m.layout))
+      Manifest(m.nBuckets, entries, "compact_buckets", m.layout, dvLeft,
+        m.dvKey.filter(_ => dvLeft.nonEmpty)))
     nv
   }
 
@@ -649,7 +823,8 @@ object MergeTable {
       val files = m.entries(b).map(p => s"$dir/$p")
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
-    val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val union = applyDv(spark, dir, m,
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)))
     union
       .repartitionByRange(m.entries.size * filesPerBucket,
         col(Bucket), col(byCol))
@@ -698,7 +873,8 @@ object MergeTable {
       val files = m.entries(b).map(p => s"$dir/$p")
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
-    val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val union = applyDv(spark, dir, m,
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)))
     union
       .withColumn("__graft_z", curveOf(byCols, bits, curve))
       .repartitionByRange(m.entries.size * filesPerBucket,
@@ -753,7 +929,11 @@ object MergeTable {
       readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
     }
     val nv = nextVersion(spark, dir)
-    byBucket.reduce(_.unionByName(_, allowMissingColumns = true))
+    // the repair rewrite materializes the TARGET buckets' pending
+    // merge-on-read deletes; other buckets' ledger files carry below
+    applyDv(spark, dir, m,
+        byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+        Some(targets.toSet))
       .withColumn("__graft_z", curveOf(byCols, bits, curve))
       .repartitionByRange(targets.size * filesPerBucket,
         col(Bucket), col("__graft_z"))
@@ -768,9 +948,11 @@ object MergeTable {
       .map(_.filter { case (rel, _) => carriedRel.contains(rel) })
       .getOrElse(Map.empty)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq, carried)
+    val dvLeft = m.dv.filterNot(d => targets.contains(d.bucket))
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries,
       if (curve == "range") "cluster" else "cluster_z",
-      Some(TableLayout(curve, byCols, filesPerBucket, bits))))
+      Some(TableLayout(curve, byCols, filesPerBucket, bits)), dvLeft,
+      m.dvKey.filter(_ => dvLeft.nonEmpty)))
     nv
   }
 
@@ -788,7 +970,8 @@ object MergeTable {
     val v = if (version > 0) version else latestVersion(spark, dir)
     val pred = col(column) >= lit(lo.bigDecimal) && col(column) <= lit(hi.bigDecimal)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
-    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
+    else applyDeletes(spark, dir, v,
+      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
   }
 
   /** Conjunctive multi-column zone-pruned scan: read ONLY the files
@@ -840,7 +1023,8 @@ object MergeTable {
       case StrBound(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
-    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
+    else applyDeletes(spark, dir, v,
+      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
   }
 
   /** The file-skipping decision behind [[readWhere]]:
@@ -913,7 +1097,8 @@ object MergeTable {
     val v = if (version > 0) version else latestVersion(spark, dir)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
-    else readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred)
+    else applyDeletes(spark, dir, v,
+      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
   }
 
   /** METADATA-ONLY aggregates — `COUNT(*)`, `COUNT(col)`, `MIN(col)`,
@@ -939,6 +1124,13 @@ object MergeTable {
     require(columns.nonEmpty, "no columns requested")
     val v = if (version > 0) version else latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
+    // zone stats describe PHYSICAL rows; with a pending merge-on-read
+    // delete ledger the counts (and possibly extremes) would include
+    // deleted rows — refuse loudly rather than approximate
+    require(m.dv.isEmpty,
+      s"version $v of $dir has ${m.dv.map(_.rows).sum} pending merge-on-read " +
+        "delete keys — metadata-only aggregates would count deleted rows; " +
+        "materialize first (purgeDeletes/compact/optimize)")
     val rel = m.entries.values.flatten.toSeq.sorted
     val first = ZoneMaps.forVersion(spark, dir, v, rel)
     // legacy sidecar lines (no #rows / unknown nullCount) → one footer
@@ -1024,9 +1216,13 @@ object MergeTable {
       val delta = prevRows.map(nRows - _)
       val ts = f.getFileStatus(manifestPath(dir, v)).getModificationTime
       prevFiles = Some(fileSet); prevRows = Some(nRows)
+      // n_rows is PHYSICAL (zone row counts); dv_keys is the pending
+      // merge-on-read delete-ledger size at this version — logical
+      // rows sit in [n_rows - dv_keys, n_rows] (ledger keys are not
+      // presence-checked)
       Row(v, m.op, m.nBuckets, rel.size.toLong, nRows,
         added.getOrElse(rel.size.toLong), removed.getOrElse(0L),
-        delta.getOrElse(nRows), ts)
+        delta.getOrElse(nRows), m.dv.map(_.rows).sum, ts)
     }
     val schema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
@@ -1037,6 +1233,7 @@ object MergeTable {
       StructField("files_added", LongType, nullable = false),
       StructField("files_removed", LongType, nullable = false),
       StructField("rows_delta", LongType, nullable = false),
+      StructField("dv_keys", LongType, nullable = false),
       StructField("ts_millis", LongType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -1050,12 +1247,16 @@ object MergeTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"$dir is not a MergeTable")
     val keep = vs.takeRight(keepVersions)
-    val live: Set[String] = keep
-      .flatMap(v => readManifest(spark, dir, v).entries.values.flatten).toSet
+    // live = data files + delete-ledger files any kept manifest
+    // references (ledgers carry across versions like data files)
+    val live: Set[String] = keep.flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.entries.values.flatten ++ m.dv.map(_.rel)
+    }.toSet
     val deleted = Seq.newBuilder[String]
     f.listStatus(new Path(dir)).toSeq.foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v")) {
+      if (st.isDirectory && (name.startsWith("v") || name.startsWith("d"))) {
         f.listStatus(st.getPath).toSeq.filter(_.isDirectory).foreach { bDir =>
           f.listStatus(bDir.getPath).toSeq.foreach { file =>
             val rel = s"$name/${bDir.getPath.getName}/${file.getPath.getName}"

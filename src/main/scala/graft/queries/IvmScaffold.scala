@@ -151,6 +151,55 @@ object IvmScaffold {
       ()
     }
 
+  /** The merge-on-read corpus: (doc_id, lang, n_chars) created at v1,
+    * upserted at v2 (n_chars+1000 on doc_id%10==4), then
+    * ledger-deleted at v3 ([[graft.pipeline.MergeTable.deleteKeys]],
+    * doc_id%7==2) with ZERO data rewrite — asserted here, so the
+    * oracle read provably went through the merge-on-read apply path. */
+  def dvCorpus(s: SparkSession, d: String): String =
+    once(d, "dv") { dir =>
+      val M = graft.pipeline.MergeTable
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      M.create(s, dir, docs, "doc_id", nBuckets = 8)
+      val upserts = docs.filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(false).as("_del"))
+      val vm = M.merge(s, dir, upserts, "doc_id",
+        deleteCol = Some("_del"), validate = false)
+      val files = M.fileIndex(s, dir, vm)
+      val vd = M.deleteKeys(s, dir,
+        docs.filter(col("doc_id") % 7 === 2).select("doc_id"), "doc_id")
+      require(M.fileIndex(s, dir, vd) == files,
+        "merge-on-read delete must not rewrite data files")
+      require(M.pendingDeletes(s, dir, vd).nonEmpty,
+        "the queried version must carry a pending ledger")
+      ()
+    }
+
+  /** The purge corpus: ledger-delete FIRST (doc_id%7==2), then a SMALL
+    * upsert (doc_id%10==4 AND doc_id<400 — the same keys at every sf)
+    * that materializes only ITS touched buckets' pending deletes, then
+    * [[graft.pipeline.MergeTable.purgeDeletes]] to materialize the
+    * carried rest — asserted empty after, so the metadata-only
+    * aggregate the oracle replays is provably post-purge exact. */
+  def dvPurgeCorpus(s: SparkSession, d: String): String =
+    once(d, "dvpurge") { dir =>
+      val M = graft.pipeline.MergeTable
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      M.create(s, dir, docs, "doc_id", nBuckets = 8)
+      M.deleteKeys(s, dir,
+        docs.filter(col("doc_id") % 7 === 2).select("doc_id"), "doc_id")
+      val upserts = docs
+        .filter(col("doc_id") % 10 === 4 && col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"), lit(false).as("_del"))
+      M.merge(s, dir, upserts, "doc_id",
+        deleteCol = Some("_del"), validate = false)
+      M.purgeDeletes(s, dir)
+      require(M.pendingDeletes(s, dir).isEmpty, "purge must clear the ledger")
+      ()
+    }
+
   /** The lakehouse-admin corpus: the stats corpus taken through the
     * FULL admin operation sequence — create v1 → merge v2 (the stats
     * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 →

@@ -2409,6 +2409,65 @@ object PipelineQueries {
   // def, not val: docZorderScanSql initializes later in the file
   private def docMaintainRoundtripSql = docZorderScanSql
 
+  /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
+    * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
+    * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
+    * ZERO data rewrite (the scaffold asserts the file set is
+    * byte-level untouched), so this read provably flows through the
+    * ledger anti-join apply path; the oracle replays the logical
+    * upsert+delete over `documents`. A ledger entry wrongly applied,
+    * missed, or leaked into the wrong bucket breaks the hash. */
+  private val docDvDelete: Q = (s, d) => {
+    val dir = IvmScaffold.dvCorpus(s, d)
+    graft.pipeline.MergeTable.read(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docDvDeleteSql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM merged
+      |WHERE doc_id % 7 <> 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deferred-purge convergence ([[graft.pipeline.MergeTable
+    * .purgeDeletes]] + [[graft.pipeline.MergeTable.metaAggregate]]):
+    * the [[IvmScaffold.dvPurgeCorpus]] ledger-deletes, upserts a SMALL
+    * fixed key set (materializing only its touched buckets), then
+    * purges the carried rest — and the query answers COUNT/MIN/MAX
+    * from the zone sidecar ALONE (zero data scan; metaAggregate
+    * REFUSES under a pending ledger, so reaching an answer proves the
+    * purge). The oracle recomputes the same aggregates over the
+    * logical replay — one deleted row surviving on disk, or one
+    * resurrected row lost, breaks the counts. */
+  private val docDvPurgeMeta: Q = (s, d) => {
+    val dir = IvmScaffold.dvPurgeCorpus(s, d)
+    graft.pipeline.MergeTable.metaAggregate(s, dir, Seq("doc_id", "n_chars"))
+      .orderBy("column")
+  }
+
+  private val docDvPurgeMetaSql =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars FROM documents
+      |  WHERE doc_id % 7 <> 2 AND NOT (doc_id % 10 = 4 AND doc_id < 400)
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 1000 FROM documents
+      |  WHERE doc_id % 10 = 4 AND doc_id < 400)
+      |SELECT * FROM (
+      |  SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(doc_id) AS BIGINT) AS n_nonnull,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+      |    CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM f
+      |  UNION ALL
+      |  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(n_chars) AS BIGINT),
+      |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM f)
+      |ORDER BY "column"""".stripMargin
+
   /** Metadata-only aggregates ([[graft.pipeline.MergeTable
     * .metaAggregate]]): COUNT(*) / COUNT(col) / MIN / MAX over three
     * numeric columns of the CoW stats corpus answered from the zone
@@ -3878,6 +3937,8 @@ object PipelineQueries {
     "doc_zonemap_string_scan" -> docZonemapStringScan,
     "doc_zonemap_mixed_scan" -> docZonemapMixedScan,
     "doc_maintain_roundtrip" -> docMaintainRoundtrip,
+    "doc_dv_delete" -> docDvDelete,
+    "doc_dv_purge_meta" -> docDvPurgeMeta,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
@@ -3990,6 +4051,8 @@ object PipelineQueries {
     "doc_zonemap_string_scan" -> docZonemapStringScanSql,
     "doc_zonemap_mixed_scan" -> docZonemapMixedScanSql,
     "doc_maintain_roundtrip" -> docMaintainRoundtripSql,
+    "doc_dv_delete" -> docDvDeleteSql,
+    "doc_dv_purge_meta" -> docDvPurgeMetaSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,
