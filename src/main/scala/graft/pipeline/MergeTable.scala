@@ -713,12 +713,19 @@ object MergeTable {
     *    it re-curves). Twice, because a fresh curve layout naturally
     *    overshoots by a file where range-partition boundaries straddle
     *    buckets — the advisor flags only clear fragmentation.
+    *  - **purge**: the pending merge-on-read delete ledger exceeds
+    *    `maxPendingDeleteKeys` — reads are paying an ever-growing
+    *    anti-join and metadata-only aggregates refuse; the repair is
+    *    ONE [[purgeDeletes]] (∝ ledgered buckets). Buckets already
+    *    slated for recluster/compact are excluded (those rewrites
+    *    materialize their own deletes).
     *
     * A fresh layout gets an EMPTY list. `targetFilesPerBucket = 0`
     * (default) means "the recorded layout's split, else 4". */
   def advise(
       spark: SparkSession, dir: String,
-      targetFilesPerBucket: Int = 0): Seq[Maintenance] = {
+      targetFilesPerBucket: Int = 0,
+      maxPendingDeleteKeys: Long = 100000L): Seq[Maintenance] = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     // newest version committed BY a layout op — the decay baseline
@@ -736,13 +743,21 @@ object MergeTable {
     val fragmented = m.entries
       .filter { case (_, files) => files.size > 2 * target }
       .keys.toSeq.sorted.filterNot(churned.contains)
+    val pendingKeys = m.dv.map(_.rows).sum
+    val purgeable = m.dv.map(_.bucket).distinct.sorted
+      .filter(m.entries.contains)
+      .filterNot(b => churned.contains(b) || fragmented.contains(b))
     Seq(
       m.layout.filter(_ => churned.nonEmpty).map(l => Maintenance(
         "recluster", churned,
         s"${l.curve}(${l.cols.mkString(",")}) layout decayed by rewrites " +
           s"since v${layoutV.get}")),
       Option.when(fragmented.nonEmpty)(Maintenance(
-        "compact", fragmented, s"more than ${2 * target} files per bucket"))
+        "compact", fragmented, s"more than ${2 * target} files per bucket")),
+      Option.when(pendingKeys > maxPendingDeleteKeys && purgeable.nonEmpty)(
+        Maintenance("purge", purgeable,
+          s"$pendingKeys pending merge-on-read delete keys exceed " +
+            s"$maxPendingDeleteKeys"))
     ).flatten
   }
 
@@ -754,13 +769,16 @@ object MergeTable {
     * returns Nil at its current version. */
   def maintain(
       spark: SparkSession, dir: String,
-      targetFilesPerBucket: Int = 0): Seq[(Maintenance, Int)] =
-    advise(spark, dir, targetFilesPerBucket).map {
+      targetFilesPerBucket: Int = 0,
+      maxPendingDeleteKeys: Long = 100000L): Seq[(Maintenance, Int)] =
+    advise(spark, dir, targetFilesPerBucket, maxPendingDeleteKeys).map {
       case a @ Maintenance("recluster", buckets, _) =>
         val l = layout(spark, dir).get
         a -> reclusterBuckets(spark, dir, l.cols, buckets,
           l.filesPerBucket, if (l.curve == "range") 16 else l.bits, l.curve)
       case a @ Maintenance("compact", buckets, _) =>
+        a -> compactBuckets(spark, dir, buckets)
+      case a @ Maintenance("purge", buckets, _) =>
         a -> compactBuckets(spark, dir, buckets)
       case a => throw new IllegalStateException(s"unknown advice: $a")
     }

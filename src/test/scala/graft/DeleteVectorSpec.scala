@@ -223,6 +223,24 @@ class DeleteVectorSpec extends SparkSpec {
     assert(leftover.isEmpty, s"unreclaimed ledger files: ${leftover.toSeq}")
   }
 
+  test("advisor flags ledger debt past the threshold; maintain purges and quiets the table") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir, df(base), "id", nBuckets = 4)
+    MergeTable.deleteKeys(spark, dir, (0L until 20L).toDF("id"), "id")
+    // below the threshold: ledger debt tolerated, no advice
+    assert(MergeTable.advise(spark, dir, maxPendingDeleteKeys = 100L).isEmpty)
+    // past it: ONE purge naming exactly the ledgered data buckets
+    val advice = MergeTable.advise(spark, dir, maxPendingDeleteKeys = 10L)
+    val want = MergeTable.pendingDeletes(spark, dir).map(_.bucket).distinct.sorted
+    assert(advice.map(a => (a.action, a.buckets)) == Seq("purge" -> want))
+    val applied = MergeTable.maintain(spark, dir, maxPendingDeleteKeys = 10L)
+    assert(applied.map(_._1.action) == Seq("purge"))
+    assert(MergeTable.pendingDeletes(spark, dir).isEmpty)
+    assert(MergeTable.advise(spark, dir, maxPendingDeleteKeys = 10L).isEmpty)
+    assert(rows(MergeTable.read(spark, dir)) ==
+      base.filter { case (k, _) => k >= 20L })
+  }
+
   test("recluster under a ledger: targets materialize, layout repairs, scan exact") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
