@@ -240,7 +240,7 @@ object MergeTable {
     * behind sidecar-pruned reads ([[readWhere]], [[FileBlooms]]). Does
     * NOT apply pending merge-on-read deletes (no version context);
     * callers with a version use [[applyDeletes]] on the result. */
-  private[pipeline] def readRel(
+  private[graft] def readRel(
       spark: SparkSession, dir: String, relPaths: Seq[String]): DataFrame =
     readFiles(spark, relPaths.map(p => s"$dir/$p"))
 
@@ -264,8 +264,9 @@ object MergeTable {
   }
 
   /** [[applyDv]] for callers outside this object that assembled a file
-    * subset themselves ([[FileBlooms.readWhereEq]]). */
-  private[pipeline] def applyDeletes(
+    * subset themselves ([[FileBlooms.readWhereEq]], the `graft`
+    * DataSource relation). */
+  private[graft] def applyDeletes(
       spark: SparkSession, dir: String, version: Int, df: DataFrame): DataFrame =
     applyDv(spark, dir, readManifest(spark, dir, version), df)
 

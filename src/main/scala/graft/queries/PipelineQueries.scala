@@ -2409,6 +2409,26 @@ object PipelineQueries {
   // def, not val: docZorderScanSql initializes later in the file
   private def docMaintainRoundtripSql = docZorderScanSql
 
+  /** The `graft` DataSource ([[graft.sources.GraftSource]]): the SAME
+    * curated-corpus scan as `doc_zonemap_mixed_scan`, but written as
+    * plain `format("graft")` + DataFrame predicates — the PLANNER's
+    * pushed filters drive the zone/string-zone pruning and the exact
+    * semantics, no side API. Hashing against the same DuckDB twin pins
+    * the whole connector path: filter translation, superset pruning,
+    * schema, projection. */
+  private val docSqlPrunedScan: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "lang", filesPerBucket = 4)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load()
+      .where(col("lang") === "de" &&
+        col("n_chars") >= 100L && col("n_chars") <= 600L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def docSqlPrunedScanSql = docZonemapMixedScanSql
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -3939,6 +3959,7 @@ object PipelineQueries {
     "doc_maintain_roundtrip" -> docMaintainRoundtrip,
     "doc_dv_delete" -> docDvDelete,
     "doc_dv_purge_meta" -> docDvPurgeMeta,
+    "doc_sql_pruned_scan" -> docSqlPrunedScan,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
@@ -4053,6 +4074,7 @@ object PipelineQueries {
     "doc_maintain_roundtrip" -> docMaintainRoundtripSql,
     "doc_dv_delete" -> docDvDeleteSql,
     "doc_dv_purge_meta" -> docDvPurgeMetaSql,
+    "doc_sql_pruned_scan" -> docSqlPrunedScanSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,

@@ -1,0 +1,227 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{FileBlooms, MergeTable}
+
+/** The `graft` Spark DataSource: [[MergeTable]]s as first-class
+  * planner-visible tables, so plain `spark.read.format("graft")` /
+  * `CREATE TABLE ... USING graft` SQL gets the lakehouse read path —
+  * zone-map range pruning, string-zone pruning, Bloom-sidecar point
+  * pruning, merge-on-read delete application and time travel — with
+  * the FILE SKIPPING DRIVEN BY THE PLANNER'S OWN PUSHED FILTERS
+  * instead of a side API. The V1 connector surface
+  * ([[PrunedFilteredScan]]) is deliberate: Spark hands the relation
+  * the query's conjunctive predicates and required columns, this
+  * relation turns them into sidecar pruning decisions (each a strict
+  * SUPERSET pass — a skipped file provably holds no qualifying row),
+  * and declares every filter unhandled so Spark re-applies the exact
+  * semantics above the scan. Correctness therefore never depends on
+  * the translation: an untranslatable predicate simply prunes less.
+  *
+  * Options: `path` (table root, required), `version` (time travel,
+  * default latest). Writes: `ErrorIfExists`/`Ignore` create (options
+  * `key`, `buckets`); `Append` is MERGE upsert on `key`; `Overwrite`
+  * refuses loudly (a lakehouse table's history is the point — use the
+  * MergeTable API deliberately).
+  */
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source needs a 'path' option"))
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, pathOf(parameters),
+      parameters.get("version").map(_.toInt).getOrElse(-1))
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    def key = parameters.getOrElse("key",
+      throw new IllegalArgumentException("graft writes need a 'key' option"))
+    val exists = MergeTable.versions(spark, dir).nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists | SaveMode.Ignore if exists =>
+        if (mode == SaveMode.ErrorIfExists)
+          throw new IllegalStateException(s"$dir already is a MergeTable")
+      case SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        MergeTable.create(spark, dir, data, key,
+          parameters.get("buckets").map(_.toInt).getOrElse(16))
+      case SaveMode.Append =>
+        require(exists, s"$dir is not a MergeTable — create it first")
+        MergeTable.merge(spark, dir, data, key)
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "graft refuses Overwrite — version history is the table's " +
+            "contract; use the MergeTable API deliberately")
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** Exposed pruning evidence of the most recent [[GraftRelation]] scan
+  * in this JVM: (files kept, files total). Plan-shape specs read it;
+  * nothing in the engine does. */
+object GraftRelation {
+  @volatile var lastPruned: (Int, Int) = (0, 0)
+}
+
+private[sources] case class GraftRelation(
+    sqlContext: SQLContext, dir: String, version: Int)
+  extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = sqlContext.sparkSession
+  private val v =
+    if (version > 0) version else MergeTable.latestVersion(spark, dir)
+
+  override val schema: StructType = MergeTable.read(spark, dir, v).schema
+
+  // every filter is re-applied by Spark above the scan — pruning below
+  // is a superset pass, so exactness never depends on translation
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def toBig(a: Any): Option[BigDecimal] = a match {
+    case n: Byte => Some(BigDecimal(n.toInt))
+    case n: Short => Some(BigDecimal(n.toInt))
+    case n: Int => Some(BigDecimal(n))
+    case n: Long => Some(BigDecimal(n))
+    case n: Float => Some(BigDecimal(n.toDouble))
+    case n: Double => Some(BigDecimal(n))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case _ => None
+  }
+
+  /** The sidecar-pruning decisions a conjunct list supports: closed
+    * numeric/string zone bounds (strict comparisons widen to closed —
+    * superset), plus equality probe sets for the Bloom sidecar. */
+  private def pruningOf(filters: Array[Filter])
+      : (Seq[MergeTable.Bound], Map[String, Seq[Any]]) = {
+    val bounds = Seq.newBuilder[MergeTable.Bound]
+    val probes = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    def numCol(c: String) =
+      schema.fieldNames.contains(c) && isNumeric(schema(c).dataType)
+    def strCol(c: String) =
+      schema.fieldNames.contains(c) && schema(c).dataType == StringType
+    filters.foreach {
+      case EqualTo(c, x) if numCol(c) && toBig(x).isDefined =>
+        val b = toBig(x).get
+        bounds += MergeTable.NumBound(c, b, b)
+        probes(c) = probes.getOrElse(c, Seq.empty) :+ x
+      case EqualTo(c, x: String) if strCol(c) =>
+        bounds += MergeTable.StrBound(c, x, x)
+        probes(c) = probes.getOrElse(c, Seq.empty) :+ x
+      case In(c, xs) if numCol(c) && xs.nonEmpty && xs.forall(toBig(_).isDefined) =>
+        val bs = xs.toSeq.map(toBig(_).get)
+        bounds += MergeTable.NumBound(c, bs.min, bs.max)
+        probes(c) = probes.getOrElse(c, Seq.empty) ++ xs
+      case In(c, xs) if strCol(c) && xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
+        val ss = xs.toSeq.map(_.asInstanceOf[String])
+        bounds += MergeTable.StrBound(c, ss.min, ss.max)
+        probes(c) = probes.getOrElse(c, Seq.empty) ++ xs
+      case GreaterThan(c, x) if numCol(c) && toBig(x).isDefined =>
+        bounds += MergeTable.NumBound(c, toBig(x).get, MaxBig)
+      case GreaterThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
+        bounds += MergeTable.NumBound(c, toBig(x).get, MaxBig)
+      case LessThan(c, x) if numCol(c) && toBig(x).isDefined =>
+        bounds += MergeTable.NumBound(c, MinBig, toBig(x).get)
+      case LessThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
+        bounds += MergeTable.NumBound(c, MinBig, toBig(x).get)
+      // one-sided string uppers: "" is a TRUE string minimum, so `< x`
+      // prunes exactly; there is no finite string maximum (UTF-8 order
+      // puts supplementary planes above ￿), so `> x` does not prune
+      case LessThan(c, x: String) if strCol(c) =>
+        bounds += MergeTable.StrBound(c, "", x)
+      case LessThanOrEqual(c, x: String) if strCol(c) =>
+        bounds += MergeTable.StrBound(c, "", x)
+      case And(a, b) =>
+        val (bs, ps) = pruningOf(Array(a, b))
+        bounds ++= bs
+        ps.foreach { case (c, xs) =>
+          probes(c) = probes.getOrElse(c, Seq.empty) ++ xs }
+      // Or / Not / IsNull / StringContains / ... — no pruning evidence,
+      // Spark applies them exactly above the scan
+      case _ =>
+    }
+    (bounds.result(), probes.toMap)
+  }
+
+  // one-sided numeric sentinels: beyond 1e999 the decimal→double
+  // coercion inside prunedFiles goes infinite, which DISABLES double-
+  // zone pruning for that bound (exact — doubles reach 1.8e308) while
+  // long zones (max ~9.2e18) still prune on the bounded side
+  private val MaxBig = BigDecimal("1e999")
+  private val MinBig = BigDecimal("-1e999")
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val (bounds, probes) = pruningOf(filters)
+    val all = MergeTable.fileIndex(spark, dir, v).values.flatten.toSeq.sorted
+    var kept = all.toSet
+    bounds.foreach {
+      case MergeTable.NumBound(c, lo, hi) =>
+        kept = kept.intersect(
+          MergeTable.prunedFiles(spark, dir, c, lo, hi, v)._1.toSet)
+      case MergeTable.StrBound(c, lo, hi) =>
+        kept = kept.intersect(
+          MergeTable.prunedFilesStr(spark, dir, c, lo, hi, v)._1.toSet)
+    }
+    probes.foreach { case (c, xs) =>
+      kept = kept.intersect(
+        FileBlooms.prunedFilesEq(spark, dir, c, xs.distinct, v)._1.toSet)
+    }
+    GraftRelation.lastPruned = (kept.size, all.size)
+    val base =
+      if (kept.isEmpty) MergeTable.read(spark, dir, v).limit(0)
+      else MergeTable.applyDeletes(spark, dir, v,
+        MergeTable.readRel(spark, dir, kept.toSeq.sorted))
+    // push the translatable conjunction into the inner parquet scan
+    // (row-group/footer skipping) — Spark still re-applies everything
+    val pred = filters.flatMap(predOf).reduceOption(_ && _)
+    val filtered = pred.fold(base)(base.filter)
+    val projected = filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+
+  /** Exact Column form of a pushed filter, when one exists. */
+  private def predOf(f: Filter): Option[Column] = f match {
+    case EqualTo(c, x) => Some(col(c) === x)
+    case EqualNullSafe(c, x) => Some(col(c) <=> x)
+    case GreaterThan(c, x) => Some(col(c) > x)
+    case GreaterThanOrEqual(c, x) => Some(col(c) >= x)
+    case LessThan(c, x) => Some(col(c) < x)
+    case LessThanOrEqual(c, x) => Some(col(c) <= x)
+    case In(c, xs) => Some(col(c).isin(xs.toSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, x) => Some(col(c).startsWith(x))
+    case StringEndsWith(c, x) => Some(col(c).endsWith(x))
+    case StringContains(c, x) => Some(col(c).contains(x))
+    case And(a, b) =>
+      (predOf(a), predOf(b)) match {
+        case (Some(x), Some(y)) => Some(x && y)
+        case (x, y) => x.orElse(y) // half an AND is still exact
+      }
+    case Or(a, b) =>
+      for (x <- predOf(a); y <- predOf(b)) yield x || y
+    case Not(a) => predOf(a).map(!_)
+    case _ => None
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{FileBlooms, MergeTable}
+import graft.sources.GraftRelation
+
+/** The `graft` DataSource ([[graft.sources.GraftSource]]): MergeTables
+  * readable through plain `format("graft")` / SQL with the planner's
+  * own pushed filters driving zone/string-zone/Bloom file skipping,
+  * merge-on-read deletes applied, time travel via option, and
+  * create/append writes mapping to create/MERGE.
+  */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-source").toString
+
+  private def load(dir: String, version: Int = -1): DataFrame = {
+    val r = spark.read.format("graft").option("path", dir)
+    (if (version > 0) r.option("version", version.toString) else r).load()
+  }
+
+  test("format(\"graft\") reads ≡ MergeTable.read; time travel; MoR deletes applied") {
+    val dir = tmpDir()
+    val base = (0L until 500L).map(i => (i, s"n$i", (i % 7).toDouble))
+      .toDF("id", "name", "score")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    MergeTable.merge(spark, dir,
+      Seq((1L, "upd", 99.0, false), (2L, "", 0.0, true))
+        .toDF("id", "name", "score", "_del"),
+      "id", deleteCol = Some("_del"))
+    MergeTable.deleteKeys(spark, dir, Seq(3L, 4L).toDF("id"), "id")
+
+    def rows(df: DataFrame) =
+      df.select("id", "name", "score").as[(Long, String, Double)]
+        .collect().toSet
+    assert(rows(load(dir)) == rows(MergeTable.read(spark, dir)))
+    assert(rows(load(dir)).map(_._1).intersect(Set(2L, 3L, 4L)).isEmpty)
+    assert(rows(load(dir, version = 1)) == rows(MergeTable.read(spark, dir, 1)))
+    // schema matches, column pruning works
+    assert(load(dir).schema == MergeTable.read(spark, dir).schema)
+    assert(load(dir).select("name").where(col("name") === "upd")
+      .as[String].collect().toSeq == Seq("upd"))
+  }
+
+  test("planner-pushed range predicate prunes files on a clustered layout, exactly") {
+    val dir = tmpDir()
+    val base = (0L until 6000L).map(i => (i, i % 6 match {
+      case 0 => "de"; case 1 => "en"; case 2 => "es"
+      case 3 => "fr"; case 4 => "it"; case _ => "pt"
+    }, i)).toDF("id", "lang", "x")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+
+    val got = load(dir).where(col("x") >= 100 && col("x") <= 400)
+      .select("id").as[Long].collect().toSet
+    assert(got == (100L to 400L).toSet)
+    val (kept, total) = GraftRelation.lastPruned
+    assert(total >= 16 && kept < total / 2,
+      s"range scan should skip most files on a clustered layout: $kept/$total")
+
+    // string equality prunes via string zones after a lang clustering
+    MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 4)
+    val langs = load(dir).where(col("lang") === "de")
+      .select("id").as[Long].collect().toSet
+    assert(langs == (0L until 6000L).filter(_ % 6 == 0).toSet)
+    val (k2, t2) = GraftRelation.lastPruned
+    assert(k2 < t2 / 2, s"string equality should prune: $k2/$t2")
+
+    // an untranslatable predicate prunes nothing and stays exact
+    val or = load(dir)
+      .where(col("lang") === "de" || col("x") === 1L)
+      .select("id").as[Long].collect().toSet
+    assert(or == (0L until 6000L).filter(i => i % 6 == 0 || i == 1L).toSet)
+  }
+
+  test("Bloom sidecar point lookup prunes through SQL; one-sided ranges stay exact") {
+    val dir = tmpDir()
+    val base = (0L until 4000L).map(i => (i, s"key$i", i))
+      .toDF("id", "name", "x")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 8)
+    FileBlooms.build(spark, dir, "name")
+    val got = load(dir).where(col("name").isin("key7", "key4001"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(7L))
+    val (kept, total) = GraftRelation.lastPruned
+    assert(kept < total, s"bloom probe should skip files: $kept/$total")
+
+    // one-sided ranges: numeric prunes the bounded side on a clustered
+    // layout; string `>` deliberately does not prune (no string max)
+    MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 2)
+    val hi = load(dir).where(col("x") > 3900L).select("id").as[Long].collect().toSet
+    assert(hi == (3901L until 4000L).toSet)
+    val (k2, t2) = GraftRelation.lastPruned
+    assert(k2 < t2, s"one-sided numeric range should prune: $k2/$t2")
+    val s = load(dir).where(col("name") > "key8").count()
+    assert(s == base.where(col("name") > "key8").count())
+  }
+
+  test("SQL DDL: CREATE TEMPORARY VIEW USING graft; writes: create + MERGE append") {
+    val dir = tmpDir()
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.format("graft").option("path", dir).option("key", "id")
+      .option("buckets", "4").save()
+    assert(MergeTable.bucketCount(spark, dir) == 4)
+
+    // append = MERGE upsert
+    Seq((1L, 999L), (100L, 200L)).toDF("id", "v")
+      .write.format("graft").option("path", dir).option("key", "id")
+      .mode("append").save()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gsrc USING graft OPTIONS (path '$dir')")
+    val got = spark.sql("SELECT v FROM gsrc WHERE id IN (1, 100)")
+      .as[Long].collect().toSet
+    assert(got == Set(999L, 200L))
+    assert(spark.sql("SELECT count(*) FROM gsrc").as[Long].head() == 101L)
+
+    // overwrite refuses loudly
+    val e = intercept[UnsupportedOperationException] {
+      Seq((1L, 1L)).toDF("id", "v").write.format("graft")
+        .option("path", dir).option("key", "id").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("Overwrite"))
+  }
+}
