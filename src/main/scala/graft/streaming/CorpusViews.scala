@@ -68,25 +68,48 @@ object Maintained {
     *
     * Ids already absent from the corpus are fine (erasure is
     * idempotent); a forget of only-absent ids skips the merge but
-    * still advances laggard artifacts and audits. */
+    * still advances laggard artifacts and audits.
+    *
+    * `mergeOnRead = true` commits the corpus delete as a
+    * [[graft.pipeline.MergeTable.deleteKeys]] ledger instead of a CoW
+    * merge — the erasure COMMIT then costs O(ids) with zero data
+    * rewrite (at 100 TB: kilobytes, not a bucket rewrite), reads stop
+    * returning the rows immediately, the dv-aware change feed hands
+    * every maintained artifact the same delete pre-images, and the
+    * physical purge defers to routine maintenance
+    * ([[graft.pipeline.MergeTable.advise]] tracks the ledger debt).
+    * NOTE the erased bytes stay on disk until that purge plus a
+    * [[graft.pipeline.MergeTable.vacuum]] pass clears the horizon —
+    * pick the mode by which clock the obligation runs on. */
   def forget(
       spark: SparkSession, corpusDir: String, keyCol: String, ids: Seq[Any],
       artifacts: Seq[Maintained],
-      audited: Seq[(String, () => DataFrame, String)] = Nil): DataFrame = {
+      audited: Seq[(String, () => DataFrame, String)] = Nil,
+      mergeOnRead: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.{Row => SqlRow}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import graft.pipeline.MergeTable
     require(ids.nonEmpty, "no ids to forget")
     require(ids.length <= 10000,
       s"${ids.length} ids — erasure batches are human-scale; loop larger ones")
-    // the delete batch is the table's OWN live rows for those keys —
-    // full schema, so the merge needs no schema knowledge here
-    val live = MergeTable.read(spark, corpusDir)
-      .filter(col(keyCol).isin(ids: _*))
-      .withColumn("__forget", lit(true))
-    val v =
+    val v = if (mergeOnRead) {
+      // no table read at all: the ids go down as a delete ledger
+      // (deleteKeys casts them to the table's key type)
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => SqlRow(i.toString)), 1),
+        StructType(Seq(StructField(keyCol, StringType))))
+      MergeTable.deleteKeys(spark, corpusDir, keys, keyCol)
+    } else {
+      // the delete batch is the table's OWN live rows for those keys —
+      // full schema, so the merge needs no schema knowledge here
+      val live = MergeTable.read(spark, corpusDir)
+        .filter(col(keyCol).isin(ids: _*))
+        .withColumn("__forget", lit(true))
       if (live.isEmpty) MergeTable.latestVersion(spark, corpusDir)
       else MergeTable.merge(spark, corpusDir, live, keyCol,
         deleteCol = Some("__forget"))
+    }
     artifacts.foreach(_.advance(spark, corpusDir, v))
     graft.ops.Privacy.forgottenAudit(ids,
       ("corpus", MergeTable.read(spark, corpusDir), keyCol) +:

@@ -566,6 +566,31 @@ class StreamingSpec extends SparkSpec {
       """{"doc_id":6,"grp":"b","v":9,"text":"arrival after an out-of-band erasure","_del":false}""")
     stream()
     allEqualBatch()
+
+    // merge-on-read erasure: the SAME one-call contract with the delete
+    // committed as a ledger (zero data rewrite — asserted) — reads stop
+    // returning the doc immediately, the dv-aware change feed advances
+    // every artifact, the audit is all-zero, and the stream continues
+    val filesBefore = MergeTable.fileIndex(spark, table)
+    val audit4 = Maintained.forget(spark, table, "doc_id", Seq(6L),
+        maintain, Seq(
+          ("postings", () => MergeTable.read(spark, postings), "doc_id"),
+          ("rag", () => MergeTable.read(spark, s"$root/rag"), "doc_id")),
+        mergeOnRead = true)
+      .as[(String, Long)].collect()
+    assert(audit4.length == 3 && audit4.forall(_._2 == 0L),
+      s"MoR forget must leave zero residual: ${audit4.toSeq}")
+    assert(MergeTable.fileIndex(spark, table) == filesBefore,
+      "MoR forget must not rewrite any data file")
+    assert(MergeTable.pendingDeletes(spark, table).nonEmpty,
+      "MoR forget must leave a pending ledger")
+    assert(!statsNow().keySet.contains("z") && statsNow() == batchStats(),
+      "aggregates must reflect the ledger erasure")
+    allEqualBatch()
+    Files.writeString(java.nio.file.Paths.get(landing, "c5.json"),
+      """{"doc_id":7,"grp":"a","v":3,"text":"arrival after a ledger erasure","_del":false}""")
+    stream()
+    allEqualBatch()
   }
 
   test("aggregate-rule CDC gate: a key-breaking batch halts the stream before any artifact advances") {
