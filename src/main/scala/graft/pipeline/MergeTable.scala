@@ -50,6 +50,16 @@ object MergeTable {
 
   private val Bucket = "__graft_bucket"
 
+  /** Resolve a manifest entry to a readable path. Entries are normally
+    * table-relative (`v3/__graft_bucket=1/part-...parquet`); a SHALLOW
+    * CLONE ([[cloneTable]]) commits entries that point at the SOURCE
+    * table's files — absolute or scheme-qualified — which resolve
+    * as-is. Local-name machinery (vacuum's reclaim walk, listWritten)
+    * only ever produces relative names, so borrowed files are
+    * structurally exempt from reclamation. */
+  private[graft] def absPath(dir: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains(":/")) rel else s"$dir/$rel"
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -242,7 +252,7 @@ object MergeTable {
     * callers with a version use [[applyDeletes]] on the result. */
   private[graft] def readRel(
       spark: SparkSession, dir: String, relPaths: Seq[String]): DataFrame =
-    readFiles(spark, relPaths.map(p => s"$dir/$p"))
+    readFiles(spark, relPaths.map(p => absPath(dir, p)))
 
   /** Anti-join `df` against the version's pending delete ledger — the
     * merge-on-read apply every read path shares. A no-op (the exact
@@ -259,7 +269,7 @@ object MergeTable {
     else {
       val k = m.dvKey.getOrElse(
         throw new IllegalStateException(s"dv ledger without #dvkey at $dir"))
-      df.join(readFiles(spark, rel.map(p => s"$dir/$p")), Seq(k), "left_anti")
+      df.join(readFiles(spark, rel.map(p => absPath(dir, p))), Seq(k), "left_anti")
     }
   }
 
@@ -275,7 +285,7 @@ object MergeTable {
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
-    val files = m.entries.values.flatten.toSeq.sorted.map(p => s"$dir/$p")
+    val files = m.entries.values.flatten.toSeq.sorted.map(p => absPath(dir, p))
     require(files.nonEmpty, s"version $v of $dir is empty")
     applyDv(spark, dir, m, readFiles(spark, files))
   }
@@ -296,7 +306,7 @@ object MergeTable {
     val wanted = withBucket(keys, keyCol, m.nBuckets)
       .select(Bucket).distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets
     val files = wanted.toSeq.sorted
-      .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+      .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => absPath(dir, p))
     if (files.isEmpty) read(spark, dir, v).limit(0)
     else applyDv(spark, dir, m, readFiles(spark, files), Some(wanted))
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
@@ -337,7 +347,7 @@ object MergeTable {
       val touched = upd.select(Bucket).distinct()
         .collect().map(_.getInt(0)).toSet // bounded by nBuckets
       val oldFiles = touched.toSeq.sorted
-        .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+        .flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => absPath(dir, p))
       val inserts = deleteCol match {
         case Some(dc) => upd.filter(!col(dc)).drop(dc)
         case None => upd
@@ -406,7 +416,7 @@ object MergeTable {
       .filter(col(keyCol).isNotNull).distinct()
     val fresh =
       if (m.dv.isEmpty) ks
-      else ks.join(readFiles(spark, m.dv.map(d => s"$dir/${d.rel}")),
+      else ks.join(readFiles(spark, m.dv.map(d => absPath(dir, d.rel))),
         Seq(keyCol), "left_anti")
     if (fresh.isEmpty) return v
     val nv = nextVersion(spark, dir)
@@ -451,6 +461,38 @@ object MergeTable {
     // deleted keys have no rows to match) — nothing to rewrite there
     val bs = m.dv.map(_.bucket).distinct.sorted.filter(m.entries.contains)
     if (bs.isEmpty) v else compactBuckets(spark, dir, bs)
+  }
+
+  /** SHALLOW CLONE — a zero-copy writable fork of `src` at `version`
+    * (Delta's CLONE): the clone's v1 manifest references the SOURCE
+    * table's data and delete-ledger files by resolved path; the zone
+    * sidecar lines carry re-keyed, so file skipping works on the clone
+    * without a harvest. Cost: O(files) metadata — cloning a 100 TB
+    * corpus for an experiment costs kilobytes and seconds. Writes to
+    * the clone land under ITS directory (CoW rewrites replace borrowed
+    * refs bucket by bucket); the source is never touched, and the
+    * clone's [[vacuum]] structurally cannot reclaim borrowed files
+    * (reclaim walks local names only). THE CAVEAT IS THE SOURCE'S:
+    * vacuuming `src` past the cloned version breaks the clone — pin
+    * retention on the source for as long as its clones live, exactly
+    * as in the published designs. Bloom sidecars do not carry (point
+    * lookups on the clone degrade to no-skip until rebuilt). */
+  def cloneTable(
+      spark: SparkSession, src: String, dst: String, version: Int = -1): Unit = {
+    require(versions(spark, dst).isEmpty, s"$dst already is a MergeTable")
+    val v = if (version > 0) version else latestVersion(spark, src)
+    val m = readManifest(spark, src, v)
+    // qualify the source root so borrowed refs resolve from anywhere
+    val srcQ = fs(spark, src).makeQualified(new Path(src)).toString
+    val entries = m.entries.map { case (b, ps) =>
+      b -> ps.map(p => absPath(srcQ, p)) }
+    val dv = m.dv.map(d => d.copy(rel = absPath(srcQ, d.rel)))
+    val zones = ZoneMaps
+      .forVersion(spark, src, v, m.entries.values.flatten.toSeq)
+      .map { case (rel, cols) => absPath(srcQ, rel) -> cols }
+    ZoneMaps.write(spark, dst, 1, Seq.empty, zones)
+    commitManifest(spark, dst, 1,
+      Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey))
   }
 
   /** Change data feed: the NET row-level difference between two
@@ -520,7 +562,7 @@ object MergeTable {
       s"bucket out of range 0..${m.nBuckets - 1}")
     val template = read(spark, dir, v).limit(0).withColumn("bucket", lit(0))
     val perBucket = buckets.distinct.sorted.flatMap { b =>
-      val fs = m.entries.getOrElse(b, Seq.empty).map(p => s"$dir/$p")
+      val fs = m.entries.getOrElse(b, Seq.empty).map(p => absPath(dir, p))
       if (fs.isEmpty) None
       else Some(readFiles(spark, fs).withColumn("bucket", lit(b)))
     }
@@ -568,7 +610,7 @@ object MergeTable {
     val changed = changedBuckets(mOld, mNew)
     val changedSet = changed.toSet
     def filesOf(m: Manifest) =
-      changed.flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => s"$dir/$p")
+      changed.flatMap(b => m.entries.getOrElse(b, Seq.empty)).map(p => absPath(dir, p))
     val (oldFiles, newFiles) = (filesOf(mOld), filesOf(mNew))
     val template = read(spark, dir, toVersion).limit(0)
     def side(m: Manifest, files: Seq[String], as: String) =
@@ -598,7 +640,7 @@ object MergeTable {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     val files = m.entries.toSeq.sortBy(_._1).flatMap { case (b, ps) =>
-      ps.map(p => (b, s"$dir/$p")) }
+      ps.map(p => (b, absPath(dir, p))) }
     require(files.nonEmpty, "nothing to compact")
     // bucket is re-derived from the directory name via a per-bucket read
     // union so no key column is needed
@@ -637,7 +679,7 @@ object MergeTable {
     require(targets.forall(m.entries.contains),
       s"unknown buckets: ${targets.filterNot(m.entries.contains)}")
     val byBucket = targets.map { b =>
-      readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
+      readFiles(spark, m.entries(b).map(p => absPath(dir, p))).withColumn(Bucket, lit(b))
     }
     val nv = nextVersion(spark, dir)
     // the targeted rewrite materializes the TARGET buckets' pending
@@ -729,10 +771,13 @@ object MergeTable {
       maxPendingDeleteKeys: Long = 100000L): Seq[Maintenance] = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
-    // newest version committed BY a layout op — the decay baseline
+    // newest version committed BY a layout op — the decay baseline. A
+    // layout-carrying clone counts: it borrows the source's physical
+    // order exactly, so the clone's v1 IS its layout commit.
     val layoutV = versions(spark, dir).reverse.find { pv =>
-      val op = readManifest(spark, dir, pv).op
-      op == "cluster" || op == "cluster_z"
+      val pm = readManifest(spark, dir, pv)
+      pm.op == "cluster" || pm.op == "cluster_z" ||
+        (pm.op == "clone" && pm.layout.isDefined)
     }
     val churned: Seq[Int] = (m.layout, layoutV) match {
       case (Some(_), Some(lv)) if lv < v => changedBucketIds(spark, dir, lv, v)
@@ -839,7 +884,7 @@ object MergeTable {
     // doesn't know the key column, and must not change assignments)
     val nv = nextVersion(spark, dir)
     val parts = m.entries.keys.toSeq.sorted.map { b =>
-      val files = m.entries(b).map(p => s"$dir/$p")
+      val files = m.entries(b).map(p => absPath(dir, p))
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
     val union = applyDv(spark, dir, m,
@@ -889,7 +934,7 @@ object MergeTable {
     require(missing.isEmpty, s"no columns $missing to cluster by")
     val nv = nextVersion(spark, dir)
     val parts = m.entries.keys.toSeq.sorted.map { b =>
-      val files = m.entries(b).map(p => s"$dir/$p")
+      val files = m.entries(b).map(p => absPath(dir, p))
       readFiles(spark, files).withColumn(Bucket, lit(b))
     }
     val union = applyDv(spark, dir, m,
@@ -945,7 +990,7 @@ object MergeTable {
     require(targets.forall(m.entries.contains),
       s"unknown buckets: ${targets.filterNot(m.entries.contains)}")
     val byBucket = targets.map { b =>
-      readFiles(spark, m.entries(b).map(p => s"$dir/$p")).withColumn(Bucket, lit(b))
+      readFiles(spark, m.entries(b).map(p => absPath(dir, p))).withColumn(Bucket, lit(b))
     }
     val nv = nextVersion(spark, dir)
     // the repair rewrite materializes the TARGET buckets' pending
@@ -990,7 +1035,7 @@ object MergeTable {
     val pred = col(column) >= lit(lo.bigDecimal) && col(column) <= lit(hi.bigDecimal)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
     else applyDeletes(spark, dir, v,
-      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
+      readFiles(spark, kept.map(p => absPath(dir, p))).filter(pred))
   }
 
   /** Conjunctive multi-column zone-pruned scan: read ONLY the files
@@ -1043,7 +1088,7 @@ object MergeTable {
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
     else applyDeletes(spark, dir, v,
-      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
+      readFiles(spark, kept.map(p => absPath(dir, p))).filter(pred))
   }
 
   /** The file-skipping decision behind [[readWhere]]:
@@ -1117,7 +1162,7 @@ object MergeTable {
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (kept.isEmpty) read(spark, dir, v).filter(pred).limit(0)
     else applyDeletes(spark, dir, v,
-      readFiles(spark, kept.map(p => s"$dir/$p")).filter(pred))
+      readFiles(spark, kept.map(p => absPath(dir, p))).filter(pred))
   }
 
   /** METADATA-ONLY aggregates — `COUNT(*)`, `COUNT(col)`, `MIN(col)`,

@@ -170,7 +170,8 @@ object ZoneMaps {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val tasks = math.max(1, math.min(relPaths.size, 64))
     spark.sparkContext.parallelize(relPaths, tasks).map { rel =>
-      val in = HadoopInputFile.fromPath(new Path(s"$dir/$rel"), conf.value)
+      val in = HadoopInputFile.fromPath(
+        new Path(MergeTable.absPath(dir, rel)), conf.value)
       val r = ParquetFileReader.open(in)
       try {
         // fold rowgroup stats up to one (min, max, hasNulls, nullCount)

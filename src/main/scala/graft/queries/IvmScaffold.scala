@@ -200,6 +200,31 @@ object IvmScaffold {
       ()
     }
 
+  /** The shallow-clone corpus: [[statsCorpus]]'s v1 forked zero-copy
+    * ([[graft.pipeline.MergeTable.cloneTable]] — asserted borrowing,
+    * no data file under the clone), then the SAME [[statsTransition]]
+    * merged into the CLONE. Its read must therefore equal the
+    * logically-merged corpus every stats-family oracle replays — while
+    * the source still reads as plain v1 (asserted), proving divergence
+    * without source mutation. */
+  def cloneCorpus(s: SparkSession, d: String): String =
+    once(d, "clone") { dir =>
+      val M = graft.pipeline.MergeTable
+      val src = statsCorpus(s, d)
+      M.cloneTable(s, src, dir, version = 1)
+      require(!new java.io.File(dir).listFiles().exists(_.getName == "v1"),
+        "clone must not copy data files")
+      require(M.fileIndex(s, dir).values.flatten.forall(_.contains(":/")),
+        "the fresh clone must borrow every file")
+      // the full transition touches every bucket at real sf — the
+      // borrowed-after-divergence arm is CloneSpec's (one-key merge)
+      M.merge(s, dir, statsTransition(statsBase(s, d)), "doc_id",
+        deleteCol = Some("_del"), validate = false)
+      require(M.read(s, src, 1).count() == statsBase(s, d).count(),
+        "the source must still read as its own v1")
+      ()
+    }
+
   /** The lakehouse-admin corpus: the stats corpus taken through the
     * FULL admin operation sequence — create v1 → merge v2 (the stats
     * transition) → compact v3 → rebucket v4 (16→8) → cluster v5 →

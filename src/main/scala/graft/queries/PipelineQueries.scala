@@ -2409,6 +2409,33 @@ object PipelineQueries {
   // def, not val: docZorderScanSql initializes later in the file
   private def docMaintainRoundtripSql = docZorderScanSql
 
+  /** SHALLOW CLONE divergence ([[graft.pipeline.MergeTable
+    * .cloneTable]]): the [[IvmScaffold.cloneCorpus]] forks statsCorpus
+    * v1 zero-copy and merges the shared transition into the FORK — so
+    * this read over the clone (half borrowed source files, half local
+    * rewrites) must hash-equal the DuckDB replay of the logically
+    * merged corpus, while the scaffold asserts the source still reads
+    * as plain v1. A borrowed ref resolving wrong, a CoW rewrite
+    * leaking into the source, or a carried zone line mis-pruning
+    * breaks the hash. */
+  private val docCloneDiverge: Q = (s, d) => {
+    val dir = IvmScaffold.cloneCorpus(s, d)
+    graft.pipeline.MergeTable.read(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docCloneDivergeSql =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |ORDER BY doc_id""".stripMargin
+
   /** The `graft` DataSource ([[graft.sources.GraftSource]]): the SAME
     * curated-corpus scan as `doc_zonemap_mixed_scan`, but written as
     * plain `format("graft")` + DataFrame predicates — the PLANNER's
@@ -3960,6 +3987,7 @@ object PipelineQueries {
     "doc_dv_delete" -> docDvDelete,
     "doc_dv_purge_meta" -> docDvPurgeMeta,
     "doc_sql_pruned_scan" -> docSqlPrunedScan,
+    "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
     "doc_l_diversity" -> docLDiversity,
@@ -4075,6 +4103,7 @@ object PipelineQueries {
     "doc_dv_delete" -> docDvDeleteSql,
     "doc_dv_purge_meta" -> docDvPurgeMetaSql,
     "doc_sql_pruned_scan" -> docSqlPrunedScanSql,
+    "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
     "doc_l_diversity" -> docLDiversitySql,
