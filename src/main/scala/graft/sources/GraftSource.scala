@@ -87,6 +87,17 @@ private[sources] case class GraftRelation(
 
   override val schema: StructType = MergeTable.read(spark, dir, v).schema
 
+  // real table bytes from the manifest's files (O(files) metadata) —
+  // the default is "assume huge", which would bar a small graft
+  // dimension table from ever broadcasting in a join
+  override val sizeInBytes: Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    MergeTable.fileIndex(spark, dir, v).values.flatten.map { rel =>
+      val p = new org.apache.hadoop.fs.Path(MergeTable.absPath(dir, rel))
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+  }
+
   // every filter is re-applied by Spark above the scan — pruning below
   // is a superset pass, so exactness never depends on translation
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters

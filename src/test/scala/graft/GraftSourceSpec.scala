@@ -102,6 +102,19 @@ class GraftSourceSpec extends SparkSpec {
     assert(s == base.where(col("name") > "key8").count())
   }
 
+  test("sizeInBytes is real: a small graft dimension broadcasts in a join") {
+    val dir = tmpDir()
+    MergeTable.create(spark,
+      dir, (0L until 50L).map(i => (i, s"d$i")).toDF("id", "dname"),
+      "id", nBuckets = 2)
+    val fact = (0L until 10000L).map(i => (i % 50, i)).toDF("id", "x")
+    val plan = fact.join(load(dir), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a tiny graft table must broadcast:\n$plan")
+    assert(load(dir).where(col("id") < 5).count() == 5L)
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft; writes: create + MERGE append") {
     val dir = tmpDir()
     (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
