@@ -24,12 +24,18 @@ import graft.pipeline.{FileBlooms, MergeTable}
   * the translation: an untranslatable predicate simply prunes less.
   *
   * Options: `path` (table root, required), `version` (time travel,
-  * default latest). Writes: `ErrorIfExists`/`Ignore` create (options
-  * `key`, `buckets`); `Append` is MERGE upsert on `key`; `Overwrite`
-  * refuses loudly (a lakehouse table's history is the point — use the
-  * MergeTable API deliberately).
+  * default latest); `changesFrom`/`changesTo` (+ `key`) switch the
+  * relation to the CHANGE DATA FEED between two versions (`_change` +
+  * row image — CDC as a plain SQL-visible table). Writes:
+  * `ErrorIfExists`/`Ignore` create (options `key`, `buckets`);
+  * `Append` is MERGE upsert on `key`; `Overwrite` refuses loudly (a
+  * lakehouse table's history is the point — use the MergeTable API
+  * deliberately). `writeStream.format("graft")` maps each micro-batch
+  * to the same MERGE (option `deleteCol` for CDC-style batches) —
+  * retried batches re-merge idempotently, the MergeTable contract.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -40,8 +46,53 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, pathOf(parameters),
-      parameters.get("version").map(_.toInt).getOrElse(-1))
+    parameters.get("changesFrom") match {
+      case Some(from) =>
+        val key = parameters.getOrElse("key", throw new IllegalArgumentException(
+          "the change feed needs the merge 'key' option"))
+        GraftChangesRelation(sqlContext, pathOf(parameters), from.toInt,
+          parameters.get("changesTo").map(_.toInt).getOrElse(-1), key)
+      case None =>
+        GraftRelation(sqlContext, pathOf(parameters),
+          parameters.get("version").map(_.toInt).getOrElse(-1))
+    }
+
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = pathOf(parameters)
+    val key = parameters.getOrElse("key",
+      throw new IllegalArgumentException("graft sink needs a 'key' option"))
+    val buckets = parameters.get("buckets").map(_.toInt).getOrElse(16)
+    val deleteCol = parameters.get("deleteCol")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = data.sparkSession
+        // decouple from the streaming plan (the standard sink move —
+        // a streaming-tagged Dataset refuses batch actions, and the
+        // merge below reads the target table): take the executed
+        // micro-batch's internal rows and rebuild a batch DataFrame
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder
+            .encoderFor(data.schema)).resolveAndBind()
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val de = enc.createDeserializer()
+          it.map(ir => de(ir.copy()))
+        }
+        val batch = spark.createDataFrame(rowRdd, data.schema)
+        if (MergeTable.versions(spark, dir).isEmpty) {
+          val insert = deleteCol.fold(batch)(dc =>
+            batch.filter(!col(dc)).drop(dc))
+          MergeTable.create(spark, dir, insert, key, buckets)
+        } else {
+          MergeTable.merge(spark, dir, batch, key, deleteCol = deleteCol)
+          ()
+        }
+      }
+    }
+  }
 
   override def createRelation(
       sqlContext: SQLContext, mode: SaveMode,
@@ -68,6 +119,27 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** The change data feed as a relation: `_change` (insert/update/
+  * delete) + the row image between two committed versions — CDC
+  * consumable from plain SQL. Cost tracks changed buckets (the
+  * [[MergeTable.changes]] contract), ledger-only delete commits
+  * included. */
+private[sources] case class GraftChangesRelation(
+    sqlContext: SQLContext, dir: String, fromVersion: Int, toVersion: Int,
+    keyCol: String) extends BaseRelation with TableScan {
+
+  private val spark = sqlContext.sparkSession
+  private val to =
+    if (toVersion > 0) toVersion else MergeTable.latestVersion(spark, dir)
+
+  private def feed: DataFrame =
+    MergeTable.changes(spark, dir, fromVersion, to, keyCol)
+
+  override val schema: StructType = feed.schema
+
+  override def buildScan(): RDD[Row] = feed.rdd
 }
 
 /** Exposed pruning evidence of the most recent [[GraftRelation]] scan

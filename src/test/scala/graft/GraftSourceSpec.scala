@@ -115,6 +115,46 @@ class GraftSourceSpec extends SparkSpec {
     assert(load(dir).where(col("id") < 5).count() == 5L)
   }
 
+  test("change data feed as a relation: CDC between versions from plain SQL") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 4)
+    MergeTable.merge(spark, dir,
+      Seq((1L, 99L, false), (2L, 2L, true), (100L, 100L, false))
+        .toDF("id", "v", "_del"), "id", deleteCol = Some("_del"))
+    MergeTable.deleteKeys(spark, dir, Seq(3L).toDF("id"), "id")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gchanges USING graft
+      OPTIONS (path '$dir', changesFrom '1', key 'id')""")
+    val got = spark.sql("SELECT _change, id, v FROM gchanges")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("update", 1L, 99L), ("delete", 2L, 2L),
+      ("insert", 100L, 100L), ("delete", 3L, 3L)),
+      s"CDC through SQL must include the ledger delete: $got")
+  }
+
+  test("writeStream.format(\"graft\"): micro-batches MERGE into the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir()
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val in = MemoryStream[(Long, String, Boolean)]
+    val q = in.toDF().toDF("id", "name", "_del")
+      .writeStream.format("graft")
+      .option("path", dir).option("key", "id").option("buckets", "4")
+      .option("deleteCol", "_del")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("update")
+    in.addData((1L, "a", false), (2L, "b", false))
+    q.start().awaitTermination()
+    in.addData((1L, "a2", false), (2L, "", true), (3L, "c", false))
+    q.start().awaitTermination()
+    val got = MergeTable.read(spark, dir)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c")),
+      s"streamed CDC batches must converge the table: $got")
+  }
+
   test("SQL DDL: CREATE TEMPORARY VIEW USING graft; writes: create + MERGE append") {
     val dir = tmpDir()
     (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
