@@ -151,6 +151,20 @@ object IvmScaffold {
       ()
     }
 
+  private val memoVersions = scala.collection.mutable.HashMap.empty[String, Int]
+
+  /** Memoized content-identical [[graft.pipeline.MergeTable.clusterBy]]
+    * version of [[statsCorpus]] on `byCol` — one re-layout per JVM per
+    * (sf dir, column), so the zone-scan queries time the pruned READ
+    * under Bench's min-of-N instead of re-paying the layout job. */
+  def statsClustered(s: SparkSession, d: String, byCol: String): (String, Int) =
+    synchronized {
+      val dir = statsCorpus(s, d)
+      val v = memoVersions.getOrElseUpdate(s"$dir#cluster#$byCol",
+        graft.pipeline.MergeTable.clusterBy(s, dir, byCol, filesPerBucket = 4))
+      (dir, v)
+    }
+
   /** The merge-on-read corpus: (doc_id, lang, n_chars) created at v1,
     * upserted at v2 (n_chars+1000 on doc_id%10==4), then
     * ledger-deleted at v3 ([[graft.pipeline.MergeTable.deleteKeys]],

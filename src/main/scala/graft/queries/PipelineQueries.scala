@@ -2301,8 +2301,7 @@ object PipelineQueries {
     * (`ZoneMapSpec` pins the skip ratio itself; this row pins
     * exactness cross-engine). */
   private val docZonemapScan: Q = (s, d) => {
-    val dir = IvmScaffold.statsCorpus(s, d)
-    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "n_chars", filesPerBucket = 4)
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
     graft.pipeline.MergeTable.readWhere(
         s, dir, "n_chars", BigDecimal(100), BigDecimal(200), version = v)
       .select(col("doc_id"), col("n_chars"))
@@ -2336,8 +2335,7 @@ object PipelineQueries {
     * de/en/es, not fr/xx/zh). `ZoneMapSpec` pins the skip ratio and
     * the truncation edges; this row pins exactness cross-engine. */
   private val docZonemapStringScan: Q = (s, d) => {
-    val dir = IvmScaffold.statsCorpus(s, d)
-    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "lang", filesPerBucket = 4)
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "lang")
     graft.pipeline.MergeTable.readWhereStr(
         s, dir, "lang", "de", "es", version = v)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -2365,9 +2363,8 @@ object PipelineQueries {
     * never wrongly), and the oracle's two-predicate WHERE breaks if
     * either the str-zone pruning or the intersection loses a file. */
   private val docZonemapMixedScan: Q = (s, d) => {
-    val dir = IvmScaffold.statsCorpus(s, d)
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "lang")
     val M = graft.pipeline.MergeTable
-    val v = M.clusterBy(s, dir, "lang", filesPerBucket = 4)
     M.readWhereBounds(s, dir, Seq(
         M.StrBound("lang", "de", "de"),
         M.NumBound("n_chars", BigDecimal(100), BigDecimal(600))), version = v)
@@ -2444,8 +2441,7 @@ object PipelineQueries {
     * the whole connector path: filter translation, superset pruning,
     * schema, projection. */
   private val docSqlPrunedScan: Q = (s, d) => {
-    val dir = IvmScaffold.statsCorpus(s, d)
-    val v = graft.pipeline.MergeTable.clusterBy(s, dir, "lang", filesPerBucket = 4)
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "lang")
     s.read.format("graft").option("path", dir).option("version", v.toString)
       .load()
       .where(col("lang") === "de" &&
