@@ -78,5 +78,37 @@ val (ok, bad) = quarantine(
   Seq((1L, Some("en")), (2L, None)).toDF("id", "lang"), Seq(NotNull("lang")))
 assert(ok.count() == 1 && bad.count() == 1, "quarantine split")
 
+// 6. merge-on-read delete -> advisor purge; shallow clone; the graft
+//    DataSource (planner-pruned SQL read + CDC relation)
+val nBefore = MergeTable.read(spark, t).count()
+val filesBefore = MergeTable.fileIndex(spark, t)
+val vDel = MergeTable.deleteKeys(spark, t,
+  spark.range(100, 200).select(col("id").as("doc_id")), "doc_id")
+assert(MergeTable.fileIndex(spark, t, vDel) == filesBefore,
+  "MoR delete rewrote data files")
+assert(MergeTable.read(spark, t).count() == nBefore - 100,
+  "ledger not applied on read")
+// on a LAID table, ledger debt routes to recluster (the repair both
+// re-curves and materializes); the layout-less purge arm is
+// DeleteVectorSpec's
+val purgeAdvice = MergeTable.advise(spark, t, maxPendingDeleteKeys = 10L)
+assert(purgeAdvice.map(_.action) == Seq("recluster"), purgeAdvice.toString)
+val c = s"$root/clone"
+MergeTable.cloneTable(spark, t, c)
+assert(MergeTable.read(spark, c).count() == nBefore - 100,
+  "clone must read like its source (ledger included)")
+MergeTable.merge(spark, c,
+  spark.range(1, 2).select(col("id").as("doc_id"), lit("fork").as("text"),
+    lit(9L).as("a"), lit(9L).as("b")), "doc_id")
+assert(MergeTable.read(spark, t).filter(col("text") === "fork").count() == 0,
+  "clone write leaked into the source")
+spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gt USING graft OPTIONS (path '$t')")
+val sqlN = spark.sql("SELECT count(*) FROM gt WHERE a >= 1 AND a <= 2 AND doc_id > 10").as[Long].head()
+val sqlWant = spark.range(1, 2001).filter((col("id") % 5).between(1, 2) && col("id") > 10 && !col("id").between(100, 199) && col("id") =!= 42).count()
+assert(sqlN == sqlWant, s"graft SQL read $sqlN != $sqlWant")
+spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gch USING graft OPTIONS (path '$t', changesFrom '$vz', key 'doc_id')")
+val cdcDeletes = spark.sql("SELECT count(*) FROM gch WHERE _change = 'delete'").as[Long].head()
+assert(cdcDeletes >= 100, s"CDC relation must surface the ledger deletes: $cdcDeletes")
+
 println("DRIVE_OK")
 sys.exit(0)
