@@ -352,6 +352,12 @@ object MergeTable {
         case Some(dc) => upd.filter(!col(dc)).drop(dc)
         case None => upd
       }
+      // persisted CHECK constraints gate the INCOMING rows before any
+      // write — a violation aborts loudly with no version committed,
+      // whatever the writer (API, connector sink, CDC loop)
+      val persisted = constraints(spark, dir)
+      if (persisted.nonEmpty)
+        graft.ops.Expectations.gate(inserts.drop(Bucket), persisted)
       val merged = if (oldFiles.isEmpty) inserts else {
         // pending merge-on-read deletes for the touched buckets
         // MATERIALIZE here (the rewrite is the purge — Iceberg's
@@ -463,6 +469,128 @@ object MergeTable {
     if (bs.isEmpty) v else compactBuckets(spark, dir, bs)
   }
 
+  // ---- persisted CHECK constraints -------------------------------------
+
+  private def constraintsPath(dir: String) = new Path(s"$dir/_constraints")
+
+  private def encC(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def decC(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  private def encVal(a: Any): (String, String) = a match {
+    case n: Byte => ("long", n.toString)
+    case n: Short => ("long", n.toString)
+    case n: Int => ("long", n.toString)
+    case n: Long => ("long", n.toString)
+    case n: Float => ("double", n.toString)
+    case n: Double => ("double", n.toString)
+    case s: String => ("string", encC(s))
+    case other => throw new IllegalArgumentException(
+      s"constraint value of unsupported type ${other.getClass.getName} — " +
+        "long/double/string persist; use the in-memory Expectations API " +
+        "for anything richer")
+  }
+
+  private def decVal(tag: String, s: String): Any = tag match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case "string" => decC(s)
+    case t => throw new IllegalStateException(s"corrupt constraint value tag $t")
+  }
+
+  private def encRule(r: graft.ops.Expectations.RowRule): String = {
+    import graft.ops.Expectations._
+    r match {
+      case NotNull(c) => s"not_null\t${encC(c)}"
+      case InRange(c, lo, hi) =>
+        val ((tl, vl), (th, vh)) = (encVal(lo), encVal(hi))
+        require(tl == th, s"in_range bounds of mixed types on $c")
+        s"in_range\t${encC(c)}\t$tl\t$vl\t$vh"
+      case Matches(c, re) => s"matches\t${encC(c)}\t${encC(re)}"
+      case OneOf(c, vs) =>
+        require(vs.nonEmpty, s"one_of on $c needs values")
+        val enc = vs.map(encVal)
+        require(enc.map(_._1).distinct.size == 1, s"one_of mixed types on $c")
+        s"one_of\t${encC(c)}\t${enc.head._1}\t${enc.map(_._2).mkString(",")}"
+      case Check(n, _) => throw new IllegalArgumentException(
+        s"Check('$n') holds an arbitrary Column and cannot persist — " +
+          "declare it per-call or express it as the serializable rules")
+    }
+  }
+
+  private def decRule(line: String): graft.ops.Expectations.RowRule = {
+    import graft.ops.Expectations._
+    val a = line.split("\t", -1)
+    a(0) match {
+      case "not_null" => NotNull(decC(a(1)))
+      case "in_range" => InRange(decC(a(1)), decVal(a(2), a(3)), decVal(a(2), a(4)))
+      case "matches" => Matches(decC(a(1)), decC(a(2)))
+      case "one_of" => OneOf(decC(a(1)), a(3).split(",", -1).toSeq.map(decVal(a(2), _)))
+      case t => throw new IllegalStateException(s"corrupt constraint line: $line")
+    }
+  }
+
+  /** Persist CHECK constraints ON the table (Delta's ALTER TABLE ADD
+    * CONSTRAINT): from this commit on, EVERY [[merge]] — whatever the
+    * writer: API, the `graft` connector's batch or streaming sink, a
+    * CDC loop — gates its incoming rows against these rules and fails
+    * LOUDLY (no version committed) naming the violated rule. Existing
+    * table data is validated first with one scan, as in Delta — you
+    * cannot declare a constraint the table already breaks. Constraints
+    * live in ONE unversioned `_constraints` sidecar at the table root
+    * (deliberately not per manifest: a single point of truth no future
+    * commit path can silently drop; the trade is that constraints are
+    * not time-travelable — they are a property of the table's future,
+    * not its history). Serializable row rules only (not_null /
+    * in_range / one_of / matches over long/double/string); aggregate
+    * rules (Unique/FK) belong to the streaming gate, which has the
+    * batch boundary they need. */
+  def setConstraints(
+      spark: SparkSession, dir: String,
+      rules: Seq[graft.ops.Expectations.RowRule]): Unit = {
+    require(rules.nonEmpty, "no rules — use clearConstraints to remove")
+    val lines = rules.map(encRule) // validates serializability first
+    graft.ops.Expectations.gate(read(spark, dir), rules) // existing data
+    writeConstraints(spark, dir, lines)
+  }
+
+  private def writeConstraints(
+      spark: SparkSession, dir: String, lines: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/._constraints.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(constraintsPath(dir), false)
+    require(f.rename(tmp, constraintsPath(dir)), s"constraints commit failed at $dir")
+  }
+
+  /** The table's persisted CHECK constraints (empty = none). */
+  def constraints(
+      spark: SparkSession, dir: String): Seq[graft.ops.Expectations.RowRule] = {
+    val f = fs(spark, dir)
+    val p = constraintsPath(dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).map(decRule)
+    }
+  }
+
+  /** Drop the table's persisted CHECK constraints. */
+  def clearConstraints(spark: SparkSession, dir: String): Unit = {
+    fs(spark, dir).delete(constraintsPath(dir), false)
+    ()
+  }
+
   /** SHALLOW CLONE — a zero-copy writable fork of `src` at `version`
     * (Delta's CLONE): the clone's v1 manifest references the SOURCE
     * table's data and delete-ledger files by resolved path; the zone
@@ -493,6 +621,12 @@ object MergeTable {
     ZoneMaps.write(spark, dst, 1, Seq.empty, zones)
     commitManifest(spark, dst, 1,
       Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey))
+    // the fork inherits the source's CHECK constraints (its own copy —
+    // later setConstraints/clearConstraints on either side diverge).
+    // No re-validation scan: the fork's content IS the already-valid
+    // source content, and the clone must stay O(metadata).
+    val cs = constraints(spark, src)
+    if (cs.nonEmpty) writeConstraints(spark, dst, cs.map(encRule))
   }
 
   /** Change data feed: the NET row-level difference between two
