@@ -110,5 +110,14 @@ spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gch USING graft OPTIONS (path '$t',
 val cdcDeletes = spark.sql("SELECT count(*) FROM gch WHERE _change = 'delete'").as[Long].head()
 assert(cdcDeletes >= 100, s"CDC relation must surface the ledger deletes: $cdcDeletes")
 
+// 7. persisted CHECK constraints gate every writer
+import graft.ops.Expectations.InRange
+MergeTable.setConstraints(spark, t, Seq(InRange("a", 0L, 100L)))
+val gateErr = try {
+  MergeTable.merge(spark, t, spark.range(1, 2).select(col("id").as("doc_id"), lit("x").as("text"), lit(999L).as("a"), lit(0L).as("b")), "doc_id"); ""
+} catch { case e: IllegalStateException => e.getMessage }
+assert(gateErr.contains("in_range:a"), s"constraint gate missing: $gateErr")
+MergeTable.clearConstraints(spark, t)
+
 println("DRIVE_OK")
 sys.exit(0)
