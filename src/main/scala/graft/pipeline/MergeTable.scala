@@ -65,6 +65,11 @@ object MergeTable {
 
   private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_v$v.manifest")
 
+  /** A commit-claim marker older than this with no manifest behind it
+    * is a dead writer's leftover, re-claimable by the next committer —
+    * far past any rename latency, far under any retry cadence. */
+  private val StaleClaimMillis = 10 * 60 * 1000L
+
   /** Versions present at `dir`, ascending (empty if not a table). */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
@@ -113,7 +118,8 @@ object MergeTable {
   private case class Manifest(
       nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown",
       layout: Option[TableLayout] = None, dv: Seq[DvFile] = Seq.empty,
-      dvKey: Option[String] = None)
+      dvKey: Option[String] = None, key: Option[String] = None,
+      sinkBatch: Option[Long] = None)
 
   private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
     val f = fs(spark, dir)
@@ -145,19 +151,75 @@ object MergeTable {
       val a = l.split("\t")
       DvFile(a(1).toInt, a(3), a(2).toLong)
     }
+    // the table's bucketing MERGE KEY (absent on pre-feature manifests)
+    val key = headers
+      .collectFirst { case l if l.startsWith("#mergekey\t") => l.split("\t")(1) }
+    // newest streaming-sink batch id committed into this chain
+    val sinkBatch = headers
+      .collectFirst { case l if l.startsWith("#batch\t") => l.split("\t")(1).toLong }
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(header(1).toInt, entries, op, layout, dv, dvKey)
+    Manifest(header(1).toInt, entries, op, layout, dv, dvKey, key, sinkBatch)
   }
 
-  /** Rename-as-commit: the manifest appears atomically or not at all. */
+  /** CAS-style version claim — create-fail-if-exists on a per-version
+    * marker file, taken BEFORE any data write: of two writers racing
+    * the SAME version number exactly one proceeds, the other fails
+    * loudly and immediately (never a silent lost commit, never mixed
+    * files in a contested version directory). On a `file:` table the
+    * claim is `File.createNewFile` (POSIX `O_EXCL`, truly atomic); on
+    * HDFS `create(overwrite = false)` is atomic in the namenode;
+    * elsewhere it is create-fail-if-exists best-effort — the committed
+    * manifest's existence check in [[commitManifest]] is the final
+    * arbiter. A marker a DEAD claimant left behind (no manifest, older
+    * than [[StaleClaimMillis]]) is reclaimed, so a crashed writer never
+    * wedges the version chain. */
+  private def claimVersion(spark: SparkSession, dir: String, v: Int): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir)) // the claim may be the first write at `dir`
+    val marker = new Path(s"$dir/._commit_v$v")
+    def tryClaim(): Boolean = {
+      val q = f.makeQualified(marker).toUri
+      if (q.getScheme == null || q.getScheme == "file")
+        new java.io.File(q.getPath).createNewFile()
+      else
+        try { f.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    var claimed = tryClaim()
+    if (!claimed && !f.exists(manifestPath(dir, v))) {
+      // a marker with NO manifest behind it is either a live writer
+      // mid-commit or a dead claimant's leftover; only a clearly stale
+      // one (a crash window, not a commit window) is re-claimable
+      val age = try System.currentTimeMillis() -
+        f.getFileStatus(marker).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+      if (age > StaleClaimMillis) {
+        f.delete(marker, false)
+        claimed = tryClaim()
+      }
+    }
+    if (!claimed)
+      throw new IllegalStateException(
+        s"commit of _v$v failed at $dir: another writer claimed this " +
+          "version (concurrent writer — the table is single-writer)")
+  }
+
+  /** Rename-as-commit: the manifest appears atomically or not at all.
+    * The version number must have been [[claimVersion]]ed by THIS
+    * writer; the claim marker is consumed on success (version numbers
+    * are never reused — [[nextVersion]] only moves forward). */
   private def commitManifest(
       spark: SparkSession, dir: String, v: Int, m: Manifest): Unit = {
     val f = fs(spark, dir)
-    val tmp = new Path(s"$dir/._v$v.manifest.tmp")
+    // per-writer tmp name: never clobber another writer's staged body
+    val tmp = new Path(
+      s"$dir/._v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val body = (Seq(s"#nbuckets\t${m.nBuckets}", s"#op\t${m.op}") ++
+      m.key.map(k => s"#mergekey\t$k").toSeq ++
+      m.sinkBatch.map(b => s"#batch\t$b").toSeq ++
       m.layout.map(l => s"#layout\t${l.curve}\t${l.cols.mkString(",")}" +
         s"\t${l.filesPerBucket}\t${l.bits}").toSeq ++
       m.dvKey.filter(_ => m.dv.nonEmpty).map(k => s"#dvkey\t$k").toSeq ++
@@ -167,16 +229,17 @@ object MergeTable {
         ps.sorted.map(p => s"$b\t$p") }).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // Lost-commit detection is best-effort: RawLocalFileSystem and
-    // several object-store FS impls OVERWRITE on rename, so a racing
-    // writer is only caught by this pre-rename existence check (itself
-    // racy). The single-writer assumption documented on the class is
-    // the real protection; this just makes a violated assumption loud
-    // in the common case instead of silently losing a commit.
-    require(!f.exists(manifestPath(dir, v)),
-      s"commit of _v$v failed at $dir: manifest already exists (concurrent writer?)")
+    // belt over the claim's braces: a reclaimed-stale-marker race on a
+    // non-atomic FS ends here — the committed manifest never overwrites
+    if (f.exists(manifestPath(dir, v))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit of _v$v failed at $dir: manifest already exists (concurrent writer?)")
+    }
     require(f.rename(tmp, manifestPath(dir, v)),
       s"commit of _v$v failed at $dir: rename refused")
+    f.delete(new Path(s"$dir/._commit_v$v"), false)
+    ()
   }
 
   /** List the data files a fresh `v<N>` directory produced, per bucket. */
@@ -204,7 +267,9 @@ object MergeTable {
 
   /** Next writable version: past both the latest COMMITTED manifest and
     * any orphan `v<N>/` data or `d<N>/` ledger directory a dead writer
-    * left behind. */
+    * left behind — and CLAIMED for this writer ([[claimVersion]])
+    * before any data lands under it, so a concurrent writer racing the
+    * same number fails here, before it can write a byte. */
   private def nextVersion(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     val dataVs = f.listStatus(new Path(dir)).toSeq
@@ -213,7 +278,9 @@ object MergeTable {
         case s if (s.startsWith("v") || s.startsWith("d")) &&
           s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
       }
-    (versions(spark, dir) ++ dataVs).max + 1
+    val nv = (versions(spark, dir) ++ dataVs).max + 1
+    claimVersion(spark, dir, nv)
+    nv
   }
 
   /** Plain-file read with partition inference OFF — the `k=v` bucket
@@ -234,16 +301,20 @@ object MergeTable {
     df.repartition(n, col(Bucket))
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$v")
 
-  /** Create version 1 from `df`. */
+  /** Create version 1 from `df`. `sinkBatch` tags the commit with a
+    * streaming-sink batch id (the replay-dedup cursor — see
+    * [[lastSinkBatch]]). */
   def create(
       spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, sinkBatch: Option[Long] = None): Unit = {
     require(nBuckets > 0)
     require(versions(spark, dir).isEmpty, s"$dir already is a MergeTable")
+    claimVersion(spark, dir, 1)
     writeVersion(withBucket(df, keyCol, nBuckets), dir, 1, nBuckets)
     val written = listWritten(spark, dir, 1)
     ZoneMaps.write(spark, dir, 1, written.values.flatten.toSeq)
-    commitManifest(spark, dir, 1, Manifest(nBuckets, written, "create"))
+    commitManifest(spark, dir, 1, Manifest(nBuckets, written, "create",
+      key = Some(keyCol), sinkBatch = sinkBatch))
   }
 
   /** Read a specific rel-path subset of a version's files — the scan
@@ -334,9 +405,18 @@ object MergeTable {
   def merge(
       spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
       deleteCol: Option[String] = None, validate: Boolean = true,
-      allowSchemaEvolution: Boolean = false): Int = {
+      allowSchemaEvolution: Boolean = false,
+      sinkBatch: Option[Long] = None): Int = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
+    // the table's bucketing is BY its recorded merge key — merging on a
+    // different column would land rows in buckets that don't correspond
+    // to their key hash, silently breaking every bucket-pruned path
+    // (readForKeys, changes, the CoW carry split). Refuse loudly.
+    // Pre-feature manifests carry no key; this merge records it.
+    require(m.key.forall(_ == keyCol),
+      s"$dir is bucketed on merge key '${m.key.get}' — merging on " +
+        s"'$keyCol' would mis-bucket rows; rebucket() to re-key")
     if (validate) {
       val dup = updates.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).count()
@@ -386,7 +466,8 @@ object MergeTable {
       val dvLeft = m.dv.filterNot(d => touched.contains(d.bucket))
       commitManifest(spark, dir, nv,
         Manifest(m.nBuckets, entries, "merge", m.layout, dvLeft,
-          m.dvKey.filter(_ => dvLeft.nonEmpty)))
+          m.dvKey.filter(_ => dvLeft.nonEmpty), Some(keyCol),
+          sinkBatch.orElse(m.sinkBatch)))
       nv
     } finally upd.unpersist()
   }
@@ -412,6 +493,14 @@ object MergeTable {
       spark: SparkSession, dir: String, keys: DataFrame, keyCol: String): Int = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
+    // ledger entries live in the bucket their key HASHES into under the
+    // table's bucketing — which is by the recorded merge key. A ledger
+    // on any other column would sit in buckets unrelated to the rows it
+    // deletes, so bucket-restricted applies would silently miss them.
+    require(m.key.forall(_ == keyCol),
+      s"$dir is bucketed on merge key '${m.key.get}' — merge-on-read " +
+        s"deletes must use it, not '$keyCol' (full rewrite via merge() " +
+        "with a delete column for anything else)")
     require(m.dvKey.forall(_ == keyCol),
       s"table has a pending delete ledger on '${m.dvKey.get}' — one key per table")
     val schema = read(spark, dir, v).schema
@@ -444,7 +533,7 @@ object MergeTable {
     ZoneMaps.write(spark, dir, nv, Seq.empty, carried)
     commitManifest(spark, dir, nv,
       Manifest(m.nBuckets, m.entries, "delete", m.layout,
-        m.dv ++ newDv, Some(keyCol)))
+        m.dv ++ newDv, Some(keyCol), m.key.orElse(Some(keyCol)), m.sinkBatch))
     nv
   }
 
@@ -608,6 +697,7 @@ object MergeTable {
   def cloneTable(
       spark: SparkSession, src: String, dst: String, version: Int = -1): Unit = {
     require(versions(spark, dst).isEmpty, s"$dst already is a MergeTable")
+    claimVersion(spark, dst, 1)
     val v = if (version > 0) version else latestVersion(spark, src)
     val m = readManifest(spark, src, v)
     // qualify the source root so borrowed refs resolve from anywhere
@@ -620,7 +710,8 @@ object MergeTable {
       .map { case (rel, cols) => absPath(srcQ, rel) -> cols }
     ZoneMaps.write(spark, dst, 1, Seq.empty, zones)
     commitManifest(spark, dst, 1,
-      Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey))
+      Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey, m.key,
+        m.sinkBatch))
     // the fork inherits the source's CHECK constraints (its own copy —
     // later setConstraints/clearConstraints on either side diverge).
     // No re-validation scan: the fork's content IS the already-valid
@@ -793,7 +884,8 @@ object MergeTable {
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv,
-      Manifest(m.nBuckets, written, "compact", m.layout))
+      Manifest(m.nBuckets, written, "compact", m.layout, key = m.key,
+        sinkBatch = m.sinkBatch))
     nv
   }
 
@@ -834,7 +926,7 @@ object MergeTable {
     val dvLeft = m.dv.filterNot(d => targets.contains(d.bucket))
     commitManifest(spark, dir, nv,
       Manifest(m.nBuckets, entries, "compact_buckets", m.layout, dvLeft,
-        m.dvKey.filter(_ => dvLeft.nonEmpty)))
+        m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch))
     nv
   }
 
@@ -913,8 +1005,13 @@ object MergeTable {
       pm.op == "cluster" || pm.op == "cluster_z" ||
         (pm.op == "clone" && pm.layout.isDefined)
     }
+    // restrict to buckets still PRESENT: a bucket whose rows were all
+    // deleted since the layout commit shows up as changed, but there is
+    // nothing to re-curve — recommending it would make maintain() fail
+    // reclusterBuckets' unknown-bucket check on a legal table state
     val churned: Seq[Int] = (m.layout, layoutV) match {
-      case (Some(_), Some(lv)) if lv < v => changedBucketIds(spark, dir, lv, v)
+      case (Some(_), Some(lv)) if lv < v =>
+        changedBucketIds(spark, dir, lv, v).filter(m.entries.contains)
       case _ => Seq.empty
     }
     val target =
@@ -984,13 +1081,15 @@ object MergeTable {
       newNBuckets: Int): Int = {
     require(newNBuckets > 0)
     val v = latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
     val old = read(spark, dir, v)
     require(old.columns.contains(keyCol), s"no key column '$keyCol'")
     val nv = nextVersion(spark, dir)
     writeVersion(withBucket(old, keyCol, newNBuckets), dir, nv, newNBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
-    commitManifest(spark, dir, nv, Manifest(newNBuckets, written, "rebucket"))
+    commitManifest(spark, dir, nv, Manifest(newNBuckets, written, "rebucket",
+      key = Some(keyCol), sinkBatch = m.sinkBatch))
     nv
   }
 
@@ -1031,7 +1130,8 @@ object MergeTable {
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster",
-      Some(TableLayout("range", Seq(byCol), filesPerBucket, 0))))
+      Some(TableLayout("range", Seq(byCol), filesPerBucket, 0)),
+      key = m.key, sinkBatch = m.sinkBatch))
     nv
   }
 
@@ -1083,7 +1183,8 @@ object MergeTable {
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z",
-      Some(TableLayout(curve, byCols, filesPerBucket, bits))))
+      Some(TableLayout(curve, byCols, filesPerBucket, bits)),
+      key = m.key, sinkBatch = m.sinkBatch))
     nv
   }
 
@@ -1150,7 +1251,7 @@ object MergeTable {
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries,
       if (curve == "range") "cluster" else "cluster_z",
       Some(TableLayout(curve, byCols, filesPerBucket, bits)), dvLeft,
-      m.dvKey.filter(_ => dvLeft.nonEmpty)))
+      m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch))
     nv
   }
 
@@ -1284,6 +1385,45 @@ object MergeTable {
     (kept, rel.size)
   }
 
+  /** [[prunedFiles]] for NULL probes — the null-count side of the zone
+    * sidecar: with `isNull`, a file whose zone records ZERO nulls
+    * provably holds no matching row (skippable); with `!isNull`, an
+    * all-null file provably holds none. Both decisions are exact-or-
+    * conservative (an unknown per-file null count reads as "may have
+    * nulls", a file without a zone always keeps), so the pass stays a
+    * strict superset like every other sidecar prune. */
+  def prunedFilesNull(
+      spark: SparkSession, dir: String, column: String, isNull: Boolean,
+      version: Int = -1): (Seq[String], Int) = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    val rel = m.entries.values.flatten.toSeq.sorted
+    val zones = ZoneMaps.forVersion(spark, dir, v, rel)
+    val kept = rel.filter { r =>
+      zones.get(r).flatMap(_.get(column)) match {
+        case Some(z) => if (isNull) z.hasNulls else !z.allNull
+        case None => true // no zone — never skip on absence of evidence
+      }
+    }
+    (kept, rel.size)
+  }
+
+  /** The table's recorded bucketing merge key — the column [[create]] /
+    * [[merge]] / [[rebucket]] hashed rows by (absent when the newest
+    * commit predates key recording). */
+  def mergeKey(
+      spark: SparkSession, dir: String, version: Int = -1): Option[String] = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    readManifest(spark, dir, v).key
+  }
+
+  /** Newest streaming-sink batch id committed into the version chain —
+    * the `graft` sink's replay-dedup cursor (a retried micro-batch with
+    * id ≤ this is already in the table and must not re-commit). Carried
+    * across every admin op like the layout intent. */
+  def lastSinkBatch(spark: SparkSession, dir: String): Option[Long] =
+    readManifest(spark, dir, latestVersion(spark, dir)).sinkBatch
+
   /** Zone-pruned STRING range scan — [[readWhere]] for string columns:
     * read only the files whose truncated-UTF-8 zones can intersect
     * `[lo, hi]`, then apply the exact predicate (superset pass — exact
@@ -1316,6 +1456,31 @@ object MergeTable {
     * `(column, n_rows, n_nonnull, min_v, max_v)` — min/max as exact
     * plain-decimal strings (a long > 2^53 would corrupt through a
     * double), NULL when every value is NULL. */
+  /** `COUNT(*)` from metadata alone — the row-count slice of
+    * [[metaAggregate]], available even when the table has no numeric
+    * column: per-file zone row counts sum exactly (legacy sidecar lines
+    * degrade to a footer re-harvest, metadata I/O only). Refuses under
+    * a pending merge-on-read ledger for the same reason metaAggregate
+    * does — physical counts would include deleted rows. */
+  def metaRowCount(
+      spark: SparkSession, dir: String, version: Int = -1): Long = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    val m = readManifest(spark, dir, v)
+    require(m.dv.isEmpty,
+      s"version $v of $dir has ${m.dv.map(_.rows).sum} pending merge-on-read " +
+        "delete keys — metadata-only aggregates would count deleted rows; " +
+        "materialize first (purgeDeletes/compact/optimize)")
+    val rel = m.entries.values.flatten.toSeq.sorted
+    val first = ZoneMaps.forVersion(spark, dir, v, rel)
+    val incomplete = rel.filter(r =>
+      ZoneMaps.rowCount(first.getOrElse(r, Map.empty)).isEmpty)
+    val zones = first ++ ZoneMaps.harvest(spark, dir, incomplete)
+    rel.map { r =>
+      ZoneMaps.rowCount(zones.getOrElse(r, Map.empty)).getOrElse(
+        throw new IllegalStateException(s"no row count harvestable for $r"))
+    }.sum
+  }
+
   def metaAggregate(
       spark: SparkSession, dir: String, columns: Seq[String],
       version: Int = -1): DataFrame = {
@@ -1473,6 +1638,16 @@ object MergeTable {
       } else if (name.startsWith("_v") && name.contains(".blooms.")) {
         val v = name.stripPrefix("_v").takeWhile(_.isDigit)
         if (v.nonEmpty && !keep.contains(v.toInt)) {
+          f.delete(st.getPath, false); deleted += name
+        }
+      } else if (name.startsWith("._commit_v") || name.startsWith("._v")) {
+        // consumed/superseded claim markers and orphaned staged bodies:
+        // any claim or tmp at or below the latest COMMITTED version is
+        // dead (claims are consumed on commit; numbers never reuse) —
+        // only an in-flight claim ABOVE the head may be live
+        val v = name.stripPrefix("._commit_v").stripPrefix("._v")
+          .takeWhile(_.isDigit)
+        if (v.nonEmpty && v.toInt <= vs.last) {
           f.delete(st.getPath, false); deleted += name
         }
       }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.{FileBlooms, MergeTable}
+import graft.pipeline.{FileBlooms, MergeTable, ZoneMaps}
 
 /** The `graft` Spark DataSource: [[MergeTable]]s as first-class
   * planner-visible tables, so plain `spark.read.format("graft")` /
@@ -70,6 +70,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
+        // replay dedup: the committed batch-id cursor rides the
+        // manifest chain ([[MergeTable.lastSinkBatch]]), so a retried
+        // or restarted micro-batch whose id is already committed
+        // returns WITHOUT merging — the version chain is unchanged,
+        // not merely idempotent-by-content (one sink per table; a
+        // crash between merge and checkpoint replays harmlessly here)
+        val exists = MergeTable.versions(spark, dir).nonEmpty
+        if (exists && MergeTable.lastSinkBatch(spark, dir).exists(_ >= batchId))
+          return
         // decouple from the streaming plan (the standard sink move —
         // a streaming-tagged Dataset refuses batch actions, and the
         // merge below reads the target table): take the executed
@@ -82,12 +91,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           it.map(ir => de(ir.copy()))
         }
         val batch = spark.createDataFrame(rowRdd, data.schema)
-        if (MergeTable.versions(spark, dir).isEmpty) {
+        if (!exists) {
           val insert = deleteCol.fold(batch)(dc =>
             batch.filter(!col(dc)).drop(dc))
-          MergeTable.create(spark, dir, insert, key, buckets)
+          MergeTable.create(spark, dir, insert, key, buckets,
+            sinkBatch = Some(batchId))
         } else {
-          MergeTable.merge(spark, dir, batch, key, deleteCol = deleteCol)
+          MergeTable.merge(spark, dir, batch, key, deleteCol = deleteCol,
+            sinkBatch = Some(batchId))
           ()
         }
       }
@@ -149,7 +160,7 @@ object GraftRelation {
   @volatile var lastPruned: (Int, Int) = (0, 0)
 }
 
-private[sources] case class GraftRelation(
+private[graft] case class GraftRelation(
     sqlContext: SQLContext, dir: String, version: Int)
   extends BaseRelation with PrunedFilteredScan {
 
@@ -159,15 +170,30 @@ private[sources] case class GraftRelation(
 
   override val schema: StructType = MergeTable.read(spark, dir, v).schema
 
-  // real table bytes from the manifest's files (O(files) metadata) —
-  // the default is "assume huge", which would bar a small graft
-  // dimension table from ever broadcasting in a join
-  override val sizeInBytes: Long = {
+  // real table bytes from the manifest's files — the default is
+  // "assume huge", which would bar a small graft dimension table from
+  // ever broadcasting in a join. LAZY (computed once, only if the
+  // planner asks — not per relation instantiation), one listStatus per
+  // bucket directory instead of a getFileStatus per file (O(dirs)
+  // driver RPCs, not O(files)), and a missing file (a clone whose
+  // source was vacuumed) degrades to the default size instead of
+  // failing a query at plan time that might prune that file away.
+  override lazy val sizeInBytes: Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    MergeTable.fileIndex(spark, dir, v).values.flatten.map { rel =>
-      val p = new org.apache.hadoop.fs.Path(MergeTable.absPath(dir, rel))
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val abs = MergeTable.fileIndex(spark, dir, v).values.flatten.toSeq
+      .map(rel => MergeTable.absPath(dir, rel))
+    val byDir = abs.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+    try {
+      byDir.iterator.map { case (d, files) =>
+        val want = files.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val listed = dp.getFileSystem(conf).listStatus(dp)
+          .filter(st => want.contains(st.getPath.getName))
+        if (listed.length != want.size)
+          throw new java.io.FileNotFoundException(s"missing data files under $d")
+        listed.map(_.getLen).sum
+      }.sum
+    } catch { case _: java.io.IOException => super.sizeInBytes }
   }
 
   // every filter is re-applied by Spark above the scan — pruning below
@@ -192,58 +218,82 @@ private[sources] case class GraftRelation(
     case _ => None
   }
 
-  /** The sidecar-pruning decisions a conjunct list supports: closed
-    * numeric/string zone bounds (strict comparisons widen to closed —
-    * superset), plus equality probe sets for the Bloom sidecar. */
-  private def pruningOf(filters: Array[Filter])
-      : (Seq[MergeTable.Bound], Map[String, Seq[Any]]) = {
-    val bounds = Seq.newBuilder[MergeTable.Bound]
-    val probes = scala.collection.mutable.Map.empty[String, Seq[Any]]
-    def numCol(c: String) =
-      schema.fieldNames.contains(c) && isNumeric(schema(c).dataType)
-    def strCol(c: String) =
-      schema.fieldNames.contains(c) && schema(c).dataType == StringType
-    filters.foreach {
-      case EqualTo(c, x) if numCol(c) && toBig(x).isDefined =>
-        val b = toBig(x).get
-        bounds += MergeTable.NumBound(c, b, b)
-        probes(c) = probes.getOrElse(c, Seq.empty) :+ x
-      case EqualTo(c, x: String) if strCol(c) =>
-        bounds += MergeTable.StrBound(c, x, x)
-        probes(c) = probes.getOrElse(c, Seq.empty) :+ x
-      case In(c, xs) if numCol(c) && xs.nonEmpty && xs.forall(toBig(_).isDefined) =>
-        val bs = xs.toSeq.map(toBig(_).get)
-        bounds += MergeTable.NumBound(c, bs.min, bs.max)
-        probes(c) = probes.getOrElse(c, Seq.empty) ++ xs
-      case In(c, xs) if strCol(c) && xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
-        val ss = xs.toSeq.map(_.asInstanceOf[String])
-        bounds += MergeTable.StrBound(c, ss.min, ss.max)
-        probes(c) = probes.getOrElse(c, Seq.empty) ++ xs
-      case GreaterThan(c, x) if numCol(c) && toBig(x).isDefined =>
-        bounds += MergeTable.NumBound(c, toBig(x).get, MaxBig)
-      case GreaterThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
-        bounds += MergeTable.NumBound(c, toBig(x).get, MaxBig)
-      case LessThan(c, x) if numCol(c) && toBig(x).isDefined =>
-        bounds += MergeTable.NumBound(c, MinBig, toBig(x).get)
-      case LessThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
-        bounds += MergeTable.NumBound(c, MinBig, toBig(x).get)
-      // one-sided string uppers: "" is a TRUE string minimum, so `< x`
-      // prunes exactly; there is no finite string maximum (UTF-8 order
-      // puts supplementary planes above ￿), so `> x` does not prune
-      case LessThan(c, x: String) if strCol(c) =>
-        bounds += MergeTable.StrBound(c, "", x)
-      case LessThanOrEqual(c, x: String) if strCol(c) =>
-        bounds += MergeTable.StrBound(c, "", x)
-      case And(a, b) =>
-        val (bs, ps) = pruningOf(Array(a, b))
-        bounds ++= bs
-        ps.foreach { case (c, xs) =>
-          probes(c) = probes.getOrElse(c, Seq.empty) ++ xs }
-      // Or / Not / IsNull / StringContains / ... — no pruning evidence,
-      // Spark applies them exactly above the scan
-      case _ =>
-    }
-    (bounds.result(), probes.toMap)
+  private def numCol(c: String) =
+    schema.fieldNames.contains(c) && isNumeric(schema(c).dataType)
+  private def strCol(c: String) =
+    schema.fieldNames.contains(c) && schema(c).dataType == StringType
+
+  // String bound selection must use CODE-POINT order ([[ZoneMaps
+  // .cpCompare]] — the order the zone intersection test compares in),
+  // NOT Java's UTF-16 code-unit order: an IN list mixing supplementary-
+  // plane strings (emoji) with [U+E000, U+FFFF] strings would otherwise
+  // yield an inverted [lo, hi] and wrongly prune matching files.
+  private val cpOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = ZoneMaps.cpCompare(a, b)
+  }
+
+  private def zoneNum(c: String, lo: BigDecimal, hi: BigDecimal): Set[String] =
+    MergeTable.prunedFiles(spark, dir, c, lo, hi, v)._1.toSet
+  private def zoneStr(c: String, lo: String, hi: String): Set[String] =
+    MergeTable.prunedFilesStr(spark, dir, c, lo, hi, v)._1.toSet
+  private def zoneNull(c: String, isNull: Boolean): Set[String] =
+    MergeTable.prunedFilesNull(spark, dir, c, isNull, v)._1.toSet
+  private def bloom(c: String, xs: Seq[Any]): Set[String] =
+    FileBlooms.prunedFilesEq(spark, dir, c, xs.distinct, v)._1.toSet
+
+  /** The kept-file evidence one pushed filter yields against the
+    * version's sidecars — None = no evidence (keep everything). The
+    * superset contract holds COMPOSITIONALLY: every leaf's set provably
+    * contains all files with a possibly-matching row, `And` intersects
+    * (a matching row satisfies both sides), `Or` unions per disjunct
+    * (a matching row satisfies one side, whose evidence keeps its
+    * file) — so disjunctive predicates prune too, instead of degrading
+    * to a full keep. `Not` yields no evidence (the complement of a
+    * superset proves nothing); Spark re-applies every filter exactly
+    * above the scan regardless. */
+  private def filesFor(f: Filter): Option[Set[String]] = f match {
+    case EqualTo(c, x) if numCol(c) && toBig(x).isDefined =>
+      val b = toBig(x).get
+      Some(zoneNum(c, b, b) intersect bloom(c, Seq(x)))
+    case EqualTo(c, x: String) if strCol(c) =>
+      Some(zoneStr(c, x, x) intersect bloom(c, Seq(x)))
+    case In(c, xs) if numCol(c) && xs.nonEmpty && xs.forall(toBig(_).isDefined) =>
+      val bs = xs.toSeq.map(toBig(_).get)
+      Some(zoneNum(c, bs.min, bs.max) intersect bloom(c, xs.toSeq))
+    case In(c, xs) if strCol(c) && xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
+      val ss = xs.toSeq.map(_.asInstanceOf[String])
+      Some(zoneStr(c, ss.min(cpOrdering), ss.max(cpOrdering))
+        intersect bloom(c, xs.toSeq))
+    case GreaterThan(c, x) if numCol(c) && toBig(x).isDefined =>
+      Some(zoneNum(c, toBig(x).get, MaxBig))
+    case GreaterThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
+      Some(zoneNum(c, toBig(x).get, MaxBig))
+    case LessThan(c, x) if numCol(c) && toBig(x).isDefined =>
+      Some(zoneNum(c, MinBig, toBig(x).get))
+    case LessThanOrEqual(c, x) if numCol(c) && toBig(x).isDefined =>
+      Some(zoneNum(c, MinBig, toBig(x).get))
+    // one-sided string uppers: "" is a TRUE string minimum, so `< x`
+    // prunes exactly; there is no finite string maximum (UTF-8 order
+    // puts supplementary planes above ￿), so `> x` does not prune
+    case LessThan(c, x: String) if strCol(c) => Some(zoneStr(c, "", x))
+    case LessThanOrEqual(c, x: String) if strCol(c) => Some(zoneStr(c, "", x))
+    // null probes prune on the sidecar's exact per-file null counts: a
+    // zero-null file cannot match IS NULL, an all-null file cannot
+    // match IS NOT NULL
+    case IsNull(c) if schema.fieldNames.contains(c) =>
+      Some(zoneNull(c, isNull = true))
+    case IsNotNull(c) if schema.fieldNames.contains(c) =>
+      Some(zoneNull(c, isNull = false))
+    case And(a, b) =>
+      (filesFor(a), filesFor(b)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y) // half an AND still bounds the files
+      }
+    case Or(a, b) =>
+      for (x <- filesFor(a); y <- filesFor(b)) yield x union y
+    // Not / StringContains / ... — no pruning evidence; Spark applies
+    // them exactly above the scan
+    case _ => None
   }
 
   // one-sided numeric sentinels: beyond 1e999 the decimal→double
@@ -255,21 +305,8 @@ private[sources] case class GraftRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val (bounds, probes) = pruningOf(filters)
     val all = MergeTable.fileIndex(spark, dir, v).values.flatten.toSeq.sorted
-    var kept = all.toSet
-    bounds.foreach {
-      case MergeTable.NumBound(c, lo, hi) =>
-        kept = kept.intersect(
-          MergeTable.prunedFiles(spark, dir, c, lo, hi, v)._1.toSet)
-      case MergeTable.StrBound(c, lo, hi) =>
-        kept = kept.intersect(
-          MergeTable.prunedFilesStr(spark, dir, c, lo, hi, v)._1.toSet)
-    }
-    probes.foreach { case (c, xs) =>
-      kept = kept.intersect(
-        FileBlooms.prunedFilesEq(spark, dir, c, xs.distinct, v)._1.toSet)
-    }
+    val kept = filters.flatMap(filesFor).foldLeft(all.toSet)(_ intersect _)
     GraftRelation.lastPruned = (kept.size, all.size)
     val base =
       if (kept.isEmpty) MergeTable.read(spark, dir, v).limit(0)
@@ -277,34 +314,48 @@ private[sources] case class GraftRelation(
         MergeTable.readRel(spark, dir, kept.toSeq.sorted))
     // push the translatable conjunction into the inner parquet scan
     // (row-group/footer skipping) — Spark still re-applies everything
-    val pred = filters.flatMap(predOf).reduceOption(_ && _)
+    val pred = filters.flatMap(predOf(_).map(_._1)).reduceOption(_ && _)
     val filtered = pred.fold(base)(base.filter)
     val projected = filtered.select(requiredColumns.map(col).toSeq: _*)
     projected.rdd
   }
 
-  /** Exact Column form of a pushed filter, when one exists. */
-  private def predOf(f: Filter): Option[Column] = f match {
-    case EqualTo(c, x) => Some(col(c) === x)
-    case EqualNullSafe(c, x) => Some(col(c) <=> x)
-    case GreaterThan(c, x) => Some(col(c) > x)
-    case GreaterThanOrEqual(c, x) => Some(col(c) >= x)
-    case LessThan(c, x) => Some(col(c) < x)
-    case LessThanOrEqual(c, x) => Some(col(c) <= x)
-    case In(c, xs) => Some(col(c).isin(xs.toSeq: _*))
-    case IsNull(c) => Some(col(c).isNull)
-    case IsNotNull(c) => Some(col(c).isNotNull)
-    case StringStartsWith(c, x) => Some(col(c).startsWith(x))
-    case StringEndsWith(c, x) => Some(col(c).endsWith(x))
-    case StringContains(c, x) => Some(col(c).contains(x))
+  /** Column form of a pushed filter, when one exists, paired with its
+    * EXACTNESS. The Column is always IMPLIED BY the original filter
+    * (weaker-or-equal — safe to apply in a positive context, where
+    * dropping only provably-non-matching rows is sound); `exact = true`
+    * means it is equivalent. The distinction is what keeps negation
+    * sound: a partially-translated `And` (one conjunct dropped) is
+    * weaker than the original, and negating a WEAKER predicate yields a
+    * STRICTER one — `NOT(a AND b) → NOT a` would drop rows the original
+    * keeps, below the level where Spark's exact re-application can
+    * restore them. So `Not` composes only over exact translations, and
+    * any composition with an inexact child is itself marked inexact. */
+  private[graft] def predOf(f: Filter): Option[(Column, Boolean)] = f match {
+    case EqualTo(c, x) => Some((col(c) === x, true))
+    case EqualNullSafe(c, x) => Some((col(c) <=> x, true))
+    case GreaterThan(c, x) => Some((col(c) > x, true))
+    case GreaterThanOrEqual(c, x) => Some((col(c) >= x, true))
+    case LessThan(c, x) => Some((col(c) < x, true))
+    case LessThanOrEqual(c, x) => Some((col(c) <= x, true))
+    case In(c, xs) => Some((col(c).isin(xs.toSeq: _*), true))
+    case IsNull(c) => Some((col(c).isNull, true))
+    case IsNotNull(c) => Some((col(c).isNotNull, true))
+    case StringStartsWith(c, x) => Some((col(c).startsWith(x), true))
+    case StringEndsWith(c, x) => Some((col(c).endsWith(x), true))
+    case StringContains(c, x) => Some((col(c).contains(x), true))
     case And(a, b) =>
       (predOf(a), predOf(b)) match {
-        case (Some(x), Some(y)) => Some(x && y)
-        case (x, y) => x.orElse(y) // half an AND is still exact
+        case (Some((x, ex)), Some((y, ey))) => Some((x && y, ex && ey))
+        case (Some((x, _)), None) => Some((x, false)) // weaker: b dropped
+        case (None, Some((y, _))) => Some((y, false))
+        case _ => None
       }
     case Or(a, b) =>
-      for (x <- predOf(a); y <- predOf(b)) yield x || y
-    case Not(a) => predOf(a).map(!_)
+      // Or of weaker children is still weaker (implied by the original)
+      for ((x, ex) <- predOf(a); (y, ey) <- predOf(b))
+        yield (x || y, ex && ey)
+    case Not(a) => predOf(a).collect { case (x, true) => (!x, true) }
     case _ => None
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.util.Try
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeTable
+
+/** The manifest commit protocol (round 13): a CAS-style claim marker
+  * makes the single-writer assumption LOUD — of two writers racing the
+  * same version number exactly one commits, the other always fails
+  * (never a silent lost commit) — and the table's bucketing merge key
+  * persists in the manifest so mis-keyed writes refuse instead of
+  * silently mis-bucketing rows.
+  */
+class CommitProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-commit").toString
+
+  test("two simultaneous merges: exactly one commits the contested version") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 400L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 4)
+
+    // both writers read latest = 1 and contend for version 2; the CAS
+    // marker (or the version directory's errorifexists write) must fail
+    // exactly one of them, loudly
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def contend(tag: Long): Future[Try[Int]] = Future {
+      gate.countDown(); gate.await()
+      Try(MergeTable.merge(spark, dir,
+        Seq((tag, -tag)).toDF("id", "v"), "id"))
+    }
+    val results = Await.result(
+      Future.sequence(Seq(contend(1L), contend(2L))), 120.seconds)
+    val wins = results.count(_.isSuccess)
+    assert(wins == 1, s"exactly one contender must commit, got $wins: $results")
+    assert(MergeTable.latestVersion(spark, dir) == 2)
+
+    // the table is the WINNER's image, consistent and readable
+    val winner = results.zipWithIndex.collectFirst {
+      case (r, i) if r.isSuccess => i + 1L }.get
+    val got = MergeTable.read(spark, dir)
+      .where(col("id") === winner).select("v").as[Long].head()
+    assert(got == -winner, "the committed version must be the winner's merge")
+    // and the next writer proceeds normally past the contested number
+    assert(MergeTable.merge(spark, dir, Seq((399L, 0L)).toDF("id", "v"), "id") == 3)
+  }
+
+  test("a stale claim marker (dead writer) is reclaimed; a fresh one refuses") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 2)
+
+    // fresh marker with no manifest behind it = a live writer mid-
+    // commit: the next claimant must fail loudly, BEFORE writing any
+    // data (the claim precedes the version-directory write)
+    val fresh = new java.io.File(dir, "._commit_v2")
+    assert(fresh.createNewFile())
+    val e = intercept[IllegalStateException] {
+      MergeTable.merge(spark, dir, Seq((1L, 99L)).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("claimed"))
+    assert(!new java.io.File(dir, "v2").exists(),
+      "a refused claim must not have written data")
+    assert(fresh.delete())
+
+    // a stale marker (dead claimant: old mtime, no manifest) is
+    // reclaimed and the commit proceeds, consuming it
+    val stale = new java.io.File(dir, "._commit_v2")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    val v = MergeTable.merge(spark, dir, Seq((1L, 99L)).toDF("id", "v"), "id")
+    assert(v == 2, "a stale dead-writer marker must be reclaimed")
+    assert(!stale.exists(), "the reclaimed marker is consumed by the commit")
+  }
+
+  test("the merge key persists, carries across admin ops, and gates mis-keyed writes") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i % 10)).toDF("id", "grp"), "id", nBuckets = 4)
+    assert(MergeTable.mergeKey(spark, dir).contains("id"))
+
+    // a merge on a different column would put rows in buckets unrelated
+    // to their key hash — refused loudly before any write
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, Seq((1L, 5L)).toDF("id", "grp"), "grp")
+    }
+    assert(e.getMessage.contains("bucketed on merge key"))
+
+    // layout/compaction ops don't know the key; they must CARRY it
+    MergeTable.clusterBy(spark, dir, "grp", filesPerBucket = 2)
+    assert(MergeTable.mergeKey(spark, dir).contains("id"))
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.mergeKey(spark, dir).contains("id"))
+    MergeTable.deleteKeys(spark, dir, Seq(7L).toDF("id"), "id")
+    assert(MergeTable.mergeKey(spark, dir).contains("id"))
+
+    // rebucket is the deliberate re-key path: it records the new key
+    MergeTable.purgeDeletes(spark, dir)
+    MergeTable.rebucket(spark, dir, "grp", 2)
+    assert(MergeTable.mergeKey(spark, dir).contains("grp"))
+    assert(MergeTable.merge(spark, dir,
+      Seq((200L, 3L)).toDF("id", "grp"), "grp", validate = false) > 0)
+
+    // clones inherit the source's key
+    val dst = tmpDir()
+    MergeTable.cloneTable(spark, dir, dst)
+    assert(MergeTable.mergeKey(spark, dst).contains("grp"))
+  }
+}

@@ -75,11 +75,13 @@ class DeleteVectorSpec extends SparkSpec {
     assert(rows(MergeTable.read(spark, dir, v4)) ==
       base.filter { case (k, _) => k % 7 != 2 && k != 5 && k != 6 })
 
-    // a second ledger on a different key column refuses loudly
+    // a ledger on a different key column refuses loudly — it would sit
+    // in buckets unrelated to the rows it deletes (the recorded merge
+    // key is the table's bucketing)
     val e = intercept[IllegalArgumentException] {
       MergeTable.deleteKeys(spark, dir, Seq("x").toDF("name"), "name")
     }
-    assert(e.getMessage.contains("pending delete ledger"))
+    assert(e.getMessage.contains("bucketed on merge key"))
   }
 
   test("merge materializes touched buckets' pending deletes and carries the rest by reference") {

@@ -30,9 +30,13 @@ class GraftSourceFuzzSpec extends SparkSpec {
   test("random predicate fuzz: connector reads ≡ engine reads under pruning + pending ledger") {
     val rnd = new Random(7)
     val dir = tmpDir()
-    val langs = Seq("de", "en", "es", "früh", "中文", null)
+    // the lang domain deliberately straddles the UTF-16/code-point
+    // ordering divergence: "a" (private-use BMP) sorts ABOVE the
+    // supplementary-plane "😀x" in Java code units but BELOW
+    // it in code points — the order zones compare in
+    val langs = Seq("de", "en", "es", "früh", "中文", "a", "😀x", null)
     val base = (0L until 3000L).map { i =>
-      (i, langs((i % 6).toInt), if (i % 97 == 0) null else java.lang.Long.valueOf(i % 500))
+      (i, langs((i % 8).toInt), if (i % 97 == 0) null else java.lang.Long.valueOf(i % 500))
     }.toDF("id", "lang", "x")
     MergeTable.create(spark, dir, base, "id", nBuckets = 4)
     MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
@@ -42,16 +46,22 @@ class GraftSourceFuzzSpec extends SparkSpec {
     val engine = MergeTable.read(spark, dir)
     val source = spark.read.format("graft").option("path", dir).load()
 
-    def leaf(): Column = rnd.nextInt(9) match {
+    def leaf(): Column = rnd.nextInt(12) match {
       case 0 => col("x") === rnd.nextLong(520)
       case 1 => col("x") > rnd.nextLong(520)
       case 2 => col("x") <= rnd.nextLong(520)
       case 3 => col("x").isin(Seq.fill(3)(rnd.nextLong(520)): _*)
-      case 4 => col("lang") === langs(rnd.nextInt(5))
-      case 5 => col("lang") < langs(rnd.nextInt(5))
+      case 4 => col("lang") === langs(rnd.nextInt(7))
+      case 5 => col("lang") < langs(rnd.nextInt(7))
       case 6 => col("lang").isNull
       case 7 => col("x").isNotNull
       case 8 => col("id") >= rnd.nextLong(3000)
+      // string IN lists mixing planes: bound selection must stay in
+      // code-point order or files holding only one plane vanish
+      case 9 => col("lang").isin(
+        Seq.fill(2)(langs(rnd.nextInt(7))): _*)
+      case 10 => col("lang").startsWith(langs(rnd.nextInt(7)).take(1))
+      case 11 => col("lang").contains("a")
     }
 
     def pred(depth: Int): Column =
@@ -62,13 +72,20 @@ class GraftSourceFuzzSpec extends SparkSpec {
         case 2 => !pred(depth - 1)
       }
 
-    for (trial <- 1 to 40) {
-      val p = pred(2)
+    var prunedTrials = 0
+    for (trial <- 1 to 60) {
+      val p = pred(if (trial % 2 == 0) 3 else 2)
       val want = engine.filter(p).select("id").as[Long].collect().sorted.toSeq
       val got = source.filter(p).select("id").as[Long].collect().sorted.toSeq
       assert(got == want,
         s"trial $trial diverged on predicate $p: got ${got.size} rows, " +
           s"want ${want.size}")
+      val (kept, total) = graft.sources.GraftRelation.lastPruned
+      if (kept < total) prunedTrials += 1
     }
+    // the pruning paths (Or unions included) must actually fire under
+    // fuzz, not just stay trivially exact by keeping everything
+    assert(prunedTrials > 10,
+      s"expected a non-trivial share of fuzzed scans to skip files, got $prunedTrials/60")
   }
 }

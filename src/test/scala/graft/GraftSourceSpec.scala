@@ -72,11 +72,125 @@ class GraftSourceSpec extends SparkSpec {
     val (k2, t2) = GraftRelation.lastPruned
     assert(k2 < t2 / 2, s"string equality should prune: $k2/$t2")
 
-    // an untranslatable predicate prunes nothing and stays exact
+    // a DISJUNCTION prunes too — per-disjunct union of kept files
+    // (round-13: Or trees yield evidence instead of degrading to a
+    // full keep), and stays exact
     val or = load(dir)
       .where(col("lang") === "de" || col("x") === 1L)
       .select("id").as[Long].collect().toSet
     assert(or == (0L until 6000L).filter(i => i % 6 == 0 || i == 1L).toSet)
+
+    // a pure range-Or on the clustered column skips everything outside
+    // both windows
+    MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    val twoWin = load(dir)
+      .where((col("x") >= 100L && col("x") <= 200L) ||
+        (col("x") >= 5000L && col("x") <= 5100L))
+      .select("id").as[Long].collect().toSet
+    assert(twoWin == ((100L to 200L) ++ (5000L to 5100L)).toSet)
+    val (k3, t3) = GraftRelation.lastPruned
+    // each window hits ~1 range-slice per bucket, so roughly half the
+    // files survive on this 4-bucket layout — the point is that the Or
+    // yields evidence at all (pre-round-13 this was a full keep)
+    assert(k3 < t3 * 2 / 3, s"a two-window Or should prune files: $k3/$t3")
+  }
+
+  test("null probes prune on sidecar null counts; supplementary-plane IN lists stay exact") {
+    val dir = tmpDir()
+    // y is null exactly on the low-x half — after clustering by x the
+    // null mass is localized, so both null probes have skippable files
+    val base = (0L until 4000L).map { i =>
+      (i, i, if (i < 2000) null else java.lang.Long.valueOf(i),
+        // lang mixes a supplementary-plane string (U+1F600 — a
+        // surrogate PAIR, leading unit 0xD83D) with a private-use BMP
+        // char (U+E000): Java's UTF-16 code-unit order puts U+E000
+        // ABOVE the emoji while code-point order puts it BELOW —
+        // exactly the inversion that used to flip the IN-list [lo, hi]
+        if (i % 3 == 0) "\ud83d\ude00x" else if (i % 3 == 1) "\ue000a" else "zz")
+    }.toDF("id", "x", "y", "lang")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+
+    val nulls = load(dir).where(col("y").isNull).select("id").as[Long].collect().toSet
+    assert(nulls == (0L until 2000L).toSet)
+    val (k1, t1) = GraftRelation.lastPruned
+    assert(k1 < t1, s"IS NULL should skip zero-null files: $k1/$t1")
+
+    val nonNulls = load(dir).where(col("y").isNotNull).count()
+    assert(nonNulls == 2000L)
+    val (k2, t2) = GraftRelation.lastPruned
+    assert(k2 < t2, s"IS NOT NULL should skip all-null files: $k2/$t2")
+
+    // localize lang so some files hold ONLY the U+E000 value — under
+    // UTF-16 bound selection those files' zones sat "above" the
+    // inverted [lo, hi] and were wrongly pruned (silent row loss)
+    MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 4)
+    val mixed = load(dir)
+      .where(col("lang").isin("\ue000a", "\ud83d\ude00x"))
+      .select("id").as[Long].collect().toSet
+    assert(mixed == (0L until 4000L).filter(_ % 3 != 2).toSet,
+      "supplementary-plane IN bounds must not invert and drop rows")
+    val (k4, t4) = GraftRelation.lastPruned
+    assert(k4 < t4, s"the clustered IN probe should still prune: $k4/$t4")
+  }
+
+  test("predOf never negates an inexact translation (Not over a half-translated And)") {
+    import org.apache.spark.sql.sources.{AlwaysFalse, And => FAnd, EqualTo => FEq, Not => FNot}
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i % 10)).toDF("id", "x"), "id", nBuckets = 2)
+    val rel = graft.sources.GraftRelation(spark.sqlContext, dir, -1)
+
+    // AlwaysFalse is untranslatable; the half-translated And is WEAKER
+    // than the original, so negating it would be stricter — predOf must
+    // refuse rather than push NOT(x = 1)
+    val notAnd = FNot(FAnd(FEq("x", 1L), AlwaysFalse))
+    assert(rel.predOf(notAnd).isEmpty,
+      "Not over an inexact child must not translate")
+    // positive-context half-And still translates, marked inexact
+    val halfAnd = rel.predOf(FAnd(FEq("x", 1L), AlwaysFalse))
+    assert(halfAnd.exists(!_._2), "half an And is usable but inexact")
+    // a fully-translated Not stays exact
+    assert(rel.predOf(FNot(FEq("x", 1L))).exists(_._2))
+
+    // end-to-end: NOT(x = 1 AND false) ≡ TRUE — the scan must return
+    // every row (the old orElse fallback pushed NOT(x = 1) and lost
+    // the x = 1 rows below Spark's re-application)
+    val got = rel.buildScan(Array("id"), Array(notAnd))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 100L).toSet,
+      s"an inexact negation must not drop rows in the scan: ${got.size}/100")
+  }
+
+  test("sink replay dedup: a re-delivered batch id leaves the version chain unchanged") {
+    val dir = tmpDir()
+    val sink = new graft.sources.GraftSource().createSink(
+      spark.sqlContext, Map("path" -> dir, "key" -> "id", "buckets" -> "2"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+
+    sink.addBatch(0L, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(MergeTable.versions(spark, dir) == Seq(1))
+    assert(MergeTable.lastSinkBatch(spark, dir).contains(0L))
+
+    // batch 0 re-delivered (crash between commit and checkpoint):
+    // NO new version, even with different content in the replay
+    sink.addBatch(0L, Seq((9L, "ghost")).toDF("id", "name"))
+    assert(MergeTable.versions(spark, dir) == Seq(1),
+      "a replayed batch must not re-commit")
+
+    sink.addBatch(1L, Seq((1L, "a2")).toDF("id", "name"))
+    assert(MergeTable.versions(spark, dir) == Seq(1, 2))
+    sink.addBatch(1L, Seq((1L, "a3")).toDF("id", "name"))
+    assert(MergeTable.versions(spark, dir) == Seq(1, 2))
+    assert(MergeTable.read(spark, dir).select("id", "name")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+
+    // the cursor survives admin ops (carried like the layout intent)
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.lastSinkBatch(spark, dir).contains(1L))
+    sink.addBatch(1L, Seq((1L, "a4")).toDF("id", "name"))
+    assert(MergeTable.latestVersion(spark, dir) == 3,
+      "replay after compaction must still dedup")
   }
 
   test("Bloom sidecar point lookup prunes through SQL; one-sided ranges stay exact") {
