@@ -22,6 +22,11 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.HoistLambdaInvariants))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.HoistLambdaInvariants
+    // metadata-only COUNT/MIN/MAX over graft tables collapse to their
+    // zone-sidecar answer (zero data scan) — see GraftMetaAggregate
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GraftMetaAggregate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftMetaAggregate
     spark
   }
 

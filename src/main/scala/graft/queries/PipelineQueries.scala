@@ -2452,6 +2452,36 @@ object PipelineQueries {
 
   private def docSqlPrunedScanSql = docZonemapMixedScanSql
 
+  /** DISJUNCTIVE file skipping through the `graft` DataSource (round
+    * 13): an OR of two disjoint range windows on the clustered column —
+    * the relation prunes per DISJUNCT and unions the kept sets
+    * ([[graft.sources.GraftSource]] `filesFor`), so files outside both
+    * windows never enter the scan (pre-round-13 an Or degraded to a
+    * full keep; `GraftSourceSpec` pins the skip ratio). The oracle
+    * replays the same disjunction over the logically-merged corpus —
+    * one wrongly-unioned or wrongly-dropped file breaks the hash. */
+  private val docSqlOrScan: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load()
+      .where((col("n_chars") >= 100L && col("n_chars") <= 220L) ||
+        (col("n_chars") >= 700L && col("n_chars") <= 820L))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docSqlOrScanSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT doc_id, n_chars FROM merged
+      |WHERE (n_chars BETWEEN 100 AND 220) OR (n_chars BETWEEN 700 AND 820)
+      |ORDER BY doc_id""".stripMargin
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -2553,6 +2583,44 @@ object PipelineQueries {
       |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(v64) AS BIGINT),
       |    CAST(MIN(v64) AS VARCHAR), CAST(MAX(v64) AS VARCHAR) FROM merged
       |) t ORDER BY col_name""".stripMargin
+
+  /** Connector AGGREGATE PUSHDOWN ([[graft.plans.GraftMetaAggregate]]):
+    * the same metadata-only COUNT/COUNT(col)/MIN/MAX — but as PLAIN SQL
+    * through `format("graft")`, with the optimizer (not a side API)
+    * collapsing the whole query to its zone-sidecar answer: the
+    * optimized plan is ONE LocalRelation, zero scan nodes (PLANS.md;
+    * `MetaAggregatePushdownSpec` pins the no-scan shape and every
+    * fall-back guard). Pinned at the merged v2 like its API twin.
+    * Oracle: DuckDB recomputes the aggregates over the logically-merged
+    * corpus — any drift between sidecar folds and true values breaks
+    * the hash. */
+  private val docMetaAggSqlPush: Q = (s, d) => {
+    val dir = IvmScaffold.statsCorpus(s, d)
+    s.read.format("graft").option("path", dir).option("version", "2").load()
+      .createOrReplaceTempView("meta_push_t")
+    s.sql(
+      """SELECT COUNT(*) AS n_rows, COUNT(n_chars) AS n_nc,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc,
+        |  MIN(v64) AS min_v64, MAX(v64) AS max_v64
+        |FROM meta_push_t""".stripMargin)
+  }
+
+  private val docMetaAggSqlPushSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 10 = 3 THEN (n_chars + 5) % 64 ELSE n_chars % 64 END AS v64
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000, (doc_id % 1000) % 64
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(n_chars) AS BIGINT) AS n_nc,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc,
+      |  MIN(v64) AS min_v64, MAX(v64) AS max_v64
+      |FROM merged""".stripMargin
 
   /** Declarative data-quality expectations
     * ([[graft.ops.Expectations]]): six rules — not-null, range,
@@ -3983,6 +4051,7 @@ object PipelineQueries {
     "doc_dv_delete" -> docDvDelete,
     "doc_dv_purge_meta" -> docDvPurgeMeta,
     "doc_sql_pruned_scan" -> docSqlPrunedScan,
+    "doc_sql_or_scan" -> docSqlOrScan,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -3997,6 +4066,7 @@ object PipelineQueries {
     "doc_corpus_card" -> docCorpusCard,
     "doc_card_incremental" -> docCardIncremental,
     "doc_meta_agg" -> docMetaAgg,
+    "doc_meta_agg_sql" -> docMetaAggSqlPush,
     "doc_rebucket_roundtrip" -> docRebucketRoundtrip,
     "emb_semantic_dedup" -> embSemanticDedup,
     "doc_lang_profile" -> docLangProfile,
@@ -4099,6 +4169,7 @@ object PipelineQueries {
     "doc_dv_delete" -> docDvDeleteSql,
     "doc_dv_purge_meta" -> docDvPurgeMetaSql,
     "doc_sql_pruned_scan" -> docSqlPrunedScanSql,
+    "doc_sql_or_scan" -> docSqlOrScanSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,
@@ -4113,6 +4184,7 @@ object PipelineQueries {
     "doc_corpus_card" -> docCorpusCardSql,
     "doc_card_incremental" -> docCardIncrementalSql,
     "doc_meta_agg" -> docMetaAggSql,
+    "doc_meta_agg_sql" -> docMetaAggSqlPushSql,
     "doc_rebucket_roundtrip" -> docRebucketRoundtripSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "doc_lang_profile" -> docLangProfileSql,

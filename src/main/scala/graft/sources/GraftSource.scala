@@ -165,7 +165,11 @@ private[graft] case class GraftRelation(
   extends BaseRelation with PrunedFilteredScan {
 
   private val spark = sqlContext.sparkSession
-  private val v =
+  // the version this relation reads — resolved ONCE at construction, so
+  // a concurrent commit never splits a query between two versions
+  // (planner rules like GraftMetaAggregate must answer from this exact
+  // version, not re-resolve "latest")
+  private[graft] val v =
     if (version > 0) version else MergeTable.latestVersion(spark, dir)
 
   override val schema: StructType = MergeTable.read(spark, dir, v).schema
