@@ -340,7 +340,10 @@ object StreamingIngest {
       retainVersions: Option[Int] = None,
       expectations: Seq[graft.ops.Expectations.RowRule] = Nil,
       quarantineDir: Option[String] = None,
-      aggregateExpectations: Seq[graft.ops.Expectations.Rule] = Nil): StreamingQuery = {
+      aggregateExpectations: Seq[graft.ops.Expectations.Rule] = Nil,
+      autoMaintainEvery: Int = 0,
+      maxPendingDeleteKeys: Long = 100000L,
+      targetFilesPerBucket: Int = 0): StreamingQuery = {
     retainVersions.foreach(n => require(n >= 1,
       s"retainVersions must keep at least the latest version, got $n"))
     require(expectations.isEmpty || quarantineDir.nonEmpty,
@@ -362,7 +365,11 @@ object StreamingIngest {
             def vacuumRetained(): Unit = retainVersions.foreach { n =>
               val minReflected =
                 maintain.flatMap(_.version(s)).minOption.getOrElse(v)
-              val keep = math.max(n, v - minReflected + 1)
+              // anchor on the TRUE head: auto-maintenance may have
+              // committed versions past the merge's `v`, and the keep
+              // horizon must still reach back to the laggiest artifact
+              val head = graft.pipeline.MergeTable.latestVersion(s, tableDir)
+              val keep = math.max(n, head - minReflected + 1)
               graft.pipeline.MergeTable.vacuum(s, tableDir, keep)
             }
             if (aggregateExpectations.nonEmpty)
@@ -387,6 +394,28 @@ object StreamingIngest {
                 throw e
               }
             maintain.foreach(_.advance(s, tableDir, v))
+            // in-stream auto-maintenance (every `autoMaintainEvery`
+            // batches): apply the advisor's PURGE and COMPACT repairs
+            // so merge-on-read ledger debt and bucket fragmentation
+            // self-heal without a batch operator in the loop. Both are
+            // content-identical rewrites (a purge materializes deletes
+            // every read already applied), so lagging artifacts stay
+            // exact — their next advance sees the rewritten buckets as
+            // changed and recomputes the same values. Layout repair
+            // (recluster) stays a deliberate batch operation: it is a
+            // curve-order rewrite whose cost profile an operator should
+            // schedule, not a correctness debt.
+            if (autoMaintainEvery > 0 && batchId % autoMaintainEvery == 0) {
+              val M = graft.pipeline.MergeTable
+              M.advise(s, tableDir, targetFilesPerBucket, maxPendingDeleteKeys)
+                .filter(a => a.action == "purge" || a.action == "compact")
+                .foreach { a =>
+                  val mv = M.compactBuckets(s, tableDir, a.buckets)
+                  System.err.println(
+                    s"[maintain] auto ${a.action} of buckets " +
+                      s"${a.buckets.mkString(",")} -> v$mv (${a.reason})")
+                }
+            }
             vacuumRetained()
           }
       }

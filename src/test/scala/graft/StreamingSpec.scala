@@ -749,4 +749,69 @@ class StreamingSpec extends SparkSpec {
     assert(cells() == reassign(),
       "post-retrain cells must equal reassignment under the retrained centers")
   }
+
+  test("in-stream auto-maintenance: ledger debt past the threshold purges mid-stream; views stay exact") {
+    import org.apache.spark.sql.types._
+    import graft.pipeline.{IncrementalStats, MergeTable}
+    val root = Files.createTempDirectory("graft-cdc-automnt")
+    val (landing, ckpt) = (s"$root/landing", s"$root/ckpt")
+    val (table, views) = (s"$root/table/t", s"$root/views")
+    new java.io.File(landing).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("grp", StringType),
+      StructField("v", LongType), StructField("_del", BooleanType)))
+    MergeTable.create(spark, table,
+      (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+        .toDF("doc_id", "grp", "v"), "doc_id", nBuckets = 4)
+    val statsView = CorpusViews.StatsView(views, "grp", "v")
+    def stream() = StreamingIngest.startMergeUpsertMaintained(
+      spark, landing, table, "doc_id", schema, ckpt, Seq(statsView),
+      deleteCol = Some("_del"),
+      autoMaintainEvery = 1, maxPendingDeleteKeys = 5)
+      .awaitTermination(60000)
+    def viewNow(): Map[String, (Long, Long)] =
+      statsView.latest(spark).select("grp", "n", "total")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def recompute(): Map[String, (Long, Long)] =
+      IncrementalStats.compute(MergeTable.read(spark, table), "grp", "v")
+        .select("grp", "n", "total").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // batch 0: plain upsert — no ledger debt, maintenance is a no-op
+    Files.writeString(java.nio.file.Paths.get(landing, "b1.json"),
+      """{"doc_id":100,"grp":"a","v":100,"_del":false}""")
+    stream()
+    assert(viewNow() == recompute())
+    val versionsAfterB1 = MergeTable.versions(spark, table).size
+
+    // out-of-band merge-on-read deletes push the ledger well past the
+    // threshold (20 keys > 5, spread over every bucket, so it stays
+    // crossed even after the next merge materializes its own bucket) —
+    // a batch operator never runs maintain()
+    MergeTable.deleteKeys(spark, table,
+      spark.range(20).select((col("id") * 2L).as("doc_id")), "doc_id")
+    assert(MergeTable.pendingDeletes(spark, table).nonEmpty)
+
+    // next micro-batch: merge, artifacts advance, and the ADVISOR'S
+    // in-stream purge clears the debt — no operator intervention
+    Files.writeString(java.nio.file.Paths.get(landing, "b2.json"),
+      """{"doc_id":101,"grp":"b","v":101,"_del":false}""")
+    stream()
+    assert(MergeTable.pendingDeletes(spark, table).isEmpty,
+      "the in-stream purge must clear the pending ledger")
+    val ops = MergeTable.history(spark, table)
+      .select("op").as[String].collect().toSeq
+    assert(ops.count(_ == "compact_buckets") >= 1,
+      s"the purge must appear in the table history: $ops")
+    assert(MergeTable.versions(spark, table).size > versionsAfterB1 + 1,
+      "the purge must be its own committed version after the merge")
+
+    // the maintained family is exact across the in-stream maintenance
+    assert(viewNow() == recompute(),
+      "maintained stats must equal a batch rebuild across the purge")
+    val ids = MergeTable.read(spark, table).select("doc_id")
+      .as[Long].collect().toSet
+    val want = ((0L until 60L).toSet -- (0L until 40L by 2)) ++ Set(100L, 101L)
+    assert(ids == want, "purged deletes must stay deleted, upserts present")
+  }
 }
