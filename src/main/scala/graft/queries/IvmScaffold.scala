@@ -531,6 +531,17 @@ object IvmScaffold {
       t("vec_corpus")(vecCorpus(s, d)),
       t("ivf_v1")(ivfV1(s, d)),
       t("history_corpus")(historyCorpus(s, d)),
-      t("card_views1")({ cardLangView1(s, d); cardDupView1(s, d) }))
+      t("card_views1")({ cardLangView1(s, d); cardDupView1(s, d) }),
+      // round-12/13 lakehouse families: first-touch corpus builds are a
+      // visible scaffold line here, never a query timing (VERDICT r12
+      // ask #1) — incl. the memoized clusterBy layouts the zone-scan
+      // queries read through
+      t("dv_corpus")(dvCorpus(s, d)),
+      t("dvpurge_corpus")(dvPurgeCorpus(s, d)),
+      t("clone_corpus")(cloneCorpus(s, d)),
+      t("recluster_corpus")(reclusterCorpus(s, d)),
+      t("maintain_corpus")(maintainCorpus(s, d)),
+      t("stats_clustered")({
+        statsClustered(s, d, "lang"); statsClustered(s, d, "n_chars") }))
   }
 }

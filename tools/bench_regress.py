@@ -37,7 +37,14 @@ belong to the judge's calibrated driver artifacts, read with that
 wider spread in mind (SCALE.md round-11 section).
 
 Usage:
-  python3 tools/bench_regress.py /tmp/preflight_bench.json [--update]
+  python3 tools/bench_regress.py /tmp/preflight_bench.json            # gate
+  python3 tools/bench_regress.py run1.json run2.json [...] --update   # bank
+
+Banking accepts MULTIPLE cold-run captures (round-12 verdict ask #1:
+one capture's in-run min..max understates run-to-run reality). Each
+query banks u = min across runs (steady-state cost) and spread =
+max(in-run spreads, cross-run max/min) — the gate's noise envelope
+then reflects what fresh-JVM runs actually do.
 """
 import json
 import sys
@@ -48,17 +55,23 @@ SPREAD_CAP = 2.5
 BASELINE = "tools/bench_baseline.json"
 
 
-def main() -> int:
-    if len(sys.argv) < 2:
-        print("usage: bench_regress.py <bench json> [--update]", file=sys.stderr)
-        return 2
-    bench_path = sys.argv[1]
-    update = "--update" in sys.argv[2:]
+def load_bench(path):
+    """The (per-query) bench JSON line of one capture, or None."""
     # Bench emits two JSON lines (full per-query map + compact summary)
     # and the preflight grep may capture either — pick the one with the
     # per-query map
-    lines = [json.loads(l) for l in open(bench_path) if l.strip()]
-    bench = next((l for l in lines if "queries" in l), None)
+    lines = [json.loads(l) for l in open(path) if l.strip()]
+    return next((l for l in lines if "queries" in l), None)
+
+
+def main() -> int:
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    update = "--update" in sys.argv[1:]
+    if not paths:
+        print("usage: bench_regress.py <bench json>... [--update]", file=sys.stderr)
+        return 2
+    bench_path = paths[0]
+    bench = load_bench(bench_path)
     if bench is None:
         print("[bench-regress] no per-query map in bench output — skipping")
         return 0
@@ -102,19 +115,40 @@ def main() -> int:
         print(f"[bench-regress] {len(gone)} baselined but not run: {', '.join(gone)}")
 
     if update:
-        ranges = bench.get("ranges", {})
-        def spread_of(q):
-            r = ranges.get(q)
-            if not r or not r.get("min"):
-                return 1.5
-            return round(max(1.0, r["max"] / r["min"]), 3)
-        base["units"] = {
-            k: {"u": round(v, 4), "spread": spread_of(k)}
-            for k, v in now.items()}
+        # merge every capture: per query, u = min across runs (steady
+        # state), spread = max of the in-run spreads AND the cross-run
+        # max/min ratio — the envelope fresh-JVM runs demonstrated
+        runs = []
+        for p in paths:
+            b = load_bench(p)
+            if b is None or b.get("calib_sec", -1.0) <= 0:
+                print(f"[bench-regress] skipping capture without map/calib: {p}")
+                continue
+            c = b["calib_sec"]
+            units = {k: v / c for k, v in b["queries"].items()}
+            rng = b.get("ranges", {})
+            spreads = {
+                k: (max(1.0, rng[k]["max"] / rng[k]["min"])
+                    if k in rng and rng[k].get("min") else 1.5)
+                for k in units}
+            runs.append((units, spreads))
+        if not runs:
+            print("[bench-regress] no usable captures — baseline unchanged")
+            return 2
+        every = sorted(set.intersection(*(set(u) for u, _ in runs)))
+        merged = {}
+        for q in every:
+            us = [u[q] for u, _ in runs]
+            cross = max(us) / min(us) if min(us) > 0 else 1.5
+            spread = max([s[q] for _, s in runs] + [cross])
+            merged[q] = {"u": round(min(us), 4), "spread": round(spread, 3)}
+        base["units"] = merged
         base["calib_sec_at_capture"] = calib
-        base["source"] = f"refreshed from {bench_path}"
+        base["source"] = (f"refreshed from {len(runs)} cold runs: "
+                          + ", ".join(paths))
         json.dump(base, open(BASELINE, "w"), indent=1, sort_keys=True)
-        print(f"[bench-regress] baseline refreshed: {len(now)} queries")
+        print(f"[bench-regress] baseline refreshed: {len(merged)} queries "
+              f"from {len(runs)} captures")
         return 0
     if fails:
         print(f"[bench-regress] FAIL: {len(fails)} carried queries regressed "

@@ -119,5 +119,24 @@ val gateErr = try {
 assert(gateErr.contains("in_range:a"), s"constraint gate missing: $gateErr")
 MergeTable.clearConstraints(spark, t)
 
+// 8. round-13: aggregate pushdown, Or-pruned reads, merge-key guard,
+//    sink replay dedup
+val t2 = s"$root/metaagg"
+MergeTable.create(spark, t2, spark.range(500).select(col("id").as("doc_id"), (col("id") % 97).as("x")), "doc_id", 4)
+spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g13 USING graft OPTIONS (path '$t2')")
+val aggQ = spark.sql("SELECT count(*) AS n, count(x) AS nx, min(x) AS mn, max(x) AS mx FROM g13")
+assert(!aggQ.queryExecution.executedPlan.toString.contains("Scan GraftRelation"), "metadata aggregate must not scan")
+assert(aggQ.as[(Long, Long, Long, Long)].head() == ((500L, 500L, 0L, 96L)), "pushed aggregate values")
+val orN = spark.sql("SELECT count(*) FROM g13 WHERE (x >= 0 AND x <= 4) OR (x >= 90 AND x <= 96)").as[Long].head()
+assert(orN == spark.range(500).filter((col("id") % 97 <= 4) || (col("id") % 97 >= 90)).count(), "Or-pruned read")
+val keyErr = try { MergeTable.merge(spark, t2, spark.range(1).select(col("id").as("doc_id"), col("id").as("x")), "x"); "" } catch { case e: IllegalArgumentException => e.getMessage }
+assert(keyErr.contains("bucketed on merge key"), s"merge-key guard missing: $keyErr")
+val sinkDir = s"$root/sink13"
+val sink13 = new graft.sources.GraftSource().createSink(spark.sqlContext, Map("path" -> sinkDir, "key" -> "doc_id"), Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+sink13.addBatch(0L, spark.range(3).select(col("id").as("doc_id")))
+sink13.addBatch(0L, spark.range(9).select(col("id").as("doc_id")))
+assert(MergeTable.versions(spark, sinkDir) == Seq(1), "replayed sink batch must not re-commit")
+assert(MergeTable.read(spark, sinkDir).count() == 3, "replayed batch content must not land")
+
 println("DRIVE_OK")
 sys.exit(0)
