@@ -127,6 +127,36 @@ object FileBlooms {
     require(f.rename(tmp, fin), s"rename $tmp -> $fin failed")
   }
 
+  /** Columns with a bloom sidecar at (`dir`, `v`). */
+  def indexedColumns(spark: SparkSession, dir: String, v: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"_v$v.blooms.") =>
+        n.stripPrefix(s"_v$v.blooms.") }
+      .sorted
+  }
+
+  /** Carry EVERY bloom sidecar of (`src`, `v`) into (`dst`, `dstV`),
+    * re-keying each file line through `rekey` — the shallow-clone move:
+    * a sketch describes a FILE's contents, and the clone borrows the
+    * files themselves, so the sketches carry byte-identical (zero
+    * column passes; point lookups on a fresh clone prune exactly like
+    * on the source). Returns the carried columns. */
+  def carryAll(
+      spark: SparkSession, src: String, v: Int, dst: String, dstV: Int,
+      rekey: String => String): Seq[String] = {
+    val cols = indexedColumns(spark, src, v)
+    cols.foreach { c =>
+      val lines = read(spark, src, c, v).getOrElse(Map.empty)
+        .map { case (rel, bytes) => rekey(rel) -> bytes }
+      writeSidecar(spark, dst, dstV, c, fpp = 0.01,
+        newRel = Seq.empty, carried = lines)
+    }
+    cols
+  }
+
   /** The sidecar for (`column`, `v`); None when absent (unindexed —
     * callers keep every file). */
   def read(

@@ -692,8 +692,10 @@ object MergeTable {
     * (reclaim walks local names only). THE CAVEAT IS THE SOURCE'S:
     * vacuuming `src` past the cloned version breaks the clone — pin
     * retention on the source for as long as its clones live, exactly
-    * as in the published designs. Bloom sidecars do not carry (point
-    * lookups on the clone degrade to no-skip until rebuilt). */
+    * as in the published designs. Bloom sidecars CARRY (round 13):
+    * sketches describe file contents and the clone borrows the files,
+    * so point lookups on a fresh clone prune exactly like the source —
+    * zero column passes. */
   def cloneTable(
       spark: SparkSession, src: String, dst: String, version: Int = -1): Unit = {
     require(versions(spark, dst).isEmpty, s"$dst already is a MergeTable")
@@ -709,6 +711,7 @@ object MergeTable {
       .forVersion(spark, src, v, m.entries.values.flatten.toSeq)
       .map { case (rel, cols) => absPath(srcQ, rel) -> cols }
     ZoneMaps.write(spark, dst, 1, Seq.empty, zones)
+    FileBlooms.carryAll(spark, src, v, dst, 1, rel => absPath(srcQ, rel))
     commitManifest(spark, dst, 1,
       Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey, m.key,
         m.sinkBatch))

@@ -4,14 +4,14 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
 
-import graft.pipeline.MergeTable
+import graft.pipeline.{MergeTable, ZoneMaps}
 import graft.sources.GraftRelation
 
 /** Connector AGGREGATE PUSHDOWN for `graft` tables — the Delta/Iceberg
@@ -28,27 +28,55 @@ import graft.sources.GraftRelation
   * Strictly exactness-preserving, rewrite-or-leave: the rule fires only
   * when EVERY aggregate is one of the four shapes (no DISTINCT, no
   * FILTER clause, bare column children), the child is the relation
-  * itself (possibly through a column-pruning Project — never a Filter),
-  * and the metadata answer is computable. [[MergeTable.metaAggregate]]
-  * refuses pending merge-on-read ledgers, non-numeric columns and
-  * zone-less files — any refusal (or any unexpected failure) leaves the
-  * original plan to run as a normal scan, so the rewrite can change
-  * cost, never results. The answer comes from the relation's OWN
-  * resolved version (pinned at relation construction), so a concurrent
-  * commit cannot move the table under the query.
+  * itself (possibly through a column-pruning Project), and the metadata
+  * answer is computable. [[MergeTable.metaAggregate]] refuses pending
+  * merge-on-read ledgers, non-numeric columns and zone-less files — any
+  * refusal (or any unexpected failure) leaves the original plan to run
+  * as a normal scan, so the rewrite can change cost, never results. The
+  * answer comes from the relation's OWN resolved version (pinned at
+  * relation construction), so a concurrent commit cannot move the table
+  * under the query.
+  *
+  * FILTERED `COUNT(*)` / `COUNT(col)` (the Iceberg inclusive-metrics
+  * hybrid): when the WHERE tree is inside the file-decidable algebra
+  * (And/Or over range, equality, In/InSet, IsNull/IsNotNull leaves on
+  * ordered primitives), each file is decided against its zones —
+  * FullyIn files count from metadata (`rows`, or `rows − nullCount`
+  * for `COUNT(col)`), FullyOut files contribute nothing, and ONLY the
+  * Boundary files are scanned, exactly, through a subset-scoped copy
+  * of the relation ([[GraftRelation]] `only`), their counts added to
+  * the metadata sums. A filter outside the algebra, an undecidable
+  * file set (nothing to save), or any pending ledger falls back to
+  * the plain scan. At 100 TB this is the difference between an audit
+  * count touching two straddling files and a full-corpus pass.
   */
 object GraftMetaAggregate extends Rule[LogicalPlan] {
 
   /** The graft relation under `plan`, if `plan` is exactly the relation
-    * or a pure column-pruning Project over it. */
-  private def graftChild(plan: LogicalPlan): Option[GraftRelation] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case g: GraftRelation => Some(g)
+    * or a pure column-pruning Project over it. Subset-scoped relations
+    * (the hybrid rewrite's own inner scan) are excluded — they must
+    * never re-match. */
+  private def graftChild(plan: LogicalPlan): Option[(LogicalRelation, GraftRelation)] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case g: GraftRelation if g.only.isEmpty => Some((lr, g))
+        case _ => None
+      }
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        graftChild(child)
       case _ => None
     }
+
+  /** `Filter(cond, <graft relation>)` under `plan`, through pure
+    * column-pruning Projects on either side of the Filter. */
+  private def filteredGraft(plan: LogicalPlan)
+      : Option[(Expression, LogicalRelation, GraftRelation)] = plan match {
+    case Filter(cond, child) =>
+      graftChild(child).map { case (lr, g) => (cond, lr, g) }
     case Project(projectList, child)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      graftChild(child)
+      filteredGraft(child)
     case _ => None
   }
 
@@ -100,11 +128,330 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         s"no exact metadata rendering for $other")
     }
 
+  // ---- filtered COUNT(*): the inclusive-metrics hybrid -----------------
+
+  /** One conjunct of a filter, in file-decidable form: a (possibly
+    * one-sided, strictness-carrying) range on one column, or a
+    * not-null probe. Values live in the COLUMN'S OWN domain (Long /
+    * Double / Float / …, or String in code-point order) — comparing in
+    * decimal space would mis-decide float/double boundaries where the
+    * zone's shortest-round-trip rendering differs from the literal's
+    * exact expansion. */
+  private final case class RangeCond(
+      col: String, dt: DataType,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
+  private final case class NotNullCond(col: String)
+
+  private def isOrderedPrim(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  /** Compare two values of `dt` (the column's domain). Strings compare
+    * in code-point order — the order zones, parquet stats and Spark's
+    * UTF8String share. */
+  private def cmpVals(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType => ZoneMaps.cpCompare(a.asInstanceOf[String], b.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(s"unorderable $other")
+  }
+
+  /** A comparison leaf's (attribute, literal-at-the-column's-type), in
+    * either operand order; None for anything else (casts included —
+    * a cast means the literal is NOT in the column's domain). NaN
+    * literals refuse: zone folds poison NaN-bearing stats, and NaN
+    * comparison semantics don't transfer to range logic. */
+  private def attrLit(a: Expression, b: Expression): Option[(AttributeReference, Any, Boolean)] =
+    (a, b) match {
+      case (ar: AttributeReference, l: Literal)
+          if l.dataType == ar.dataType && l.value != null && notNan(l) =>
+        Some((ar, litVal(ar.dataType, l.value), false))
+      case (l: Literal, ar: AttributeReference)
+          if l.dataType == ar.dataType && l.value != null && notNan(l) =>
+        Some((ar, litVal(ar.dataType, l.value), true)) // operands flipped
+      case _ => None
+    }
+
+  private def notNan(l: Literal): Boolean = l.value match {
+    case d: java.lang.Double => !d.isNaN
+    case f: java.lang.Float => !f.isNaN
+    case _ => true
+  }
+
+  private def litVal(dt: DataType, v: Any): Any = dt match {
+    case StringType => v.toString // UTF8String → String
+    case _ => v
+  }
+
+  /** A comparison leaf as a range condition; None when out of the
+    * decidable algebra. */
+  private def leafRange(e: Expression): Option[RangeCond] = e match {
+    case EqualTo(a, b) => attrLit(a, b).collect {
+      case (ar, v, _) if isOrderedPrim(ar.dataType) =>
+        RangeCond(ar.name, ar.dataType, Some((v, true)), Some((v, true)))
+    }
+    case GreaterThan(a, b) => attrLit(a, b).collect {
+      case (ar, v, flip) if isOrderedPrim(ar.dataType) =>
+        if (flip) RangeCond(ar.name, ar.dataType, None, Some((v, false)))
+        else RangeCond(ar.name, ar.dataType, Some((v, false)), None)
+    }
+    case GreaterThanOrEqual(a, b) => attrLit(a, b).collect {
+      case (ar, v, flip) if isOrderedPrim(ar.dataType) =>
+        if (flip) RangeCond(ar.name, ar.dataType, None, Some((v, true)))
+        else RangeCond(ar.name, ar.dataType, Some((v, true)), None)
+    }
+    case LessThan(a, b) => attrLit(a, b).collect {
+      case (ar, v, flip) if isOrderedPrim(ar.dataType) =>
+        if (flip) RangeCond(ar.name, ar.dataType, Some((v, false)), None)
+        else RangeCond(ar.name, ar.dataType, None, Some((v, false)))
+    }
+    case LessThanOrEqual(a, b) => attrLit(a, b).collect {
+      case (ar, v, flip) if isOrderedPrim(ar.dataType) =>
+        if (flip) RangeCond(ar.name, ar.dataType, Some((v, true)), None)
+        else RangeCond(ar.name, ar.dataType, None, Some((v, true)))
+    }
+    case _ => None
+  }
+
+  /** The literal membership list of an In/InSet leaf on an ordered
+    * primitive column, in the column's own domain; None = out of the
+    * algebra. `InSet` values are already internal (UTF8String / boxed
+    * primitives) — `litVal` normalizes both. */
+  private def inList(e: Expression): Option[(AttributeReference, Seq[Any])] = e match {
+    case In(a: AttributeReference, list)
+        if isOrderedPrim(a.dataType) && list.nonEmpty && list.forall {
+          case l: Literal => l.dataType == a.dataType && l.value != null && notNan(l)
+          case _ => false
+        } =>
+      Some((a, list.map { case l: Literal => litVal(a.dataType, l.value) }))
+    case InSet(a: AttributeReference, hset)
+        if isOrderedPrim(a.dataType) && hset.nonEmpty && !hset.contains(null) &&
+          !hset.exists {
+            case d: java.lang.Double => d.isNaN
+            case f: java.lang.Float => f.isNaN
+            case _ => false
+          } =>
+      Some((a, hset.toSeq.map(litVal(a.dataType, _))))
+    case _ => None
+  }
+
+  /** Is every node of `e` inside the file-decidable algebra? The cheap
+    * pre-check that keeps the metadata pass from running (and then
+    * finding every file Boundary) on filters it can't decide. */
+  private def supportedExpr(e: Expression): Boolean = e match {
+    case And(a, b) => supportedExpr(a) && supportedExpr(b)
+    case Or(a, b) => supportedExpr(a) && supportedExpr(b)
+    case IsNotNull(_: AttributeReference) => true
+    case IsNull(_: AttributeReference) => true
+    case _ => leafRange(e).isDefined || inList(e).isDefined
+  }
+
+  /** Attribute names `e` constrains (the columns whose zones the
+    * decision needs). */
+  private def attrsOf(e: Expression): Seq[String] =
+    e.collect { case a: AttributeReference => a.name }.distinct
+
+  private sealed trait Decision
+  private case object FullyIn extends Decision
+  private case object FullyOut extends Decision
+  private case object Boundary extends Decision
+
+  /** Decide one condition against one file's zone. Soundness leans on
+    * the zone contract: numeric bounds are EXACT values; string bounds
+    * satisfy stored-min ≤ true-min and stored-max ≥ true-max (prefix
+    * truncation widens outward, null max = unbounded). FullyIn demands
+    * zero nulls — a null row satisfies no comparison. Anything
+    * undecidable is Boundary. */
+  private def decide(cond: Any, z: Option[ZoneMaps.Zone]): Decision = (cond, z) match {
+    case (_, None) => Boundary // no zone — no evidence either way
+    case (NotNullCond(_), Some(zz)) =>
+      if (zz.allNull) FullyOut
+      else if (zz.nullCount == 0L) FullyIn
+      else Boundary
+    case (RangeCond(_, dt, lo, hi), Some(zz)) =>
+      if (zz.allNull) FullyOut // every row null → no row satisfies a cmp
+      else if (dt == StringType && zz.kind != "str") Boundary
+      else if (dt != StringType && zz.kind != "long" && zz.kind != "double") Boundary
+      else {
+        // zone bounds in the column's domain; zmax None = unbounded
+        val (zmin, zmax) =
+          if (dt == StringType) (zz.min: Any, Option(zz.max: Any))
+          else (internal(dt, zz.min), Some(internal(dt, zz.max)))
+        val outLow = lo.exists { case (v, inc) => zmax.exists { m =>
+          val c = cmpVals(dt, m, v); c < 0 || (c == 0 && !inc) } }
+        val outHigh = hi.exists { case (v, inc) =>
+          val c = cmpVals(dt, zmin, v); c > 0 || (c == 0 && !inc) }
+        if (outLow || outHigh) FullyOut
+        else {
+          val inLow = lo.forall { case (v, inc) =>
+            val c = cmpVals(dt, zmin, v); c > 0 || (c == 0 && inc) }
+          val inHigh = hi.forall { case (v, inc) => zmax.exists { m =>
+            val c = cmpVals(dt, m, v); c < 0 || (c == 0 && inc) } }
+          if (inLow && inHigh && zz.nullCount == 0L) FullyIn else Boundary
+        }
+      }
+    case _ => Boundary
+  }
+
+  /** Decide the WHOLE filter tree against one file's zones, in
+    * 3-valued-logic-safe terms: FullyIn = every row of the file
+    * satisfies the predicate (counts from metadata), FullyOut = no row
+    * does (contributes nothing), Boundary = must scan. The And/Or
+    * folds are the standard interval-decision lattice: a FullyIn
+    * disjunct decides an Or (every row satisfies THAT disjunct), a
+    * FullyOut conjunct decides an And (no row can satisfy it —
+    * null-valued rows satisfy neither, so "not FullyIn" never
+    * over-counts). */
+  private def decideExpr(e: Expression, fz: Map[String, ZoneMaps.Zone]): Decision =
+    e match {
+      case And(a, b) => (decideExpr(a, fz), decideExpr(b, fz)) match {
+        case (FullyOut, _) | (_, FullyOut) => FullyOut
+        case (FullyIn, FullyIn) => FullyIn
+        case _ => Boundary
+      }
+      case Or(a, b) => (decideExpr(a, fz), decideExpr(b, fz)) match {
+        case (FullyIn, _) | (_, FullyIn) => FullyIn
+        case (FullyOut, FullyOut) => FullyOut
+        case _ => Boundary
+      }
+      case IsNotNull(a: AttributeReference) =>
+        decide(NotNullCond(a.name), fz.get(a.name))
+      case IsNull(a: AttributeReference) => fz.get(a.name) match {
+        case None => Boundary
+        case Some(zz) =>
+          if (zz.allNull) FullyIn
+          else if (zz.nullCount == 0L) FullyOut
+          else Boundary
+      }
+      case _ => inList(e) match {
+        case Some((a, vals)) => decideIn(a.dataType, vals, fz.get(a.name))
+        case None =>
+          leafRange(e).map(rc => decide(rc, fz.get(rc.col))).getOrElse(Boundary)
+      }
+    }
+
+  /** Membership decision: FullyOut when every list value provably
+    * misses the file's [min, max] (string bounds widen outward, so
+    * v < stored-min ⟹ v < true-min and v > stored-max ⟹ v > true-max);
+    * FullyIn only for a constant file (stored-min == stored-max forces
+    * every value equal even under truncation) whose value is in the
+    * list, with zero nulls. */
+  private def decideIn(dt: DataType, vals: Seq[Any], z: Option[ZoneMaps.Zone])
+      : Decision = z match {
+    case None => Boundary
+    case Some(zz) =>
+      if (zz.allNull) FullyOut
+      else if (dt == StringType && zz.kind != "str") Boundary
+      else if (dt != StringType && zz.kind != "long" && zz.kind != "double") Boundary
+      else {
+        val (zmin, zmaxO) =
+          if (dt == StringType) (zz.min: Any, Option(zz.max: Any))
+          else (internal(dt, zz.min), Some(internal(dt, zz.max)))
+        val allOut = vals.forall(v => cmpVals(dt, v, zmin) < 0 ||
+          zmaxO.exists(m => cmpVals(dt, v, m) > 0))
+        if (allOut) FullyOut
+        else if (zz.nullCount == 0L &&
+            zmaxO.exists(m => cmpVals(dt, zmin, m) == 0) &&
+            vals.exists(v => cmpVals(dt, v, zmin) == 0)) FullyIn
+        else Boundary
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
+        filteredGraft(agg.child).isDefined &&
+        agg.aggregateExpressions.forall {
+          case Alias(e, _) => metaOf(e).exists {
+            case RowCount | NonNull(_) => true
+            case _ => false
+          }
+          case _ => false
+        } =>
+      val (cond, lr, rel) = filteredGraft(agg.child).get
+      if (!supportedExpr(cond)) agg
+      else Try {
+          val spark = SparkSession.active
+          require(MergeTable.pendingDeletes(spark, rel.dir, rel.v).isEmpty,
+            "pending merge-on-read ledger — physical counts would include deleted rows")
+          val shapes = agg.aggregateExpressions.map {
+            case Alias(e, _) => metaOf(e).get
+          }
+          val files = MergeTable.fileIndex(spark, rel.dir, rel.v)
+            .values.flatten.toSeq.sorted
+          val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
+          // legacy lines (no #rows / unknown nullCount) → one footer
+          // re-harvest of just those files, metadata I/O only
+          val cols = (attrsOf(cond) ++
+            shapes.collect { case NonNull(c) => c }).distinct
+          val incomplete = files.filter { r =>
+            val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+            ZoneMaps.rowCount(fz).isEmpty ||
+              cols.exists(c => fz.get(c).exists(_.nullCount < 0))
+          }
+          val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
+          val metaSums = Array.fill(shapes.size)(0L)
+          val boundary = Seq.newBuilder[String]
+          files.foreach { r =>
+            val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+            decideExpr(cond, fz) match {
+              case FullyOut => () // contributes nothing
+              case FullyIn =>
+                val rows = ZoneMaps.rowCount(fz).getOrElse(
+                  throw new IllegalStateException(s"no row count for $r"))
+                // COUNT(col) on a FullyIn file = rows − its exact null
+                // count; a column with no (exact) null evidence makes
+                // the FILE boundary, never a guess
+                val contribs = shapes.map {
+                  case RowCount => Some(rows)
+                  case NonNull(c) => fz.get(c).collect {
+                    case z if z.nullCount >= 0L => rows - z.nullCount
+                  }
+                  case _ => None
+                }
+                if (contribs.forall(_.isDefined))
+                  contribs.zipWithIndex.foreach { case (c, i) =>
+                    metaSums(i) += c.get }
+                else boundary += r
+              case Boundary => boundary += r
+            }
+          }
+          val partial = boundary.result()
+          require(partial.size < files.size,
+            "no file decidable from metadata — nothing to save")
+          if (partial.isEmpty)
+            LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(metaSums.toSeq))): LogicalPlan
+          else {
+            // HYBRID: exact COUNTs over just the boundary files + the
+            // metadata counts of the fully-decided rest as literals —
+            // the Iceberg inclusive-metrics move. The inner scan reuses
+            // the original relation's output attributes, so the filter
+            // re-applies exactly over the subset.
+            val subset = lr.copy(relation = rel.copy(only = Some(partial)))
+            val innerAliases = agg.aggregateExpressions.zipWithIndex.map {
+              case (a: Alias, i) => Alias(a.child, s"__graft_boundary_count$i")()
+            }
+            val inner = Aggregate(Nil, innerAliases, Filter(cond, subset))
+            Project(
+              agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
+                case ((a: Alias, ia), i) =>
+                  Alias(Add(ia.toAttribute, Literal(metaSums(i), LongType)),
+                    a.name)(exprId = a.exprId)
+              }, inner): LogicalPlan
+          }
+        }.getOrElse(agg)
+
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
         graftChild(agg.child).isDefined =>
-      val rel = graftChild(agg.child).get
+      val rel = graftChild(agg.child).get._2
       val metas = agg.aggregateExpressions.map {
         case Alias(e, _) => metaOf(e)
         case _ => None

@@ -2482,6 +2482,66 @@ object PipelineQueries {
       |WHERE (n_chars BETWEEN 100 AND 220) OR (n_chars BETWEEN 700 AND 820)
       |ORDER BY doc_id""".stripMargin
 
+  /** HYBRID filtered COUNT ([[graft.plans.GraftMetaAggregate]], round
+    * 13 — the Iceberg inclusive-metrics shape): a plain SQL
+    * `COUNT(*) WHERE range` over the n_chars-clustered corpus. The
+    * optimizer decides each FILE against the zone sidecar — files
+    * wholly inside the range count from metadata (zero I/O), wholly
+    * outside contribute nothing, and ONLY the straddling boundary
+    * files are scanned, their exact count added to the metadata sum
+    * (`MetaAggregatePushdownSpec` pins the subset-scan shape and the
+    * all-in/all-out no-scan collapses). At 100 TB this is the audit
+    * count that touches two files instead of the corpus. Oracle:
+    * DuckDB counts the logically-merged corpus under the same range —
+    * one mis-decided file breaks the count. */
+  private val docMetaCountHybrid: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_cnt_t")
+    s.sql(
+      """SELECT COUNT(*) AS n_kept FROM meta_cnt_t
+        |WHERE n_chars >= 100 AND n_chars < 700""".stripMargin)
+  }
+
+  private val docMetaCountHybridSql =
+    """WITH merged AS (
+      |  SELECT CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |    AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id % 1000 FROM documents WHERE doc_id % 10 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM merged
+      |WHERE n_chars >= 100 AND n_chars < 700""".stripMargin
+
+  /** DISJUNCTIVE hybrid count ([[graft.plans.GraftMetaAggregate]]
+    * `decideExpr` — the full And/Or/In decision lattice): the same two
+    * disjoint range windows as `doc_sql_or_scan`, but as COUNT(*). Per
+    * file the Or tree decides FullyIn (either window swallows the
+    * file's zone), FullyOut (both miss), or Boundary — only the
+    * straddling files scan and everything else answers from the
+    * sidecar. Oracle: DuckDB counts the same disjunction — a wrong
+    * lattice fold (e.g. Or treating one FullyOut as deciding) breaks
+    * the count. */
+  private val docMetaCountOr: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_cnt_or_t")
+    s.sql(
+      """SELECT COUNT(*) AS n_kept FROM meta_cnt_or_t
+        |WHERE (n_chars >= 100 AND n_chars <= 220)
+        |   OR (n_chars >= 700 AND n_chars <= 820)""".stripMargin)
+  }
+
+  private val docMetaCountOrSql =
+    """WITH merged AS (
+      |  SELECT CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |    AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id % 1000 FROM documents WHERE doc_id % 10 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM merged
+      |WHERE (n_chars BETWEEN 100 AND 220) OR (n_chars BETWEEN 700 AND 820)""".stripMargin
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -4052,6 +4112,8 @@ object PipelineQueries {
     "doc_dv_purge_meta" -> docDvPurgeMeta,
     "doc_sql_pruned_scan" -> docSqlPrunedScan,
     "doc_sql_or_scan" -> docSqlOrScan,
+    "doc_meta_count_hybrid" -> docMetaCountHybrid,
+    "doc_meta_count_or" -> docMetaCountOr,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -4170,6 +4232,8 @@ object PipelineQueries {
     "doc_dv_purge_meta" -> docDvPurgeMetaSql,
     "doc_sql_pruned_scan" -> docSqlPrunedScanSql,
     "doc_sql_or_scan" -> docSqlOrScanSql,
+    "doc_meta_count_hybrid" -> docMetaCountHybridSql,
+    "doc_meta_count_or" -> docMetaCountOrSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,

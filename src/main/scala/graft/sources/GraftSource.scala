@@ -160,8 +160,14 @@ object GraftRelation {
   @volatile var lastPruned: (Int, Int) = (0, 0)
 }
 
+/** `only`: restrict the relation to a rel-path subset of the version's
+  * files — the seam [[graft.plans.GraftMetaAggregate]]'s hybrid
+  * filtered-count rewrite uses to scan ONLY the boundary files its
+  * metadata pass could not decide. None (the default, and everything
+  * user-facing) = the whole version. */
 private[graft] case class GraftRelation(
-    sqlContext: SQLContext, dir: String, version: Int)
+    sqlContext: SQLContext, dir: String, version: Int,
+    only: Option[Seq[String]] = None)
   extends BaseRelation with PrunedFilteredScan {
 
   private val spark = sqlContext.sparkSession
@@ -309,7 +315,8 @@ private[graft] case class GraftRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val all = MergeTable.fileIndex(spark, dir, v).values.flatten.toSeq.sorted
+    val whole = MergeTable.fileIndex(spark, dir, v).values.flatten.toSeq.sorted
+    val all = only.fold(whole)(o => whole.filter(o.toSet))
     val kept = filters.flatMap(filesFor).foldLeft(all.toSet)(_ intersect _)
     GraftRelation.lastPruned = (kept.size, all.size)
     val base =

@@ -108,4 +108,37 @@ class CloneSpec extends SparkSpec {
     assert(rows(MergeTable.read(spark, dst2)) ==
       rows(MergeTable.read(spark, dst)))
   }
+
+  test("bloom sidecars carry across the clone: point lookups prune with zero rebuild") {
+    import graft.pipeline.FileBlooms
+    val src = tmpDir()
+    val dst = tmpDir() + "/fork"
+    MergeTable.create(spark, src, df(base), "id", nBuckets = 8)
+    FileBlooms.build(spark, src, "name")
+    val (srcKept, srcTotal) =
+      FileBlooms.prunedFilesEq(spark, src, "name", Seq("name7"), 1)
+    assert(srcKept.size < srcTotal, "source index must prune")
+
+    MergeTable.cloneTable(spark, src, dst)
+    assert(FileBlooms.indexedColumns(spark, dst, 1) == Seq("name"),
+      "the clone must inherit the source's bloom sidecars")
+    // identical skip ratio through borrowed refs, no column pass run
+    val (kept, total) = FileBlooms.prunedFilesEq(spark, dst, "name", Seq("name7"), 1)
+    assert(kept.size == srcKept.size && total == srcTotal,
+      s"carried sketches must prune like the source: ${kept.size}/$total")
+    val got = FileBlooms.readWhereEq(spark, dst, "name", Seq("name7"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(7L))
+
+    // the index keeps advancing on the DIVERGED clone: refresh after a
+    // merge carries borrowed lines and sketches only the new files
+    MergeTable.merge(spark, dst,
+      Seq((7L, "renamed", 0.0)).toDF("id", "name", "score"), "id")
+    FileBlooms.refresh(spark, dst, "name", 1, MergeTable.latestVersion(spark, dst))
+    val after = FileBlooms.readWhereEq(spark, dst, "name", Seq("name7"))
+      .select("id").as[Long].collect().toSet
+    assert(after.isEmpty, "the rewritten key's old value must be gone")
+    assert(FileBlooms.readWhereEq(spark, dst, "name", Seq("renamed"))
+      .select("id").as[Long].collect().toSet == Set(7L))
+  }
 }

@@ -64,8 +64,10 @@ class MetaAggregatePushdownSpec extends SparkSpec {
     spark.read.format("graft").option("path", dir).load()
       .createOrReplaceTempView("magg2")
 
+    // x = id % 7 → every file's x-zone is [0, 6], so no file decides
+    // x > 3 and the hybrid path declines (nothing to save) — exact scan
     val filtered = spark.sql("SELECT COUNT(*) AS n FROM magg2 WHERE x > 3")
-    assert(hasScan(filtered), "a filtered aggregate must scan")
+    assert(hasScan(filtered), "an all-boundary filtered aggregate must scan")
     assert(filtered.as[Long].head() == (0L until 200L).count(_ % 7 > 3))
 
     val grouped = spark.sql("SELECT x, COUNT(*) AS n FROM magg2 GROUP BY x")
@@ -90,6 +92,124 @@ class MetaAggregatePushdownSpec extends SparkSpec {
     val underDv = spark.sql("SELECT COUNT(*) AS n FROM magg2")
     assert(hasScan(underDv), "a pending ledger must force the scan path")
     assert(underDv.as[Long].head() == 198L)
+  }
+
+  test("filtered COUNT(*): a filter every file decides answers without any scan") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 1000L).map(i => (i, i % 100)).toDF("id", "x"), "id", nBuckets = 4)
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("fcnt")
+
+    // every file's id-zone lies inside [0, 1000) → all FullyIn
+    val allIn = spark.sql(
+      "SELECT COUNT(*) AS n FROM fcnt WHERE id >= 0 AND id < 1000")
+    assert(!hasScan(allIn), "a fully-decided filter must not scan:\n" +
+      allIn.queryExecution.executedPlan)
+    assert(allIn.as[Long].head() == 1000L)
+
+    // every file's id-zone lies below 5000 → all FullyOut, count 0
+    val allOut = spark.sql("SELECT COUNT(*) AS n FROM fcnt WHERE id > 5000")
+    assert(!hasScan(allOut))
+    assert(allOut.as[Long].head() == 0L)
+  }
+
+  test("filtered COUNT(*): hybrid — only boundary files scan, the rest counts from metadata") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 4)).toDF("id", "x"), "id", nBuckets = 2)
+    // range-lay the files by x so zones are near-disjoint → most files
+    // fully decide and one or two straddle the cut
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    val nFiles = MergeTable.fileIndex(spark, dir, v).values.flatten.size
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("hyb")
+
+    val q = spark.sql("SELECT COUNT(*) AS n FROM hyb WHERE x < 437")
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_count"),
+      "the hybrid rewrite must fire:\n" + q.queryExecution.optimizedPlan)
+    assert(q.as[Long].head() == (0L until 4000L).count(_ / 4 < 437))
+    // the subset scan touched strictly fewer files than the table holds
+    val (_, subsetTotal) = graft.sources.GraftRelation.lastPruned
+    assert(subsetTotal < nFiles,
+      s"the boundary subset ($subsetTotal) must be smaller than the table ($nFiles)")
+
+    // string conjunct: equality on a constant-per-file column decides
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 600L).map(i => (i, if (i < 300) "en" else "fr"))
+        .toDF("id", "lang"), "id", nBuckets = 2)
+    spark.read.format("graft").option("path", dir2).load()
+      .createOrReplaceTempView("hyb2")
+    val mixed = spark.sql(
+      "SELECT COUNT(*) AS n FROM hyb2 WHERE lang = 'en' AND id < 250")
+    assert(mixed.as[Long].head() == 250L)
+    // and the answer always equals the plain scan's
+    assert(mixed.as[Long].head() ==
+      MergeTable.read(spark, dir2)
+        .where($"lang" === "en" && $"id" < 250).count())
+  }
+
+  test("filtered COUNT(*): Or / In / IsNull trees decide per file") {
+    val dir = tmpDir()
+    // k is CONSTANT (every file's zone is the point [7,7] — the
+    // deterministic FullyIn shape for membership); id covers [0,900)
+    MergeTable.create(spark, dir,
+      (0L until 900L).map { i =>
+        val lang = if (i < 300) "en" else if (i < 600) "fr" else "de"
+        (i, 7L, lang, if (i % 3 == 0) null else java.lang.Long.valueOf(i))
+      }.toDF("id", "k", "lang", "opt"), "id", nBuckets = 2)
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("tree")
+
+    def expectNoScan(sql: String, want: Long): Unit = {
+      val q = spark.sql(sql)
+      assert(!hasScan(q), s"must decide from metadata: $sql\n" +
+        q.queryExecution.executedPlan)
+      assert(q.as[Long].head() == want, sql)
+    }
+    // Or: one FullyIn disjunct decides the whole tree per file
+    expectNoScan(
+      "SELECT COUNT(*) AS n FROM tree WHERE id < 5000 OR id > 9000", 900L)
+    // Or of two all-miss ranges: FullyOut everywhere, zero from metadata
+    expectNoScan(
+      "SELECT COUNT(*) AS n FROM tree WHERE id > 5000 OR id < -5", 0L)
+    // In on the constant column: zmin == zmax == 7 ∈ list → FullyIn
+    expectNoScan("SELECT COUNT(*) AS n FROM tree WHERE k IN (7, 9)", 900L)
+    // In all-miss → FullyOut everywhere
+    expectNoScan("SELECT COUNT(*) AS n FROM tree WHERE k IN (8, 9)", 0L)
+    // big list → the optimizer converts In to InSet; same decisions
+    val big = (100 to 114).mkString(", ")
+    expectNoScan(s"SELECT COUNT(*) AS n FROM tree WHERE k IN (7, $big)", 900L)
+    // every path must match the exact scan, decidable or not
+    val mixed = spark.sql(
+      "SELECT COUNT(*) AS n FROM tree WHERE (lang IN ('en', 'de') OR id >= 300) AND id < 450")
+    assert(mixed.as[Long].head() ==
+      MergeTable.read(spark, dir)
+        .where(($"lang".isin("en", "de") || $"id" >= 300) && $"id" < 450).count())
+    // IsNull: every file mixes null and non-null opt rows → boundary
+    // everywhere → falls back to the exact scan
+    val nulls = spark.sql("SELECT COUNT(*) AS n FROM tree WHERE opt IS NULL")
+    assert(nulls.as[Long].head() == 300L)
+    // IsNull on a never-null column: nullCount 0 → FullyOut, no scan
+    expectNoScan("SELECT COUNT(*) AS n FROM tree WHERE id IS NULL", 0L)
+
+    // filtered COUNT(col): FullyIn files contribute rows − nullCount
+    // (exact from the sidecar) — id%3==0 rows have null opt
+    val nn = spark.sql(
+      "SELECT COUNT(opt) AS n, COUNT(*) AS n_all FROM tree WHERE id < 5000")
+    assert(!hasScan(nn), "COUNT(col) under a decided filter must not scan:\n" +
+      nn.queryExecution.executedPlan)
+    assert(nn.as[(Long, Long)].head() == ((600L, 900L)))
+    // and through the hybrid (boundary) path it matches the exact scan
+    val nnHyb = spark.sql(
+      "SELECT COUNT(opt) AS n FROM tree WHERE id >= 300 AND id < 750")
+    assert(nnHyb.as[Long].head() ==
+      MergeTable.read(spark, dir)
+        .where($"id" >= 300 && $"id" < 750).agg(count($"opt"))
+        .as[Long].head())
   }
 
   test("time travel: the pushed answer comes from the relation's pinned version") {
