@@ -231,8 +231,16 @@ object ZoneMaps {
               }
               val blkNulls = st.getNumNulls
               val nulls = blkNulls != 0
+              // same unprovable-absence guard as the numeric fold:
+              // writers may drop binary min/max (e.g. oversized values)
+              // while the block holds real rows — only an exact full
+              // null count is evidence of all-null
               val parsed =
-                if (!st.hasNonNullValue) Some((null: String, null: String))
+                if (!st.hasNonNullValue) {
+                  if (blkNulls == blk.getRowCount)
+                    Some((null: String, null: String))
+                  else None
+                }
                 else {
                   val mn = dec(st.genericGetMin)
                   val mx = dec(st.genericGetMax)
@@ -259,8 +267,19 @@ object ZoneMaps {
             else {
               val blkNulls = st.getNumNulls // -1 = writer didn't record
               val nulls = blkNulls != 0     // -1 (unknown) counts as "may have"
+              // min/max unset is only "all null" when the null count
+              // PROVES it (== block rows): parquet-java drops
+              // double/float min/max for NaN-bearing blocks that are
+              // full of real rows — trusting the absence would mark a
+              // live file all-null and every range scan would silently
+              // skip it. Unprovable absence poisons the column instead
+              // (no zone → no pruning → never a wrong row).
               val parsed =
-                if (!st.hasNonNullValue) Some((null: BigDecimal, null: BigDecimal))
+                if (!st.hasNonNullValue) {
+                  if (blkNulls == blk.getRowCount)
+                    Some((null: BigDecimal, null: BigDecimal))
+                  else None
+                }
                 else
                   try Some((BigDecimal(st.genericGetMin.toString),
                     BigDecimal(st.genericGetMax.toString)))

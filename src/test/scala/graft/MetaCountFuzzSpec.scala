@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeTable
+
+/** Seeded fuzz of the hybrid filtered-count pushdown
+  * ([[graft.plans.GraftMetaAggregate]] `decideExpr`): random
+  * And/Or/In/InSet/IsNull/range trees over a hostile table — NULLs,
+  * NaN-poisoned double zones, supplementary-plane strings, strings
+  * past the 16-code-point zone truncation, a constant column, and
+  * unsupported leaves forcing fallback — must produce EXACTLY the
+  * count the same predicate yields over the raw engine read. The
+  * decider sums FullyIn files from metadata and scans only Boundary
+  * files, so any divergence is a file wrongly decided (an over- or
+  * under-count Spark cannot repair). A trial counter pins that the
+  * metadata path actually fires under fuzz rather than staying
+  * trivially exact by always falling back.
+  */
+class MetaCountFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  Graft.registerAll(spark)
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cntfuzz").toString
+
+  test("random filter-tree fuzz: hybrid COUNT ≡ exact scan COUNT") {
+    val rnd = new Random(131)
+    val dir = tmpDir()
+    // string domain: multi-plane ordering hazards plus values past the
+    // 16-cp zone truncation sharing prefixes (truncated bounds must
+    // stay BOUNDS, never exact values)
+    val langs = Seq("de", "en", "früh", "中文", "a", "😀x",
+      "prefixprefixprefix-aaaa", "prefixprefixprefix-zzzz", null)
+    val base = (0L until 3000L).map { i =>
+      (i,
+        if (i % 89 == 0) null else java.lang.Long.valueOf(i / 3),
+        langs((i % 9).toInt),
+        7L,
+        if (i % 41 == 0) Double.NaN else (i % 250) / 2.0,
+        if (i % 5 == 0) null else java.lang.Long.valueOf(i % 100))
+    }.toDF("id", "a", "lang", "k", "d", "o")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    val v = MergeTable.clusterBy(spark, dir, "a", filesPerBucket = 4)
+
+    val engine = MergeTable.read(spark, dir, v)
+    val source = spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+
+    def leaf(): Column = rnd.nextInt(14) match {
+      case 0 => col("a") === rnd.nextLong(1100)
+      case 1 => col("a") > rnd.nextLong(1100)
+      case 2 => col("a") <= rnd.nextLong(1100)
+      case 3 => col("a") >= rnd.nextLong(1100) // often FullyIn/FullyOut slabs
+      case 4 => col("a").isin(Seq.fill(3)(rnd.nextLong(1100)): _*)
+      // 16 elements → the optimizer converts In to InSet
+      case 5 => col("a").isin(Seq.fill(16)(rnd.nextLong(1100)): _*)
+      case 6 => col("lang") === langs(rnd.nextInt(8))
+      case 7 => col("lang").isin(Seq.fill(2)(langs(rnd.nextInt(8))): _*)
+      case 8 => col("lang").isNull
+      case 9 => col("o").isNotNull
+      case 10 => col("k").isin(7L, 9L) // constant column: FullyIn shape
+      case 11 => col("d") > rnd.nextDouble() * 130 // NaN-poisoned zones
+      case 12 => col("id") < rnd.nextLong(3500)
+      case 13 => col("lang").contains("e") // outside the algebra → fallback
+    }
+
+    def pred(depth: Int): Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextInt(2) == 0) pred(depth - 1) && pred(depth - 1)
+      else pred(depth - 1) || pred(depth - 1)
+
+    var metaTrials = 0
+    for (trial <- 1 to 60) {
+      val p = pred(if (trial % 2 == 0) 3 else 2)
+      val q = source.filter(p).agg(count(lit(1)).as("n"))
+      val want = engine.filter(p).count()
+      val got = q.as[Long].head()
+      assert(got == want,
+        s"trial $trial diverged on predicate $p: got $got, want $want")
+      val plan = q.queryExecution.optimizedPlan.toString
+      if (plan.contains("__graft_boundary_count") ||
+          !q.queryExecution.executedPlan.toString.contains("Scan GraftRelation"))
+        metaTrials += 1
+    }
+    // the metadata decisions must actually fire under fuzz, not stay
+    // trivially exact by always declining
+    assert(metaTrials > 10,
+      s"expected a non-trivial share of fuzzed counts to use metadata, got $metaTrials/60")
+  }
+}

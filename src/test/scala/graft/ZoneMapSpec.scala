@@ -382,6 +382,38 @@ class ZoneMapSpec extends SparkSpec {
       "file holding double 0.3 was pruned at the representation boundary")
   }
 
+  test("NaN-bearing double blocks poison the zone, never mark a live file all-null") {
+    // parquet-java drops double/float min/max for NaN-bearing blocks
+    // while the block holds real rows; trusting the absence used to
+    // mark the file all-null, and every range scan (readWhere, the
+    // connector, the hybrid count) silently skipped it
+    val dir = s"${Files.createTempDirectory("graft-nanzone")}/t"
+    MergeTable.create(spark, dir,
+      (0L until 300L).map(i =>
+        (i, if (i % 41 == 0) Double.NaN else (i % 250) / 2.0))
+        .toDF("id", "d"),
+      "id", nBuckets = 2)
+    val files = MergeTable.fileIndex(spark, dir, 1).values.flatten.toSeq
+    val zones = ZoneMaps.forVersion(spark, dir, 1, files)
+    assert(zones.values.forall(z => !z.contains("d")),
+      s"NaN-bearing d must have NO zone (poisoned): ${zones.values.map(_.get("d"))}")
+    assert(zones.values.forall(z => z.get("id").exists(_.nullCount == 0L)),
+      "the clean id column must still zone normally")
+
+    // a range scan keeps every file (no zone → no pruning) and is exact;
+    // Spark's NaN-largest semantics make NaN rows satisfy d > 19.8
+    val want = (0L until 300L)
+      .filter(i => i % 41 == 0 || (i % 250) / 2.0 > 19.8).toSet
+    val got = MergeTable.readWhere(spark, dir, "d",
+        BigDecimal("19.9"), BigDecimal("1e9"))
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 300L)
+      .filter(i => i % 41 != 0 && (i % 250) / 2.0 >= 19.9).toSet)
+    val conn = spark.read.format("graft").option("path", dir).load()
+      .filter($"d" > 19.8).select("id").as[Long].collect().toSet
+    assert(conn == want, s"connector must keep NaN-bearing files: ${conn.size} vs ${want.size}")
+  }
+
   test("randomized reference: zone-pruned scans equal plain filters under random layouts and bounds") {
     // the pruning contract, fuzzed: for ANY layout (unclustered, 1-D
     // clustered, z-ordered) and ANY bounds — including non-binary

@@ -129,6 +129,9 @@ assert(!aggQ.queryExecution.executedPlan.toString.contains("Scan GraftRelation")
 assert(aggQ.as[(Long, Long, Long, Long)].head() == ((500L, 500L, 0L, 96L)), "pushed aggregate values")
 val orN = spark.sql("SELECT count(*) FROM g13 WHERE (x >= 0 AND x <= 4) OR (x >= 90 AND x <= 96)").as[Long].head()
 assert(orN == spark.range(500).filter((col("id") % 97 <= 4) || (col("id") % 97 >= 90)).count(), "Or-pruned read")
+val decQ = spark.sql("SELECT count(*) AS n FROM g13 WHERE doc_id < 1000")
+assert(!decQ.queryExecution.executedPlan.toString.contains("Scan GraftRelation"), "a fully-decided filtered count must answer from metadata")
+assert(decQ.as[Long].head() == 500L, "decided filtered count value")
 val keyErr = try { MergeTable.merge(spark, t2, spark.range(1).select(col("id").as("doc_id"), col("id").as("x")), "x"); "" } catch { case e: IllegalArgumentException => e.getMessage }
 assert(keyErr.contains("bucketed on merge key"), s"merge-key guard missing: $keyErr")
 val sinkDir = s"$root/sink13"
