@@ -17,6 +17,10 @@ import graft.sources.GraftRelation
 class GraftSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  // the library session surface: installs GraftMetaAggregate, so the
+  // hybrid-count assertions below see the rule a real session runs
+  Graft.registerAll(spark)
+
   private def tmpDir(): String =
     Files.createTempDirectory("graft-source").toString
 
@@ -116,10 +120,28 @@ class GraftSourceSpec extends SparkSpec {
     val (k1, t1) = GraftRelation.lastPruned
     assert(k1 < t1, s"IS NULL should skip zero-null files: $k1/$t1")
 
-    val nonNulls = load(dir).where(col("y").isNotNull).count()
-    assert(nonNulls == 2000L)
+    // row-returning probe (a bare COUNT is now answered by the hybrid
+    // metadata rule and may never reach the scan): relation-level
+    // IsNotNull pruning must skip the all-null files
+    val nonNulls = load(dir).where(col("y").isNotNull)
+      .select("id").as[Long].collect().toSet
+    assert(nonNulls == (2000L until 4000L).toSet)
     val (k2, t2) = GraftRelation.lastPruned
     assert(k2 < t2, s"IS NOT NULL should skip all-null files: $k2/$t2")
+
+    // and the COUNT twin scans at most the null-boundary files: the
+    // hybrid rule decides all-null files FullyOut and zero-null files
+    // FullyIn from the sidecar alone
+    val cnt = load(dir).where(col("y").isNotNull).agg(count(lit(1)).as("n"))
+    assert(cnt.as[Long].head() == 2000L)
+    val nFiles = graft.pipeline.MergeTable
+      .fileIndex(spark, dir).values.flatten.size
+    val scanned =
+      if (cnt.queryExecution.executedPlan.toString.contains("Scan GraftRelation"))
+        GraftRelation.lastPruned._2
+      else 0
+    assert(scanned < nFiles,
+      s"the hybrid count must not scan the whole table: $scanned/$nFiles")
 
     // localize lang so some files hold ONLY the U+E000 value — under
     // UTF-16 bound selection those files' zones sat "above" the
