@@ -38,7 +38,10 @@ object Plans {
     "doc_dv_delete" -> "merge-on-read delete read: the pending-ledger anti-join (broadcast, key-only build side) above the data scan — zero data files were rewritten by the delete commit",
     "doc_table_history" -> "DESCRIBE HISTORY: a parallelized constant — the whole answer came from manifests + zone sidecars on the driver, zero table scan nodes",
     "doc_card_incremental" -> "incremental dataset card: cell-state folds only — the scans read the two frozen cell frames and the touched buckets, never the whole corpus",
-    "doc_profile_incremental" -> "incremental table profile: one fold over maintained metric cells; the only corpus read is the changed-bucket rebuild")
+    "doc_profile_incremental" -> "incremental table profile: one fold over maintained metric cells; the only corpus read is the changed-bucket rebuild",
+    "doc_meta_agg_sql" -> "SQL aggregate pushdown: the whole COUNT/MIN/MAX query collapsed to a LocalRelation answered from the zone sidecar — zero scan nodes",
+    "doc_meta_count_hybrid" -> "hybrid filtered count: files fully inside the range counted from metadata (a literal in the plan), ONLY the straddling boundary files scanned through the subset-scoped relation",
+    "doc_meta_count_or" -> "disjunctive hybrid count: the Or lattice decides per file per disjunct; boundary-cut files scan, the decided mass never generates a task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -50,6 +53,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the library session surface (SQL functions + optimizer rules) —
+    // without it the plans of the pushdown queries are not the plans
+    // a real session runs (the aggregate-pushdown rule in particular)
+    Graft.registerAll(spark)
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

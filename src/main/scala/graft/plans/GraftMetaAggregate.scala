@@ -435,10 +435,17 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             // the original relation's output attributes, so the filter
             // re-applies exactly over the subset.
             val subset = lr.copy(relation = rel.copy(only = Some(partial)))
+            // column-prune the boundary scan by hand: this rewrite runs
+            // AFTER the optimizer's pruning batch, so without an
+            // explicit Project the V1 scan would read EVERY column
+            // (text included) to count rows
+            val needed = (cols ++ attrsOf(cond)).toSet
+            val pruned = Project(
+              subset.output.filter(a => needed.contains(a.name)), subset)
             val innerAliases = agg.aggregateExpressions.zipWithIndex.map {
               case (a: Alias, i) => Alias(a.child, s"__graft_boundary_count$i")()
             }
-            val inner = Aggregate(Nil, innerAliases, Filter(cond, subset))
+            val inner = Aggregate(Nil, innerAliases, Filter(cond, pruned))
             Project(
               agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
                 case ((a: Alias, ia), i) =>

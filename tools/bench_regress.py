@@ -47,6 +47,7 @@ max(in-run spreads, cross-run max/min) — the gate's noise envelope
 then reflects what fresh-JVM runs actually do.
 """
 import json
+import math
 import sys
 
 BAND = 1.5
@@ -141,7 +142,12 @@ def main() -> int:
             us = [u[q] for u, _ in runs]
             cross = max(us) / min(us) if min(us) > 0 else 1.5
             spread = max([s[q] for _, s in runs] + [cross])
-            merged[q] = {"u": round(min(us), 4), "spread": round(spread, 3)}
+            # round the spread UP with 0.1% headroom: a banked capture
+            # must never fail its own gate — round-to-nearest could
+            # store a spread a hair below the true cross-run ratio
+            # (emb_neardup_exact, round 13: 1.7004x vs stored 1.700)
+            spread_up = math.ceil(spread * 1.001 * 1000) / 1000
+            merged[q] = {"u": round(min(us), 4), "spread": spread_up}
         base["units"] = merged
         base["calib_sec_at_capture"] = calib
         base["source"] = (f"refreshed from {len(runs)} cold runs: "
