@@ -41,7 +41,8 @@ object Plans {
     "doc_profile_incremental" -> "incremental table profile: one fold over maintained metric cells; the only corpus read is the changed-bucket rebuild",
     "doc_meta_agg_sql" -> "SQL aggregate pushdown: the whole COUNT/MIN/MAX query collapsed to a LocalRelation answered from the zone sidecar — zero scan nodes",
     "doc_meta_count_hybrid" -> "hybrid filtered count: files fully inside the range counted from metadata (a literal in the plan), ONLY the straddling boundary files scanned through the subset-scoped relation",
-    "doc_meta_count_or" -> "disjunctive hybrid count: the Or lattice decides per file per disjunct; boundary-cut files scan, the decided mass never generates a task")
+    "doc_meta_count_or" -> "disjunctive hybrid count: the Or lattice decides per file per disjunct; boundary-cut files scan, the decided mass never generates a task",
+    "doc_meta_count_by_lang" -> "grouped metadata counts: lang-constant files attribute their sidecar row counts per group; only run-boundary files scan, merged by one Union + re-aggregation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -4,9 +4,9 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, KnownNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
@@ -257,6 +257,59 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   private def attrsOf(e: Expression): Seq[String] =
     e.collect { case a: AttributeReference => a.name }.distinct
 
+  // ---- grouped metadata counts ------------------------------------------
+
+  /** One output slot of a grouped count: the group key itself, or a
+    * countable metadata shape. */
+  private def groupedShapes(agg: Aggregate): Option[Seq[Either[Unit, MetaAgg]]] =
+    agg.groupingExpressions match {
+      case Seq(g: AttributeReference) if isOrderedPrim(g.dataType) =>
+        val slots = agg.aggregateExpressions.map {
+          case a: AttributeReference if a.exprId == g.exprId => Some(Left(()))
+          case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+            Some(Left(()))
+          case Alias(e, _) => metaOf(e).collect {
+            case m @ (RowCount | NonNull(_)) => Right(m)
+          }
+          case _ => None
+        }
+        if (slots.forall(_.isDefined) && slots.flatten.exists(_.isRight))
+          Some(slots.flatten)
+        else None
+      case _ => None
+    }
+
+  /** The group column's per-file verdict: Some(Some(v)) = every row of
+    * the file is in group `v` (constant column — stored-min ==
+    * stored-max forces it even under string truncation — with zero
+    * nulls), Some(None) = every row is in the NULL group, None = mixed
+    * (boundary). */
+  private def groupOf(dt: DataType, z: Option[ZoneMaps.Zone]): Option[Option[Any]] =
+    z match {
+      case None => None
+      case Some(zz) if zz.allNull => Some(None)
+      case Some(zz) if zz.nullCount == 0L =>
+        if (dt == StringType) {
+          if (zz.kind == "str" && zz.min != null && zz.max != null &&
+              ZoneMaps.cpCompare(zz.min, zz.max) == 0) Some(Some(zz.min))
+          else None
+        } else if (zz.kind == "long" || zz.kind == "double") {
+          val lo = internal(dt, zz.min)
+          val hi = internal(dt, zz.max)
+          if (cmpVals(dt, lo, hi) == 0) Some(Some(lo)) else None
+        } else None
+      case _ => None
+    }
+
+  /** Scala value → catalyst internal value for a LocalRelation row. */
+  private def catalystVal(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      case _ => v
+    }
+
   private sealed trait Decision
   private case object FullyIn extends Decision
   private case object FullyOut extends Decision
@@ -363,7 +416,125 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       }
   }
 
+  /** The graft relation under `plan` with its optional Filter. */
+  private def graftTarget(plan: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation, GraftRelation)] =
+    filteredGraft(plan).map { case (c, lr, g) => (Option(c), lr, g) }
+      .orElse(graftChild(plan).map { case (lr, g) =>
+        (None: Option[Expression], lr, g) })
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // GROUPED metadata counts: COUNT(*) / COUNT(col) GROUP BY one
+    // ordered-primitive column (optionally filtered). A file whose
+    // group column is CONSTANT (or all-null — its own SQL group)
+    // attributes its whole row count to that group from the sidecar;
+    // only group-mixed or filter-boundary files scan, and a final
+    // re-aggregation over a Union merges the scanned partial counts
+    // with the metadata groups. On a lang-clustered corpus the
+    // language histogram touches only the run-boundary files.
+    case agg: Aggregate if agg.groupingExpressions.size == 1 &&
+        groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
+      val g = agg.groupingExpressions.head.asInstanceOf[AttributeReference]
+      val shapes = groupedShapes(agg).get
+      val (condO, lr, rel) = graftTarget(agg.child).get
+      if (condO.exists(c => !supportedExpr(c))) agg
+      else Try {
+        val spark = SparkSession.active
+        require(MergeTable.pendingDeletes(spark, rel.dir, rel.v).isEmpty,
+          "pending merge-on-read ledger — physical counts would include deleted rows")
+        val counts = shapes.collect { case Right(m) => m }
+        val files = MergeTable.fileIndex(spark, rel.dir, rel.v)
+          .values.flatten.toSeq.sorted
+        val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
+        val cols = (condO.toSeq.flatMap(attrsOf) ++ Seq(g.name) ++
+          counts.collect { case NonNull(c) => c }).distinct
+        val incomplete = files.filter { r =>
+          val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+          ZoneMaps.rowCount(fz).isEmpty ||
+            cols.exists(c => fz.get(c).exists(_.nullCount < 0))
+        }
+        val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
+        // group value (None = SQL NULL group) → one sum per count slot
+        val metaGroups =
+          scala.collection.mutable.LinkedHashMap.empty[Option[Any], Array[Long]]
+        val boundary = Seq.newBuilder[String]
+        files.foreach { r =>
+          val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+          val fdec = condO.map(decideExpr(_, fz)).getOrElse(FullyIn)
+          if (fdec == FullyOut) ()
+          else if (fdec != FullyIn) boundary += r
+          else groupOf(g.dataType, fz.get(g.name)) match {
+            case None => boundary += r
+            case Some(gv) =>
+              val rows = ZoneMaps.rowCount(fz).getOrElse(
+                throw new IllegalStateException(s"no row count for $r"))
+              // the whole file is ONE group, so per-file null counts
+              // are exact per-group contributions
+              val contribs = counts.map {
+                case RowCount => Some(rows)
+                case NonNull(c) => fz.get(c).collect {
+                  case z if z.nullCount >= 0L => rows - z.nullCount
+                }
+                case _ => None
+              }
+              if (contribs.forall(_.isDefined)) {
+                val slot = metaGroups.getOrElseUpdate(gv,
+                  Array.fill(counts.size)(0L))
+                contribs.zipWithIndex.foreach { case (c, i) => slot(i) += c.get }
+              } else boundary += r
+          }
+        }
+        val partial = boundary.result()
+        require(partial.size < files.size,
+          "no file decidable from metadata — nothing to save")
+        def metaRow(gv: Option[Any], sums: Array[Long]): Seq[Any] = {
+          var ci = -1
+          shapes.map {
+            case Left(_) => catalystVal(g.dataType, gv.orNull)
+            case Right(_) => ci += 1; sums(ci)
+          }
+        }
+        if (partial.isEmpty)
+          LocalRelation(agg.output, metaGroups.toSeq.map { case (gv, sums) =>
+            InternalRow.fromSeq(metaRow(gv, sums)) }): LogicalPlan
+        else {
+          val subset = lr.copy(relation = rel.copy(only = Some(partial)))
+          val pruned = Project(
+            subset.output.filter(a => cols.contains(a.name)), subset)
+          val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
+          val cntAliases = counts.zipWithIndex.map { case (_, i) =>
+            Alias(agg.aggregateExpressions.collect {
+              case Alias(e, _) if metaOf(e).isDefined => e
+            }.apply(i), s"__graft_boundary_gcnt$i")()
+          }
+          val inner = Aggregate(Seq(g), g +: cntAliases, filtered)
+          // meta rows as a second Union branch: (group, c0, c1, …)
+          val gMeta = AttributeReference(g.name, g.dataType,
+            nullable = g.nullable || metaGroups.contains(None))()
+          val mAttrs = counts.indices.map(i =>
+            AttributeReference(s"__graft_meta_gcnt$i", LongType,
+              nullable = false)())
+          val metaRel = LocalRelation(gMeta +: mAttrs,
+            metaGroups.toSeq.map { case (gv, sums) =>
+              InternalRow.fromSeq(
+                catalystVal(g.dataType, gv.orNull) +: sums.toSeq)
+            })
+          val union = Union(Seq(inner, metaRel))
+          val uo = union.output // (group, c0, c1, …)
+          var ci = 0
+          val finalExprs = shapes.zip(agg.aggregateExpressions).map {
+            case (Left(_), orig) =>
+              Alias(uo.head, g.name)(exprId = orig.exprId)
+            case (Right(_), orig) =>
+              ci += 1
+              Alias(KnownNotNull(Coalesce(Seq(
+                Sum(uo(ci)).toAggregateExpression(), Literal(0L, LongType)))),
+                orig.name)(exprId = orig.exprId)
+          }
+          Aggregate(Seq(uo.head), finalExprs, union): LogicalPlan
+        }
+      }.getOrElse(agg)
+
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
         filteredGraft(agg.child).isDefined &&

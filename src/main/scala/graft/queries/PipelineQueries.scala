@@ -2542,6 +2542,34 @@ object PipelineQueries {
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM merged
       |WHERE (n_chars BETWEEN 100 AND 220) OR (n_chars BETWEEN 700 AND 820)""".stripMargin
 
+  /** GROUPED metadata counts ([[graft.plans.GraftMetaAggregate]]
+    * grouped branch): the language histogram over the lang-clustered
+    * corpus as plain SQL GROUP BY. Files CONSTANT in lang (stored-min
+    * == stored-max with zero nulls — the clustered layout makes that
+    * most of them) attribute their whole sidecar row count to that
+    * group; only the run-boundary files scan, and one Union +
+    * re-aggregation merges the two. The 100 TB shape: `SELECT lang,
+    * COUNT(*) GROUP BY lang` touches the handful of files straddling
+    * language runs instead of the corpus. Oracle: DuckDB recomputes
+    * the histogram over the logically-merged corpus — one mis-attributed
+    * file breaks a group's count. */
+  private val docMetaCountByLang: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "lang")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_cnt_lang_t")
+    s.sql(
+      """SELECT lang, COUNT(*) AS n_docs FROM meta_cnt_lang_t
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val docMetaCountByLangSql =
+    """WITH merged AS (
+      |  SELECT lang FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT 'xx' FROM documents WHERE doc_id % 10 = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM merged
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -4114,6 +4142,7 @@ object PipelineQueries {
     "doc_sql_or_scan" -> docSqlOrScan,
     "doc_meta_count_hybrid" -> docMetaCountHybrid,
     "doc_meta_count_or" -> docMetaCountOr,
+    "doc_meta_count_by_lang" -> docMetaCountByLang,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -4234,6 +4263,7 @@ object PipelineQueries {
     "doc_sql_or_scan" -> docSqlOrScanSql,
     "doc_meta_count_hybrid" -> docMetaCountHybridSql,
     "doc_meta_count_or" -> docMetaCountOrSql,
+    "doc_meta_count_by_lang" -> docMetaCountByLangSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,

@@ -212,6 +212,61 @@ class MetaAggregatePushdownSpec extends SparkSpec {
         .as[Long].head())
   }
 
+  test("grouped counts: constant-group files answer from metadata, mixed files merge through a scan") {
+    val dir = tmpDir()
+    // lang runs align with the id-bucketing? No — hash buckets mix ids,
+    // so make lang FILE-constant the honest way: cluster by it
+    MergeTable.create(spark, dir,
+      (0L until 900L).map { i =>
+        val lang = if (i < 300) "en" else if (i < 600) "fr" else "de"
+        (i, lang, if (i % 4 == 0) null else java.lang.Long.valueOf(i))
+      }.toDF("id", "lang", "opt"), "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 3)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("grp")
+
+    val q = spark.sql(
+      "SELECT lang, COUNT(*) AS n, COUNT(opt) AS n_opt FROM grp GROUP BY lang")
+    val got = q.as[(String, Long, Long)].collect().toSet
+    val want = MergeTable.read(spark, dir, v)
+      .groupBy($"lang").agg(count(lit(1)).as("n"), count($"opt").as("n_opt"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want && want.toSeq.map(_._2).sum == 900L)
+    // the rewrite fired: either no scan at all, or a boundary subset
+    // strictly smaller than the table
+    val plan = q.queryExecution.executedPlan.toString
+    val nFiles = MergeTable.fileIndex(spark, dir, v).values.flatten.size
+    if (plan.contains("Scan GraftRelation")) {
+      assert(q.queryExecution.optimizedPlan.toString
+        .contains("__graft_boundary_gcnt0"), "the grouped hybrid must fire")
+      assert(graft.sources.GraftRelation.lastPruned._2 < nFiles,
+        "the grouped boundary subset must be smaller than the table")
+    }
+
+    // filtered + grouped: decided filter slabs compose with group
+    // constancy; answer must equal the exact twin regardless of path
+    val fq = spark.sql(
+      "SELECT lang, COUNT(*) AS n FROM grp WHERE id < 450 GROUP BY lang")
+    assert(fq.as[(String, Long)].collect().toSet ==
+      MergeTable.read(spark, dir, v).where($"id" < 450)
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSet)
+
+    // all-null group files form the SQL NULL group from metadata
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 400L).map(i =>
+        (i, if (i < 200) null else "x")).toDF("id", "tag"), "id", nBuckets = 2)
+    val v2 = MergeTable.clusterBy(spark, dir2, "tag", filesPerBucket = 2)
+    spark.read.format("graft")
+      .option("path", dir2).option("version", v2.toString).load()
+      .createOrReplaceTempView("grp2")
+    val nq = spark.sql("SELECT tag, COUNT(*) AS n FROM grp2 GROUP BY tag")
+    assert(nq.as[(Option[String], Long)].collect().toSet ==
+      Set((None: Option[String], 200L), (Some("x"), 200L)))
+  }
+
   test("time travel: the pushed answer comes from the relation's pinned version") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,

@@ -93,5 +93,24 @@ class MetaCountFuzzSpec extends SparkSpec {
     // trivially exact by always declining
     assert(metaTrials > 10,
       s"expected a non-trivial share of fuzzed counts to use metadata, got $metaTrials/60")
+
+    // grouped trials: COUNT(*) + COUNT(o) GROUP BY a random column
+    // under a random filter — the grouped lattice (constant-group
+    // metadata attribution + Union merge with the boundary scan) must
+    // match the exact grouped scan row for row
+    for (trial <- 1 to 25) {
+      val gcol = Seq("lang", "k", "a")(rnd.nextInt(3))
+      val p = pred(2)
+      val got = source.filter(p).groupBy(col(gcol))
+        .agg(count(lit(1)).as("n"), count(col("o")).as("n_o"))
+        .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = engine.filter(p).groupBy(col(gcol))
+        .agg(count(lit(1)).as("n"), count(col("o")).as("n_o"))
+        .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"grouped trial $trial diverged on GROUP BY $gcol, predicate $p")
+    }
   }
 }
