@@ -119,12 +119,32 @@ def main() -> int:
         # merge every capture: per query, u = min across runs (steady
         # state), spread = max of the in-run spreads AND the cross-run
         # max/min ratio — the envelope fresh-JVM runs demonstrated
-        runs = []
+        loaded = []
         for p in paths:
             b = load_bench(p)
             if b is None or b.get("calib_sec", -1.0) <= 0:
                 print(f"[bench-regress] skipping capture without map/calib: {p}")
                 continue
+            loaded.append((p, b))
+        # calibration-outlier guard (round 13): one capture whose kernel
+        # ran ~2x slower than the host's quiet norm (CPU contention at
+        # JVM start) DEFLATES its units; banking its min poisons every
+        # query's baseline and later quiet runs "regress" on pure
+        # arithmetic. A capture whose calib deviates >40% from the
+        # median of the submitted captures is excluded, loudly.
+        if len(loaded) >= 3:
+            calibs = sorted(b["calib_sec"] for _, b in loaded)
+            med = calibs[len(calibs) // 2]
+            kept = []
+            for p, b in loaded:
+                if not (0.6 * med <= b["calib_sec"] <= 1.4 * med):
+                    print(f"[bench-regress] excluding calib outlier {p}: "
+                          f"calib {b['calib_sec']:.3f}s vs median {med:.3f}s")
+                else:
+                    kept.append((p, b))
+            loaded = kept
+        runs = []
+        for p, b in loaded:
             c = b["calib_sec"]
             units = {k: v / c for k, v in b["queries"].items()}
             rng = b.get("ranges", {})
