@@ -265,21 +265,30 @@ object MergeTable {
   private def withBucket(df: DataFrame, keyCol: String, n: Int): DataFrame =
     df.withColumn(Bucket, pmod(hash(col(keyCol)), lit(n)))
 
-  /** Next writable version: past both the latest COMMITTED manifest and
-    * any orphan `v<N>/` data or `d<N>/` ledger directory a dead writer
-    * left behind — and CLAIMED for this writer ([[claimVersion]])
-    * before any data lands under it, so a concurrent writer racing the
-    * same number fails here, before it can write a byte. */
-  private def nextVersion(spark: SparkSession, dir: String): Int = {
-    val f = fs(spark, dir)
-    val dataVs = f.listStatus(new Path(dir)).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .collect {
-        case s if (s.startsWith("v") || s.startsWith("d")) &&
-          s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) => s.drop(1).toInt
-      }
-    val nv = (versions(spark, dir) ++ dataVs).max + 1
+  /** The version this writer may commit: a CAS on the TABLE HEAD, not
+    * just on a number. The writer computed its output from `base`, so
+    * the only version it may commit is `base + 1` — a round-13 stress
+    * test caught the prior shape (claim whatever number is free)
+    * silently DROPPING an intervening commit: writer B, based on v1,
+    * would claim v3 after writer A committed v2 and publish a v3
+    * built without A's changes. Now the head must still BE `base`
+    * (else fail loudly — re-read and retry), the claim marker is
+    * taken at `base + 1` before any data lands, and any orphan
+    * `v<N>/`/`d<N>/` data a DEAD claimant left at that number is
+    * cleared under our claim (no manifest ever pointed at it, and a
+    * live writer would have held a fresh marker). */
+  private def nextVersion(spark: SparkSession, dir: String, base: Int): Int = {
+    val latest = versions(spark, dir).max
+    if (latest != base)
+      throw new IllegalStateException(
+        s"commit failed at $dir: table moved v$base -> v$latest under " +
+          "this writer (concurrent writer) — re-read and retry")
+    val nv = base + 1
     claimVersion(spark, dir, nv)
+    val f = fs(spark, dir)
+    Seq(s"$dir/v$nv", s"$dir/d$nv").map(new Path(_)).foreach { p =>
+      if (f.exists(p)) f.delete(p, true)
+    }
     nv
   }
 
@@ -449,7 +458,7 @@ object MergeTable {
         base.join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
       }
-      val nv = nextVersion(spark, dir)
+      val nv = nextVersion(spark, dir, v)
       writeVersion(merged, dir, nv, m.nBuckets)
       val written = listWritten(spark, dir, nv)
       val entries = (m.entries -- touched) ++
@@ -514,7 +523,7 @@ object MergeTable {
       else ks.join(readFiles(spark, m.dv.map(d => absPath(dir, d.rel))),
         Seq(keyCol), "left_anti")
     if (fresh.isEmpty) return v
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     withBucket(fresh, keyCol, m.nBuckets)
       .repartition(m.nBuckets, col(Bucket))
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/d$nv")
@@ -875,7 +884,7 @@ object MergeTable {
     val byBucket = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
       readFiles(spark, ps.map(_._2)).withColumn(Bucket, lit(b))
     }
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     // allowMissingColumns: buckets untouched since a schema evolution
     // still carry the old schema — compaction aligns them; the full
     // rewrite materializes every pending merge-on-read delete (ledger
@@ -910,7 +919,7 @@ object MergeTable {
     val byBucket = targets.map { b =>
       readFiles(spark, m.entries(b).map(p => absPath(dir, p))).withColumn(Bucket, lit(b))
     }
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     // the targeted rewrite materializes the TARGET buckets' pending
     // merge-on-read deletes; other buckets' ledger files carry below
     writeVersion(
@@ -1087,7 +1096,7 @@ object MergeTable {
     val m = readManifest(spark, dir, v)
     val old = read(spark, dir, v)
     require(old.columns.contains(keyCol), s"no key column '$keyCol'")
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     writeVersion(withBucket(old, keyCol, newNBuckets), dir, nv, newNBuckets)
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
@@ -1118,7 +1127,7 @@ object MergeTable {
       s"no column $byCol to cluster by")
     // bucket id comes from the manifest per-bucket read (clusterBy
     // doesn't know the key column, and must not change assignments)
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     val parts = m.entries.keys.toSeq.sorted.map { b =>
       val files = m.entries(b).map(p => absPath(dir, p))
       readFiles(spark, files).withColumn(Bucket, lit(b))
@@ -1169,7 +1178,7 @@ object MergeTable {
     val m = readManifest(spark, dir, v)
     val missing = byCols.filterNot(read(spark, dir, v).columns.contains)
     require(missing.isEmpty, s"no columns $missing to cluster by")
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     val parts = m.entries.keys.toSeq.sorted.map { b =>
       val files = m.entries(b).map(p => absPath(dir, p))
       readFiles(spark, files).withColumn(Bucket, lit(b))
@@ -1230,7 +1239,7 @@ object MergeTable {
     val byBucket = targets.map { b =>
       readFiles(spark, m.entries(b).map(p => absPath(dir, p))).withColumn(Bucket, lit(b))
     }
-    val nv = nextVersion(spark, dir)
+    val nv = nextVersion(spark, dir, v)
     // the repair rewrite materializes the TARGET buckets' pending
     // merge-on-read deletes; other buckets' ledger files carry below
     applyDv(spark, dir, m,

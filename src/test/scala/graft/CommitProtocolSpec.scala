@@ -54,6 +54,56 @@ class CommitProtocolSpec extends SparkSpec {
     assert(MergeTable.merge(spark, dir, Seq((399L, 0L)).toDF("id", "v"), "id") == 3)
   }
 
+  test("four writers with claim-conflict retries: every batch lands exactly once, versions serialize") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 100L).map(i => (i, 0L)).toDF("id", "v"), "id", nBuckets = 4)
+    val v0 = MergeTable.latestVersion(spark, dir)
+    val rnd = new java.util.Random(7)
+
+    // each writer commits 3 single-key batches, retrying on the loud
+    // claim conflict — optimistic concurrency over the CAS marker
+    def writer(t: Long): Future[Int] = Future {
+      var done = 0
+      for (r <- 0L until 3L) {
+        val batch = Seq((1000L * t + r, t)).toDF("id", "v")
+        var attempts = 0
+        var committed = false
+        while (!committed) {
+          attempts += 1
+          assert(attempts <= 60, s"writer $t livelocked on batch $r")
+          try {
+            MergeTable.merge(spark, dir, batch, "id")
+            committed = true
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("another writer claimed") ||
+                  e.getMessage.contains("concurrent writer") =>
+              Thread.sleep(10L + rnd.nextInt(40).toLong)
+          }
+        }
+        done += 1
+      }
+      done
+    }
+
+    val done = Await.result(
+      Future.sequence((1L to 4L).map(writer)), 600.seconds)
+    assert(done.sum == 12, s"every batch must eventually commit: $done")
+    // serialization: exactly one version per committed merge, no gaps
+    assert(MergeTable.latestVersion(spark, dir) == v0 + 12,
+      "12 merges must occupy exactly 12 consecutive versions")
+    // isolation: every writer's every key landed with ITS value
+    val got = MergeTable.read(spark, dir)
+      .where(col("id") >= 1000L).select("id", "v").as[(Long, Long)]
+      .collect().toMap
+    val want = (for (t <- 1L to 4L; r <- 0L until 3L)
+      yield (1000L * t + r) -> t).toMap
+    assert(got == want, "no committed batch may be lost or overwritten")
+    // and the base rows are untouched
+    assert(MergeTable.read(spark, dir).where(col("id") < 100L).count() == 100L)
+  }
+
   test("a stale claim marker (dead writer) is reclaimed; a fresh one refuses") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
