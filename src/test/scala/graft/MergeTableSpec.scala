@@ -233,10 +233,16 @@ class MergeTableSpec extends SparkSpec {
     // simulate a writer that died after writing v2 data, before commit
     df(Map(999L -> (("ghost", 0.0)))).write.parquet(s"$dir/v2/__graft_bucket=0")
     assert(rows(MergeTable.read(spark, dir)) == base, "orphan must be invisible")
-    // next merge must skip the orphaned version number
+    // the commit CAS (round 13) pins the next merge to base+1: the
+    // orphan at v2 — provably dead, no manifest points at it — is
+    // CLEARED under the new claim and the number is safely reused
+    // (skipping past it would open the lost-update gap the 4-writer
+    // stress test caught)
     val v = MergeTable.merge(spark, dir, Seq((5L, "y", 2.0)).toDF("id", "name", "score"), "id")
-    assert(v == 3)
-    assert(rows(MergeTable.read(spark, dir)) == base + (5L -> (("y", 2.0))))
+    assert(v == 2, "the orphan number is reclaimed, not skipped")
+    val got = rows(MergeTable.read(spark, dir))
+    assert(got == base + (5L -> (("y", 2.0))))
+    assert(!got.contains(999L), "the ghost rows must be gone with the orphan")
   }
 
   test("vacuum reclaims unreferenced files and old manifests; latest survives") {
