@@ -104,6 +104,66 @@ class CommitProtocolSpec extends SparkSpec {
     assert(MergeTable.read(spark, dir).where(col("id") < 100L).count() == 100L)
   }
 
+  test("mixed-op concurrency: merges, ledger deletes and a compacting janitor serialize without loss") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 50L).map(i => (i, -1L)).toDF("id", "v"), "id", nBuckets = 4)
+    val rnd = new java.util.Random(11)
+
+    def withRetry[T](tag: String)(op: => T): T = {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        assert(attempts <= 80, s"$tag livelocked")
+        try return op
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent writer") =>
+            Thread.sleep(10L + rnd.nextInt(40).toLong)
+        }
+      }
+      sys.error("unreachable")
+    }
+
+    // writer t: merge its disjoint key range, then ledger-delete the
+    // odd half — final survivors are deterministic regardless of the
+    // serialization order the CAS picks
+    def writer(t: Long): Future[Unit] = Future {
+      for (r <- 0L until 2L) {
+        val keys = (0L until 6L).map(k => 1000L * t + 10L * r + k)
+        val batch = keys.map(k => (k, t)).toDF("id", "v")
+        withRetry(s"writer $t merge $r")(
+          MergeTable.merge(spark, dir, batch, "id"))
+        val dels = keys.filter(_ % 2 == 1)
+        withRetry(s"writer $t delete $r")(
+          MergeTable.deleteKeys(spark, dir, dels.toDF("id"), "id"))
+      }
+    }
+    // the janitor compacts and purges concurrently — content-neutral
+    val janitor: Future[Unit] = Future {
+      for (_ <- 1 to 4) {
+        withRetry("janitor compact")(MergeTable.compact(spark, dir))
+        withRetry("janitor purge")(MergeTable.purgeDeletes(spark, dir))
+        Thread.sleep(50L)
+      }
+    }
+
+    Await.result(Future.sequence(Seq(writer(1L), writer(2L), writer(3L),
+      janitor)), 600.seconds)
+    val got = MergeTable.read(spark, dir)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    val want = (0L until 50L).map(i => i -> -1L).toMap ++
+      (for (t <- 1L to 3L; r <- 0L until 2L; k <- 0L until 6L
+            if k % 2 == 0)
+        yield (1000L * t + 10L * r + k) -> t)
+    assert(got == want,
+      "every merge and every ledger delete must survive the interleaving")
+    // the chain is read-consistent at every retained version
+    MergeTable.versions(spark, dir).foreach { v =>
+      MergeTable.read(spark, dir, v).count() // no broken manifest refs
+    }
+  }
+
   test("a stale claim marker (dead writer) is reclaimed; a fresh one refuses") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
