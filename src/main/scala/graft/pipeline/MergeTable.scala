@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,6 +64,9 @@ object MergeTable {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def fsOf(conf: Configuration, dir: String): FileSystem =
+    new Path(dir).getFileSystem(conf)
+
   private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_v$v.manifest")
 
   /** A commit-claim marker older than this with no manifest behind it
@@ -114,12 +118,19 @@ object MergeTable {
     * header read back as "unknown"; `layout` rides a `#layout` header
     * the same way (absent = no recorded intent); `dv`/`dvKey` ride
     * `#dv`/`#dvkey` headers (the merge-on-read delete ledger — empty =
-    * no pending deletes, the pre-feature default). */
+    * no pending deletes, the pre-feature default). `sinkApp` scopes the
+    * streaming-sink replay cursor `sinkBatch` to the WRITING QUERY
+    * (its checkpoint-stable `queryId`, or an explicit `txnAppId` sink
+    * option — the Delta idempotent-write shape): batch ids restart at 0
+    * under a fresh checkpoint, so an unscoped cursor would silently
+    * swallow every micro-batch of a NEW query writing to an existing
+    * table. Legacy `#batch` headers (no app) parse with sinkApp = None
+    * and never suppress a merge. */
   private case class Manifest(
       nBuckets: Int, entries: Map[Int, Seq[String]], op: String = "unknown",
       layout: Option[TableLayout] = None, dv: Seq[DvFile] = Seq.empty,
       dvKey: Option[String] = None, key: Option[String] = None,
-      sinkBatch: Option[Long] = None)
+      sinkBatch: Option[Long] = None, sinkApp: Option[String] = None)
 
   private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
     val f = fs(spark, dir)
@@ -154,14 +165,44 @@ object MergeTable {
     // the table's bucketing MERGE KEY (absent on pre-feature manifests)
     val key = headers
       .collectFirst { case l if l.startsWith("#mergekey\t") => l.split("\t")(1) }
-    // newest streaming-sink batch id committed into this chain
-    val sinkBatch = headers
-      .collectFirst { case l if l.startsWith("#batch\t") => l.split("\t")(1).toLong }
+    // newest streaming-sink batch id committed into this chain, plus
+    // the writing query's app id (absent on legacy 2-field headers)
+    val batchHeader = headers
+      .collectFirst { case l if l.startsWith("#batch\t") => l.split("\t") }
+    val sinkBatch = batchHeader.map(_(1).toLong)
+    val sinkApp = batchHeader.filter(_.length > 2).map(_(2))
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(b, p) = l.split("\t", 2)
       b.toInt -> p
     }.groupBy(_._1).map { case (b, ps) => b -> ps.map(_._2) }
-    Manifest(header(1).toInt, entries, op, layout, dv, dvKey, key, sinkBatch)
+    Manifest(header(1).toInt, entries, op, layout, dv, dvKey, key, sinkBatch,
+      sinkApp)
+  }
+
+  /** Filesystem schemes whose `create(overwrite = false)` is NOT an
+    * atomic mutual-exclusion primitive: S3's plain PUT has no
+    * create-if-absent semantics (hadoop-aws emulates the flag with a
+    * racy HEAD-then-PUT), so two claimants can both "win" and the
+    * commit protocol's exactly-one-writer guarantee does not hold.
+    * Pointing a table at one of these REFUSES at claim time unless the
+    * operator sets `graft.commit.allowNonAtomic=true` in the Hadoop
+    * configuration (accepting that concurrency control moves to the
+    * deployment — a single orchestrated writer, or an external lock
+    * service, exactly as Delta requires a LogStore / S3 conditional
+    * writes). HDFS (namenode-atomic), `file:` (POSIX `O_EXCL`) and
+    * other HDFS-semantics stores are fine. */
+  private val NonAtomicClaimSchemes = Set("s3", "s3a", "s3n")
+
+  private[graft] def requireAtomicClaims(conf: Configuration, dir: String): Unit = {
+    val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("file")
+    if (NonAtomicClaimSchemes.contains(scheme) &&
+        conf.get("graft.commit.allowNonAtomic") != "true")
+      throw new UnsupportedOperationException(
+        s"graft commit protocol needs atomic create-fail-if-exists, which " +
+          s"'$scheme://' does not provide — point the table at HDFS/local " +
+          "(or any HDFS-semantics store), or set " +
+          "graft.commit.allowNonAtomic=true in the Hadoop configuration " +
+          "after moving writer mutual exclusion to the deployment")
   }
 
   /** CAS-style version claim — create-fail-if-exists on a per-version
@@ -170,14 +211,33 @@ object MergeTable {
     * loudly and immediately (never a silent lost commit, never mixed
     * files in a contested version directory). On a `file:` table the
     * claim is `File.createNewFile` (POSIX `O_EXCL`, truly atomic); on
-    * HDFS `create(overwrite = false)` is atomic in the namenode;
-    * elsewhere it is create-fail-if-exists best-effort — the committed
-    * manifest's existence check in [[commitManifest]] is the final
-    * arbiter. A marker a DEAD claimant left behind (no manifest, older
-    * than [[StaleClaimMillis]]) is reclaimed, so a crashed writer never
-    * wedges the version chain. */
-  private def claimVersion(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = fs(spark, dir)
+    * HDFS `create(overwrite = false)` is atomic in the namenode; object
+    * stores without the primitive REFUSE ([[requireAtomicClaims]]).
+    * The committed manifest's existence check in [[commitManifest]] is
+    * a final belt over the braces.
+    *
+    * Two races the claim itself must close (round-14, ADVICE):
+    *  - A COMPLETED commit consumes its marker ([[commitManifest]]
+    *    renames the manifest, THEN deletes the marker), so a racing
+    *    writer's create can succeed on the just-vacated name. Any
+    *    successful claim therefore re-checks the manifest: present
+    *    means the version is already committed — release the marker
+    *    and fail, BEFORE the caller touches (or clears) any `v<N>`
+    *    data. The commit-side ordering makes this complete: a claim
+    *    can only succeed after the old marker vanished, which is after
+    *    the manifest rename, which the re-check observes.
+    *  - A marker a DEAD claimant left behind (no manifest, older than
+    *    [[StaleClaimMillis]]) is reclaimed by atomic RENAME to a
+    *    private tombstone — of two concurrent reclaimers exactly one
+    *    rename succeeds (delete-then-recreate would let both "win",
+    *    each destroying the other's fresh claim), so a crashed writer
+    *    never wedges the chain and reclaim never double-claims. */
+  private def claimVersion(spark: SparkSession, dir: String, v: Int): Unit =
+    claimVersion(spark.sparkContext.hadoopConfiguration, dir, v)
+
+  private[graft] def claimVersion(conf: Configuration, dir: String, v: Int): Unit = {
+    requireAtomicClaims(conf, dir)
+    val f = fsOf(conf, dir)
     f.mkdirs(new Path(dir)) // the claim may be the first write at `dir`
     val marker = new Path(s"$dir/._commit_v$v")
     def tryClaim(): Boolean = {
@@ -197,9 +257,26 @@ object MergeTable {
         f.getFileStatus(marker).getModificationTime
       catch { case _: java.io.IOException => 0L }
       if (age > StaleClaimMillis) {
-        f.delete(marker, false)
-        claimed = tryClaim()
+        // reclaim by RENAME: atomic, so of N concurrent reclaimers
+        // exactly one owns the stale marker; the losers fall through
+        // to the loud failure (retry later, never a double claim)
+        val tomb = new Path(
+          s"$dir/._commit_v$v.dead.${java.util.UUID.randomUUID().toString.take(8)}")
+        val won = try f.rename(marker, tomb)
+        catch { case _: java.io.IOException => false }
+        if (won) {
+          f.delete(tomb, false)
+          claimed = tryClaim()
+        }
       }
+    }
+    if (claimed && f.exists(manifestPath(dir, v))) {
+      // the claim landed on the name a COMPLETED commit just vacated —
+      // this version exists; holding the claim would license the caller
+      // to clear "orphan" v<N> data that is in fact committed. Release
+      // and fail before any destruction can happen.
+      f.delete(marker, false)
+      claimed = false
     }
     if (!claimed)
       throw new IllegalStateException(
@@ -212,14 +289,19 @@ object MergeTable {
     * writer; the claim marker is consumed on success (version numbers
     * are never reused — [[nextVersion]] only moves forward). */
   private def commitManifest(
-      spark: SparkSession, dir: String, v: Int, m: Manifest): Unit = {
-    val f = fs(spark, dir)
+      spark: SparkSession, dir: String, v: Int, m: Manifest): Unit =
+    commitManifest(spark.sparkContext.hadoopConfiguration, dir, v, m)
+
+  private[graft] def commitManifest(
+      conf: Configuration, dir: String, v: Int, m: Manifest): Unit = {
+    val f = fsOf(conf, dir)
     // per-writer tmp name: never clobber another writer's staged body
     val tmp = new Path(
       s"$dir/._v$v.manifest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val body = (Seq(s"#nbuckets\t${m.nBuckets}", s"#op\t${m.op}") ++
       m.key.map(k => s"#mergekey\t$k").toSeq ++
-      m.sinkBatch.map(b => s"#batch\t$b").toSeq ++
+      m.sinkBatch.map(b =>
+        s"#batch\t$b${m.sinkApp.fold("")(a => s"\t$a")}").toSeq ++
       m.layout.map(l => s"#layout\t${l.curve}\t${l.cols.mkString(",")}" +
         s"\t${l.filesPerBucket}\t${l.bits}").toSeq ++
       m.dvKey.filter(_ => m.dv.nonEmpty).map(k => s"#dvkey\t$k").toSeq ++
@@ -276,7 +358,17 @@ object MergeTable {
     * taken at `base + 1` before any data lands, and any orphan
     * `v<N>/`/`d<N>/` data a DEAD claimant left at that number is
     * cleared under our claim (no manifest ever pointed at it, and a
-    * live writer would have held a fresh marker). */
+    * live writer would have held a fresh marker).
+    *
+    * The orphan-clear is gated TWICE (round-14, ADVICE): the claim
+    * itself verifies no `_v<nv>.manifest` exists (a racing commit
+    * between our head read and our claim would otherwise hand us a
+    * marker licensing deletion of its just-committed data), and the
+    * head is re-read under the claim — a concurrent commit+vacuum pair
+    * can advance the head AND remove the `_v<nv>` manifest, leaving
+    * `v<nv>/` files live (referenced by a LATER manifest) yet
+    * manifest-less at their own number. Only when the head provably
+    * did not move is `v<nv>` data a dead claimant's orphan. */
   private def nextVersion(spark: SparkSession, dir: String, base: Int): Int = {
     val latest = versions(spark, dir).max
     if (latest != base)
@@ -286,6 +378,13 @@ object MergeTable {
     val nv = base + 1
     claimVersion(spark, dir, nv)
     val f = fs(spark, dir)
+    val nowLatest = versions(spark, dir).max
+    if (nowLatest != base) {
+      f.delete(new Path(s"$dir/._commit_v$nv"), false)
+      throw new IllegalStateException(
+        s"commit failed at $dir: table moved v$base -> v$nowLatest under " +
+          "this writer (concurrent writer) — re-read and retry")
+    }
     Seq(s"$dir/v$nv", s"$dir/d$nv").map(new Path(_)).foreach { p =>
       if (f.exists(p)) f.delete(p, true)
     }
@@ -312,10 +411,12 @@ object MergeTable {
 
   /** Create version 1 from `df`. `sinkBatch` tags the commit with a
     * streaming-sink batch id (the replay-dedup cursor — see
-    * [[lastSinkBatch]]). */
+    * [[lastSinkTxn]]), `sinkApp` with the writing query's id (the
+    * cursor's scope — batch ids restart under a fresh checkpoint). */
   def create(
       spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
-      nBuckets: Int = 16, sinkBatch: Option[Long] = None): Unit = {
+      nBuckets: Int = 16, sinkBatch: Option[Long] = None,
+      sinkApp: Option[String] = None): Unit = {
     require(nBuckets > 0)
     require(versions(spark, dir).isEmpty, s"$dir already is a MergeTable")
     claimVersion(spark, dir, 1)
@@ -323,7 +424,8 @@ object MergeTable {
     val written = listWritten(spark, dir, 1)
     ZoneMaps.write(spark, dir, 1, written.values.flatten.toSeq)
     commitManifest(spark, dir, 1, Manifest(nBuckets, written, "create",
-      key = Some(keyCol), sinkBatch = sinkBatch))
+      key = Some(keyCol), sinkBatch = sinkBatch,
+      sinkApp = sinkApp.filter(_ => sinkBatch.isDefined)))
   }
 
   /** Read a specific rel-path subset of a version's files — the scan
@@ -415,7 +517,7 @@ object MergeTable {
       spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
       deleteCol: Option[String] = None, validate: Boolean = true,
       allowSchemaEvolution: Boolean = false,
-      sinkBatch: Option[Long] = None): Int = {
+      sinkBatch: Option[Long] = None, sinkApp: Option[String] = None): Int = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
     // the table's bucketing is BY its recorded merge key — merging on a
@@ -476,7 +578,8 @@ object MergeTable {
       commitManifest(spark, dir, nv,
         Manifest(m.nBuckets, entries, "merge", m.layout, dvLeft,
           m.dvKey.filter(_ => dvLeft.nonEmpty), Some(keyCol),
-          sinkBatch.orElse(m.sinkBatch)))
+          sinkBatch.orElse(m.sinkBatch),
+          if (sinkBatch.isDefined) sinkApp else m.sinkApp))
       nv
     } finally upd.unpersist()
   }
@@ -542,7 +645,8 @@ object MergeTable {
     ZoneMaps.write(spark, dir, nv, Seq.empty, carried)
     commitManifest(spark, dir, nv,
       Manifest(m.nBuckets, m.entries, "delete", m.layout,
-        m.dv ++ newDv, Some(keyCol), m.key.orElse(Some(keyCol)), m.sinkBatch))
+        m.dv ++ newDv, Some(keyCol), m.key.orElse(Some(keyCol)), m.sinkBatch,
+        m.sinkApp))
     nv
   }
 
@@ -556,15 +660,36 @@ object MergeTable {
 
   /** Materialize ALL pending merge-on-read deletes — one
     * [[compactBuckets]] over exactly the buckets with ledger entries
-    * (cost ∝ dv buckets, not table; Delta's REORG PURGE). No-op at the
-    * current version when nothing is pending. */
+    * (cost ∝ dv buckets, not table; Delta's REORG PURGE). Ledger
+    * entries whose bucket holds NO data files are VACUOUS (the deleted
+    * keys have no rows to match) — nothing to rewrite, but they must
+    * still clear: a ledger that never empties permanently blocks every
+    * metadata-only aggregate ([[metaAggregate]]/[[metaRowCount]] and
+    * the SQL pushdown refuse under ANY pending entry). Those drop via
+    * a METADATA-ONLY commit (op `purge`: same entries, files and zone
+    * lines carried 100% by reference, empty ledger) — O(manifest), no
+    * data I/O. No-op at the current version when nothing is pending;
+    * returns a version with an empty ledger always. */
   def purgeDeletes(spark: SparkSession, dir: String): Int = {
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
-    // ledger entries for buckets with no data files are vacuous (the
-    // deleted keys have no rows to match) — nothing to rewrite there
     val bs = m.dv.map(_.bucket).distinct.sorted.filter(m.entries.contains)
-    if (bs.isEmpty) v else compactBuckets(spark, dir, bs)
+    val v2 = if (bs.isEmpty) v else compactBuckets(spark, dir, bs)
+    val m2 = readManifest(spark, dir, v2)
+    if (m2.dv.isEmpty) return v2
+    // everything left is vacuous by construction (compactBuckets
+    // materialized every bucket that had data); assert rather than
+    // silently drop a live entry
+    require(m2.dv.forall(d => !m2.entries.contains(d.bucket)),
+      s"purge left live ledger entries at $dir v$v2 — protocol bug")
+    val nv = nextVersion(spark, dir, v2)
+    val carried = ZoneMaps.read(spark, dir, v2).getOrElse(Map.empty)
+      .filter { case (rel, _) => m2.entries.values.flatten.toSet.contains(rel) }
+    ZoneMaps.write(spark, dir, nv, Seq.empty, carried)
+    commitManifest(spark, dir, nv,
+      Manifest(m2.nBuckets, m2.entries, "purge", m2.layout,
+        key = m2.key, sinkBatch = m2.sinkBatch, sinkApp = m2.sinkApp))
+    nv
   }
 
   // ---- persisted CHECK constraints -------------------------------------
@@ -723,7 +848,7 @@ object MergeTable {
     FileBlooms.carryAll(spark, src, v, dst, 1, rel => absPath(srcQ, rel))
     commitManifest(spark, dst, 1,
       Manifest(m.nBuckets, entries, "clone", m.layout, dv, m.dvKey, m.key,
-        m.sinkBatch))
+        m.sinkBatch, m.sinkApp))
     // the fork inherits the source's CHECK constraints (its own copy —
     // later setConstraints/clearConstraints on either side diverge).
     // No re-validation scan: the fork's content IS the already-valid
@@ -897,7 +1022,7 @@ object MergeTable {
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv,
       Manifest(m.nBuckets, written, "compact", m.layout, key = m.key,
-        sinkBatch = m.sinkBatch))
+        sinkBatch = m.sinkBatch, sinkApp = m.sinkApp))
     nv
   }
 
@@ -938,7 +1063,7 @@ object MergeTable {
     val dvLeft = m.dv.filterNot(d => targets.contains(d.bucket))
     commitManifest(spark, dir, nv,
       Manifest(m.nBuckets, entries, "compact_buckets", m.layout, dvLeft,
-        m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch))
+        m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch, m.sinkApp))
     nv
   }
 
@@ -1036,6 +1161,12 @@ object MergeTable {
     val purgeable = m.dv.map(_.bucket).distinct.sorted
       .filter(m.entries.contains)
       .filterNot(b => churned.contains(b) || fragmented.contains(b))
+    // an ALL-VACUOUS ledger (every entry in a data-less bucket) always
+    // advises: the repair is a metadata-only commit (purgeDeletes drops
+    // the entries by reference, no rewrite), yet while pending it
+    // permanently blocks every metadata-only aggregate
+    val allVacuous = m.dv.nonEmpty &&
+      m.dv.forall(d => !m.entries.contains(d.bucket))
     Seq(
       m.layout.filter(_ => churned.nonEmpty).map(l => Maintenance(
         "recluster", churned,
@@ -1046,7 +1177,12 @@ object MergeTable {
       Option.when(pendingKeys > maxPendingDeleteKeys && purgeable.nonEmpty)(
         Maintenance("purge", purgeable,
           s"$pendingKeys pending merge-on-read delete keys exceed " +
-            s"$maxPendingDeleteKeys"))
+            s"$maxPendingDeleteKeys")),
+      Option.when(allVacuous)(
+        Maintenance("purge", Seq.empty,
+          s"$pendingKeys vacuous merge-on-read ledger keys (no data " +
+            "files in their buckets) block metadata-only aggregates — " +
+            "repair is one metadata commit"))
     ).flatten
   }
 
@@ -1067,8 +1203,12 @@ object MergeTable {
           l.filesPerBucket, if (l.curve == "range") 16 else l.bits, l.curve)
       case a @ Maintenance("compact", buckets, _) =>
         a -> compactBuckets(spark, dir, buckets)
-      case a @ Maintenance("purge", buckets, _) =>
-        a -> compactBuckets(spark, dir, buckets)
+      case a @ Maintenance("purge", _, _) =>
+        // purgeDeletes, not a bare compactBuckets: it also clears
+        // vacuous ledger entries (bucket-less keys) via the
+        // metadata-only commit, so maintain() always converges to an
+        // empty ledger
+        a -> purgeDeletes(spark, dir)
       case a => throw new IllegalStateException(s"unknown advice: $a")
     }
 
@@ -1101,7 +1241,7 @@ object MergeTable {
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(newNBuckets, written, "rebucket",
-      key = Some(keyCol), sinkBatch = m.sinkBatch))
+      key = Some(keyCol), sinkBatch = m.sinkBatch, sinkApp = m.sinkApp))
     nv
   }
 
@@ -1143,7 +1283,7 @@ object MergeTable {
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster",
       Some(TableLayout("range", Seq(byCol), filesPerBucket, 0)),
-      key = m.key, sinkBatch = m.sinkBatch))
+      key = m.key, sinkBatch = m.sinkBatch, sinkApp = m.sinkApp))
     nv
   }
 
@@ -1196,7 +1336,7 @@ object MergeTable {
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster_z",
       Some(TableLayout(curve, byCols, filesPerBucket, bits)),
-      key = m.key, sinkBatch = m.sinkBatch))
+      key = m.key, sinkBatch = m.sinkBatch, sinkApp = m.sinkApp))
     nv
   }
 
@@ -1263,7 +1403,7 @@ object MergeTable {
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, entries,
       if (curve == "range") "cluster" else "cluster_z",
       Some(TableLayout(curve, byCols, filesPerBucket, bits)), dvLeft,
-      m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch))
+      m.dvKey.filter(_ => dvLeft.nonEmpty), m.key, m.sinkBatch, m.sinkApp))
     nv
   }
 
@@ -1435,6 +1575,20 @@ object MergeTable {
     * across every admin op like the layout intent. */
   def lastSinkBatch(spark: SparkSession, dir: String): Option[Long] =
     readManifest(spark, dir, latestVersion(spark, dir)).sinkBatch
+
+  /** The replay-dedup cursor WITH its scope: (batch id, writing query's
+    * app id). The app id (streaming `queryId`, stable across restarts
+    * of the same checkpoint, or an explicit sink `txnAppId`) is what
+    * keeps the cursor from aliasing: a NEW query (fresh checkpoint)
+    * restarts batch ids at 0, so suppressing on the bare id would
+    * silently drop its every micro-batch. Legacy cursors (written
+    * before the scope existed) read back with app None and never
+    * suppress. */
+  def lastSinkTxn(
+      spark: SparkSession, dir: String): Option[(Long, Option[String])] = {
+    val m = readManifest(spark, dir, latestVersion(spark, dir))
+    m.sinkBatch.map(b => (b, m.sinkApp))
+  }
 
   /** Zone-pruned STRING range scan — [[readWhere]] for string columns:
     * read only the files whose truncated-UTF-8 zones can intersect

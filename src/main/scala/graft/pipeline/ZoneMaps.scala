@@ -77,11 +77,17 @@ object ZoneMaps {
         (max == null || cpCompare(max, lo) >= 0)
   }
 
-  /** Sidecar format: 2 = "#format" header, str zones, %-escaped
-    * fields, written by poisoning-safe harvests. Headerless (format-1)
-    * sidecars predate the logical-type poisoning fix and their `long`
-    * lines are dropped on read — see [[read]]. */
-  val FormatVersion = 2
+  /** Sidecar format: 3 = written by harvests whose all-null claims are
+    * PROVEN (missing min/max is trusted only when the block's null
+    * count equals its row count — parquet-java drops double/float
+    * stats for NaN-bearing blocks and binary stats for oversized
+    * values while the block holds real rows). Format-2 sidecars
+    * predate that proof, so their all-null double/str zones cannot be
+    * trusted and are dropped on read (degrade to re-harvest /
+    * unprunable, never a wrong answer) — the same precedent as
+    * format-1, whose headerless `long` lines predate the logical-type
+    * poisoning fix and are dropped too. See [[read]]. */
+  val FormatVersion = 3
 
   /** String zones are truncated to this many CODE POINTS — bounded
     * sidecar lines no matter how long the column's values run (the
@@ -391,6 +397,12 @@ object ZoneMaps {
           else (a(3), a(4))
         (a(0), a(1), Zone(a(2), mn, mx, a(5).toBoolean, nc))
       }.filterNot(r => fmt < 2 && r._3.kind == "long")
+        // format < 3: all-null claims predate the proven-absence
+        // harvest (NaN-bearing double blocks / oversized-binary str
+        // blocks can read as all-null) — drop them so range scans,
+        // null probes and metadata aggregates degrade to re-harvest
+        // or keep-the-file instead of silently skipping live rows
+        .filterNot(r => fmt < 3 && r._3.kind != "count" && r._3.allNull)
         .groupBy(_._1).map { case (rel, rows) =>
           rel -> rows.map(r => r._2 -> r._3).toMap
         })

@@ -498,7 +498,13 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           LocalRelation(agg.output, metaGroups.toSeq.map { case (gv, sums) =>
             InternalRow.fromSeq(metaRow(gv, sums)) }): LogicalPlan
         else {
-          val subset = lr.copy(relation = rel.copy(only = Some(partial)))
+          // pin the subset relation to THIS relation's resolved version:
+          // rel.version may be -1 ("latest"), which a copy would
+          // re-resolve against a table that advanced since construction
+          // — metadata sums from the old version + boundary files from
+          // the new one silently undercount (round-14 ADVICE)
+          val subset = lr.copy(relation =
+            rel.copy(version = rel.v, only = Some(partial)))
           val pruned = Project(
             subset.output.filter(a => cols.contains(a.name)), subset)
           val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
@@ -604,8 +610,11 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             // metadata counts of the fully-decided rest as literals —
             // the Iceberg inclusive-metrics move. The inner scan reuses
             // the original relation's output attributes, so the filter
-            // re-applies exactly over the subset.
-            val subset = lr.copy(relation = rel.copy(only = Some(partial)))
+            // re-applies exactly over the subset — pinned to THIS
+            // relation's resolved version (version = rel.v, never the
+            // -1 "latest" a copy would re-resolve — round-14 ADVICE).
+            val subset = lr.copy(relation =
+              rel.copy(version = rel.v, only = Some(partial)))
             // column-prune the boundary scan by hand: this rewrite runs
             // AFTER the optimizer's pruning batch, so without an
             // explicit Project the V1 scan would read EVERY column

@@ -33,6 +33,17 @@ import graft.pipeline.{FileBlooms, MergeTable, ZoneMaps}
   * deliberately). `writeStream.format("graft")` maps each micro-batch
   * to the same MERGE (option `deleteCol` for CDC-style batches) —
   * retried batches re-merge idempotently, the MergeTable contract.
+  *
+  * Replay dedup is SCOPED to the writing query (the Delta
+  * idempotent-write shape, txnAppId + txnVersion): the committed
+  * cursor records (batchId, appId) where appId is the streaming
+  * query's checkpoint-stable `queryId` (override with the sink option
+  * `txnAppId`). A restarted query (same checkpoint → same queryId)
+  * skips its already-committed batches without re-merging; a NEW query
+  * (fresh checkpoint restarts batchIds at 0) never matches the old
+  * cursor, so its batches MERGE normally instead of being silently
+  * swallowed. Legacy unscoped cursors never suppress — a replayed
+  * batch re-merges, which is content-idempotent.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
@@ -70,14 +81,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
-        // replay dedup: the committed batch-id cursor rides the
-        // manifest chain ([[MergeTable.lastSinkBatch]]), so a retried
-        // or restarted micro-batch whose id is already committed
-        // returns WITHOUT merging — the version chain is unchanged,
-        // not merely idempotent-by-content (one sink per table; a
-        // crash between merge and checkpoint replays harmlessly here)
+        // the cursor's scope: an explicit txnAppId option, else the
+        // query's checkpoint-stable id (StreamExecution publishes it
+        // as a thread-local property on the micro-batch thread)
+        val app = parameters.get("txnAppId").orElse(Option(
+          spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
+        // replay dedup: the committed (batchId, appId) cursor rides the
+        // manifest chain ([[MergeTable.lastSinkTxn]]) — a retried or
+        // restarted micro-batch of the SAME query whose id is already
+        // committed returns WITHOUT merging (version chain unchanged).
+        // Suppression demands an app match: batch ids restart at 0
+        // under a fresh checkpoint, so an unscoped cursor would
+        // silently drop a new query's every batch (round-14 ADVICE);
+        // a legacy cursor (no recorded app) or an unknowable current
+        // app never suppresses — the merge is content-idempotent.
         val exists = MergeTable.versions(spark, dir).nonEmpty
-        if (exists && MergeTable.lastSinkBatch(spark, dir).exists(_ >= batchId))
+        if (exists && app.isDefined &&
+            MergeTable.lastSinkTxn(spark, dir).exists { case (b, a) =>
+              a == app && b >= batchId })
           return
         // decouple from the streaming plan (the standard sink move —
         // a streaming-tagged Dataset refuses batch actions, and the
@@ -95,10 +116,10 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           val insert = deleteCol.fold(batch)(dc =>
             batch.filter(!col(dc)).drop(dc))
           MergeTable.create(spark, dir, insert, key, buckets,
-            sinkBatch = Some(batchId))
+            sinkBatch = Some(batchId), sinkApp = app)
         } else {
           MergeTable.merge(spark, dir, batch, key, deleteCol = deleteCol,
-            sinkBatch = Some(batchId))
+            sinkBatch = Some(batchId), sinkApp = app)
           ()
         }
       }

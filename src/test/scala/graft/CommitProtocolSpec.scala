@@ -192,6 +192,115 @@ class CommitProtocolSpec extends SparkSpec {
     assert(!stale.exists(), "the reclaimed marker is consumed by the commit")
   }
 
+  test("a claim landing on a just-committed version's vacated marker releases and fails — committed data survives") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 200L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 4)
+    // writer A commits v2 normally: manifest renamed, marker consumed
+    MergeTable.merge(spark, dir, Seq((1L, -1L)).toDF("id", "v"), "id")
+    assert(MergeTable.latestVersion(spark, dir) == 2)
+    val v2Files = MergeTable.fileIndex(spark, dir, 2).values.flatten.toSeq
+      .map(r => new java.io.File(dir, r))
+    assert(v2Files.nonEmpty && v2Files.forall(_.exists()))
+
+    // writer B raced: it read head = 1 BEFORE A's commit, and its claim
+    // of v2 lands on the marker name A's commit just vacated. Round 13
+    // granted that claim — and nextVersion's orphan-clear then deleted
+    // A's committed v2/ data files. The claim must instead observe the
+    // committed manifest, release, and fail loudly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalStateException] {
+      MergeTable.claimVersion(conf, dir, 2)
+    }
+    assert(e.getMessage.contains("another writer claimed"))
+    assert(!new java.io.File(dir, "._commit_v2").exists(),
+      "the refused claim must release its marker")
+    assert(v2Files.forall(_.exists()),
+      "the committed version's data files must survive the refused claim")
+    MergeTable.read(spark, dir, 2).count() // still fully readable
+  }
+
+  test("concurrent stale-marker reclaimers: the rename handoff admits exactly one") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 2)
+    val stale = new java.io.File(dir, "._commit_v2")
+    assert(stale.createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+
+    // N claimants race the reclaim: delete-then-recreate would let two
+    // "win" (one deleting the other's fresh marker); the atomic rename
+    // handoff must admit exactly one
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gate = new java.util.concurrent.CountDownLatch(4)
+    def contender(): Future[Boolean] = Future {
+      gate.countDown(); gate.await()
+      Try(MergeTable.claimVersion(conf, dir, 2)).isSuccess
+    }
+    val wins = Await.result(
+      Future.sequence((1 to 4).map(_ => contender())), 120.seconds)
+      .count(identity)
+    assert(wins == 1, s"exactly one reclaimer may win the stale marker, got $wins")
+    assert(new java.io.File(dir, "._commit_v2").exists(),
+      "the winner holds the fresh claim marker")
+  }
+
+  test("object-store paths without atomic create refuse at claim time; the escape hatch is explicit") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val e = intercept[UnsupportedOperationException] {
+      MergeTable.requireAtomicClaims(conf, "s3a://bucket/warehouse/corpus")
+    }
+    assert(e.getMessage.contains("atomic create-fail-if-exists"))
+    // the explicit operator opt-out (mutual exclusion moved to the
+    // deployment) lifts the refusal
+    conf.set("graft.commit.allowNonAtomic", "true")
+    MergeTable.requireAtomicClaims(conf, "s3a://bucket/warehouse/corpus")
+    // HDFS-semantics schemes never refuse
+    MergeTable.requireAtomicClaims(
+      new org.apache.hadoop.conf.Configuration(false), "/tmp/local-table")
+    MergeTable.requireAtomicClaims(
+      new org.apache.hadoop.conf.Configuration(false), "hdfs://nn/warehouse/t")
+  }
+
+  test("a vacuous delete ledger (keys in data-less buckets) purges via a metadata-only commit") {
+    val dir = tmpDir()
+    // one-row table at 8 buckets: most buckets hold no data files
+    MergeTable.create(spark, dir,
+      Seq((0L, "keep")).toDF("id", "name"), "id", nBuckets = 8)
+    val bucketOf = (k: Long) => spark.range(1).select(
+      pmod(hash(lit(k)), lit(8)).cast("int")).as[Int].head()
+    val usedBucket = bucketOf(0L)
+    // a deleted key that hashes AWAY from the data: its ledger entry is
+    // vacuous — no row can ever match it
+    val ghost = (1000L to 1100L).find(k => bucketOf(k) != usedBucket).get
+    MergeTable.deleteKeys(spark, dir, Seq(ghost).toDF("id"), "id")
+    assert(MergeTable.pendingDeletes(spark, dir).nonEmpty)
+    // a pending ledger (even a vacuous one) blocks metadata aggregates
+    intercept[IllegalArgumentException] {
+      MergeTable.metaRowCount(spark, dir)
+    }
+    // round 13 purgeDeletes no-op'd here, leaving the block permanent;
+    // now it drops the vacuous entries via one metadata commit
+    val v = MergeTable.purgeDeletes(spark, dir)
+    assert(v > 2, "the purge must commit a new version")
+    assert(MergeTable.pendingDeletes(spark, dir).isEmpty,
+      "the vacuous ledger must clear")
+    assert(MergeTable.metaRowCount(spark, dir) == 1L,
+      "metadata aggregates must work again after the purge")
+    assert(MergeTable.read(spark, dir).count() == 1L, "data unchanged")
+    // and the advisor names the repair (all-vacuous always advises)
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      Seq((0L, "keep")).toDF("id", "name"), "id", nBuckets = 8)
+    MergeTable.deleteKeys(spark, dir2, Seq(ghost).toDF("id"), "id")
+    val advice = MergeTable.advise(spark, dir2)
+    assert(advice.exists(a => a.action == "purge" &&
+      a.reason.contains("vacuous")), s"advise must flag the vacuous ledger: $advice")
+    MergeTable.maintain(spark, dir2)
+    assert(MergeTable.pendingDeletes(spark, dir2).isEmpty,
+      "maintain must converge the vacuous ledger to empty")
+  }
+
   test("the merge key persists, carries across admin ops, and gates mis-keyed writes") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,

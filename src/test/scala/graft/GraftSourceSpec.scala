@@ -186,8 +186,11 @@ class GraftSourceSpec extends SparkSpec {
 
   test("sink replay dedup: a re-delivered batch id leaves the version chain unchanged") {
     val dir = tmpDir()
+    // txnAppId scopes the cursor (outside a live streaming query there
+    // is no queryId thread-property) — the Delta idempotent-write shape
     val sink = new graft.sources.GraftSource().createSink(
-      spark.sqlContext, Map("path" -> dir, "key" -> "id", "buckets" -> "2"),
+      spark.sqlContext, Map("path" -> dir, "key" -> "id", "buckets" -> "2",
+        "txnAppId" -> "replay-test-q"),
       Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
 
     sink.addBatch(0L, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
@@ -213,6 +216,56 @@ class GraftSourceSpec extends SparkSpec {
     sink.addBatch(1L, Seq((1L, "a4")).toDF("id", "name"))
     assert(MergeTable.latestVersion(spark, dir) == 3,
       "replay after compaction must still dedup")
+  }
+
+  test("sink replay cursor is scoped to the writing query: a fresh query's batch 0 merges instead of being swallowed") {
+    val dir = tmpDir()
+    def sinkFor(app: String) = new graft.sources.GraftSource().createSink(
+      spark.sqlContext, Map("path" -> dir, "key" -> "id", "buckets" -> "2",
+        "txnAppId" -> app),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+
+    // query A commits batches 0..5 (cursor = (5, A))
+    val a = sinkFor("query-A")
+    a.addBatch(0L, Seq((1L, "a0")).toDF("id", "name"))
+    a.addBatch(5L, Seq((2L, "a5")).toDF("id", "name"))
+    assert(MergeTable.lastSinkTxn(spark, dir)
+      .contains((5L, Some("query-A"))))
+
+    // a NEW query (fresh checkpoint) restarts batch ids at 0 — the
+    // round-13 unscoped cursor silently dropped every batch here; the
+    // scoped cursor must MERGE it (this was silent data loss)
+    val b = sinkFor("query-B")
+    b.addBatch(0L, Seq((3L, "b0")).toDF("id", "name"))
+    assert(MergeTable.read(spark, dir).where(col("id") === 3L).count() == 1L,
+      "a new query's batch 0 must not be swallowed by the old cursor")
+    assert(MergeTable.lastSinkTxn(spark, dir)
+      .contains((0L, Some("query-B"))))
+
+    // B's own replay of batch 0 now dedups against B's cursor
+    val vB = MergeTable.latestVersion(spark, dir)
+    b.addBatch(0L, Seq((3L, "ghost")).toDF("id", "name"))
+    assert(MergeTable.latestVersion(spark, dir) == vB,
+      "the same query's replayed batch must still dedup")
+
+    // A restarting from ITS checkpoint replays batch 5 — but the head
+    // cursor is B's now, so A's replay re-merges (content-idempotent,
+    // the safe direction: never lose data to an aliased cursor)
+    a.addBatch(5L, Seq((2L, "a5")).toDF("id", "name"))
+    assert(MergeTable.read(spark, dir).where(col("id") === 2L)
+      .select("name").as[String].head() == "a5")
+
+    // an unscopable batch (no txnAppId, no streaming thread) NEVER
+    // suppresses: a legacy/unknowable writer re-merges rather than
+    // risking a silent drop
+    val anon = new graft.sources.GraftSource().createSink(
+      spark.sqlContext, Map("path" -> dir, "key" -> "id", "buckets" -> "2"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+    val vPre = MergeTable.latestVersion(spark, dir)
+    anon.addBatch(0L, Seq((4L, "anon")).toDF("id", "name"))
+    assert(MergeTable.latestVersion(spark, dir) == vPre + 1,
+      "an unscopable batch must merge, never silently skip")
+    assert(MergeTable.read(spark, dir).where(col("id") === 4L).count() == 1L)
   }
 
   test("Bloom sidecar point lookup prunes through SQL; one-sided ranges stay exact") {

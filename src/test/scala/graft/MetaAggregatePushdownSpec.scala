@@ -267,6 +267,35 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       Set((None: Option[String], 200L), (Some("x"), 200L)))
   }
 
+  test("hybrid boundary scan stays on the relation's pinned version while the table advances") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 4)).toDF("id", "x"), "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    // relation constructed WITHOUT a version option: it pins v = latest
+    // AT CONSTRUCTION; a temp view holds that exact relation alive
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("pinhyb")
+    val want = (0L until 4000L).count(_ / 4 < 437).toLong
+
+    // the table advances UNDER the view: a merge rewrites both buckets,
+    // so every file of the pinned version is absent from the new head
+    MergeTable.merge(spark, dir,
+      (0L until 50L).map(i => (i, 9999L)).toDF("id", "x"), "id")
+    assert(MergeTable.latestVersion(spark, dir) > v)
+
+    // round 13's subset copy re-resolved "latest": the pinned version's
+    // boundary rel-paths matched nothing in the new head, the boundary
+    // scan silently contributed ZERO, and the count undercounted. The
+    // subset must pin version = rel.v (round-14 ADVICE).
+    val q = spark.sql("SELECT COUNT(*) AS n FROM pinhyb WHERE x < 437")
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_count"),
+      "the hybrid rewrite must fire:\n" + q.queryExecution.optimizedPlan)
+    assert(q.as[Long].head() == want,
+      "the hybrid count must answer entirely from the pinned version")
+  }
+
   test("time travel: the pushed answer comes from the relation's pinned version") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,

@@ -414,6 +414,70 @@ class ZoneMapSpec extends SparkSpec {
     assert(conn == want, s"connector must keep NaN-bearing files: ${conn.size} vs ${want.size}")
   }
 
+  test("pre-fix (format-2) all-null zones are NOT trusted: they degrade to re-harvest, never a silent skip") {
+    // sidecars written before the proven-absence harvest can carry
+    // wrong all-null double/str zones for NaN-bearing (or oversized-
+    // binary) files; the format-3 bump makes read() drop those lines
+    // so every consumer degrades conservatively (round-14 ADVICE)
+    val dir = s"${Files.createTempDirectory("graft-fmt2")}/t"
+    MergeTable.create(spark, dir,
+      (0L until 200L).map(i => (i, (i % 50).toDouble, s"tag$i"))
+        .toDF("id", "d", "s"),
+      "id", nBuckets = 2)
+    val files = MergeTable.fileIndex(spark, dir, 1).values.flatten.toSeq.sorted
+    val rows = ZoneMaps.forVersion(spark, dir, 1, files)
+
+    // fabricate what a pre-fix build would have written: a format-2
+    // sidecar claiming file #0's d and s columns are ALL NULL (the
+    // NaN/oversized stats-drop misread) while the file holds live rows
+    val victim = files.head
+    val body = ("#format\t2" +: rows.toSeq.sortBy(_._1).flatMap {
+      case (rel, cols) => cols.toSeq.sortBy(_._1).map { case (c, z) =>
+        val (mn, mx) =
+          if (rel == victim && c == "d") ("", "")
+          else if (rel == victim && c == "s") ("%none", "%none")
+          else if (z.kind == "str")
+            (if (z.min == null) "%none" else z.min,
+              if (z.max == null) "%inf" else z.max)
+          else (z.min, z.max)
+        s"$rel\t$c\t${z.kind}\t$mn\t$mx\t${z.hasNulls}\t${z.nullCount}"
+      }
+    }).mkString("", "\n", "\n")
+    // through the Hadoop FS (not java.nio), so the LocalFileSystem's
+    // .crc sidecar matches the fabricated bytes
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(s"$dir/_v1.zones"), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+
+    // the poisoned claims are dropped on read (other zones survive)
+    val reread = ZoneMaps.read(spark, dir, 1).get
+    assert(!reread(victim).contains("d") && !reread(victim).contains("s"),
+      "untrusted format-2 all-null zones must be dropped")
+    assert(reread(victim).contains("id"), "trusted zones must survive")
+
+    // range scan / null probe keep the victim file (no zone → keep):
+    // under the old trust, d >= 0 silently skipped its every row
+    val got = MergeTable.readWhere(spark, dir, "d",
+        BigDecimal(0), BigDecimal(1000))
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 200L).toSet,
+      s"no live row may be skipped on an untrusted zone: ${got.size}/200")
+    val (keptNN, _) = MergeTable.prunedFilesNull(spark, dir, "s", isNull = false)
+    assert(keptNN.contains(victim),
+      "IS NOT NULL must keep the file whose all-null claim is untrusted")
+
+    // metadata aggregates re-harvest the dropped column exactly
+    val agg = MergeTable.metaAggregate(spark, dir, Seq("d")).collect().head
+    assert(agg.getLong(1) == 200L && agg.getLong(2) == 200L &&
+      agg.getString(3) == "0.0" && agg.getString(4) == "49.0",
+      s"re-harvest must restore exact stats: $agg")
+
+    // a FRESH sidecar (format 3) trusts its own proven all-null zones
+    assert(ZoneMaps.FormatVersion == 3)
+  }
+
   test("randomized reference: zone-pruned scans equal plain filters under random layouts and bounds") {
     // the pruning contract, fuzzed: for ANY layout (unclustered, 1-D
     // clustered, z-ordered) and ANY bounds — including non-binary
