@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, KnownNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Coalesce, EqualTo, Expression, Greatest, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, KnownNotNull, Least, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -257,10 +257,22 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   private def attrsOf(e: Expression): Seq[String] =
     e.collect { case a: AttributeReference => a.name }.distinct
 
-  // ---- grouped metadata counts ------------------------------------------
+  // ---- grouped metadata aggregates ----------------------------------------
 
-  /** One output slot of a grouped count: the group key itself, or a
-    * countable metadata shape. */
+  /** dt is a type whose zone min/max round-trips exactly through
+    * [[internal]] — the MIN/MAX-from-metadata precondition (string
+    * zones are truncated BOUNDS, never exact values). */
+  private def isNumericMeta(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType => true
+    case _ => false
+  }
+
+  /** One output slot of a grouped metadata aggregate: the group key
+    * itself, or a metadata-answerable shape (counts, and — round 14 —
+    * numeric MIN/MAX, exact on group-constant files because a file's
+    * zone min/max IS that group's min/max when every row is the
+    * group). */
   private def groupedShapes(agg: Aggregate): Option[Seq[Either[Unit, MetaAgg]]] =
     agg.groupingExpressions match {
       case Seq(g: AttributeReference) if isOrderedPrim(g.dataType) =>
@@ -270,6 +282,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             Some(Left(()))
           case Alias(e, _) => metaOf(e).collect {
             case m @ (RowCount | NonNull(_)) => Right(m)
+            case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
+            case m @ MaxOf(_, dt) if isNumericMeta(dt) => Right(m)
           }
           case _ => None
         }
@@ -277,6 +291,59 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           Some(slots.flatten)
         else None
       case _ => None
+    }
+
+  /** Per-slot metadata contribution of one fully-decided file:
+    * Left(n) = additive count, Right(v) = a min/max candidate in the
+    * column's domain (null = the file holds no non-null value — folds
+    * as "no candidate", exactly SQL's null-skipping MIN/MAX). None =
+    * this file cannot decide this slot from metadata → Boundary. */
+  private def contribOf(
+      shapes: Seq[MetaAgg], fz: Map[String, ZoneMaps.Zone],
+      rows: Long): Option[Seq[Either[Long, Any]]] = {
+    val cs = shapes.map {
+      case RowCount => Some(Left(rows))
+      case NonNull(c) => fz.get(c).collect {
+        case z if z.nullCount >= 0L => Left(rows - z.nullCount)
+      }
+      case MinOf(_, dt) if !isNumericMeta(dt) => None
+      case MaxOf(_, dt) if !isNumericMeta(dt) => None
+      case MinOf(c, dt) => fz.get(c) match {
+        case Some(z) if z.allNull => Some(Right(null))
+        case Some(z) if z.kind == "long" || z.kind == "double" =>
+          Try(internal(dt, z.min)).toOption.map(Right(_))
+        case _ => None
+      }
+      case MaxOf(c, dt) => fz.get(c) match {
+        case Some(z) if z.allNull => Some(Right(null))
+        case Some(z) if z.kind == "long" || z.kind == "double" =>
+          Try(internal(dt, z.max)).toOption.map(Right(_))
+        case _ => None
+      }
+    }
+    if (cs.forall(_.isDefined)) Some(cs.flatten) else None
+  }
+
+  /** Fold one file's contributions into per-slot accumulators:
+    * `cnt` sums counts, `mval` folds min/max candidates (null-skipping,
+    * in the column's own domain). */
+  private def foldContribs(
+      shapes: Seq[MetaAgg], contribs: Seq[Either[Long, Any]],
+      cnt: Array[Long], mval: Array[Any]): Unit =
+    contribs.zipWithIndex.foreach {
+      case (Left(n), i) => cnt(i) += n
+      case (Right(v), i) if v != null =>
+        val dt = shapes(i) match {
+          case MinOf(_, d) => d
+          case MaxOf(_, d) => d
+          case _ => throw new IllegalStateException("count slot with a value")
+        }
+        val takeNew = mval(i) == null || (shapes(i) match {
+          case MinOf(_, _) => cmpVals(dt, v, mval(i)) < 0
+          case _ => cmpVals(dt, v, mval(i)) > 0
+        })
+        if (takeNew) mval(i) = v
+      case _ => () // null min/max candidate: no non-null value to fold
     }
 
   /** The group column's per-file verdict: Some(Some(v)) = every row of
@@ -440,63 +507,79 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       if (condO.exists(c => !supportedExpr(c))) agg
       else Try {
         val spark = SparkSession.active
-        require(MergeTable.pendingDeletes(spark, rel.dir, rel.v).isEmpty,
-          "pending merge-on-read ledger — physical counts would include deleted rows")
-        val counts = shapes.collect { case Right(m) => m }
-        val files = MergeTable.fileIndex(spark, rel.dir, rel.v)
-          .values.flatten.toSeq.sorted
+        // LEDGER-AWARE (round 14): a pending merge-on-read ledger no
+        // longer vetoes the whole rewrite — files in a ledgered BUCKET
+        // are forced Boundary (their physical rows may include deleted
+        // ones; the subset scan applies the anti-join exactly), every
+        // other bucket's files still decide from metadata. Keys ledger
+        // into their own hash bucket, so a ledger-free bucket's rows
+        // are provably untouched.
+        val dvBuckets = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
+          .map(_.bucket).toSet
+        val aggs = shapes.collect { case Right(m) => m }
+        val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
+        val fileBucket: Map[String, Int] = byBucket.toSeq.flatMap {
+          case (b, fs) => fs.map(_ -> b) }.toMap
+        val files = byBucket.values.flatten.toSeq.sorted
         val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
         val cols = (condO.toSeq.flatMap(attrsOf) ++ Seq(g.name) ++
-          counts.collect { case NonNull(c) => c }).distinct
+          aggs.collect {
+            case NonNull(c) => c
+            case MinOf(c, _) => c
+            case MaxOf(c, _) => c
+          }).distinct
         val incomplete = files.filter { r =>
           val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
           ZoneMaps.rowCount(fz).isEmpty ||
             cols.exists(c => fz.get(c).exists(_.nullCount < 0))
         }
         val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
-        // group value (None = SQL NULL group) → one sum per count slot
-        val metaGroups =
-          scala.collection.mutable.LinkedHashMap.empty[Option[Any], Array[Long]]
+        // group value (None = SQL NULL group) → per-slot accumulators:
+        // summed counts and folded min/max candidates
+        val metaGroups = scala.collection.mutable.LinkedHashMap
+          .empty[Option[Any], (Array[Long], Array[Any])]
         val boundary = Seq.newBuilder[String]
         files.foreach { r =>
           val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
           val fdec = condO.map(decideExpr(_, fz)).getOrElse(FullyIn)
-          if (fdec == FullyOut) ()
-          else if (fdec != FullyIn) boundary += r
+          if (fdec == FullyOut) () // no deleted-row risk: deletes only shrink
+          else if (fdec != FullyIn || dvBuckets.contains(fileBucket(r)))
+            boundary += r
           else groupOf(g.dataType, fz.get(g.name)) match {
             case None => boundary += r
             case Some(gv) =>
               val rows = ZoneMaps.rowCount(fz).getOrElse(
                 throw new IllegalStateException(s"no row count for $r"))
               // the whole file is ONE group, so per-file null counts
-              // are exact per-group contributions
-              val contribs = counts.map {
-                case RowCount => Some(rows)
-                case NonNull(c) => fz.get(c).collect {
-                  case z if z.nullCount >= 0L => rows - z.nullCount
-                }
-                case _ => None
+              // and per-file zone min/max are exact per-group values
+              contribOf(aggs, fz, rows) match {
+                case Some(cs) =>
+                  val (cnt, mval) = metaGroups.getOrElseUpdate(gv,
+                    (Array.fill(aggs.size)(0L),
+                      Array.fill[Any](aggs.size)(null)))
+                  foldContribs(aggs, cs, cnt, mval)
+                case None => boundary += r
               }
-              if (contribs.forall(_.isDefined)) {
-                val slot = metaGroups.getOrElseUpdate(gv,
-                  Array.fill(counts.size)(0L))
-                contribs.zipWithIndex.foreach { case (c, i) => slot(i) += c.get }
-              } else boundary += r
           }
         }
         val partial = boundary.result()
         require(partial.size < files.size,
           "no file decidable from metadata — nothing to save")
-        def metaRow(gv: Option[Any], sums: Array[Long]): Seq[Any] = {
+        def metaRow(gv: Option[Any], cnt: Array[Long], mval: Array[Any]): Seq[Any] = {
           var ci = -1
           shapes.map {
             case Left(_) => catalystVal(g.dataType, gv.orNull)
-            case Right(_) => ci += 1; sums(ci)
+            case Right(m) =>
+              ci += 1
+              m match {
+                case RowCount | NonNull(_) => cnt(ci)
+                case _ => mval(ci) // numeric internal value or null
+              }
           }
         }
         if (partial.isEmpty)
-          LocalRelation(agg.output, metaGroups.toSeq.map { case (gv, sums) =>
-            InternalRow.fromSeq(metaRow(gv, sums)) }): LogicalPlan
+          LocalRelation(agg.output, metaGroups.toSeq.map { case (gv, (c, v)) =>
+            InternalRow.fromSeq(metaRow(gv, c, v)) }): LogicalPlan
         else {
           // pin the subset relation to THIS relation's resolved version:
           // rel.version may be -1 ("latest"), which a copy would
@@ -508,34 +591,50 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           val pruned = Project(
             subset.output.filter(a => cols.contains(a.name)), subset)
           val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
-          val cntAliases = counts.zipWithIndex.map { case (_, i) =>
-            Alias(agg.aggregateExpressions.collect {
-              case Alias(e, _) if metaOf(e).isDefined => e
-            }.apply(i), s"__graft_boundary_gcnt$i")()
+          val origAggs = agg.aggregateExpressions.collect {
+            case Alias(e, _) if metaOf(e).isDefined => e
           }
-          val inner = Aggregate(Seq(g), g +: cntAliases, filtered)
-          // meta rows as a second Union branch: (group, c0, c1, …)
+          val aggAliases = aggs.indices.map(i =>
+            Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
+          val inner = Aggregate(Seq(g), g +: aggAliases, filtered)
+          // meta rows as a second Union branch: (group, a0, a1, …) —
+          // count slots are LongType, min/max slots the column's type
           val gMeta = AttributeReference(g.name, g.dataType,
             nullable = g.nullable || metaGroups.contains(None))()
-          val mAttrs = counts.indices.map(i =>
-            AttributeReference(s"__graft_meta_gcnt$i", LongType,
-              nullable = false)())
+          val mAttrs = aggs.zipWithIndex.map {
+            case (RowCount | NonNull(_), i) =>
+              AttributeReference(s"__graft_meta_gcnt$i", LongType,
+                nullable = false)()
+            case (MinOf(_, dt), i) =>
+              AttributeReference(s"__graft_meta_gcnt$i", dt, nullable = true)()
+            case (MaxOf(_, dt), i) =>
+              AttributeReference(s"__graft_meta_gcnt$i", dt, nullable = true)()
+          }
           val metaRel = LocalRelation(gMeta +: mAttrs,
-            metaGroups.toSeq.map { case (gv, sums) =>
+            metaGroups.toSeq.map { case (gv, (cnt, mval)) =>
+              val slotVals = aggs.zipWithIndex.map {
+                case (RowCount | NonNull(_), i) => cnt(i): Any
+                case (_, i) => mval(i)
+              }
               InternalRow.fromSeq(
-                catalystVal(g.dataType, gv.orNull) +: sums.toSeq)
+                catalystVal(g.dataType, gv.orNull) +: slotVals)
             })
           val union = Union(Seq(inner, metaRel))
-          val uo = union.output // (group, c0, c1, …)
+          val uo = union.output // (group, a0, a1, …)
           var ci = 0
           val finalExprs = shapes.zip(agg.aggregateExpressions).map {
             case (Left(_), orig) =>
               Alias(uo.head, g.name)(exprId = orig.exprId)
-            case (Right(_), orig) =>
+            case (Right(m), orig) =>
               ci += 1
-              Alias(KnownNotNull(Coalesce(Seq(
-                Sum(uo(ci)).toAggregateExpression(), Literal(0L, LongType)))),
-                orig.name)(exprId = orig.exprId)
+              val merged = m match {
+                case RowCount | NonNull(_) =>
+                  KnownNotNull(Coalesce(Seq(
+                    Sum(uo(ci)).toAggregateExpression(), Literal(0L, LongType))))
+                case MinOf(_, _) => Min(uo(ci)).toAggregateExpression()
+                case MaxOf(_, _) => Max(uo(ci)).toAggregateExpression()
+              }
+              Alias(merged, orig.name)(exprId = orig.exprId)
           }
           Aggregate(Seq(uo.head), finalExprs, union): LogicalPlan
         }
@@ -543,132 +642,148 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
 
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
-        filteredGraft(agg.child).isDefined &&
+        graftTarget(agg.child).isDefined &&
         agg.aggregateExpressions.forall {
           case Alias(e, _) => metaOf(e).exists {
             case RowCount | NonNull(_) => true
-            case _ => false
+            case MinOf(_, dt) => isNumericMeta(dt)
+            case MaxOf(_, dt) => isNumericMeta(dt)
           }
           case _ => false
         } =>
-      val (cond, lr, rel) = filteredGraft(agg.child).get
-      if (!supportedExpr(cond)) agg
+      val (condO, lr, rel) = graftTarget(agg.child).get
+      if (condO.exists(c => !supportedExpr(c))) agg
       else Try {
           val spark = SparkSession.active
-          require(MergeTable.pendingDeletes(spark, rel.dir, rel.v).isEmpty,
-            "pending merge-on-read ledger — physical counts would include deleted rows")
           val shapes = agg.aggregateExpressions.map {
             case Alias(e, _) => metaOf(e).get
           }
-          val files = MergeTable.fileIndex(spark, rel.dir, rel.v)
-            .values.flatten.toSeq.sorted
-          val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
-          // legacy lines (no #rows / unknown nullCount) → one footer
-          // re-harvest of just those files, metadata I/O only
-          val cols = (attrsOf(cond) ++
-            shapes.collect { case NonNull(c) => c }).distinct
-          val incomplete = files.filter { r =>
-            val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
-            ZoneMaps.rowCount(fz).isEmpty ||
-              cols.exists(c => fz.get(c).exists(_.nullCount < 0))
-          }
-          val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
-          val metaSums = Array.fill(shapes.size)(0L)
-          val boundary = Seq.newBuilder[String]
-          files.foreach { r =>
-            val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
-            decideExpr(cond, fz) match {
-              case FullyOut => () // contributes nothing
-              case FullyIn =>
+          val dv = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
+          if (condO.isEmpty && dv.isEmpty) {
+            // ZERO-SCAN fast path: unfiltered, no pending ledger — one
+            // metadata pass answers everything, the plan collapses to a
+            // LocalRelation (the Delta/Iceberg count-from-stats move)
+            val cols = shapes.collect {
+              case NonNull(c) => c
+              case MinOf(c, _) => c
+              case MaxOf(c, _) => c
+            }.distinct
+            // column → (n_rows, n_nonnull, min_v, max_v)
+            val stats: Map[String, (Long, Long, String, String)] =
+              if (cols.isEmpty) Map.empty
+              else MergeTable.metaAggregate(spark, rel.dir, cols, rel.v)
+                .collect().map(r => r.getString(0) ->
+                  (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+                .toMap
+            lazy val nRows: Long = stats.headOption.map(_._2._1)
+              .getOrElse(MergeTable.metaRowCount(spark, rel.dir, rel.v))
+            val values = shapes.map {
+              case RowCount => nRows
+              case NonNull(c) => stats(c)._2
+              case MinOf(c, dt) => internal(dt, stats(c)._3)
+              case MaxOf(c, dt) => internal(dt, stats(c)._4)
+            }
+            LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+              : LogicalPlan
+          } else {
+            // HYBRID (Iceberg inclusive-metrics): decide each file —
+            // FullyIn contributes from metadata (counts from row/null
+            // counts, MIN/MAX from zone extremes, exact because every
+            // row of the file qualifies), FullyOut contributes nothing,
+            // Boundary scans. LEDGER-AWARE (round 14): files in a
+            // bucket with pending merge-on-read deletes are forced
+            // Boundary (the subset scan applies the anti-join exactly;
+            // keys ledger into their own hash bucket, so every other
+            // bucket is provably untouched) — a 100 TB table with ten
+            // pending deletes keeps its pushdown.
+            val dvBuckets = dv.map(_.bucket).toSet
+            val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
+            val fileBucket: Map[String, Int] = byBucket.toSeq.flatMap {
+              case (b, fs) => fs.map(_ -> b) }.toMap
+            val files = byBucket.values.flatten.toSeq.sorted
+            val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
+            // legacy lines (no #rows / unknown nullCount) → one footer
+            // re-harvest of just those files, metadata I/O only
+            val cols = (condO.toSeq.flatMap(attrsOf) ++ shapes.collect {
+              case NonNull(c) => c
+              case MinOf(c, _) => c
+              case MaxOf(c, _) => c
+            }).distinct
+            val incomplete = files.filter { r =>
+              val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+              ZoneMaps.rowCount(fz).isEmpty ||
+                cols.exists(c => fz.get(c).exists(_.nullCount < 0))
+            }
+            val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
+            val metaCnt = Array.fill(shapes.size)(0L)
+            val metaVal = Array.fill[Any](shapes.size)(null)
+            val boundary = Seq.newBuilder[String]
+            files.foreach { r =>
+              val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+              val fdec = condO.map(decideExpr(_, fz)).getOrElse(FullyIn)
+              if (fdec == FullyOut) () // deletes only shrink: still out
+              else if (fdec != FullyIn || dvBuckets.contains(fileBucket(r)))
+                boundary += r
+              else {
                 val rows = ZoneMaps.rowCount(fz).getOrElse(
                   throw new IllegalStateException(s"no row count for $r"))
-                // COUNT(col) on a FullyIn file = rows − its exact null
-                // count; a column with no (exact) null evidence makes
-                // the FILE boundary, never a guess
-                val contribs = shapes.map {
-                  case RowCount => Some(rows)
-                  case NonNull(c) => fz.get(c).collect {
-                    case z if z.nullCount >= 0L => rows - z.nullCount
-                  }
-                  case _ => None
+                contribOf(shapes, fz, rows) match {
+                  case Some(cs) => foldContribs(shapes, cs, metaCnt, metaVal)
+                  case None => boundary += r
                 }
-                if (contribs.forall(_.isDefined))
-                  contribs.zipWithIndex.foreach { case (c, i) =>
-                    metaSums(i) += c.get }
-                else boundary += r
-              case Boundary => boundary += r
+              }
             }
-          }
-          val partial = boundary.result()
-          require(partial.size < files.size,
-            "no file decidable from metadata — nothing to save")
-          if (partial.isEmpty)
-            LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(metaSums.toSeq))): LogicalPlan
-          else {
-            // HYBRID: exact COUNTs over just the boundary files + the
-            // metadata counts of the fully-decided rest as literals —
-            // the Iceberg inclusive-metrics move. The inner scan reuses
-            // the original relation's output attributes, so the filter
-            // re-applies exactly over the subset — pinned to THIS
-            // relation's resolved version (version = rel.v, never the
-            // -1 "latest" a copy would re-resolve — round-14 ADVICE).
-            val subset = lr.copy(relation =
-              rel.copy(version = rel.v, only = Some(partial)))
-            // column-prune the boundary scan by hand: this rewrite runs
-            // AFTER the optimizer's pruning batch, so without an
-            // explicit Project the V1 scan would read EVERY column
-            // (text included) to count rows
-            val needed = (cols ++ attrsOf(cond)).toSet
-            val pruned = Project(
-              subset.output.filter(a => needed.contains(a.name)), subset)
-            val innerAliases = agg.aggregateExpressions.zipWithIndex.map {
-              case (a: Alias, i) => Alias(a.child, s"__graft_boundary_count$i")()
+            val partial = boundary.result()
+            require(partial.size < files.size,
+              "no file decidable from metadata — nothing to save")
+            def slotVal(i: Int): Any = shapes(i) match {
+              case RowCount | NonNull(_) => metaCnt(i)
+              case _ => metaVal(i)
             }
-            val inner = Aggregate(Nil, innerAliases, Filter(cond, pruned))
-            Project(
-              agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
-                case ((a: Alias, ia), i) =>
-                  Alias(Add(ia.toAttribute, Literal(metaSums(i), LongType)),
-                    a.name)(exprId = a.exprId)
-              }, inner): LogicalPlan
+            if (partial.isEmpty)
+              LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(shapes.indices.map(slotVal))))
+                : LogicalPlan
+            else {
+              // boundary files scan exactly through a subset-scoped copy
+              // of the relation — pinned to THIS relation's resolved
+              // version (version = rel.v, never the -1 "latest" a copy
+              // would re-resolve — round-14 ADVICE). Column-prune the
+              // scan by hand: this rewrite runs AFTER the optimizer's
+              // pruning batch, so without an explicit Project the V1
+              // scan would read EVERY column (text included).
+              val subset = lr.copy(relation =
+                rel.copy(version = rel.v, only = Some(partial)))
+              val pruned = Project(
+                subset.output.filter(a => cols.contains(a.name)), subset)
+              val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
+              val innerAliases = agg.aggregateExpressions.zipWithIndex.map {
+                case (a: Alias, i) =>
+                  Alias(a.child, s"__graft_boundary_count$i")()
+                case (other, _) => throw new IllegalStateException(
+                  s"non-alias aggregate slot: $other")
+              }
+              val inner = Aggregate(Nil, innerAliases, filtered)
+              Project(
+                agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
+                  case ((a: Alias, ia), i) =>
+                    val merged = shapes(i) match {
+                      case RowCount | NonNull(_) =>
+                        Add(ia.toAttribute, Literal(metaCnt(i), LongType))
+                      case MinOf(_, dt) =>
+                        // Least/Greatest skip nulls with the same NaN-
+                        // largest ordering Min/Max use, so combining the
+                        // boundary scan's exact extreme with the
+                        // metadata fold preserves SQL semantics
+                        Least(Seq(ia.toAttribute, Literal(metaVal(i), dt)))
+                      case MaxOf(_, dt) =>
+                        Greatest(Seq(ia.toAttribute, Literal(metaVal(i), dt)))
+                    }
+                    Alias(merged, a.name)(exprId = a.exprId)
+                  case _ => throw new IllegalStateException("non-alias slot")
+                }, inner): LogicalPlan
+            }
           }
         }.getOrElse(agg)
-
-    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
-        agg.aggregateExpressions.nonEmpty &&
-        graftChild(agg.child).isDefined =>
-      val rel = graftChild(agg.child).get._2
-      val metas = agg.aggregateExpressions.map {
-        case Alias(e, _) => metaOf(e)
-        case _ => None
-      }
-      if (metas.exists(_.isEmpty)) agg
-      else Try {
-        val spark = SparkSession.active
-        val shapes = metas.flatten
-        val cols = shapes.collect {
-          case NonNull(c) => c
-          case MinOf(c, _) => c
-          case MaxOf(c, _) => c
-        }.distinct
-        // column → (n_rows, n_nonnull, min_v, max_v); one metadata pass
-        val stats: Map[String, (Long, Long, String, String)] =
-          if (cols.isEmpty) Map.empty
-          else MergeTable.metaAggregate(spark, rel.dir, cols, rel.v)
-            .collect().map(r => r.getString(0) ->
-              (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
-            .toMap
-        lazy val nRows: Long = stats.headOption.map(_._2._1)
-          .getOrElse(MergeTable.metaRowCount(spark, rel.dir, rel.v))
-        val values = shapes.map {
-          case RowCount => nRows
-          case NonNull(c) => stats(c)._2
-          case MinOf(c, dt) => internal(dt, stats(c)._3)
-          case MaxOf(c, dt) => internal(dt, stats(c)._4)
-        }
-        LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
-          : LogicalPlan
-      }.getOrElse(agg)
   }
 }

@@ -2570,6 +2570,95 @@ object PipelineQueries {
       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM merged
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** GROUPED metadata MIN/MAX ([[graft.plans.GraftMetaAggregate]],
+    * round 14 — the next rung of the Iceberg stats ladder): the
+    * per-language size profile as plain SQL. A file CONSTANT in lang
+    * contributes its zone's n_chars extremes EXACTLY (every row of the
+    * file is that group, and numeric parquet stats are exact value
+    * bounds), plus its row count; only group-mixed files scan and a
+    * Union re-aggregation merges the two. At 100 TB, `SELECT lang,
+    * MIN(sz), MAX(sz) GROUP BY lang` touches run-boundary files only.
+    * Oracle: DuckDB recomputes the profile over the logically-merged
+    * corpus — one stale extreme or mis-attributed file breaks the
+    * hash. */
+  private val docMetaMinmaxByLang: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "lang")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_mmx_lang_t")
+    s.sql(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc
+        |FROM meta_mmx_lang_t GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val docMetaMinmaxByLangSql =
+    """WITH merged AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT 'xx', doc_id % 1000 FROM documents WHERE doc_id % 10 = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc
+      |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** FILTERED metadata MIN/MAX ([[graft.plans.GraftMetaAggregate]],
+    * round 14): COUNT + MIN/MAX under a range predicate over the
+    * n_chars-clustered corpus. FullyIn files contribute zone extremes
+    * (exact — every row qualifies), FullyOut contribute nothing, and
+    * only the straddling boundary files scan; Least/Greatest merge the
+    * two sides with SQL's null-skipping semantics. Oracle: DuckDB
+    * recomputes the same filtered aggregates — a FullyIn file whose
+    * extreme leaked from outside the range, or a lost boundary row,
+    * breaks the hash. */
+  private val docMetaMinmaxFiltered: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_mmx_filt_t")
+    s.sql(
+      """SELECT COUNT(*) AS n_kept,
+        |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc
+        |FROM meta_mmx_filt_t
+        |WHERE n_chars >= 100 AND n_chars < 700""".stripMargin)
+  }
+
+  private val docMetaMinmaxFilteredSql =
+    """WITH merged AS (
+      |  SELECT CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |    AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id % 1000 FROM documents WHERE doc_id % 10 = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  MIN(n_chars) AS min_nc, MAX(n_chars) AS max_nc
+      |FROM merged WHERE n_chars >= 100 AND n_chars < 700""".stripMargin
+
+  /** LEDGER-AWARE aggregate pushdown ([[graft.plans
+    * .GraftMetaAggregate]], round 14): COUNT(*) / COUNT(col) over the
+    * [[IvmScaffold.dvSparseCorpus]] — a table with a LIVE three-key
+    * merge-on-read ledger (zero data rewrite). Round 13 fell back to a
+    * full scan under any pending ledger; now only the ≤3 ledgered
+    * BUCKETS' files scan (the subset applies the anti-join exactly)
+    * and every other bucket answers from metadata — at 100 TB, ten
+    * pending deletes no longer cost the audit-count pushdown. Oracle:
+    * DuckDB counts `documents` minus the same literal keys — a
+    * deleted row surviving the count, or a ledger-free bucket
+    * mis-summed, breaks the hash. */
+  private val docMetaCountLedger: Q = (s, d) => {
+    val dir = IvmScaffold.dvSparseCorpus(s, d)
+    s.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("meta_ledger_t")
+    s.sql(
+      """SELECT COUNT(*) AS n_docs, COUNT(n_chars) AS n_nc
+        |FROM meta_ledger_t""".stripMargin)
+  }
+
+  private val docMetaCountLedgerSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(n_chars) AS BIGINT) AS n_nc
+      |FROM documents WHERE doc_id NOT IN (3, 10, 17)""".stripMargin
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -4143,6 +4232,9 @@ object PipelineQueries {
     "doc_meta_count_hybrid" -> docMetaCountHybrid,
     "doc_meta_count_or" -> docMetaCountOr,
     "doc_meta_count_by_lang" -> docMetaCountByLang,
+    "doc_meta_minmax_by_lang" -> docMetaMinmaxByLang,
+    "doc_meta_minmax_filtered" -> docMetaMinmaxFiltered,
+    "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -4264,6 +4356,9 @@ object PipelineQueries {
     "doc_meta_count_hybrid" -> docMetaCountHybridSql,
     "doc_meta_count_or" -> docMetaCountOrSql,
     "doc_meta_count_by_lang" -> docMetaCountByLangSql,
+    "doc_meta_minmax_by_lang" -> docMetaMinmaxByLangSql,
+    "doc_meta_minmax_filtered" -> docMetaMinmaxFilteredSql,
+    "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,

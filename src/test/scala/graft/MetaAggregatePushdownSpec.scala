@@ -267,6 +267,127 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       Set((None: Option[String], 200L), (Some("x"), 200L)))
   }
 
+  test("filtered MIN/MAX ride the FullyIn/Boundary lattice: zone extremes + boundary scan, exact") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 4, (i % 1000) / 8.0))
+        .toDF("id", "x", "score"), "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("mmx")
+
+    // boundary files straddle the cut; FullyIn files answer MIN/MAX
+    // from zone extremes (exact: every row of a FullyIn file passes)
+    val q = spark.sql(
+      """SELECT COUNT(*) AS n, MIN(x) AS mnx, MAX(x) AS mxx,
+        |       MIN(score) AS mns, MAX(score) AS mxs
+        |FROM mmx WHERE x < 437""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_count"),
+      "the hybrid rewrite must fire:\n" + q.queryExecution.optimizedPlan)
+    val got = q.as[(Long, Long, Long, Double, Double)].head()
+    val want = MergeTable.read(spark, dir, v).where($"x" < 437)
+      .agg(count(lit(1)), min($"x"), max($"x"), min($"score"), max($"score"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(got == want, s"hybrid MIN/MAX must equal the scan: $got vs $want")
+
+    // a fully-decided filter collapses MIN/MAX to zero scan nodes
+    val allIn = spark.sql(
+      "SELECT MIN(x) AS mn, MAX(x) AS mx FROM mmx WHERE x >= 0")
+    assert(!hasScan(allIn), "fully-decided filtered MIN/MAX must not scan:\n" +
+      allIn.queryExecution.executedPlan)
+    assert(allIn.as[(Long, Long)].head() == ((0L, 999L)))
+
+    // all-out: MIN/MAX of an empty set is NULL, still no scan
+    val allOut = spark.sql(
+      "SELECT MIN(x) AS mn, COUNT(*) AS n FROM mmx WHERE x > 99999")
+    assert(!hasScan(allOut))
+    val (mnNull, nZero) = allOut.as[(Option[Long], Long)].head()
+    assert(mnNull.isEmpty && nZero == 0L)
+  }
+
+  test("grouped MIN/MAX: group-constant files answer from zone extremes, mixed files merge through the scan") {
+    val dir = tmpDir()
+    // lang runs of 300 rows → after clusterBy(lang) most files are
+    // lang-constant; n spans a distinct range per lang so a wrong
+    // attribution breaks MIN/MAX, not just counts
+    val base = (0L until 1200L).map { i =>
+      val lang = Seq("de", "en", "fr", "ru")((i / 300L).toInt)
+      (i, lang, (i / 300L) * 1000L + i % 300L,
+        if (i % 97 == 0) null else java.lang.Double.valueOf((i % 50) / 2.0))
+    }.toDF("id", "lang", "n", "d")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 3)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("gmmx")
+
+    val q = spark.sql(
+      """SELECT lang, COUNT(*) AS cnt, MIN(n) AS mn, MAX(n) AS mx,
+        |       MAX(d) AS mxd, COUNT(d) AS nd
+        |FROM gmmx GROUP BY lang ORDER BY lang""".stripMargin)
+    val got = q.as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    val want = MergeTable.read(spark, dir, v).groupBy("lang")
+      .agg(count(lit(1)), min($"n"), max($"n"), max($"d"), count($"d"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == want, s"grouped MIN/MAX must equal the scan:\n$got\n$want")
+    // the rewrite fired (metadata groups merged through the union) —
+    // or collapsed entirely when every file is lang-constant
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_meta_gcnt") || !hasScan(q),
+      s"the grouped rewrite must fire:\n$plan")
+  }
+
+  test("ledger-aware hybrid: pending merge-on-read deletes keep the pushdown, only ledgered buckets scan") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 4)).toDF("id", "x"), "id", nBuckets = 8)
+    val nFiles = MergeTable.fileIndex(spark, dir).values.flatten.size
+    // ledger-delete a handful of keys (no data rewrite — the Iceberg
+    // equality-delete shape); their buckets' files must scan, every
+    // other bucket still answers from metadata
+    MergeTable.deleteKeys(spark, dir, Seq(10L, 20L).toDF("id"), "id")
+    val dvBuckets = MergeTable.pendingDeletes(spark, dir).map(_.bucket).toSet
+    assert(dvBuckets.nonEmpty && dvBuckets.size < 8)
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("ledg")
+
+    // round 13 fell back to a FULL scan under any pending ledger; the
+    // rewrite must now fire with only the ledgered buckets' files in
+    // the boundary subset
+    val q = spark.sql("SELECT COUNT(*) AS n, COUNT(x) AS nx FROM ledg")
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_count"),
+      "the ledger-aware hybrid must fire:\n" + q.queryExecution.optimizedPlan)
+    assert(q.as[(Long, Long)].head() == ((3998L, 3998L)),
+      "the count must be LOGICAL (deletes applied)")
+    val (_, subsetTotal) = graft.sources.GraftRelation.lastPruned
+    assert(subsetTotal < nFiles,
+      s"only ledgered buckets may scan: $subsetTotal of $nFiles files")
+
+    // filtered + ledgered composes: deleted key 10 sits inside x < 100
+    val qf = spark.sql("SELECT COUNT(*) AS n FROM ledg WHERE x < 100")
+    assert(qf.as[Long].head() ==
+      MergeTable.read(spark, dir).where($"x" < 100).count())
+
+    // grouped + ledgered composes too
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 600L).map(i => (i, if (i < 300) "en" else "fr"))
+        .toDF("id", "lang"), "id", nBuckets = 4)
+    MergeTable.deleteKeys(spark, dir2, Seq(5L).toDF("id"), "id")
+    spark.read.format("graft").option("path", dir2).load()
+      .createOrReplaceTempView("ledg2")
+    val qg = spark.sql(
+      "SELECT lang, COUNT(*) AS n FROM ledg2 GROUP BY lang ORDER BY lang")
+    val gotG = qg.as[(String, Long)].collect().toSeq
+    val wantG = MergeTable.read(spark, dir2).groupBy("lang").count()
+      .orderBy("lang").as[(String, Long)].collect().toSeq
+    assert(gotG == wantG, s"grouped ledger-aware counts: $gotG vs $wantG")
+  }
+
   test("hybrid boundary scan stays on the relation's pinned version while the table advances") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
