@@ -42,7 +42,10 @@ object Plans {
     "doc_meta_agg_sql" -> "SQL aggregate pushdown: the whole COUNT/MIN/MAX query collapsed to a LocalRelation answered from the zone sidecar — zero scan nodes",
     "doc_meta_count_hybrid" -> "hybrid filtered count: files fully inside the range counted from metadata (a literal in the plan), ONLY the straddling boundary files scanned through the subset-scoped relation",
     "doc_meta_count_or" -> "disjunctive hybrid count: the Or lattice decides per file per disjunct; boundary-cut files scan, the decided mass never generates a task",
-    "doc_meta_count_by_lang" -> "grouped metadata counts: lang-constant files attribute their sidecar row counts per group; only run-boundary files scan, merged by one Union + re-aggregation")
+    "doc_meta_count_by_lang" -> "grouped metadata counts: lang-constant files attribute their sidecar row counts per group; only run-boundary files scan, merged by one Union + re-aggregation",
+    "doc_meta_minmax_by_lang" -> "grouped metadata MIN/MAX (round 14): group-constant files contribute zone extremes exactly; mixed files merge through the Union re-aggregation",
+    "doc_meta_minmax_filtered" -> "filtered MIN/MAX over the FullyIn/Boundary lattice (round 14): zone extremes fold into Least/Greatest literals around the boundary files' exact scan",
+    "doc_meta_count_ledger" -> "ledger-aware hybrid count (round 14): a live merge-on-read ledger confines the scan to the ledgered buckets' files; every other bucket counts from metadata")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

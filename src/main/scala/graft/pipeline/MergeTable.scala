@@ -75,8 +75,11 @@ object MergeTable {
   private val StaleClaimMillis = 10 * 60 * 1000L
 
   /** Versions present at `dir`, ascending (empty if not a table). */
-  def versions(spark: SparkSession, dir: String): Seq[Int] = {
-    val f = fs(spark, dir)
+  def versions(spark: SparkSession, dir: String): Seq[Int] =
+    versions(spark.sparkContext.hadoopConfiguration, dir)
+
+  private[graft] def versions(conf: Configuration, dir: String): Seq[Int] = {
+    val f = fsOf(conf, dir)
     val d = new Path(dir)
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq
@@ -84,6 +87,36 @@ object MergeTable {
       .collect { case s if s.startsWith("_v") && s.endsWith(".manifest") =>
         s.stripPrefix("_v").stripSuffix(".manifest").toInt }
       .sorted
+  }
+
+  /** TEST SEAM for the CROSS-PROCESS commit-protocol stress (round-14
+    * verdict ask #5): one optimistic-concurrency commit — read the
+    * head, CAS-claim `head + 1`, re-verify the head under the claim,
+    * commit a minimal manifest whose `#op` records (writer, base read).
+    * Pure Hadoop-FS protocol, NO SparkSession — so separate OS
+    * processes (the real concurrent-writer shape; threads share a JVM
+    * and its memory fences) can race the exact claim/commit code
+    * production merges run. The committed op line is the evidence: a
+    * LOST UPDATE would show as a manifest whose recorded base is not
+    * `version − 1`. */
+  private[graft] def raceCommit(
+      conf: Configuration, dir: String, writer: String): Int = {
+    val vs = versions(conf, dir)
+    val base = if (vs.isEmpty) 0 else vs.max
+    val nv = base + 1
+    claimVersion(conf, dir, nv)
+    if (base > 0) {
+      val now = versions(conf, dir).max
+      if (now != base) {
+        fsOf(conf, dir).delete(new Path(s"$dir/._commit_v$nv"), false)
+        throw new IllegalStateException(
+          s"commit failed at $dir: table moved v$base -> v$now under " +
+            "this writer (concurrent writer) — re-read and retry")
+      }
+    }
+    commitManifest(conf, dir, nv,
+      Manifest(1, Map(0 -> Seq(s"race/$writer")), op = s"race:$writer:b$base"))
+    nv
   }
 
   def latestVersion(spark: SparkSession, dir: String): Int = {

@@ -36,6 +36,17 @@ import org.apache.spark.sql.execution.window.WindowExec
   *                      Fix: filter on plain columns (not wrapped in
   *                      expressions), or cast the literal, not the
   *                      column.
+  *  - `meta_scan`     — a COUNT/MIN/MAX over a `graft` relation whose
+  *                      shape [[GraftMetaAggregate]] answers from the
+  *                      zone sidecar, still present (un-collapsed) in
+  *                      the optimized plan: the session is missing the
+  *                      extension injection, or the metadata pass
+  *                      declined — either way a query that should cost
+  *                      O(files) is paying a scan. Fix: register
+  *                      [[graft.GraftExtensions]] / `Graft
+  *                      .registerAll`; if injected, check the sidecar
+  *                      (pending ledger on every bucket? zone-less
+  *                      files?).
   *  - `codegen_gap`   — (info) fraction of codegen-eligible operators
   *                      actually inside WholeStageCodegen spans.
   *  - `shuffles`      — (info) exchange count: each is a full
@@ -117,6 +128,23 @@ object Advisor {
           "ScalaUDF on the hot path: codegen fence + per-row " +
             "(de)serialization — prefer functions._ or a codegen " +
             "Expression")
+    }
+
+    // meta_scan: a metadata-answerable graft aggregate that did NOT
+    // collapse — the OPTIMIZED logical plan still carries the
+    // Aggregate-over-GraftRelation shape GraftMetaAggregate rewrites
+    // away (round-14 verdict ask #7: catch a future regression that
+    // silently reverts the pushdown to a scan)
+    df.queryExecution.optimizedPlan.foreach {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if GraftMetaAggregate.answerableShape(agg) =>
+        warns += Advisory("warn", "meta_scan", agg.nodeName,
+          "metadata-answerable COUNT/MIN/MAX over a graft table still " +
+            "scans: register graft.GraftExtensions (Graft.registerAll) " +
+            "so GraftMetaAggregate folds it from the zone sidecar; if " +
+            "already injected, the sidecar had nothing to decide " +
+            "(ledger on every bucket? zone-less files?)")
+      case _ => ()
     }
 
     val exchanges = all.count(_.isInstanceOf[Exchange])

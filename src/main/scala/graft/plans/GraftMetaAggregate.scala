@@ -490,6 +490,33 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       .orElse(graftChild(plan).map { case (lr, g) =>
         (None: Option[Expression], lr, g) })
 
+  /** Is `plan` an Aggregate THIS rule would attempt to answer from
+    * metadata (ungrouped or single-column-grouped COUNT/MIN/MAX over a
+    * graft relation, filter inside the decidable algebra)? Structural
+    * only — no filesystem I/O — so [[Advisor]] can lint a plan where
+    * the shape survived to execution (the rule was not injected, or
+    * its metadata pass legitimately declined): a metadata-answerable
+    * aggregate still scanning is either a session-setup bug or a
+    * sidecar with nothing to decide, and both deserve a flag. */
+  private[graft] def answerableShape(plan: LogicalPlan): Boolean = plan match {
+    case agg: Aggregate if agg.groupingExpressions.size == 1 &&
+        groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
+      graftTarget(agg.child).get._1.forall(supportedExpr)
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        graftTarget(agg.child).isDefined &&
+        agg.aggregateExpressions.forall {
+          case Alias(e, _) => metaOf(e).exists {
+            case RowCount | NonNull(_) => true
+            case MinOf(_, dt) => isNumericMeta(dt)
+            case MaxOf(_, dt) => isNumericMeta(dt)
+          }
+          case _ => false
+        } =>
+      graftTarget(agg.child).get._1.forall(supportedExpr)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // GROUPED metadata counts: COUNT(*) / COUNT(col) GROUP BY one
     // ordered-primitive column (optionally filtered). A file whose

@@ -76,6 +76,36 @@ class AdvisorSpec extends SparkSpec {
     assert(!rules(pushed).contains("unpushed_scan"))
   }
 
+  test("meta_scan: a metadata-answerable graft aggregate that did not collapse flags; the injected session stays clean") {
+    val dir = Files.createTempDirectory("graft-advisor-meta").toString + "/t"
+    graft.pipeline.MergeTable.create(spark, dir,
+      (0L until 500L).map(i => (i, i % 7)).toDF("id", "x"), "id", nBuckets = 2)
+
+    // a session WITHOUT the extension: the COUNT/MAX shape survives to
+    // execution as a scan — the regression the lint exists to catch
+    val bare = spark.newSession()
+    val offender = bare.read.format("graft").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    assert(rules(offender).contains("meta_scan"),
+      s"an un-collapsed metadata aggregate must flag: ${Advisor.advise(offender)}")
+
+    // a shape the rule would NOT answer (avg) never flags
+    val nonMeta = bare.read.format("graft").option("path", dir).load()
+      .agg(avg(col("x")).as("a"))
+    assert(!rules(nonMeta).contains("meta_scan"))
+
+    // the properly-registered session collapses the aggregate — the
+    // shape is gone from the optimized plan, nothing to flag
+    val injected = spark.newSession()
+    Graft.registerAll(injected)
+    val collapsed = injected.read.format("graft").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    assert(!rules(collapsed).contains("meta_scan"),
+      "a collapsed pushdown must not flag")
+    assert(collapsed.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"))
+  }
+
   test("registry lint: structural warnings fire ONLY on documented exceptions") {
     // `broadcastable` is size-dependent (at sf0.001 every side is under
     // the threshold and AQE broadcasts at runtime) and `unpushed_scan`

@@ -45,6 +45,18 @@ one capture's in-run min..max understates run-to-run reality). Each
 query banks u = min across runs (steady-state cost) and spread =
 max(in-run spreads, cross-run max/min) — the gate's noise envelope
 then reflects what fresh-JVM runs actually do.
+
+CPU evidence (round-14 verdict ask #1 — the gate must adjudicate its
+own failures): the baseline additionally banks each query's per-run
+executor CPU seconds in kernel units ("cpu_u", from the bench
+artifact's task_metrics). A query whose WALL left the band while its
+CPU work stayed inside it did not get more expensive — the host got
+slower around it (scheduler contention, page cache, I/O wait under
+another process; the r12-r14 pattern where the failing set changes
+every run while the r13 verdict's named offenders measure clean).
+Those downgrade to a loud HOST-NOISE report instead of a FAIL. A
+query whose CPU grew past the band (or that carries no CPU evidence
+on either side) still FAILS — real work growth never hides.
 """
 import json
 import math
@@ -52,6 +64,7 @@ import sys
 
 BAND = 1.5
 SLACK_UNITS = 1.5
+CPU_SLACK_UNITS = 1.0
 SPREAD_CAP = 2.5
 BASELINE = "tools/bench_baseline.json"
 
@@ -81,32 +94,68 @@ def main() -> int:
         print("[bench-regress] no calibration in bench output — skipping")
         return 0
     base = json.load(open(BASELINE))
-    # baseline rows are {"u": units, "spread": capture-run max/min}
-    # (legacy plain-float rows read as spread 1.5)
+    # baseline rows are {"u": units, "spread": capture-run max/min,
+    # "cpu_u": per-run CPU kernel units} (legacy plain-float rows read
+    # as spread 1.5, no CPU evidence)
     def row(v):
-        return (v["u"], v.get("spread", 1.5)) if isinstance(v, dict) else (v, 1.5)
+        if isinstance(v, dict):
+            return (v["u"], v.get("spread", 1.5), v.get("cpu_u"))
+        return (v, 1.5, None)
     units_base = {k: row(v) for k, v in base["units"].items()}
     now = {k: v / calib for k, v in bench["queries"].items()}
 
-    fails, warns, new, improved = [], [], [], []
+    def cpu_units_of(b):
+        """query -> per-run executor CPU seconds / calib, from the
+        artifact's task_metrics (None when the artifact predates them)."""
+        tm = b.get("task_metrics", {})
+        rng = b.get("ranges", {})
+        c = b.get("calib_sec", -1.0)
+        if not tm or c <= 0:
+            return {}
+        out = {}
+        for q, m in tm.items():
+            runs = max(1, rng.get(q, {}).get("runs", 1))
+            out[q] = (m.get("cpu_sec", 0.0) / runs) / c
+        return out
+    cpu_now = cpu_units_of(bench)
+    tm_now = bench.get("task_metrics", {})
+
+    fails, warns, noise, new, improved = [], [], [], [], []
     for q, u in sorted(now.items()):
         if q not in units_base:
             new.append(q)
             continue
-        b, spread = units_base[q]
+        b, spread, cpu_b = units_base[q]
         # cap the spread exemption so one noisy capture run cannot
         # permanently widen the gate past SPREAD_CAP x (ADVICE r11)
         spread = min(spread, SPREAD_CAP)
         line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x, spread {spread:.2f})"
         if u > max(BAND * b, b + SLACK_UNITS, spread * b):
-            fails.append(line)
+            # wall left the envelope — let the CPU evidence adjudicate:
+            # flat CPU work means the host inflated the wall, not the
+            # engine (report loudly, don't fail); grown/absent CPU
+            # evidence fails as before
+            cpu_u = cpu_now.get(q)
+            cpu_flat = (cpu_b is not None and cpu_u is not None and
+                        cpu_u <= max(BAND * cpu_b, cpu_b + CPU_SLACK_UNITS))
+            if cpu_flat:
+                load = tm_now.get(q, {}).get("os_load", -1.0)
+                noise.append(
+                    f"{line} — CPU flat ({cpu_u:.2f}u vs banked {cpu_b:.2f}u"
+                    f", os_load {load:.1f})")
+            else:
+                if cpu_b is not None and cpu_u is not None:
+                    line += f" [cpu {cpu_u:.2f}u vs banked {cpu_b:.2f}u]"
+                fails.append(line)
         elif u > BAND * b:
             warns.append(line)
         elif u < b / BAND and b >= 1.0:
             improved.append(f"{q}: {u:.2f}u vs baseline {b:.2f}u")
     gone = sorted(set(units_base) - set(now))
 
-    for tag, rows in (("REGRESSION", fails), ("above-band (within slack)", warns),
+    for tag, rows in (("REGRESSION", fails),
+                      ("HOST-NOISE (wall out of band, CPU flat)", noise),
+                      ("above-band (within slack)", warns),
                       ("improved", improved)):
         for r in rows:
             print(f"[bench-regress] {tag}: {r}")
@@ -152,22 +201,29 @@ def main() -> int:
                 k: (max(1.0, rng[k]["max"] / rng[k]["min"])
                     if k in rng and rng[k].get("min") else 1.5)
                 for k in units}
-            runs.append((units, spreads))
+            runs.append((units, spreads, cpu_units_of(b)))
         if not runs:
             print("[bench-regress] no usable captures — baseline unchanged")
             return 2
-        every = sorted(set.intersection(*(set(u) for u, _ in runs)))
+        every = sorted(set.intersection(*(set(u) for u, _, _ in runs)))
         merged = {}
         for q in every:
-            us = [u[q] for u, _ in runs]
+            us = [u[q] for u, _, _ in runs]
             cross = max(us) / min(us) if min(us) > 0 else 1.5
-            spread = max([s[q] for _, s in runs] + [cross])
+            spread = max([s[q] for _, s, _ in runs] + [cross])
             # round the spread UP with 0.1% headroom: a banked capture
             # must never fail its own gate — round-to-nearest could
             # store a spread a hair below the true cross-run ratio
             # (emb_neardup_exact, round 13: 1.7004x vs stored 1.700)
             spread_up = math.ceil(spread * 1.001 * 1000) / 1000
             merged[q] = {"u": round(min(us), 4), "spread": spread_up}
+            # CPU evidence: bank the max across captures — the gate's
+            # "CPU flat" test must not false-alarm on listener jitter,
+            # and real work growth shows against the largest honest
+            # capture just as clearly
+            cpus = [cu[q] for _, _, cu in runs if q in cu]
+            if cpus:
+                merged[q]["cpu_u"] = round(max(cpus), 4)
         base["units"] = merged
         base["calib_sec_at_capture"] = calib
         base["source"] = (f"refreshed from {len(runs)} cold runs: "
