@@ -1292,12 +1292,32 @@ object MergeTable {
     * slices per bucket. Returns the committed version. */
   def clusterBy(
       spark: SparkSession, dir: String, byCol: String,
+      filesPerBucket: Int = 4): Int =
+    clusterByCols(spark, dir, Seq(byCol), filesPerBucket)
+
+  /** Multi-column LEXICOGRAPHIC [[clusterBy]] (round 14): each bucket
+    * rewritten range-split by `(byCols…)` in hierarchical order —
+    * files cover narrow slices of the FIRST column and, within a
+    * first-column run, narrow slices of the second, and so on. Unlike
+    * [[clusterByZ]] this works on ANY orderable columns (strings
+    * included — no curve quantization), and it is exactly the layout
+    * that makes MULTI-COLUMN GROUPED metadata aggregates decidable:
+    * after `clusterByCols(lang, source)` most files are constant in
+    * BOTH columns, so `GROUP BY lang, source` answers from the zone
+    * sidecar with only run-boundary files scanned
+    * ([[graft.plans.GraftMetaAggregate]]). The trade against the
+    * curve: later columns prune only within runs of earlier ones (the
+    * classic composite-index asymmetry), where the curve localizes
+    * every dimension at once but needs numeric quantization. */
+  def clusterByCols(
+      spark: SparkSession, dir: String, byCols: Seq[String],
       filesPerBucket: Int = 4): Int = {
+    require(byCols.nonEmpty, "no columns to cluster by")
     require(filesPerBucket > 0)
     val v = latestVersion(spark, dir)
     val m = readManifest(spark, dir, v)
-    require(read(spark, dir, v).columns.contains(byCol),
-      s"no column $byCol to cluster by")
+    val missing = byCols.filterNot(read(spark, dir, v).columns.contains)
+    require(missing.isEmpty, s"no columns $missing to cluster by")
     // bucket id comes from the manifest per-bucket read (clusterBy
     // doesn't know the key column, and must not change assignments)
     val nv = nextVersion(spark, dir, v)
@@ -1309,13 +1329,13 @@ object MergeTable {
       parts.reduce(_.unionByName(_, allowMissingColumns = true)))
     union
       .repartitionByRange(m.entries.size * filesPerBucket,
-        col(Bucket), col(byCol))
-      .sortWithinPartitions(col(Bucket), col(byCol))
+        col(Bucket) +: byCols.map(col): _*)
+      .sortWithinPartitions(col(Bucket) +: byCols.map(col): _*)
       .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
     val written = listWritten(spark, dir, nv)
     ZoneMaps.write(spark, dir, nv, written.values.flatten.toSeq)
     commitManifest(spark, dir, nv, Manifest(m.nBuckets, written, "cluster",
-      Some(TableLayout("range", Seq(byCol), filesPerBucket, 0)),
+      Some(TableLayout("range", byCols, filesPerBucket, 0)),
       key = m.key, sinkBatch = m.sinkBatch, sinkApp = m.sinkApp))
     nv
   }
@@ -1396,10 +1416,11 @@ object MergeTable {
     require(buckets.nonEmpty, "no buckets to recluster")
     require(filesPerBucket > 0)
     require(curve match {
-      // "range" is the 1-D [[clusterBy]] repair: raw-column order, no
-      // curve quantization — so [[maintain]] repairs 1-D layouts with
+      // "range" is the [[clusterBy]]/[[clusterByCols]] repair: raw
+      // lexicographic column order, no curve quantization — so
+      // [[maintain]] repairs 1-D and multi-column range layouts with
       // the same bucket-restricted machinery
-      case "range" => byCols.size == 1
+      case "range" => byCols.nonEmpty
       case "hilbert" => byCols.size == 2
       case "z" => byCols.size >= 2
       case _ => false
@@ -1415,15 +1436,24 @@ object MergeTable {
     val nv = nextVersion(spark, dir, v)
     // the repair rewrite materializes the TARGET buckets' pending
     // merge-on-read deletes; other buckets' ledger files carry below
-    applyDv(spark, dir, m,
-        byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
-        Some(targets.toSet))
-      .withColumn("__graft_z", curveOf(byCols, bits, curve))
-      .repartitionByRange(targets.size * filesPerBucket,
-        col(Bucket), col("__graft_z"))
-      .sortWithinPartitions(col(Bucket), col("__graft_z"))
-      .drop("__graft_z")
-      .write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
+    val rows = applyDv(spark, dir, m,
+      byBucket.reduce(_.unionByName(_, allowMissingColumns = true)),
+      Some(targets.toSet))
+    // "range" lays out by the raw columns lexicographically (strings
+    // welcome, multi-column hierarchical); curves go through one
+    // interleaved order value
+    val laid =
+      if (curve == "range")
+        rows.repartitionByRange(targets.size * filesPerBucket,
+            col(Bucket) +: byCols.map(col): _*)
+          .sortWithinPartitions(col(Bucket) +: byCols.map(col): _*)
+      else
+        rows.withColumn("__graft_z", curveOf(byCols, bits, curve))
+          .repartitionByRange(targets.size * filesPerBucket,
+            col(Bucket), col("__graft_z"))
+          .sortWithinPartitions(col(Bucket), col("__graft_z"))
+          .drop("__graft_z")
+    laid.write.partitionBy(Bucket).mode("errorifexists").parquet(s"$dir/v$nv")
     val written = listWritten(spark, dir, nv)
     val entries = (m.entries -- targets) ++
       targets.map(b => b -> written.getOrElse(b, Seq.empty)).filter(_._2.nonEmpty)

@@ -268,30 +268,38 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** One output slot of a grouped metadata aggregate: the group key
-    * itself, or a metadata-answerable shape (counts, and — round 14 —
-    * numeric MIN/MAX, exact on group-constant files because a file's
-    * zone min/max IS that group's min/max when every row is the
-    * group). */
-  private def groupedShapes(agg: Aggregate): Option[Seq[Either[Unit, MetaAgg]]] =
-    agg.groupingExpressions match {
-      case Seq(g: AttributeReference) if isOrderedPrim(g.dataType) =>
-        val slots = agg.aggregateExpressions.map {
-          case a: AttributeReference if a.exprId == g.exprId => Some(Left(()))
-          case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-            Some(Left(()))
-          case Alias(e, _) => metaOf(e).collect {
-            case m @ (RowCount | NonNull(_)) => Right(m)
-            case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
-            case m @ MaxOf(_, dt) if isNumericMeta(dt) => Right(m)
-          }
-          case _ => None
-        }
-        if (slots.forall(_.isDefined) && slots.flatten.exists(_.isRight))
-          Some(slots.flatten)
-        else None
+  /** One output slot of a grouped metadata aggregate: a group key
+    * (Left(i) = index into the grouping columns), or a
+    * metadata-answerable shape (counts, and — round 14 — numeric
+    * MIN/MAX, exact on group-constant files because a file's zone
+    * min/max IS that group's min/max when every row is the group).
+    * Round 14: ANY number of grouping columns — a file decides when it
+    * is constant in EVERY group column (the [[MergeTable
+    * .clusterByCols]] lexicographic layout makes that most files). */
+  private def groupedShapes(agg: Aggregate): Option[Seq[Either[Int, MetaAgg]]] = {
+    val gAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if isOrderedPrim(a.dataType) => a
+      case _ => return None
+    }
+    if (gAttrs.isEmpty) return None
+    val slots = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        val i = gAttrs.indexWhere(_.exprId == a.exprId)
+        if (i >= 0) Some(Left(i)) else None
+      case Alias(a: AttributeReference, _)
+          if gAttrs.exists(_.exprId == a.exprId) =>
+        Some(Left(gAttrs.indexWhere(_.exprId == a.exprId)))
+      case Alias(e, _) => metaOf(e).collect {
+        case m @ (RowCount | NonNull(_)) => Right(m)
+        case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
+        case m @ MaxOf(_, dt) if isNumericMeta(dt) => Right(m)
+      }
       case _ => None
     }
+    if (slots.forall(_.isDefined) && slots.flatten.exists(_.isRight))
+      Some(slots.flatten)
+    else None
+  }
 
   /** Per-slot metadata contribution of one fully-decided file:
     * Left(n) = additive count, Right(v) = a min/max candidate in the
@@ -499,7 +507,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * aggregate still scanning is either a session-setup bug or a
     * sidecar with nothing to decide, and both deserve a flag. */
   private[graft] def answerableShape(plan: LogicalPlan): Boolean = plan match {
-    case agg: Aggregate if agg.groupingExpressions.size == 1 &&
+    case agg: Aggregate if agg.groupingExpressions.nonEmpty &&
         groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
       graftTarget(agg.child).get._1.forall(supportedExpr)
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
@@ -526,9 +534,11 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     // re-aggregation over a Union merges the scanned partial counts
     // with the metadata groups. On a lang-clustered corpus the
     // language histogram touches only the run-boundary files.
-    case agg: Aggregate if agg.groupingExpressions.size == 1 &&
+    case agg: Aggregate if agg.groupingExpressions.nonEmpty &&
         groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
-      val g = agg.groupingExpressions.head.asInstanceOf[AttributeReference]
+      val gAttrs = agg.groupingExpressions
+        .map(_.asInstanceOf[AttributeReference])
+      val nG = gAttrs.size
       val shapes = groupedShapes(agg).get
       val (condO, lr, rel) = graftTarget(agg.child).get
       if (condO.exists(c => !supportedExpr(c))) agg
@@ -549,7 +559,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           case (b, fs) => fs.map(_ -> b) }.toMap
         val files = byBucket.values.flatten.toSeq.sorted
         val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
-        val cols = (condO.toSeq.flatMap(attrsOf) ++ Seq(g.name) ++
+        val cols = (condO.toSeq.flatMap(attrsOf) ++ gAttrs.map(_.name) ++
           aggs.collect {
             case NonNull(c) => c
             case MinOf(c, _) => c
@@ -561,10 +571,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             cols.exists(c => fz.get(c).exists(_.nullCount < 0))
         }
         val zones = first ++ ZoneMaps.harvest(spark, rel.dir, incomplete)
-        // group value (None = SQL NULL group) → per-slot accumulators:
-        // summed counts and folded min/max candidates
+        // group tuple (each slot None = that column's SQL NULL group) →
+        // per-slot accumulators: summed counts, folded min/max
         val metaGroups = scala.collection.mutable.LinkedHashMap
-          .empty[Option[Any], (Array[Long], Array[Any])]
+          .empty[Seq[Option[Any]], (Array[Long], Array[Any])]
         val boundary = Seq.newBuilder[String]
         files.foreach { r =>
           val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
@@ -572,30 +582,36 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           if (fdec == FullyOut) () // no deleted-row risk: deletes only shrink
           else if (fdec != FullyIn || dvBuckets.contains(fileBucket(r)))
             boundary += r
-          else groupOf(g.dataType, fz.get(g.name)) match {
-            case None => boundary += r
-            case Some(gv) =>
+          else {
+            // the file decides only when EVERY group column is
+            // file-constant (or provably all-null) — then the whole
+            // file is ONE group tuple and per-file stats are exact
+            // per-group contributions
+            val gvs = gAttrs.map(g => groupOf(g.dataType, fz.get(g.name)))
+            if (gvs.exists(_.isEmpty)) boundary += r
+            else {
+              val key = gvs.map(_.get)
               val rows = ZoneMaps.rowCount(fz).getOrElse(
                 throw new IllegalStateException(s"no row count for $r"))
-              // the whole file is ONE group, so per-file null counts
-              // and per-file zone min/max are exact per-group values
               contribOf(aggs, fz, rows) match {
                 case Some(cs) =>
-                  val (cnt, mval) = metaGroups.getOrElseUpdate(gv,
+                  val (cnt, mval) = metaGroups.getOrElseUpdate(key,
                     (Array.fill(aggs.size)(0L),
                       Array.fill[Any](aggs.size)(null)))
                   foldContribs(aggs, cs, cnt, mval)
                 case None => boundary += r
               }
+            }
           }
         }
         val partial = boundary.result()
         require(partial.size < files.size,
           "no file decidable from metadata — nothing to save")
-        def metaRow(gv: Option[Any], cnt: Array[Long], mval: Array[Any]): Seq[Any] = {
+        def metaRow(gv: Seq[Option[Any]], cnt: Array[Long],
+            mval: Array[Any]): Seq[Any] = {
           var ci = -1
           shapes.map {
-            case Left(_) => catalystVal(g.dataType, gv.orNull)
+            case Left(i) => catalystVal(gAttrs(i).dataType, gv(i).orNull)
             case Right(m) =>
               ci += 1
               m match {
@@ -623,11 +639,14 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           }
           val aggAliases = aggs.indices.map(i =>
             Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
-          val inner = Aggregate(Seq(g), g +: aggAliases, filtered)
-          // meta rows as a second Union branch: (group, a0, a1, …) —
+          val inner = Aggregate(gAttrs, gAttrs ++ aggAliases, filtered)
+          // meta rows as a second Union branch: (g1..gn, a0, a1, …) —
           // count slots are LongType, min/max slots the column's type
-          val gMeta = AttributeReference(g.name, g.dataType,
-            nullable = g.nullable || metaGroups.contains(None))()
+          val gMeta = gAttrs.zipWithIndex.map { case (g, i) =>
+            AttributeReference(g.name, g.dataType,
+              nullable = g.nullable ||
+                metaGroups.keys.exists(_(i).isEmpty))()
+          }
           val mAttrs = aggs.zipWithIndex.map {
             case (RowCount | NonNull(_), i) =>
               AttributeReference(s"__graft_meta_gcnt$i", LongType,
@@ -637,21 +656,22 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case (MaxOf(_, dt), i) =>
               AttributeReference(s"__graft_meta_gcnt$i", dt, nullable = true)()
           }
-          val metaRel = LocalRelation(gMeta +: mAttrs,
+          val metaRel = LocalRelation(gMeta ++ mAttrs,
             metaGroups.toSeq.map { case (gv, (cnt, mval)) =>
               val slotVals = aggs.zipWithIndex.map {
                 case (RowCount | NonNull(_), i) => cnt(i): Any
                 case (_, i) => mval(i)
               }
               InternalRow.fromSeq(
-                catalystVal(g.dataType, gv.orNull) +: slotVals)
+                gAttrs.zipWithIndex.map { case (g, i) =>
+                  catalystVal(g.dataType, gv(i).orNull) } ++ slotVals)
             })
           val union = Union(Seq(inner, metaRel))
-          val uo = union.output // (group, a0, a1, …)
-          var ci = 0
+          val uo = union.output // (g1..gn, a0, a1, …)
+          var ci = nG - 1
           val finalExprs = shapes.zip(agg.aggregateExpressions).map {
-            case (Left(_), orig) =>
-              Alias(uo.head, g.name)(exprId = orig.exprId)
+            case (Left(i), orig) =>
+              Alias(uo(i), gAttrs(i).name)(exprId = orig.exprId)
             case (Right(m), orig) =>
               ci += 1
               val merged = m match {
@@ -663,7 +683,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               }
               Alias(merged, orig.name)(exprId = orig.exprId)
           }
-          Aggregate(Seq(uo.head), finalExprs, union): LogicalPlan
+          Aggregate(uo.take(nG), finalExprs, union): LogicalPlan
         }
       }.getOrElse(agg)
 

@@ -165,6 +165,20 @@ object IvmScaffold {
       (dir, v)
     }
 
+  /** [[statsClustered]] for a MULTI-COLUMN lexicographic layout
+    * ([[graft.pipeline.MergeTable.clusterByCols]]) — the layout that
+    * makes multi-key grouped metadata aggregates file-decidable. */
+  def statsClusteredCols(
+      s: SparkSession, d: String, byCols: Seq[String]): (String, Int) =
+    synchronized {
+      val dir = statsCorpus(s, d)
+      val v = memoVersions.getOrElseUpdate(
+        s"$dir#cluster#${byCols.mkString("+")}",
+        graft.pipeline.MergeTable.clusterByCols(s, dir, byCols,
+          filesPerBucket = 4))
+      (dir, v)
+    }
+
   /** The merge-on-read corpus: (doc_id, lang, n_chars) created at v1,
     * upserted at v2 (n_chars+1000 on doc_id%10==4), then
     * ledger-deleted at v3 ([[graft.pipeline.MergeTable.deleteKeys]],

@@ -2659,6 +2659,40 @@ object PipelineQueries {
       |  CAST(COUNT(n_chars) AS BIGINT) AS n_nc
       |FROM documents WHERE doc_id NOT IN (3, 10, 17)""".stripMargin
 
+  /** MULTI-KEY grouped metadata aggregates ([[graft.plans
+    * .GraftMetaAggregate]] + [[graft.pipeline.MergeTable
+    * .clusterByCols]], round 14): the (lang, source) size profile as
+    * plain SQL GROUP BY over the LEXICOGRAPHICALLY clustered corpus —
+    * a file constant in BOTH columns attributes its row count and
+    * n_chars extreme to that group pair from the sidecar; only files
+    * straddling a (lang, source) run boundary scan. The 100 TB shape:
+    * per-(language × source) corpus accounting without a corpus pass.
+    * Oracle: DuckDB recomputes the two-key profile over the
+    * logically-merged corpus — one pair mis-attributed or one stale
+    * extreme breaks the hash. */
+  private val docMetaCountByLangSource: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClusteredCols(s, d, Seq("lang", "source"))
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_cnt_ls_t")
+    s.sql(
+      """SELECT lang, source, COUNT(*) AS n_docs, MAX(n_chars) AS max_nc
+        |FROM meta_cnt_ls_t GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)
+  }
+
+  private val docMetaCountByLangSourceSql =
+    """WITH merged AS (
+      |  SELECT lang, source,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT 'xx', 'injected', doc_id % 1000
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(n_chars) AS max_nc
+      |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** Merge-on-read delete ([[graft.pipeline.MergeTable.deleteKeys]] —
     * the Iceberg-v2 equality-delete / Delta deletion-vector shape):
     * the [[IvmScaffold.dvCorpus]] upserts then ledger-deletes with
@@ -4235,6 +4269,7 @@ object PipelineQueries {
     "doc_meta_minmax_by_lang" -> docMetaMinmaxByLang,
     "doc_meta_minmax_filtered" -> docMetaMinmaxFiltered,
     "doc_meta_count_ledger" -> docMetaCountLedger,
+    "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -4359,6 +4394,7 @@ object PipelineQueries {
     "doc_meta_minmax_by_lang" -> docMetaMinmaxByLangSql,
     "doc_meta_minmax_filtered" -> docMetaMinmaxFilteredSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
+    "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,

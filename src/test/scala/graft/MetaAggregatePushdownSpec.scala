@@ -340,6 +340,48 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       s"the grouped rewrite must fire:\n$plan")
   }
 
+  test("multi-key grouped pushdown: clusterByCols makes (lang, source) file-constant, counts and extremes merge exactly") {
+    val dir = tmpDir()
+    val base = (0L until 2400L).map { i =>
+      val lang = Seq("de", "en", "fr")((i % 3L).toInt)
+      val source = Seq("web", "wiki", "book", "code")((i % 4L).toInt)
+      (i, lang, source, (i % 3L) * 10000L + (i % 4L) * 1000L + i % 500L)
+    }.toDF("id", "lang", "source", "n")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 2)
+    val v = MergeTable.clusterByCols(spark, dir, Seq("lang", "source"),
+      filesPerBucket = 8)
+    // the lexicographic layout preserved content exactly
+    assert(MergeTable.read(spark, dir, v).count() == 2400L)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("gls")
+
+    val q = spark.sql(
+      """SELECT lang, source, COUNT(*) AS n_docs, MIN(n) AS mn, MAX(n) AS mx
+        |FROM gls GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+    val got = q.as[(String, String, Long, Long, Long)].collect().toSeq
+    val want = MergeTable.read(spark, dir, v).groupBy("lang", "source")
+      .agg(count(lit(1)), min($"n"), max($"n")).orderBy("lang", "source")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"multi-key grouped pushdown must equal the scan:\n$got\n$want")
+    assert(got.size == 12)
+    // the rewrite fired: metadata groups merged through the union, or
+    // (with every file pair-constant) the whole plan collapsed
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_meta_gcnt") || !hasScan(q),
+      s"the multi-key grouped rewrite must fire:\n$plan")
+
+    // filtered multi-key composes: range conjunct + two group keys
+    val qf = spark.sql(
+      """SELECT lang, source, COUNT(*) AS n_docs FROM gls
+        |WHERE n >= 10000 GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+    val gotF = qf.as[(String, String, Long)].collect().toSeq
+    val wantF = MergeTable.read(spark, dir, v).where($"n" >= 10000L)
+      .groupBy("lang", "source").agg(count(lit(1))).orderBy("lang", "source")
+      .as[(String, String, Long)].collect().toSeq
+    assert(gotF == wantF)
+  }
+
   test("ledger-aware hybrid: pending merge-on-read deletes keep the pushdown, only ledgered buckets scan") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
