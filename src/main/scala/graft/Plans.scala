@@ -46,7 +46,8 @@ object Plans {
     "doc_meta_minmax_by_lang" -> "grouped metadata MIN/MAX (round 14): group-constant files contribute zone extremes exactly; mixed files merge through the Union re-aggregation",
     "doc_meta_minmax_filtered" -> "filtered MIN/MAX over the FullyIn/Boundary lattice (round 14): zone extremes fold into Least/Greatest literals around the boundary files' exact scan",
     "doc_meta_count_ledger" -> "ledger-aware hybrid count (round 14): a live merge-on-read ledger confines the scan to the ledgered buckets' files; every other bucket counts from metadata",
-    "doc_meta_count_by_lang_source" -> "multi-key grouped metadata aggregate (round 14): files constant in BOTH group columns (the clusterByCols lexicographic layout) answer from the sidecar; only run-boundary files scan through the Union merge")
+    "doc_meta_count_by_lang_source" -> "multi-key grouped metadata aggregate (round 14): files constant in BOTH group columns (the clusterByCols lexicographic layout) answer from the sidecar; only run-boundary files scan through the Union merge",
+    "doc_meta_distinct_sources" -> "COUNT(DISTINCT) pushdown (round 14): constant files contribute their single sidecar value; only value-spanning / filter-boundary files scan their distinct values into the Union + distinct COUNT merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

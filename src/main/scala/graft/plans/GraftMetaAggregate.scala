@@ -110,6 +110,53 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The single `COUNT(DISTINCT col)` shape (round 14 — the next
+    * stats-ladder rung): Some((attr)) when the whole aggregate list is
+    * one distinct count over a bare ordered-primitive column. DISTINCT
+    * is answerable from metadata on CONSTANT files — a file whose
+    * stored min == max holds exactly one non-null value (for strings
+    * the truncation-widened bounds pinch the true values to equality),
+    * so its entire distinct contribution is that one value; nulls are
+    * irrelevant (SQL DISTINCT ignores them). */
+  private def distinctCountOf(agg: Aggregate): Option[AttributeReference] =
+    agg.aggregateExpressions match {
+      case Seq(Alias(ae: AggregateExpression, _))
+          if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(a: AttributeReference) if isOrderedPrim(a.dataType) =>
+              Some(a)
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** A file's single non-null value, when its zone proves it constant:
+    * Some(None) = all-null (contributes NOTHING to a distinct set),
+    * Some(Some(v)) = every non-null row is `v`, None = undecidable.
+    * Unlike [[groupOf]] this tolerates nulls alongside the constant —
+    * DISTINCT ignores them, where a GROUP BY would need the null
+    * group's exact count. */
+  private def constOf(dt: DataType, z: Option[ZoneMaps.Zone]): Option[Option[Any]] =
+    z match {
+      case None => None
+      case Some(zz) if zz.allNull => Some(None)
+      case Some(zz) =>
+        if (dt == StringType) {
+          if (zz.kind == "str" && zz.min != null && zz.max != null &&
+              ZoneMaps.cpCompare(zz.min, zz.max) == 0) Some(Some(zz.min))
+          else None
+        } else if (zz.kind == "long" || zz.kind == "double") {
+          Try {
+            val lo = internal(dt, zz.min)
+            val hi = internal(dt, zz.max)
+            if (cmpVals(dt, lo, hi) == 0) Some(Some(lo)) else None
+          }.toOption.flatten
+        } else None
+    }
+
   /** Zone min/max strings are exact plain-decimal renderings of the
     * column's values; converting back is exact for every type a zone
     * can carry (`toXExact` throws on any surprise — caught, no
@@ -511,6 +558,9 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
       graftTarget(agg.child).get._1.forall(supportedExpr)
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        distinctCountOf(agg).isDefined && graftTarget(agg.child).isDefined =>
+      graftTarget(agg.child).get._1.forall(supportedExpr)
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
         graftTarget(agg.child).isDefined &&
         agg.aggregateExpressions.forall {
@@ -684,6 +734,75 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               Alias(merged, orig.name)(exprId = orig.exprId)
           }
           Aggregate(uo.take(nG), finalExprs, union): LogicalPlan
+        }
+      }.getOrElse(agg)
+
+    // COUNT(DISTINCT col) — the distinct-values stats rung: CONSTANT
+    // files (stored min == max) contribute their single value, only
+    // value-spanning / filter-boundary / ledgered files scan, and one
+    // Union + distinct COUNT merges the two sides. On a clusterBy(col)
+    // layout the cardinality audit touches run-boundary files only.
+    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
+        distinctCountOf(agg).isDefined && graftTarget(agg.child).isDefined =>
+      val a = distinctCountOf(agg).get
+      val (condO, lr, rel) = graftTarget(agg.child).get
+      if (condO.exists(c => !supportedExpr(c))) agg
+      else Try {
+        val spark = SparkSession.active
+        val dvBuckets = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
+          .map(_.bucket).toSet
+        val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
+        val fileBucket: Map[String, Int] = byBucket.toSeq.flatMap {
+          case (b, fs) => fs.map(_ -> b) }.toMap
+        val files = byBucket.values.flatten.toSeq.sorted
+        val zones = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
+        val cols = (condO.toSeq.flatMap(attrsOf) :+ a.name).distinct
+        // insertion-ordered so the rewritten plan is deterministic
+        val metaVals = scala.collection.mutable.LinkedHashSet.empty[Any]
+        val boundary = Seq.newBuilder[String]
+        files.foreach { r =>
+          val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+          val fdec = condO.map(decideExpr(_, fz)).getOrElse(FullyIn)
+          if (fdec == FullyOut) () // deletes only shrink: still out
+          else if (fdec != FullyIn || dvBuckets.contains(fileBucket(r)))
+            boundary += r
+          else constOf(a.dataType, fz.get(a.name)) match {
+            case Some(None) => () // all-null: DISTINCT ignores nulls
+            case Some(Some(v)) => metaVals += v
+            case None => boundary += r
+          }
+        }
+        val partial = boundary.result()
+        require(partial.size < files.size,
+          "no file decidable from metadata — nothing to save")
+        if (partial.isEmpty)
+          LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(Seq(metaVals.size.toLong)))): LogicalPlan
+        else {
+          // boundary DISTINCT values ∪ the metadata constants, counted
+          // once — nulls from boundary files ride the union and the
+          // final distinct COUNT ignores them, exactly SQL semantics.
+          // Subset pinned to rel.v like every hybrid scan.
+          val subset = lr.copy(relation =
+            rel.copy(version = rel.v, only = Some(partial)))
+          val pruned = Project(
+            subset.output.filter(x => cols.contains(x.name)), subset)
+          val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
+          val aOut = subset.output.find(_.exprId == a.exprId).getOrElse(
+            throw new IllegalStateException(s"distinct column ${a.name} " +
+              "not in relation output"))
+          val inner = Aggregate(Seq(aOut), Seq(aOut), filtered)
+          val mAttr = AttributeReference(
+            "__graft_meta_dval", a.dataType, nullable = true)()
+          val metaRel = LocalRelation(Seq(mAttr),
+            metaVals.toSeq.map(v =>
+              InternalRow.fromSeq(Seq(catalystVal(a.dataType, v)))))
+          val union = Union(Seq(inner, metaRel))
+          val orig = agg.aggregateExpressions.head.asInstanceOf[Alias]
+          Aggregate(Nil, Seq(Alias(
+            Count(Seq(union.output.head))
+              .toAggregateExpression(isDistinct = true),
+            orig.name)(exprId = orig.exprId)), union): LogicalPlan
         }
       }.getOrElse(agg)
 

@@ -2659,6 +2659,34 @@ object PipelineQueries {
       |  CAST(COUNT(n_chars) AS BIGINT) AS n_nc
       |FROM documents WHERE doc_id NOT IN (3, 10, 17)""".stripMargin
 
+  /** COUNT(DISTINCT col) pushdown ([[graft.plans.GraftMetaAggregate]],
+    * round 14): the source-cardinality audit over the (lang, source)
+    * lexicographically clustered corpus, filtered to a language range.
+    * Files constant in `source` (most of the layout) contribute their
+    * single value from the sidecar; only value-spanning or
+    * filter-boundary files scan, and one Union + distinct COUNT merges
+    * the two — at 100 TB, "how many sources feed the German/English
+    * slice?" touches run-boundary files, not the corpus. Oracle:
+    * DuckDB recomputes the filtered distinct count over the
+    * logically-merged corpus — a value double-attributed or lost
+    * breaks the count. */
+  private val docMetaDistinctSources: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClusteredCols(s, d, Seq("lang", "source"))
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("meta_dct_t")
+    s.sql(
+      """SELECT COUNT(DISTINCT source) AS n_sources FROM meta_dct_t
+        |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin)
+  }
+
+  private val docMetaDistinctSourcesSql =
+    """WITH merged AS (
+      |  SELECT lang, source FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT 'xx', 'injected' FROM documents WHERE doc_id % 10 = 1)
+      |SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM merged WHERE lang >= 'de' AND lang <= 'en'""".stripMargin
+
   /** MULTI-KEY grouped metadata aggregates ([[graft.plans
     * .GraftMetaAggregate]] + [[graft.pipeline.MergeTable
     * .clusterByCols]], round 14): the (lang, source) size profile as
@@ -4270,6 +4298,7 @@ object PipelineQueries {
     "doc_meta_minmax_filtered" -> docMetaMinmaxFiltered,
     "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
+    "doc_meta_distinct_sources" -> docMetaDistinctSources,
     "doc_clone_diverge" -> docCloneDiverge,
     "doc_bloomskip_scan" -> docBloomskipScan,
     "doc_k_anonymity" -> docKAnonymity,
@@ -4395,6 +4424,7 @@ object PipelineQueries {
     "doc_meta_minmax_filtered" -> docMetaMinmaxFilteredSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,
+    "doc_meta_distinct_sources" -> docMetaDistinctSourcesSql,
     "doc_clone_diverge" -> docCloneDivergeSql,
     "doc_bloomskip_scan" -> docBloomskipScanSql,
     "doc_k_anonymity" -> docKAnonymitySql,

@@ -382,6 +382,43 @@ class MetaAggregatePushdownSpec extends SparkSpec {
     assert(gotF == wantF)
   }
 
+  test("COUNT(DISTINCT col): constant files contribute their value, spanning files scan, nulls and strings exact") {
+    val dir = tmpDir()
+    // lang runs cluster into constant files; d is numeric with planted
+    // nulls and an all-null run; id spans every file (never constant)
+    val base = (0L until 2000L).map { i =>
+      val lang = Seq("de", "en", "fr", "ru", "xx")((i / 400L).toInt)
+      (i, lang, if (i < 400) null else java.lang.Long.valueOf(i / 400L))
+    }.toDF("id", "lang", "d")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 4)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("dct")
+
+    // string distinct over the clustered column: most files constant
+    val q = spark.sql("SELECT COUNT(DISTINCT lang) AS n FROM dct")
+    assert(q.as[Long].head() == 5L)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_meta_dval") || !hasScan(q),
+      s"the distinct pushdown must fire:\n$plan")
+
+    // numeric distinct with nulls (ignored) and an all-null run
+    val qd = spark.sql("SELECT COUNT(DISTINCT d) AS n FROM dct")
+    assert(qd.as[Long].head() ==
+      MergeTable.read(spark, dir, v).select("d").distinct()
+        .filter($"d".isNotNull).count())
+
+    // filtered distinct composes with the lattice
+    val qf = spark.sql(
+      "SELECT COUNT(DISTINCT lang) AS n FROM dct WHERE id < 800")
+    assert(qf.as[Long].head() == 2L)
+
+    // a never-constant column falls back to an exact scan, same answer
+    val qs = spark.sql("SELECT COUNT(DISTINCT id) AS n FROM dct")
+    assert(qs.as[Long].head() == 2000L)
+  }
+
   test("ledger-aware hybrid: pending merge-on-read deletes keep the pushdown, only ledgered buckets scan") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
