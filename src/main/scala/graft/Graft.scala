@@ -27,6 +27,11 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GraftMetaAggregate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftMetaAggregate
+    // ORDER BY + LIMIT over graft tables scans only the files the
+    // k-th bound admits; bare LIMIT serves from the fewest clean files
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GraftTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftTopK
     spark
   }
 

@@ -62,10 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy (graft.plans.AsOfJoinStrategy) — config-only clusters
     // can plan AsOfJoinPlan nodes without any driver-side install
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // metadata-only COUNT/MIN/MAX over graft tables answer from the
-    // zone sidecar with zero data scan (exactness-preserving,
+    // metadata-only COUNT/MIN/MAX/SUM/AVG over graft tables answer from
+    // the zone sidecar with zero data scan (exactness-preserving,
     // rewrite-or-leave — see GraftMetaAggregate)
     ext.injectOptimizerRule(_ => graft.plans.GraftMetaAggregate)
+    // ORDER BY + LIMIT zone-pruned top-k and bare-LIMIT file pruning
+    ext.injectOptimizerRule(_ => graft.plans.GraftTopK)
     // The hoist must run after EVERY batch that can re-inline a
     // projection into a lambda. Pre-CBO alone is not enough: the later
     // RewriteSubquery batch re-runs CollapseProject, which inlines the

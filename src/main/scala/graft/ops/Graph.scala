@@ -50,6 +50,11 @@ object Graph {
     * whole iteration chain; default keeps executor-local blocks
     * (fastest, single-node semantics). Ranks are identical either way.
     */
+  /** Rows one shuffle partition comfortably holds during an iteration:
+    * an edge row is two BIGINTs (~50 B materialized), so 4 M rows is
+    * ~200 MB of working state — the usual executor-partition target. */
+  val RowsPerPartition: Long = 4L * 1024 * 1024
+
   def pageRank(
       edges: DataFrame, iterations: Int,
       srcCol: String = "src", dstCol: String = "dst",
@@ -57,48 +62,81 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
 
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist()
+    val m = eRaw.count()
 
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")).persist()
-    val n = nodes.count()
-    require(n > 0, "empty graph")
-    val base = (15L * Scale) / (100L * n)
+    // Iteration shuffles are sized by the EDGE COUNT, not the session
+    // default (r14 verdict ask #2): every round launches ~5 shuffles,
+    // so a 64-node graph at shuffle.partitions=32 schedules thousands
+    // of near-empty tasks over 6 rounds, and a 30-round run on a real
+    // cluster at partitions=2000 would schedule 300k — per-task
+    // overhead dominating actual work in both cases. Tasks must scale
+    // with data, not iterations: clamp to the session default so a
+    // genuinely large graph keeps full parallelism. The cached inputs
+    // are repartitioned to the same width (a cached plan's output
+    // partitioning is NOT re-coalesced by AQE under the default
+    // canChangeCachedPlanOutputPartitioning=false, so without this the
+    // cache itself re-injects the wide layout into every round).
+    val confKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.getOption(confKey).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val p = math.max(1L, math.min(sessionParts.toLong,
+      (m + RowsPerPartition - 1) / RowsPerPartition)).toInt
+    val saved = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, p.toString)
+    // conf scope: every Checkpointing.truncate below is EAGER, so all
+    // iteration shuffles execute inside this scope; the finally puts
+    // the session default back before returning (values are unaffected
+    // — partitioning never changes ranks, asserted by the oracle).
+    try {
+      val e = eRaw.repartition(p, col("src")).persist()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .persist()
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")).persist()
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      eRaw.unpersist()
+      val base = (15L * Scale) / (100L * n)
 
-    // `div` (not `/`) everywhere: Spark's `/` on BIGINTs routes through
-    // DOUBLE division, which can misround a quotient that sits within
-    // half an ulp of an integer; `div` is exact integral division, the
-    // operation the oracle replays with DuckDB's `//`.
-    var ranks = Checkpointing.truncate(
-      nodes.select(col("node"), lit(Scale / n).as("r")), checkpointDir)
-    for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(deg, Seq("node"), "left")
-      // dangling mass, shared equally: a 1-row aggregate broadcast into
-      // the update — never collected to the driver
-      val dang = withDeg.filter(col("d").isNull)
-        .agg(coalesce(sum("r"), lit(0L)).as("ds"))
-        .select(expr(s"ds div ${n}L").as("dm"))
-      val inflow = withDeg.filter(col("d").isNotNull)
-        .join(e, col("node") === col("src"))
-        .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
-      ranks = Checkpointing.truncate(
-        nodes.join(inflow, Seq("node"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("node"),
-            (lit(base) + expr("(85L * (coalesce(inflow, 0L) + dm)) div 100L")).as("r")),
-        checkpointDir)
+      // `div` (not `/`) everywhere: Spark's `/` on BIGINTs routes through
+      // DOUBLE division, which can misround a quotient that sits within
+      // half an ulp of an integer; `div` is exact integral division, the
+      // operation the oracle replays with DuckDB's `//`.
+      var ranks = Checkpointing.truncate(
+        nodes.select(col("node"), lit(Scale / n).as("r")), checkpointDir)
+      for (_ <- 1 to iterations) {
+        val withDeg = ranks.join(deg, Seq("node"), "left")
+        // dangling mass, shared equally: a 1-row aggregate broadcast into
+        // the update — never collected to the driver
+        val dang = withDeg.filter(col("d").isNull)
+          .agg(coalesce(sum("r"), lit(0L)).as("ds"))
+          .select(expr(s"ds div ${n}L").as("dm"))
+        val inflow = withDeg.filter(col("d").isNotNull)
+          .join(e, col("node") === col("src"))
+          .select(col("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+        ranks = Checkpointing.truncate(
+          nodes.join(inflow, Seq("node"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit(base) + expr("(85L * (coalesce(inflow, 0L) + dm)) div 100L")).as("r")),
+          checkpointDir)
+      }
+      // final ranks are localCheckpoint'ed (eager), so the cached inputs
+      // can be released before returning
+      e.unpersist(); nodes.unpersist(); deg.unpersist()
+      ranks.select(col("node"), col("r").as("rank_fp"))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
     }
-    // final ranks are localCheckpoint'ed (eager), so the cached inputs
-    // can be released before returning
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
-    ranks.select(col("node"), col("r").as("rank_fp"))
   }
 }

@@ -212,28 +212,33 @@ object MergeTable {
       sinkApp)
   }
 
-  /** Filesystem schemes whose `create(overwrite = false)` is NOT an
-    * atomic mutual-exclusion primitive: S3's plain PUT has no
-    * create-if-absent semantics (hadoop-aws emulates the flag with a
-    * racy HEAD-then-PUT), so two claimants can both "win" and the
-    * commit protocol's exactly-one-writer guarantee does not hold.
-    * Pointing a table at one of these REFUSES at claim time unless the
-    * operator sets `graft.commit.allowNonAtomic=true` in the Hadoop
-    * configuration (accepting that concurrency control moves to the
-    * deployment — a single orchestrated writer, or an external lock
-    * service, exactly as Delta requires a LogStore / S3 conditional
-    * writes). HDFS (namenode-atomic), `file:` (POSIX `O_EXCL`) and
-    * other HDFS-semantics stores are fine. */
-  private val NonAtomicClaimSchemes = Set("s3", "s3a", "s3n")
+  /** Filesystem schemes whose `create(overwrite = false)` IS an atomic
+    * mutual-exclusion primitive — an ALLOWLIST (round-15 ADVICE; the
+    * round-14 denylist covered only s3/s3a/s3n, silently passing other
+    * stores without create-fail-if-exists semantics, e.g. `oss://`,
+    * `swift://`, legacy `wasb://`): `file:` is POSIX `O_EXCL`, HDFS
+    * and `viewfs:` are namenode-atomic, `abfs(s):` maps to ADLS Gen2's
+    * conditional create (If-None-Match). Everything else — S3's plain
+    * PUT most prominently (hadoop-aws emulates the flag with a racy
+    * HEAD-then-PUT), but also any scheme this list has never vetted —
+    * REFUSES at claim time unless the operator sets
+    * `graft.commit.allowNonAtomic=true` in the Hadoop configuration
+    * (accepting that writer mutual exclusion moves to the deployment —
+    * a single orchestrated writer or an external lock service, exactly
+    * as Delta requires a LogStore / S3 conditional writes). Unknown
+    * schemes failing CLOSED is the point: the exactly-one-writer
+    * guarantee must never depend on a store nobody checked. */
+  private val AtomicClaimSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "abfs", "abfss")
 
   private[graft] def requireAtomicClaims(conf: Configuration, dir: String): Unit = {
     val scheme = Option(new Path(dir).toUri.getScheme).getOrElse("file")
-    if (NonAtomicClaimSchemes.contains(scheme) &&
+    if (!AtomicClaimSchemes.contains(scheme) &&
         conf.get("graft.commit.allowNonAtomic") != "true")
       throw new UnsupportedOperationException(
         s"graft commit protocol needs atomic create-fail-if-exists, which " +
-          s"'$scheme://' does not provide — point the table at HDFS/local " +
-          "(or any HDFS-semantics store), or set " +
+          s"'$scheme://' does not (provably) provide — point the table at " +
+          s"one of ${AtomicClaimSchemes.toSeq.sorted.mkString("/")}, or set " +
           "graft.commit.allowNonAtomic=true in the Hadoop configuration " +
           "after moving writer mutual exclusion to the deployment")
   }
@@ -260,11 +265,17 @@ object MergeTable {
     *    can only succeed after the old marker vanished, which is after
     *    the manifest rename, which the re-check observes.
     *  - A marker a DEAD claimant left behind (no manifest, older than
-    *    [[StaleClaimMillis]]) is reclaimed by atomic RENAME to a
-    *    private tombstone — of two concurrent reclaimers exactly one
-    *    rename succeeds (delete-then-recreate would let both "win",
-    *    each destroying the other's fresh claim), so a crashed writer
-    *    never wedges the chain and reclaim never double-claims. */
+    *    [[StaleClaimMillis]]) is reclaimed under a dedicated RECLAIM
+    *    LOCK (round 15): the lock is taken with the same
+    *    create-fail-if-exists primitive claims use, and the marker
+    *    name transitions (delete stale, create fresh) only while
+    *    holding it — so of N concurrent reclaimers exactly one wins,
+    *    a crashed writer never wedges the chain, and reclaim never
+    *    double-claims. (The round-14 rename handoff had an ABA hole:
+    *    rename is atomic but NAME-addressed, so a second reclaimer's
+    *    rename could capture the first winner's freshly re-created
+    *    marker — vacating a LIVE claim and admitting two writers; a
+    *    32-way latch race reproduces it reliably.) */
   private def claimVersion(spark: SparkSession, dir: String, v: Int): Unit =
     claimVersion(spark.sparkContext.hadoopConfiguration, dir, v)
 
@@ -281,26 +292,71 @@ object MergeTable {
         try { f.create(marker, false).close(); true }
         catch { case _: java.io.IOException => false }
     }
+    def createExclusive(p: Path): Boolean = {
+      val q = f.makeQualified(p).toUri
+      if (q.getScheme == null || q.getScheme == "file")
+        new java.io.File(q.getPath).createNewFile()
+      else
+        try { f.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    def ageOf(p: Path): Long =
+      try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => 0L }
     var claimed = tryClaim()
-    if (!claimed && !f.exists(manifestPath(dir, v))) {
+    if (!claimed && !f.exists(manifestPath(dir, v)) &&
+        ageOf(marker) > StaleClaimMillis) {
       // a marker with NO manifest behind it is either a live writer
       // mid-commit or a dead claimant's leftover; only a clearly stale
-      // one (a crash window, not a commit window) is re-claimable
-      val age = try System.currentTimeMillis() -
-        f.getFileStatus(marker).getModificationTime
-      catch { case _: java.io.IOException => 0L }
-      if (age > StaleClaimMillis) {
-        // reclaim by RENAME: atomic, so of N concurrent reclaimers
-        // exactly one owns the stale marker; the losers fall through
-        // to the loud failure (retry later, never a double claim)
-        val tomb = new Path(
-          s"$dir/._commit_v$v.dead.${java.util.UUID.randomUUID().toString.take(8)}")
-        val won = try f.rename(marker, tomb)
+      // one (a crash window, not a commit window) is re-claimable.
+      //
+      // Reclaim runs under a dedicated RECLAIM LOCK (round 15 — the
+      // round-14 rename handoff had an ABA hole this host's 32-way
+      // latch race hits reliably: rename is atomic but NAME-addressed,
+      // so the second reclaimer's rename could capture the FIRST
+      // winner's freshly re-created marker, vacating a live claim and
+      // admitting two writers). The lock is taken with the same
+      // create-fail-if-exists primitive claims use, and the marker
+      // name transitions (delete stale -> create fresh) ONLY while
+      // holding it; a plain claimant racing that window just wins the
+      // name and the reclaimer loses — still exactly one winner.
+      val lock = new Path(s"$dir/._commit_v$v.reclaim")
+      var locked = createExclusive(lock)
+      if (!locked && ageOf(lock) > StaleClaimMillis) {
+        // a CRASHED reclaimer's stale lock: capture by rename with an
+        // mtime guard — if the captured file turns out fresh (we stole
+        // a live reclaimer's lock in the same ABA window), hand it
+        // back and lose; the capture's staleness is judged from the
+        // tomb itself, whose mtime rename preserved
+        val tomb = new Path(s"$dir/._commit_v$v.reclaim.dead." +
+          java.util.UUID.randomUUID().toString.take(8))
+        val won = try f.rename(lock, tomb)
         catch { case _: java.io.IOException => false }
         if (won) {
-          f.delete(tomb, false)
-          claimed = tryClaim()
+          val capAge =
+            try System.currentTimeMillis() -
+              f.getFileStatus(tomb).getModificationTime
+            catch { case _: java.io.IOException => 0L } // gone: treat fresh
+          if (capAge > StaleClaimMillis) {
+            f.delete(tomb, false)
+            locked = createExclusive(lock)
+          } else {
+            try f.rename(tomb, lock)
+            catch { case _: java.io.IOException => () }
+            f.delete(tomb, false) // no-op when the restore won
+          }
         }
+      }
+      if (locked) {
+        try {
+          // re-verify UNDER the lock: a completed reclaim cycle may
+          // have already replaced the stale marker with a fresh claim
+          if (f.exists(marker) && !f.exists(manifestPath(dir, v)) &&
+              ageOf(marker) > StaleClaimMillis) {
+            f.delete(marker, false)
+            claimed = tryClaim()
+          }
+        } finally { f.delete(lock, false); () }
       }
     }
     if (claimed && f.exists(manifestPath(dir, v))) {

@@ -86,8 +86,29 @@ object ZoneMaps {
     * trusted and are dropped on read (degrade to re-harvest /
     * unprunable, never a wrong answer) — the same precedent as
     * format-1, whose headerless `long` lines predate the logical-type
-    * poisoning fix and are dropped too. See [[read]]. */
-  val FormatVersion = 3
+    * poisoning fix and are dropped too. See [[read]].
+    *
+    * 4 = adds per-file EXACT SUM lines for integral columns (kind
+    * `sum`, keyed `col#sum` — see [[sumKey]]), computed by a
+    * delta-proportional data pass at WRITE time ([[exactSums]]): the
+    * statistic parquet footers do not carry but SUM/AVG aggregate
+    * pushdown needs ([[graft.plans.GraftMetaAggregate]] — `SELECT
+    * lang, SUM(n_tokens)` is the single most common corpus-accounting
+    * query). Old-format sidecars simply carry no sum lines, so their
+    * files degrade to the boundary scan, never a wrong answer — the
+    * same trust ladder as formats 1→3 (nothing to DISTRUST here: a
+    * line that cannot exist needs no dropping). */
+  val FormatVersion = 4
+
+  /** Sidecar key of column `c`'s exact per-file sum — `#` cannot
+    * appear in a parquet column path (the [[RowsKey]] precedent), so
+    * the key never collides with a real column's zone line. The Zone
+    * under it has kind `sum`, min = max = the exact decimal sum of the
+    * file's non-null values ("" when the file has none — SQL SUM's
+    * NULL), and nullCount = the column's exact per-file null count
+    * (with [[RowsKey]] this makes COUNT/SUM/AVG jointly decidable from
+    * the one line family). */
+  def sumKey(c: String): String = c + "#sum"
 
   /** String zones are truncated to this many CODE POINTS — bounded
     * sidecar lines no matter how long the column's values run (the
@@ -326,6 +347,60 @@ object ZoneMaps {
     }.collect().toMap
   }
 
+  /** EXACT per-file sums of the top-level INTEGRAL columns of
+    * `relPaths` — ONE distributed aggregation job over just those
+    * files (`groupBy(input_file_name)`), sums accumulated in
+    * DECIMAL(38,0) so no per-file fold can overflow and the stored
+    * string is exact. Integral only, deliberately: float/double sums
+    * are order-dependent (fp addition is non-associative), so a
+    * metadata fold could not reproduce what a scan returns bit-for-bit.
+    *
+    * Called from the WRITE path only (cost ∝ the commit's delta files,
+    * the sidecar IVM discipline) — read-time fallbacks ([[forVersion]])
+    * stay footer-only metadata I/O, so a file without a sum line
+    * degrades to the aggregate rewrite's boundary scan, never to a
+    * surprise data pass at query time. */
+  private[graft] def exactSums(
+      spark: SparkSession, dir: String, relPaths: Seq[String])
+      : Map[String, Map[String, Zone]] = {
+    if (relPaths.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, sum}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val abs = relPaths.map(r => MergeTable.absPath(dir, r))
+    val df = spark.read.parquet(abs: _*)
+    val intCols = df.schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => f.name
+    }.toSeq
+    if (intCols.isEmpty) return Map.empty
+    val aggs = intCols.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(col(c).cast(DecimalType(38, 0))).as(s"__s$i"),
+      count(col(c)).as(s"__n$i"))
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    // input_file_name yields the task-side URI string; match on the
+    // URI PATH so scheme/authority rendering differences can't orphan
+    // a file's sums (an unmatched row is dropped — degrade, not wrong)
+    val relByPath = relPaths.map { r =>
+      new Path(MergeTable.absPath(dir, r)).toUri.getPath -> r
+    }.toMap
+    rows.toSeq.flatMap { row =>
+      val p = try new java.net.URI(row.getString(0)).getPath
+        catch { case _: java.net.URISyntaxException => row.getString(0) }
+      relByPath.get(p).map { rel =>
+        val n = row.getLong(1)
+        rel -> intCols.zipWithIndex.map { case (c, i) =>
+          val s = row.getDecimal(2 + 2 * i)
+          val nn = row.getLong(3 + 2 * i)
+          val str = if (s == null) "" else s.toPlainString
+          sumKey(c) -> Zone("sum", str, str, nn < n, n - nn)
+        }.toMap
+      }
+    }.toMap
+  }
+
   /** Write the sidecar for version `v`: `newFiles` get harvested,
     * `carried` (file → zones read from a previous sidecar) copy by
     * reference. Call BEFORE the manifest commit. */
@@ -333,7 +408,20 @@ object ZoneMaps {
       spark: SparkSession, dir: String, v: Int,
       newFiles: Seq[String],
       carried: Map[String, Map[String, Zone]] = Map.empty): Unit = {
-    val all = carried ++ harvest(spark, dir, newFiles)
+    // sum failure degrades (files stay boundary-scannable) — a
+    // statistics pass must never fail a commit
+    val sums =
+      try exactSums(spark, dir, newFiles)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[zones] exact-sum pass failed for $dir " +
+            s"v$v (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "sum lines omitted, SUM/AVG pushdown degrades to scan")
+          Map.empty[String, Map[String, Zone]]
+      }
+    val all = carried ++ harvest(spark, dir, newFiles).map {
+      case (rel, cols) => rel -> (cols ++ sums.getOrElse(rel, Map.empty))
+    }
     val body = (s"#format\t$FormatVersion" +:
       all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, z) =>

@@ -4,8 +4,8 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Coalesce, EqualTo, Expression, Greatest, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, KnownNotNull, Least, LessThan, LessThanOrEqual, Literal, Or}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Greatest, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, IsNull, KnownNotNull, Least, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -85,6 +85,14 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   private final case class NonNull(col: String) extends MetaAgg
   private final case class MinOf(col: String, dt: DataType) extends MetaAgg
   private final case class MaxOf(col: String, dt: DataType) extends MetaAgg
+  /** SUM/AVG over an INTEGRAL column (round 15 — the stats rung the
+    * sidecar's format-4 `col#sum` lines exist for): per-file exact
+    * sums fold additively in BigDecimal, so the rewrite reproduces the
+    * scan bit-for-bit (a float/double sum would be fp-order-dependent
+    * — those never construct these shapes). AVG is SUM/COUNT at the
+    * merge, the decomposition Spark's own partial aggregation uses. */
+  private final case class SumOf(col: String, dt: DataType) extends MetaAgg
+  private final case class AvgOf(col: String, dt: DataType) extends MetaAgg
 
   /** The metadata shape of one aggregate expression, if it has one. */
   private def metaOf(e: Expression): Option[MetaAgg] = e match {
@@ -103,6 +111,16 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         }
         case m: Max => m.child match {
           case a: AttributeReference => Some(MaxOf(a.name, a.dataType))
+          case _ => None
+        }
+        case s: Sum => s.child match {
+          case a: AttributeReference if isIntegralMeta(a.dataType) =>
+            Some(SumOf(a.name, a.dataType))
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if isIntegralMeta(a.dataType) =>
+            Some(AvgOf(a.name, a.dataType))
           case _ => None
         }
         case _ => None
@@ -162,7 +180,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * can carry (`toXExact` throws on any surprise — caught, no
     * rewrite). Float/Double round-trip exactly because their toString
     * is shortest-round-trip and BigDecimal parses it exactly. */
-  private def internal(dt: DataType, s: String): Any =
+  private[plans] def internal(dt: DataType, s: String): Any =
     if (s == null) null
     else dt match {
       case LongType => BigDecimal(s).toLongExact
@@ -189,7 +207,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
   private final case class NotNullCond(col: String)
 
-  private def isOrderedPrim(dt: DataType): Boolean = dt match {
+  private[plans] def isOrderedPrim(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType |
          DoubleType | FloatType | StringType => true
     case _ => false
@@ -198,7 +216,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   /** Compare two values of `dt` (the column's domain). Strings compare
     * in code-point order — the order zones, parquet stats and Spark's
     * UTF8String share. */
-  private def cmpVals(dt: DataType, a: Any, b: Any): Int = dt match {
+  private[plans] def cmpVals(dt: DataType, a: Any, b: Any): Int = dt match {
     case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
@@ -315,6 +333,47 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Types whose per-file sums fold EXACTLY (BigDecimal addition of
+    * integer sums) — the SUM/AVG pushdown precondition. Float/double
+    * are out: fp addition is non-associative, so a metadata fold could
+    * not reproduce a scan's result bit-for-bit. */
+  private def isIntegralMeta(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** One file's SUM/AVG contribution from its format-4 `col#sum`
+    * sidecar line: (exact sum as BigDecimal — null when the file holds
+    * no non-null value, SQL SUM's NULL — and the non-null count, AVG's
+    * denominator). None (→ Boundary scan) for files without one —
+    * pre-format-4 sidecars and read-time footer harvests never carry
+    * sums. */
+  private def sumContrib(
+      c: String, fz: Map[String, ZoneMaps.Zone], rows: Long)
+      : Option[Either[Long, Any]] =
+    fz.get(ZoneMaps.sumKey(c)).collect {
+      case z if z.kind == "sum" && z.nullCount >= 0L && z.nullCount <= rows =>
+        Right((if (z.allNull) null else BigDecimal(z.min), rows - z.nullCount))
+    }
+
+  /** Exact long of a metadata sum fold; throws (→ Try fallback to the
+    * scan, which under ANSI also errors on overflow) past Long range. */
+  private def exactLong(v: Any): Long = v.asInstanceOf[BigDecimal].toLongExact
+
+  /** The final metadata-only value of one slot — the zero-scan
+    * LocalRelation answer. AVG divides the exact sum by the non-null
+    * count in double, the evaluation Spark's Average performs
+    * (bit-equal whenever the running sum is double-exact, i.e. within
+    * 2^53 — beyond that a scan's own answer is already
+    * partition-order-dependent). */
+  private def slotFinal(m: MetaAgg, cnt: Long, mval: Any): Any = m match {
+    case RowCount | NonNull(_) => cnt
+    case SumOf(_, _) => if (mval == null) null else exactLong(mval)
+    case AvgOf(_, _) =>
+      if (cnt == 0L) null else exactLong(mval).toDouble / cnt.toDouble
+    case _ => mval
+  }
+
   /** One output slot of a grouped metadata aggregate: a group key
     * (Left(i) = index into the grouping columns), or a
     * metadata-answerable shape (counts, and — round 14 — numeric
@@ -340,6 +399,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         case m @ (RowCount | NonNull(_)) => Right(m)
         case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
         case m @ MaxOf(_, dt) if isNumericMeta(dt) => Right(m)
+        case m @ SumOf(_, dt) if isIntegralMeta(dt) => Right(m)
+        case m @ AvgOf(_, dt) if isIntegralMeta(dt) => Right(m)
       }
       case _ => None
     }
@@ -361,6 +422,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       case NonNull(c) => fz.get(c).collect {
         case z if z.nullCount >= 0L => Left(rows - z.nullCount)
       }
+      case SumOf(c, _) => sumContrib(c, fz, rows)
+      case AvgOf(c, _) => sumContrib(c, fz, rows)
       case MinOf(_, dt) if !isNumericMeta(dt) => None
       case MaxOf(_, dt) if !isNumericMeta(dt) => None
       case MinOf(c, dt) => fz.get(c) match {
@@ -379,26 +442,32 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     if (cs.forall(_.isDefined)) Some(cs.flatten) else None
   }
 
-  /** Fold one file's contributions into per-slot accumulators:
-    * `cnt` sums counts, `mval` folds min/max candidates (null-skipping,
-    * in the column's own domain). */
+  /** Fold one file's contributions into per-slot accumulators: `cnt`
+    * sums counts (and AVG denominators), `mval` folds min/max
+    * candidates (null-skipping, in the column's own domain) and
+    * BigDecimal sum accumulations. */
   private def foldContribs(
       shapes: Seq[MetaAgg], contribs: Seq[Either[Long, Any]],
       cnt: Array[Long], mval: Array[Any]): Unit =
     contribs.zipWithIndex.foreach {
       case (Left(n), i) => cnt(i) += n
-      case (Right(v), i) if v != null =>
-        val dt = shapes(i) match {
-          case MinOf(_, d) => d
-          case MaxOf(_, d) => d
-          case _ => throw new IllegalStateException("count slot with a value")
-        }
-        val takeNew = mval(i) == null || (shapes(i) match {
-          case MinOf(_, _) => cmpVals(dt, v, mval(i)) < 0
-          case _ => cmpVals(dt, v, mval(i)) > 0
-        })
-        if (takeNew) mval(i) = v
-      case _ => () // null min/max candidate: no non-null value to fold
+      case (Right(v), i) => shapes(i) match {
+        case SumOf(_, _) | AvgOf(_, _) =>
+          val (s, nn) = v.asInstanceOf[(BigDecimal, Long)]
+          cnt(i) += nn
+          if (s != null)
+            mval(i) =
+              if (mval(i) == null) s
+              else mval(i).asInstanceOf[BigDecimal] + s
+        case MinOf(_, dt) =>
+          if (v != null && (mval(i) == null || cmpVals(dt, v, mval(i)) < 0))
+            mval(i) = v
+        case MaxOf(_, dt) =>
+          if (v != null && (mval(i) == null || cmpVals(dt, v, mval(i)) > 0))
+            mval(i) = v
+        case RowCount | NonNull(_) =>
+          throw new IllegalStateException("count slot with a value")
+      }
     }
 
   /** The group column's per-file verdict: Some(Some(v)) = every row of
@@ -568,6 +637,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case RowCount | NonNull(_) => true
             case MinOf(_, dt) => isNumericMeta(dt)
             case MaxOf(_, dt) => isNumericMeta(dt)
+            case SumOf(_, dt) => isIntegralMeta(dt)
+            case AvgOf(_, dt) => isIntegralMeta(dt)
           }
           case _ => false
         } =>
@@ -614,6 +685,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case NonNull(c) => c
             case MinOf(c, _) => c
             case MaxOf(c, _) => c
+            case SumOf(c, _) => c
+            case AvgOf(c, _) => c
           }).distinct
         val incomplete = files.filter { r =>
           val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
@@ -664,10 +737,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case Left(i) => catalystVal(gAttrs(i).dataType, gv(i).orNull)
             case Right(m) =>
               ci += 1
-              m match {
-                case RowCount | NonNull(_) => cnt(ci)
-                case _ => mval(ci) // numeric internal value or null
-              }
+              slotFinal(m, cnt(ci), mval(ci))
           }
         }
         if (partial.isEmpty)
@@ -687,30 +757,64 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           val origAggs = agg.aggregateExpressions.collect {
             case Alias(e, _) if metaOf(e).isDefined => e
           }
-          val aggAliases = aggs.indices.map(i =>
-            Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
+          // AVG carries TWO partial columns through the Union — (sum,
+          // count), the decomposition Spark's own partial aggregation
+          // uses — so the final merge can divide totals; every other
+          // slot is one column wide
+          def widthOf(m: MetaAgg): Int = m match {
+            case AvgOf(_, _) => 2
+            case _ => 1
+          }
+          val aggAliases = aggs.zipWithIndex.flatMap {
+            case (AvgOf(_, _), i) =>
+              val ch = origAggs(i).asInstanceOf[AggregateExpression]
+                .aggregateFunction.asInstanceOf[Average].child
+              Seq(
+                Alias(Sum(ch).toAggregateExpression(),
+                  s"__graft_boundary_gsum$i")(),
+                Alias(Count(Seq(ch)).toAggregateExpression(),
+                  s"__graft_boundary_gn$i")())
+            case (_, i) =>
+              Seq(Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
+          }
           val inner = Aggregate(gAttrs, gAttrs ++ aggAliases, filtered)
           // meta rows as a second Union branch: (g1..gn, a0, a1, …) —
-          // count slots are LongType, min/max slots the column's type
+          // count slots are LongType, min/max slots the column's type,
+          // sum slots LongType (exact fold), avg slots (sum, count)
           val gMeta = gAttrs.zipWithIndex.map { case (g, i) =>
             AttributeReference(g.name, g.dataType,
               nullable = g.nullable ||
                 metaGroups.keys.exists(_(i).isEmpty))()
           }
-          val mAttrs = aggs.zipWithIndex.map {
+          val mAttrs = aggs.zipWithIndex.flatMap {
             case (RowCount | NonNull(_), i) =>
-              AttributeReference(s"__graft_meta_gcnt$i", LongType,
-                nullable = false)()
+              Seq(AttributeReference(s"__graft_meta_gcnt$i", LongType,
+                nullable = false)())
             case (MinOf(_, dt), i) =>
-              AttributeReference(s"__graft_meta_gcnt$i", dt, nullable = true)()
+              Seq(AttributeReference(s"__graft_meta_gcnt$i", dt,
+                nullable = true)())
             case (MaxOf(_, dt), i) =>
-              AttributeReference(s"__graft_meta_gcnt$i", dt, nullable = true)()
+              Seq(AttributeReference(s"__graft_meta_gcnt$i", dt,
+                nullable = true)())
+            case (SumOf(_, _), i) =>
+              Seq(AttributeReference(s"__graft_meta_gsum$i", LongType,
+                nullable = true)())
+            case (AvgOf(_, _), i) => Seq(
+              AttributeReference(s"__graft_meta_gsum$i", LongType,
+                nullable = true)(),
+              AttributeReference(s"__graft_meta_gn$i", LongType,
+                nullable = false)())
           }
           val metaRel = LocalRelation(gMeta ++ mAttrs,
             metaGroups.toSeq.map { case (gv, (cnt, mval)) =>
-              val slotVals = aggs.zipWithIndex.map {
-                case (RowCount | NonNull(_), i) => cnt(i): Any
-                case (_, i) => mval(i)
+              val slotVals = aggs.zipWithIndex.flatMap {
+                case (RowCount | NonNull(_), i) => Seq(cnt(i): Any)
+                case (SumOf(_, _), i) =>
+                  Seq(if (mval(i) == null) null else exactLong(mval(i)): Any)
+                case (AvgOf(_, _), i) => Seq(
+                  if (mval(i) == null) null else exactLong(mval(i)): Any,
+                  cnt(i): Any)
+                case (_, i) => Seq(mval(i))
               }
               InternalRow.fromSeq(
                 gAttrs.zipWithIndex.map { case (g, i) =>
@@ -718,18 +822,31 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             })
           val union = Union(Seq(inner, metaRel))
           val uo = union.output // (g1..gn, a0, a1, …)
-          var ci = nG - 1
+          var off = nG
           val finalExprs = shapes.zip(agg.aggregateExpressions).map {
             case (Left(i), orig) =>
               Alias(uo(i), gAttrs(i).name)(exprId = orig.exprId)
             case (Right(m), orig) =>
-              ci += 1
+              val base = off
+              off += widthOf(m)
               val merged = m match {
                 case RowCount | NonNull(_) =>
                   KnownNotNull(Coalesce(Seq(
-                    Sum(uo(ci)).toAggregateExpression(), Literal(0L, LongType))))
-                case MinOf(_, _) => Min(uo(ci)).toAggregateExpression()
-                case MaxOf(_, _) => Max(uo(ci)).toAggregateExpression()
+                    Sum(uo(base)).toAggregateExpression(),
+                    Literal(0L, LongType))))
+                case MinOf(_, _) => Min(uo(base)).toAggregateExpression()
+                case MaxOf(_, _) => Max(uo(base)).toAggregateExpression()
+                // Sum of the per-branch partial sums: null-skipping and
+                // null iff every partial is null — exactly SQL SUM
+                case SumOf(_, _) => Sum(uo(base)).toAggregateExpression()
+                case AvgOf(_, _) =>
+                  val totSum = Sum(uo(base)).toAggregateExpression()
+                  val totCnt = Coalesce(Seq(
+                    Sum(uo(base + 1)).toAggregateExpression(),
+                    Literal(0L, LongType)))
+                  If(EqualTo(totCnt, Literal(0L, LongType)),
+                    Literal(null, DoubleType),
+                    Divide(Cast(totSum, DoubleType), Cast(totCnt, DoubleType)))
               }
               Alias(merged, orig.name)(exprId = orig.exprId)
           }
@@ -814,6 +931,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case RowCount | NonNull(_) => true
             case MinOf(_, dt) => isNumericMeta(dt)
             case MaxOf(_, dt) => isNumericMeta(dt)
+            case SumOf(_, dt) => isIntegralMeta(dt)
+            case AvgOf(_, dt) => isIntegralMeta(dt)
           }
           case _ => false
         } =>
@@ -824,8 +943,17 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           val shapes = agg.aggregateExpressions.map {
             case Alias(e, _) => metaOf(e).get
           }
+          // SUM/AVG need the per-file sum lines, which metaAggregate's
+          // column summary does not carry — route them through the
+          // per-file hybrid fold below (unfiltered → every file decides
+          // FullyIn → still a zero-scan LocalRelation when every file
+          // has a format-4 sum line)
+          val needsSums = shapes.exists {
+            case SumOf(_, _) | AvgOf(_, _) => true
+            case _ => false
+          }
           val dv = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
-          if (condO.isEmpty && dv.isEmpty) {
+          if (condO.isEmpty && dv.isEmpty && !needsSums) {
             // ZERO-SCAN fast path: unfiltered, no pending ledger — one
             // metadata pass answers everything, the plan collapses to a
             // LocalRelation (the Delta/Iceberg count-from-stats move)
@@ -848,6 +976,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               case NonNull(c) => stats(c)._2
               case MinOf(c, dt) => internal(dt, stats(c)._3)
               case MaxOf(c, dt) => internal(dt, stats(c)._4)
+              case SumOf(_, _) | AvgOf(_, _) => // routed to hybrid above
+                throw new IllegalStateException("sum slot in zero-scan path")
             }
             LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
               : LogicalPlan
@@ -874,6 +1004,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               case NonNull(c) => c
               case MinOf(c, _) => c
               case MaxOf(c, _) => c
+              case SumOf(c, _) => c
+              case AvgOf(c, _) => c
             }).distinct
             val incomplete = files.filter { r =>
               val fz = first.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
@@ -902,10 +1034,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             val partial = boundary.result()
             require(partial.size < files.size,
               "no file decidable from metadata — nothing to save")
-            def slotVal(i: Int): Any = shapes(i) match {
-              case RowCount | NonNull(_) => metaCnt(i)
-              case _ => metaVal(i)
-            }
+            def slotVal(i: Int): Any =
+              slotFinal(shapes(i), metaCnt(i), metaVal(i))
             if (partial.isEmpty)
               LocalRelation(agg.output,
                 Seq(InternalRow.fromSeq(shapes.indices.map(slotVal))))
@@ -923,27 +1053,61 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               val pruned = Project(
                 subset.output.filter(a => cols.contains(a.name)), subset)
               val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
-              val innerAliases = agg.aggregateExpressions.zipWithIndex.map {
-                case (a: Alias, i) =>
-                  Alias(a.child, s"__graft_boundary_count$i")()
-                case (other, _) => throw new IllegalStateException(
-                  s"non-alias aggregate slot: $other")
-              }
-              val inner = Aggregate(Nil, innerAliases, filtered)
+              // AVG decomposes to (SUM, COUNT) inner slots so the
+              // metadata partial can merge before the divide; every
+              // other slot reuses the original aggregate expression
+              val innerAliases: Seq[Seq[Alias]] =
+                agg.aggregateExpressions.zipWithIndex.map {
+                  case (a: Alias, i) => shapes(i) match {
+                    case AvgOf(_, _) =>
+                      val ch = a.child.asInstanceOf[AggregateExpression]
+                        .aggregateFunction.asInstanceOf[Average].child
+                      Seq(
+                        Alias(Sum(ch).toAggregateExpression(),
+                          s"__graft_boundary_sum$i")(),
+                        Alias(Count(Seq(ch)).toAggregateExpression(),
+                          s"__graft_boundary_n$i")())
+                    case _ =>
+                      Seq(Alias(a.child, s"__graft_boundary_count$i")())
+                  }
+                  case (other, _) => throw new IllegalStateException(
+                    s"non-alias aggregate slot: $other")
+                }
+              val inner = Aggregate(Nil, innerAliases.flatten, filtered)
               Project(
                 agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
-                  case ((a: Alias, ia), i) =>
+                  case ((a: Alias, ias), i) =>
+                    // the boundary SUM merges null-aware: null iff
+                    // NEITHER side holds a non-null value (SQL SUM), via
+                    // Coalesce(inner + meta, meta) — Add propagates an
+                    // all-null boundary to the metadata partial
+                    def mergedSum: Expression = {
+                      val ia = ias.head.toAttribute
+                      if (metaVal(i) == null) ia
+                      else {
+                        val ms = Literal(exactLong(metaVal(i)), LongType)
+                        Coalesce(Seq(Add(ia, ms), ms))
+                      }
+                    }
                     val merged = shapes(i) match {
                       case RowCount | NonNull(_) =>
-                        Add(ia.toAttribute, Literal(metaCnt(i), LongType))
+                        Add(ias.head.toAttribute, Literal(metaCnt(i), LongType))
                       case MinOf(_, dt) =>
                         // Least/Greatest skip nulls with the same NaN-
                         // largest ordering Min/Max use, so combining the
                         // boundary scan's exact extreme with the
                         // metadata fold preserves SQL semantics
-                        Least(Seq(ia.toAttribute, Literal(metaVal(i), dt)))
+                        Least(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
                       case MaxOf(_, dt) =>
-                        Greatest(Seq(ia.toAttribute, Literal(metaVal(i), dt)))
+                        Greatest(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
+                      case SumOf(_, _) => mergedSum
+                      case AvgOf(_, _) =>
+                        val totCnt = Add(ias(1).toAttribute,
+                          Literal(metaCnt(i), LongType))
+                        If(EqualTo(totCnt, Literal(0L, LongType)),
+                          Literal(null, DoubleType),
+                          Divide(Cast(mergedSum, DoubleType),
+                            Cast(totCnt, DoubleType)))
                     }
                     Alias(merged, a.name)(exprId = a.exprId)
                   case _ => throw new IllegalStateException("non-alias slot")

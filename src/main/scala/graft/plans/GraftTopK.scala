@@ -1,0 +1,246 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Literal, NullsFirst, NullsLast, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+
+import graft.pipeline.{MergeTable, ZoneMaps}
+import graft.sources.GraftRelation
+
+/** ZONE-PRUNED GLOBAL TOP-K and LIMIT pushdown for `graft` tables
+  * (round-15 verdict asks #4 and #7) — the file-skipping move for the
+  * two commonest "peek at the table" shapes:
+  *
+  *  - `ORDER BY c DESC LIMIT k`: fold the per-file zones against the
+  *    running k-th bound. Sort the files by their zone MIN descending
+  *    and accumulate non-null row counts; once the running total
+  *    reaches k, every row of the taken files is ≥ the last taken
+  *    file's min =: T, so at least k rows ≥ T exist — any file whose
+  *    zone MAX is strictly below T cannot contribute a top-k row and
+  *    is excluded from the scan. On a `clusterBy(c)` layout the global
+  *    top-k touches a handful of tail files instead of the corpus; the
+  *    `Sort`+`Limit` stay above the subset scan, so Spark still plans
+  *    its `TakeOrderedAndProject`, just over a sliver of the table.
+  *    Ascending and explicit null orderings get the mirrored bound;
+  *    NULLS FIRST additionally needs every file's exact null count
+  *    (the null prefix's size must be known to adjust k) and refuses
+  *    under a pending delete ledger (ledgered rows would overstate the
+  *    prefix — overstating prunes too much, so it must never happen).
+  *
+  *  - bare `LIMIT k` (no sort, no filter): any k rows satisfy the
+  *    contract, so serve the limit from the FEWEST files whose summed
+  *    row counts reach k (files in ledgered buckets never count toward
+  *    the quota — their physical rows may include deleted ones — but
+  *    deletes only shrink, so a quota met by clean files is final).
+  *
+  * Strictly exactness-preserving, rewrite-or-leave: string zones are
+  * truncated BOUNDS (stored-min ≤ true-min, stored-max ≥ true-max),
+  * which only weakens the threshold and keeps extra files — never
+  * drops a qualifying one; numeric bounds are exact. Any file without
+  * a usable zone is simply kept. The exclusion test is STRICT
+  * (max < T), so ties at the k-th bound always survive to the sort. A
+  * plan where nothing can be excluded is returned unchanged.
+  */
+object GraftTopK extends Rule[LogicalPlan] {
+
+  /** The graft relation under `plan` through pure column-pruning
+    * Projects — subset-scoped relations excluded (never re-match). */
+  private def graftChild(plan: LogicalPlan)
+      : Option[(LogicalRelation, GraftRelation)] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case g: GraftRelation if g.only.isEmpty => Some((lr, g))
+      case _ => None
+    }
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      graftChild(child)
+    case _ => None
+  }
+
+  /** One file's zone evidence for the sort column: row count, the
+    * column's zone (None = unusable), and whether the file sits in a
+    * bucket with pending merge-on-read deletes. */
+  private final case class FileEv(
+      rel: String, rows: Option[Long], zone: Option[ZoneMaps.Zone],
+      ledgered: Boolean)
+
+  private def evidence(
+      spark: SparkSession, rel: GraftRelation, col: String): Seq[FileEv] = {
+    val dvBuckets = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
+      .map(_.bucket).toSet
+    val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
+    val fileBucket: Map[String, Int] =
+      byBucket.toSeq.flatMap { case (b, fs) => fs.map(_ -> b) }.toMap
+    val files = byBucket.values.flatten.toSeq.sorted
+    val zones = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
+    files.map { r =>
+      val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
+      FileEv(r, ZoneMaps.rowCount(fz), fz.get(col),
+        dvBuckets.contains(fileBucket(r)))
+    }
+  }
+
+  /** The zone's (min, maxOption) in the COLUMN's domain — None when
+    * the zone cannot speak for this type (kind mismatch, unparseable).
+    * String max None = unbounded above (truncation overflow). */
+  private def bounds(dt: DataType, z: ZoneMaps.Zone)
+      : Option[(Any, Option[Any])] =
+    if (z.allNull) None
+    else if (dt == StringType) {
+      if (z.kind == "str" && z.min != null) Some((z.min, Option(z.max)))
+      else None
+    } else if (z.kind == "long" || z.kind == "double") {
+      Try((GraftMetaAggregate.internal(dt, z.min),
+        Option[Any](GraftMetaAggregate.internal(dt, z.max)))).toOption
+    } else None
+
+  /** Kept rel-paths for `ORDER BY a <dir> <nullOrd> LIMIT k`, or None
+    * when nothing can be excluded / the shape refuses. */
+  private def topKKeep(
+      spark: SparkSession, rel: GraftRelation, a: AttributeReference,
+      descending: Boolean, nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+    val dt = a.dataType
+    val evs = evidence(spark, rel, a.name)
+    if (evs.isEmpty) return None
+
+    // NULLS FIRST: the result's first positions are the null rows, so
+    // the non-null quota is k − (total nulls) — which must be EXACT:
+    // every file needs a trusted null count and no ledger may shrink
+    // it (overstating the prefix would over-prune).
+    val kNonNull: Long =
+      if (!nullsFirst) k.toLong
+      else {
+        if (evs.exists(e => e.ledgered || e.zone.forall(_.nullCount < 0L)))
+          return None
+        k.toLong - evs.map(_.zone.get.nullCount).sum
+      }
+    if (nullsFirst && kNonNull <= 0L) {
+      // the whole top-k is null rows: only null-bearing files matter
+      val kept = evs.filter(_.zone.exists(_.nullCount > 0L)).map(_.rel)
+      return if (kept.size < evs.size) Some(kept) else None
+    }
+
+    // threshold accumulation: files whose every non-null row provably
+    // sits at-or-beyond their own bound, best bound first
+    final case class Acc(rel: String, bound: Any, nonNull: Long)
+    val acc = evs.flatMap { e =>
+      if (e.ledgered) None // physical rows may include deleted ones
+      else for {
+        rows <- e.rows
+        z <- e.zone
+        if z.nullCount >= 0L && z.nullCount <= rows
+        (mn, mxO) <- bounds(dt, z)
+        // DESC accumulates on min (all rows ≥ min); ASC on max
+        b <- if (descending) Some(mn) else mxO
+        nn = rows - z.nullCount
+        if nn > 0L
+      } yield Acc(e.rel, b, nn)
+    }
+    val ordered = acc.sortWith { (x, y) =>
+      val c = GraftMetaAggregate.cmpVals(dt, x.bound, y.bound)
+      if (descending) c > 0 else c < 0
+    }
+    var cum = 0L
+    var threshold: Option[Any] = None
+    val it = ordered.iterator
+    while (it.hasNext && threshold.isEmpty) {
+      val f = it.next()
+      cum += f.nonNull
+      if (cum >= kNonNull) threshold = Some(f.bound)
+    }
+    val t = threshold.getOrElse(return None) // quota unreachable: keep all
+
+    // exclusion: STRICTLY beyond the k-th bound on the wrong side
+    val kept = evs.filter { e =>
+      if (e.ledgered) true
+      else e.zone match {
+        case None => true
+        case Some(z) if nullsFirst && z.nullCount != 0L => true // null prefix rows
+        case Some(z) if z.allNull => nullsFirst // NULLS LAST: ≥k non-nulls exist
+        case Some(z) => bounds(dt, z) match {
+          case None => true
+          case Some((mn, mxO)) =>
+            if (descending)
+              mxO.forall(mx => GraftMetaAggregate.cmpVals(dt, mx, t) >= 0)
+            else GraftMetaAggregate.cmpVals(dt, mn, t) <= 0
+        }
+      }
+    }.map(_.rel)
+    if (kept.size < evs.size) Some(kept) else None
+  }
+
+  /** Kept rel-paths for a bare `LIMIT k`: the smallest sorted prefix of
+    * clean (un-ledgered, counted) files whose rows reach k, plus
+    * nothing else; None when the quota cannot be met from clean files
+    * alone. */
+  private def limitKeep(
+      spark: SparkSession, rel: GraftRelation, k: Int): Option[Seq[String]] = {
+    val evs = evidence(spark, rel, col = "")
+    var cum = 0L
+    val kept = Seq.newBuilder[String]
+    val it = evs.iterator
+    while (it.hasNext && cum < k) {
+      val e = it.next()
+      if (!e.ledgered && e.rows.isDefined) {
+        kept += e.rel
+        cum += e.rows.get
+      }
+    }
+    if (cum < k) None
+    else {
+      val ks = kept.result()
+      if (ks.size < evs.size) Some(ks) else None
+    }
+  }
+
+  /** Swap the (whole-table) relation under `plan` for its `only`-subset
+    * copy, preserving any Projects above it. */
+  private def withSubset(
+      plan: LogicalPlan, lr: LogicalRelation, rel: GraftRelation,
+      kept: Seq[String]): LogicalPlan = {
+    val subset = lr.copy(relation =
+      rel.copy(version = rel.v, only = Some(kept.sorted)))
+    plan.transformUp {
+      case l: LogicalRelation if l eq lr => subset
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // ORDER BY <col> LIMIT k — prune files the k-th bound excludes
+    case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+        ll @ LocalLimit(_, s @ Sort(SortOrder(a: AttributeReference, dir,
+          nullOrd, _) +: _, true, child, _)))
+        if k > 0 && GraftMetaAggregate.isOrderedPrim(a.dataType) &&
+          graftChild(child).isDefined =>
+      val (lr, rel) = graftChild(child).get
+      Try {
+        val spark = SparkSession.active
+        topKKeep(spark, rel, a, dir == Descending,
+          nullOrd == NullsFirst, k) match {
+          case Some(kept) =>
+            gl.copy(child = ll.copy(child =
+              s.copy(child = withSubset(child, lr, rel, kept))))
+          case None => gl
+        }
+      }.getOrElse(gl)
+
+    // bare LIMIT k — serve from the fewest clean files
+    case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+        ll @ LocalLimit(_, child))
+        if k > 0 && graftChild(child).isDefined =>
+      val (lr, rel) = graftChild(child).get
+      Try {
+        val spark = SparkSession.active
+        limitKeep(spark, rel, k) match {
+          case Some(kept) =>
+            gl.copy(child = ll.copy(child = withSubset(child, lr, rel, kept)))
+          case None => gl
+        }
+      }.getOrElse(gl)
+  }
+}

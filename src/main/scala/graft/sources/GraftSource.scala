@@ -47,6 +47,7 @@ import graft.pipeline.{FileBlooms, MergeTable, ZoneMaps}
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -54,6 +55,37 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source needs a 'path' option"))
+
+  /** The recorded merge key (manifest `#mergekey`), overridable with
+    * the `key` option — the change feed's join column. */
+  private def keyOf(
+      spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String], dir: String): String =
+    parameters.get("key")
+      .orElse(graft.pipeline.MergeTable.mergeKey(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir records no merge key — pass the 'key' option"))
+
+  // ---- streaming SOURCE: readStream.format("graft") tails the version
+  // chain (offsets = versions; snapshot + change feed) — see
+  // [[graft.streaming.GraftStreamSource]]
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), graft.streaming.GraftStreamSource.feedSchema(
+      sqlContext.sparkSession, pathOf(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = pathOf(parameters)
+    new graft.streaming.GraftStreamSource(sqlContext, dir,
+      keyOf(sqlContext.sparkSession, parameters, dir),
+      includeSnapshot = parameters.get("snapshot").forall(_.toBoolean))
+  }
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =

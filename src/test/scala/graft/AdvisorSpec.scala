@@ -89,9 +89,10 @@ class AdvisorSpec extends SparkSpec {
     assert(rules(offender).contains("meta_scan"),
       s"an un-collapsed metadata aggregate must flag: ${Advisor.advise(offender)}")
 
-    // a shape the rule would NOT answer (avg) never flags
+    // a shape the rule would NOT answer (an expression-wrapped child —
+    // bare-column AVG became answerable in round 15) never flags
     val nonMeta = bare.read.format("graft").option("path", dir).load()
-      .agg(avg(col("x")).as("a"))
+      .agg(avg(col("x") + 1).as("a"))
     assert(!rules(nonMeta).contains("meta_scan"))
 
     // the properly-registered session collapses the aggregate — the

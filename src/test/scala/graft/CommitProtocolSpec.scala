@@ -220,7 +220,7 @@ class CommitProtocolSpec extends SparkSpec {
     MergeTable.read(spark, dir, 2).count() // still fully readable
   }
 
-  test("concurrent stale-marker reclaimers: the rename handoff admits exactly one") {
+  test("concurrent stale-marker reclaimers: the reclaim lock admits exactly one") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
       (0L until 50L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 2)
@@ -229,16 +229,19 @@ class CommitProtocolSpec extends SparkSpec {
     assert(stale.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
 
     // N claimants race the reclaim: delete-then-recreate would let two
-    // "win" (one deleting the other's fresh marker); the atomic rename
-    // handoff must admit exactly one
+    // "win" (one deleting the other's fresh marker), and the round-14
+    // rename handoff had an ABA hole (the second rename could capture
+    // the first winner's FRESH marker — reproduced reliably by this
+    // latch race on a 32-core host); the reclaim lock must admit
+    // exactly one
     val conf = spark.sparkContext.hadoopConfiguration
-    val gate = new java.util.concurrent.CountDownLatch(4)
+    val gate = new java.util.concurrent.CountDownLatch(8)
     def contender(): Future[Boolean] = Future {
       gate.countDown(); gate.await()
       Try(MergeTable.claimVersion(conf, dir, 2)).isSuccess
     }
     val wins = Await.result(
-      Future.sequence((1 to 4).map(_ => contender())), 120.seconds)
+      Future.sequence((1 to 8).map(_ => contender())), 120.seconds)
       .count(identity)
     assert(wins == 1, s"exactly one reclaimer may win the stale marker, got $wins")
     assert(new java.io.File(dir, "._commit_v2").exists(),
@@ -260,6 +263,17 @@ class CommitProtocolSpec extends SparkSpec {
       new org.apache.hadoop.conf.Configuration(false), "/tmp/local-table")
     MergeTable.requireAtomicClaims(
       new org.apache.hadoop.conf.Configuration(false), "hdfs://nn/warehouse/t")
+    // UNKNOWN schemes fail CLOSED (round-15 ADVICE: the old denylist
+    // covered only s3*; oss/swift/wasb silently passed without any
+    // create-fail-if-exists guarantee) — the allowlist refuses anything
+    // nobody vetted, with the same explicit escape hatch
+    for (p <- Seq("oss://bucket/t", "swift://c.mycloud/t", "wasb://c@a/t")) {
+      val eu = intercept[UnsupportedOperationException] {
+        MergeTable.requireAtomicClaims(
+          new org.apache.hadoop.conf.Configuration(false), p)
+      }
+      assert(eu.getMessage.contains("atomic create-fail-if-exists"), p)
+    }
   }
 
   test("a vacuous delete ledger (keys in data-less buckets) purges via a metadata-only commit") {

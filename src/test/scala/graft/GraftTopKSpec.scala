@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MergeTable
+
+/** Zone-pruned global top-k + bare-LIMIT file pruning
+  * ([[graft.plans.GraftTopK]]): `ORDER BY c LIMIT k` over a clustered
+  * graft table must scan only the files the k-th bound admits (the
+  * Sort/Limit stay above — Spark still plans TakeOrderedAndProject),
+  * bare `LIMIT k` must serve from the fewest clean files, and every
+  * rewritten answer must equal the unpruned scan's. */
+class GraftTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  Graft.registerAll(spark)
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-topk").toString
+
+  private def filesOf(dir: String, v: Int = -1): Int =
+    MergeTable.fileIndex(spark, dir, v).values.flatten.size
+
+  private def rel(dir: String, v: Int = -1): DataFrame = {
+    val r = spark.read.format("graft").option("path", dir)
+    (if (v > 0) r.option("version", v.toString) else r).load()
+  }
+
+  test("ORDER BY DESC LIMIT: only tail files scan, result equals the full sort") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 2, s"d$i")).toDF("id", "x", "tag"),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 6)
+    val n = filesOf(dir, v)
+
+    val q = rel(dir, v).orderBy($"x".desc, $"id").limit(10)
+    val got = q.as[(Long, Long, String)].collect().toSeq
+    val want = MergeTable.read(spark, dir, v)
+      .orderBy($"x".desc, $"id").limit(10)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == want, s"pruned top-k must equal the full sort")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "the sort+limit must still plan as TakeOrderedAndProject:\n" +
+        q.queryExecution.executedPlan)
+    val (_, total) = graft.sources.GraftRelation.lastPruned
+    assert(total < n, s"top-k must scan a file subset ($total of $n)")
+  }
+
+  test("ORDER BY ASC LIMIT (nulls-first default) and explicit null orderings stay scan-exact") {
+    val dir = tmpDir()
+    // x null on a stripe of rows — exercises the null-prefix math
+    MergeTable.create(spark, dir,
+      (0L until 3000L).map(i =>
+        (i, if (i % 17 == 0) null else java.lang.Long.valueOf(i / 2)))
+        .toDF("id", "x"),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 5)
+
+    for (order <- Seq($"x".asc, $"x".asc_nulls_last, $"x".desc,
+        $"x".desc_nulls_first)) {
+      val got = rel(dir, v).orderBy(order, $"id").limit(7)
+        .select($"id").as[Long].collect().toSeq
+      val want = MergeTable.read(spark, dir, v).orderBy(order, $"id")
+        .limit(7).select($"id").as[Long].collect().toSeq
+      assert(got == want, s"order $order must be scan-exact")
+    }
+    // the no-null ascending case prunes (null-free → prefix quota = k)
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 4000L).map(i => (i, i / 2)).toDF("id", "x"), "id",
+      nBuckets = 2)
+    val v2 = MergeTable.clusterBy(spark, dir2, "x", filesPerBucket = 6)
+    val q = rel(dir2, v2).orderBy($"x".asc, $"id").limit(10)
+    assert(q.as[(Long, Long)].collect().toSeq ==
+      MergeTable.read(spark, dir2, v2).orderBy($"x".asc, $"id").limit(10)
+        .as[(Long, Long)].collect().toSeq)
+    val (_, total2) = graft.sources.GraftRelation.lastPruned
+    assert(total2 < filesOf(dir2, v2), "ascending top-k must prune too")
+  }
+
+  test("pending delete ledger: top-k refuses over-pruning and stays exact") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 2000L).map(i => (i, i / 2)).toDF("id", "x"), "id",
+      nBuckets = 4)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    // delete the current TOP rows — the pruned scan must still find
+    // the post-delete top-k (ledgered buckets always stay in the scan)
+    MergeTable.deleteKeys(spark, dir,
+      (1990L until 2000L).toDF("id"), "id")
+    val got = rel(dir).orderBy($"x".desc, $"id").limit(5)
+      .as[(Long, Long)].collect().toSeq
+    val want = MergeTable.read(spark, dir).orderBy($"x".desc, $"id")
+      .limit(5).as[(Long, Long)].collect().toSeq
+    assert(got == want, "top-k under a pending ledger must be scan-exact")
+  }
+
+  test("bare LIMIT serves from the fewest clean files") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i % 100)).toDF("id", "x"), "id",
+      nBuckets = 4)
+    val n = filesOf(dir)
+    val q = rel(dir).limit(25)
+    assert(q.count() == 25L)
+    val (_, total) = graft.sources.GraftRelation.lastPruned
+    assert(total < n, s"a bare LIMIT must scan a file subset ($total of $n)")
+
+    // k past the table size: every row still arrives
+    assert(rel(dir).limit(10000).count() == 4000L)
+
+    // a sorted limit must NEVER take the bare-limit path: the answer
+    // is the global top rows, not any rows
+    val sorted = rel(dir).orderBy($"id".desc).limit(3)
+      .as[(Long, Long)].collect().toSeq
+    assert(sorted == Seq((3999L, 99L), (3998L, 98L), (3997L, 97L)))
+  }
+
+  test("ties at the k-th bound survive: strict exclusion only") {
+    val dir = tmpDir()
+    // heavy duplication: x has long runs of equal values, so the k-th
+    // bound is always a tie spanning file boundaries
+    MergeTable.create(spark, dir,
+      (0L until 3000L).map(i => (i, i / 300)).toDF("id", "x"), "id",
+      nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 5)
+    for (k <- Seq(1, 10, 299, 300, 301)) {
+      val got = rel(dir, v).orderBy($"x".desc, $"id").limit(k)
+        .as[(Long, Long)].collect().toSeq
+      val want = MergeTable.read(spark, dir, v).orderBy($"x".desc, $"id")
+        .limit(k).as[(Long, Long)].collect().toSeq
+      assert(got == want, s"k=$k over tied runs must be scan-exact")
+    }
+  }
+
+  test("string sort column: truncated bounds only weaken the threshold, never lose a row") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 2000L).map(i => (i, f"key-$i%06d-" + "pad" * 10))
+        .toDF("id", "s"),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "s", filesPerBucket = 5)
+    val got = rel(dir, v).orderBy($"s".desc, $"id").limit(8)
+      .select($"id").as[Long].collect().toSeq
+    val want = MergeTable.read(spark, dir, v).orderBy($"s".desc, $"id")
+      .limit(8).select($"id").as[Long].collect().toSeq
+    assert(got == want, "string top-k must be scan-exact under truncation")
+  }
+}

@@ -496,6 +496,145 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       "the hybrid count must answer entirely from the pinned version")
   }
 
+  test("SUM/AVG answer from format-4 sum lines: no scan node, scan-exact") {
+    val dir = tmpDir()
+    val base = (0L until 1000L).map(i =>
+      (i, if (i % 10 == 0) null else java.lang.Long.valueOf(i % 97),
+        i.toInt % 31))
+      .toDF("id", "x", "y")
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    MergeTable.merge(spark, dir,
+      Seq((5L, java.lang.Long.valueOf(500L), 7)).toDF("id", "x", "y"), "id")
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("msum")
+
+    val q = spark.sql(
+      """SELECT SUM(x) AS sx, AVG(x) AS ax, SUM(y) AS sy, AVG(y) AS ay,
+        |       COUNT(*) AS n
+        |FROM msum""".stripMargin)
+    assert(!hasScan(q), "sum/avg over a format-4 table must not scan:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    val got = q.as[(Long, Double, Long, Double, Long)].head()
+    val want = MergeTable.read(spark, dir)
+      .agg(sum($"x"), avg($"x"), sum($"y"), avg($"y"), count(lit(1)))
+      .as[(Long, Double, Long, Double, Long)].head()
+    assert(got == want, s"metadata sums must equal the scan: $got vs $want")
+
+    // double input is NEVER pushed (fp sums are order-dependent)
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 100L).map(i => (i, i / 10.0)).toDF("id", "d"), "id",
+      nBuckets = 2)
+    val dq = spark.read.format("graft").option("path", dir2).load()
+      .agg(sum($"d").as("sd"))
+    assert(hasScan(dq), "double SUM must fall back to the scan")
+
+    // an all-null sum column yields SQL NULL from metadata
+    val dir3 = tmpDir()
+    MergeTable.create(spark, dir3,
+      (0L until 100L).map(i => (i, null: java.lang.Long)).toDF("id", "z"),
+      "id", nBuckets = 2)
+    val nq = spark.read.format("graft").option("path", dir3).load()
+      .agg(sum($"z").as("sz"), avg($"z").as("az"))
+    assert(!hasScan(nq))
+    val r = nq.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1), s"all-null SUM/AVG must be NULL: $r")
+  }
+
+  test("SUM/AVG hybrid: filtered and grouped merges stay scan-exact on a clustered layout") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map { i =>
+        val lang = if (i < 1500) "en" else if (i < 3000) "fr" else "de"
+        (i, i / 4, lang,
+          if (i % 5 == 0) null else java.lang.Long.valueOf(i % 113))
+      }.toDF("id", "x", "lang", "opt"), "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 4)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("hsum")
+
+    // filtered: boundary files merge their exact sums with metadata
+    val fq = spark.sql(
+      """SELECT COUNT(*) AS n, SUM(x) AS sx, AVG(x) AS ax,
+        |       SUM(opt) AS so, AVG(opt) AS ao
+        |FROM hsum WHERE x < 437""".stripMargin)
+    assert(fq.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_"),
+      "the hybrid sum rewrite must fire:\n" + fq.queryExecution.optimizedPlan)
+    val gotF = fq.as[(Long, Long, Double, Long, Double)].head()
+    val wantF = MergeTable.read(spark, dir, v).where($"x" < 437)
+      .agg(count(lit(1)), sum($"x"), avg($"x"), sum($"opt"), avg($"opt"))
+      .as[(Long, Long, Double, Long, Double)].head()
+    assert(gotF == wantF, s"filtered hybrid sums: $gotF vs $wantF")
+
+    // grouped: lang-clustered files attribute their sum lines per group
+    val v2 = MergeTable.clusterBy(spark, dir, "lang", filesPerBucket = 3)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v2.toString).load()
+      .createOrReplaceTempView("gsum")
+    val gq = spark.sql(
+      """SELECT lang, SUM(x) AS sx, AVG(opt) AS ao, COUNT(*) AS n
+        |FROM gsum GROUP BY lang ORDER BY lang""".stripMargin)
+    val gotG = gq.as[(String, Long, Double, Long)].collect().toSeq
+    val wantG = MergeTable.read(spark, dir, v2)
+      .groupBy($"lang").agg(sum($"x").as("sx"), avg($"opt").as("ao"),
+        count(lit(1)).as("n"))
+      .orderBy($"lang").as[(String, Long, Double, Long)].collect().toSeq
+    assert(gotG == wantG, s"grouped sums: $gotG vs $wantG")
+  }
+
+  test("degrade: a sidecar without sum lines (pre-format-4) falls back to the scan") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 500L).map(i => (i, i % 53)).toDF("id", "x"), "id",
+      nBuckets = 2)
+    // simulate a pre-format-4 sidecar: strip every #sum line in place
+    val zones = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zones"))
+    assert(zones.nonEmpty)
+    zones.foreach { f =>
+      val kept = scala.io.Source.fromFile(f).getLines()
+        .filterNot(_.split("\t")(1).endsWith("#sum")).mkString("\n") + "\n"
+      java.nio.file.Files.write(f.toPath, kept.getBytes("UTF-8"))
+      // the raw rewrite invalidates Hadoop's ChecksumFileSystem sidecar
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("nosum")
+    val q = spark.sql("SELECT SUM(x) AS sx FROM nosum")
+    assert(hasScan(q), "sum without sidecar sum lines must scan:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.as[Long].head() ==
+      (0L until 500L).map(_ % 53).sum)
+    // counts keep their zero-scan path — the degrade is sum-local
+    val cq = spark.sql("SELECT COUNT(*) AS n FROM nosum")
+    assert(!hasScan(cq), "COUNT must still answer from metadata")
+    assert(cq.as[Long].head() == 500L)
+  }
+
+  test("COUNT(*) alone over a partially-ledgered table: zero-column boundary scan (round-14 ADVICE)") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 800L).map(i => (i, i % 13)).toDF("id", "x"), "id",
+      nBuckets = 8)
+    // one deleted key ledgers exactly one bucket; COUNT(*) with no
+    // other aggregate projects ZERO columns into the boundary subset
+    MergeTable.deleteKeys(spark, dir, Seq(42L).toDF("id"), "id")
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("zcol")
+    val q = spark.sql("SELECT COUNT(*) AS n FROM zcol")
+    assert(q.queryExecution.optimizedPlan.toString
+      .contains("__graft_boundary_count"),
+      "the ledger-aware hybrid must fire:\n" + q.queryExecution.optimizedPlan)
+    assert(q.as[Long].head() == 799L)
+    // the boundary subset is the ledgered bucket only
+    val nFiles = MergeTable.fileIndex(spark, dir).values.flatten.size
+    assert(graft.sources.GraftRelation.lastPruned._2 < nFiles,
+      "only the ledgered bucket's files may scan")
+  }
+
   test("time travel: the pushed answer comes from the relation's pinned version") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,

@@ -474,8 +474,9 @@ class ZoneMapSpec extends SparkSpec {
       agg.getString(3) == "0.0" && agg.getString(4) == "49.0",
       s"re-harvest must restore exact stats: $agg")
 
-    // a FRESH sidecar (format 3) trusts its own proven all-null zones
-    assert(ZoneMaps.FormatVersion == 3)
+    // a FRESH sidecar (format 3+) trusts its own proven all-null
+    // zones; format 4 only ADDS sum lines, the trust ladder is intact
+    assert(ZoneMaps.FormatVersion == 4)
   }
 
   test("randomized reference: zone-pruned scans equal plain filters under random layouts and bounds") {

@@ -2,6 +2,7 @@
 // round's new admin/maintained surfaces, end-to-end in a plain
 // spark-shell session against the packaged jar.
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 val sf = "/root/testdata/sf0.001"
 
@@ -135,11 +136,31 @@ assert(decQ.as[Long].head() == 500L, "decided filtered count value")
 val keyErr = try { MergeTable.merge(spark, t2, spark.range(1).select(col("id").as("doc_id"), col("id").as("x")), "x"); "" } catch { case e: IllegalArgumentException => e.getMessage }
 assert(keyErr.contains("bucketed on merge key"), s"merge-key guard missing: $keyErr")
 val sinkDir = s"$root/sink13"
-val sink13 = new graft.sources.GraftSource().createSink(spark.sqlContext, Map("path" -> sinkDir, "key" -> "doc_id"), Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+val sink13 = new graft.sources.GraftSource().createSink(spark.sqlContext, Map("path" -> sinkDir, "key" -> "doc_id", "txnAppId" -> "drive13"), Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
 sink13.addBatch(0L, spark.range(3).select(col("id").as("doc_id")))
 sink13.addBatch(0L, spark.range(9).select(col("id").as("doc_id")))
 assert(MergeTable.versions(spark, sinkDir) == Seq(1), "replayed sink batch must not re-commit")
 assert(MergeTable.read(spark, sinkDir).count() == 3, "replayed batch content must not land")
+
+// 9. round-15: SUM/AVG pushdown, zone-pruned top-k, bare-limit subset,
+//    and the streaming graft SOURCE tailing an independent writer
+val sumQ = spark.sql("SELECT sum(x) AS sx, avg(x) AS ax FROM g13")
+assert(!sumQ.queryExecution.executedPlan.toString.contains("Scan GraftRelation"), "SUM/AVG must answer from format-4 sum lines")
+val (sx, ax) = sumQ.as[(Long, Double)].head()
+val wantSx = spark.range(500).select(sum(col("id") % 97)).as[Long].head()
+assert(sx == wantSx && math.abs(ax - wantSx.toDouble / 500.0) < 1e-12, s"pushed sum/avg values: $sx $ax")
+val topQ = spark.read.format("graft").option("path", t2).load().orderBy(col("doc_id").desc).limit(3)
+assert(topQ.as[(Long, Long)].collect().map(_._1).toSeq == Seq(499L, 498L, 497L), "zone-pruned top-k rows")
+assert(topQ.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"), "top-k must keep TakeOrderedAndProject")
+assert(spark.read.format("graft").option("path", t2).load().limit(7).count() == 7L, "bare-limit subset")
+val streamSink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+val sq = spark.readStream.format("graft").option("path", t2).load().writeStream.option("checkpointLocation", s"$root/ckpt15").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.collect().foreach(r => streamSink.add((r.getString(0), r.getLong(1)))); () }.start()
+sq.awaitTermination(120000L)
+assert(streamSink.size == 500 && streamSink.asScala.forall(_._1 == "insert"), s"stream snapshot: ${streamSink.size}")
+MergeTable.merge(spark, t2, spark.range(1).select(lit(9999L).as("doc_id"), lit(1L).as("x")), "doc_id")
+val sq2 = spark.readStream.format("graft").option("path", t2).load().writeStream.option("checkpointLocation", s"$root/ckpt15").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.collect().foreach(r => streamSink.add((r.getString(0), r.getLong(1)))); () }.start()
+sq2.awaitTermination(120000L)
+assert(streamSink.size == 501 && streamSink.asScala.exists(e => e._1 == "insert" && e._2 == 9999L), s"stream delta: ${streamSink.size}")
 
 println("DRIVE_OK")
 sys.exit(0)

@@ -35,7 +35,10 @@ HEAD_SHA=$(git rev-parse --short HEAD)
 SF_VERIFY=${SF_VERIFY:-/root/testdata/sf0.01}
 SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
 OUT=${OUT:-/tmp/preflight_vout}
-CPUS=${SPARK_GRAFT_CPUS:-4}
+# match the DRIVER's bench config (round-15 verdict ask #1: the banked
+# baseline must be comparable with the driver's local[32]/89G runs —
+# bench_regress.py now refuses cross-config adjudication)
+CPUS=${SPARK_GRAFT_CPUS:-32}
 
 echo "[preflight] Verify @ $SF_VERIFY (CPUS=$CPUS)"
 rm -rf "$OUT"
@@ -69,6 +72,7 @@ echo "[preflight] Bench @ $SF_BENCH (CPUS=$CPUS)"
 # AFTER a successful bench (races; bit one gate run)
 SPARK_GRAFT_SF_DIR=$SF_BENCH SPARK_GRAFT_CPUS=$CPUS \
   SPARK_GRAFT_BENCH_FILE=/tmp/preflight_bench_full.json \
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-92g}" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1 \
   > /tmp/preflight_bench.json
 cat /tmp/preflight_bench.json
