@@ -47,7 +47,11 @@ object Plans {
     "doc_meta_minmax_filtered" -> "filtered MIN/MAX over the FullyIn/Boundary lattice (round 14): zone extremes fold into Least/Greatest literals around the boundary files' exact scan",
     "doc_meta_count_ledger" -> "ledger-aware hybrid count (round 14): a live merge-on-read ledger confines the scan to the ledgered buckets' files; every other bucket counts from metadata",
     "doc_meta_count_by_lang_source" -> "multi-key grouped metadata aggregate (round 14): files constant in BOTH group columns (the clusterByCols lexicographic layout) answer from the sidecar; only run-boundary files scan through the Union merge",
-    "doc_meta_distinct_sources" -> "COUNT(DISTINCT) pushdown (round 14): constant files contribute their single sidecar value; only value-spanning / filter-boundary files scan their distinct values into the Union + distinct COUNT merge")
+    "doc_meta_distinct_sources" -> "COUNT(DISTINCT) pushdown (round 14): constant files contribute their single sidecar value; only value-spanning / filter-boundary files scan their distinct values into the Union + distinct COUNT merge",
+    "doc_meta_sum" -> "SUM/AVG pushdown (round 15): the whole query collapsed to a LocalRelation answered from the sidecar's format-4 exact per-file sum lines — zero scan nodes",
+    "doc_meta_sum_filtered" -> "filtered SUM/AVG hybrid (round 15): FullyIn files fold their exact sum lines into literals; only the range-straddling boundary files scan, AVG merges as (sum_meta+sum_scan)/(count_meta+count_scan)",
+    "doc_meta_sum_by_lang" -> "grouped SUM/AVG (round 15): lang-constant files attribute their exact sum lines per group; run-boundary files scan and one Union re-aggregation SUMs the partial sums",
+    "doc_topk_pruned" -> "zone-pruned global top-k (round 15): ORDER BY n_chars DESC LIMIT 10 scans only the files the running 10th bound admits; TakeOrderedAndProject over the subset, no full-corpus sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

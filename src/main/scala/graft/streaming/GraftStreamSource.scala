@@ -35,7 +35,8 @@ import graft.pipeline.MergeTable
   */
 private[graft] class GraftStreamSource(
     sqlContext: SQLContext, dir: String, keyCol: String,
-    includeSnapshot: Boolean) extends Source {
+    includeSnapshot: Boolean) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -56,6 +57,23 @@ private[graft] class GraftStreamSource(
   override def getOffset: Option[Offset] = {
     val v = MergeTable.latestVersion(spark, dir)
     if (v < 1) None else Some(LongOffset(v.toLong))
+  }
+
+  // ---- Trigger.AvailableNow: pin the head at prepare time so the
+  // run drains to exactly that version and stops — without this,
+  // MicroBatchExecution warns and falls back to single-batch execution
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(MergeTable.latestVersion(spark, dir).toLong)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val head = MergeTable.latestVersion(spark, dir).toLong
+    val capped = availableNowCap.fold(head)(math.min(head, _))
+    if (capped < 1L) null else LongOffset(capped)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -8,6 +8,17 @@ baseline `tools/bench_baseline.json`, whose values are KERNEL UNITS
 (seconds / calib_sec) — host-independent, so a run on a 2x-slower host
 compares cleanly.
 
+DUAL-MEASURE WALL BAND (round 15): the calibration kernel on this
+host class is itself ~1.8x unstable across quiet cold runs (measured:
+calib 0.46-0.82 s across four same-HEAD captures) while raw wall
+totals move only ~1.2x — dividing by the kernel INJECTS noise into
+same-config comparisons. Since the env gate already refuses
+cross-config runs, the baseline banks BOTH kernel units (u) and raw
+per-run seconds (s), and a wall regression must leave BOTH envelopes:
+calib drift alone (u out, s in) or a genuinely slower host (s out, u
+in — the case the kernel exists for) each report informationally
+instead of failing.
+
 CONFIG AWARENESS (round-15 verdict ask #1 — the r12-r14 gate saga):
 kernel units normalize CPU *speed*, not *parallelism*. A baseline
 captured at local[4] compared against a local[32] run is structurally
@@ -67,11 +78,24 @@ import math
 import sys
 
 BAND = 1.5
-SLACK_UNITS = 1.5
+# absolute slacks absorb the fixed per-query jitter that dominates
+# sub-second queries (measured round 15: same-HEAD quiet cold runs put
+# ~1.4 s of one-off wall on a 0.2 s query while substantial queries
+# moved < 1.2x) — the ratio band still binds above ~4 units / ~3 s
+SLACK_UNITS = 2.0
 CPU_SLACK_UNITS = 1.0
 IO_BAND = 1.5
 IO_SLACK_MB = 64.0
 SPREAD_CAP = 2.5
+# the CPU evidence is an ADJUDICATOR, not the primary gate: its banked
+# cross-run spread reflects what the capture runs actually demonstrated
+# (doc_fingerprint: 4.7x CPU spread across three quiet cold runs on
+# this drifting host), so it gets a generous pathology cap rather than
+# the wall band's tight one — a banked capture must never fail its own
+# gate, and the wall line + byte volumes still report/bind regardless
+CPU_SPREAD_CAP = 6.0
+SLACK_SEC = 1.5
+CPU_SLACK_SEC = 0.75
 HEAP_RATIO_MAX = 1.33
 BASELINE = "tools/bench_baseline.json"
 
@@ -187,13 +211,15 @@ def main() -> int:
         return {"u": v, "spread": 1.5}
     units_base = {k: row(v) for k, v in base["units"].items()}
     now = {k: v / calib for k, v in bench["queries"].items()}
-    cpu_now = cpu_units_of(bench)
+    cpu_raw_now = per_run(bench, "cpu_sec")
     io_now = io_mb_of(bench)
     load_now = {q: m.get("os_load", -1.0)
                 for q, m in bench.get("task_metrics", {}).items()}
     host_cores = run_env.get("host_cores", -1)
 
-    fails, warns, noise, contention, new, improved = [], [], [], [], [], []
+    raw_now = dict(bench["queries"])
+    fails, warns, noise, contention, skew, new, improved = \
+        [], [], [], [], [], [], []
     for q, u in sorted(now.items()):
         if q not in units_base:
             new.append(q)
@@ -204,19 +230,35 @@ def main() -> int:
         # permanently widen the gate past SPREAD_CAP x (ADVICE r11)
         spread = min(r.get("spread", 1.5), SPREAD_CAP)
         line = f"{q}: {u:.2f}u vs baseline {b:.2f}u ({u / b:.2f}x, spread {spread:.2f})"
-        if u > max(BAND * b, b + SLACK_UNITS, spread * b):
+        u_out = u > max(BAND * b, b + SLACK_UNITS, spread * b)
+        # raw-seconds band (same-config runs only reach this code):
+        # legacy baselines without raw seconds fall back to units-only
+        s_b, s_spread = r.get("s"), min(r.get("s_spread", 1.5), SPREAD_CAP)
+        s_now_q = raw_now.get(q)
+        if s_b is not None and s_now_q is not None:
+            s_out = s_now_q > max(BAND * s_b, s_b + SLACK_SEC, s_spread * s_b)
+            line += f" [raw {s_now_q:.2f}s vs {s_b:.2f}s]"
+        else:
+            s_out = u_out
+        if u_out != s_out:
+            skew.append(line + (" — units out, raw seconds in (calib "
+                "drift)" if u_out else " — raw seconds out, units in "
+                "(host speed shift the kernel normalized)"))
+        elif u_out and s_out:
             # wall left the envelope — adjudicate from the artifact's
             # own evidence (bytes, CPU, load), most-damning first
-            cpu_b, cpu_spread = r.get("cpu_u"), r.get("cpu_spread", 1.0)
-            cpu_u = cpu_now.get(q)
+            # CPU evidence in RAW seconds (same-config comparisons
+            # only): kernel division would re-inject calib noise here
+            cpu_b, cpu_spread = r.get("cpu_s"), r.get("cpu_spread", 1.0)
+            cpu_u = cpu_raw_now.get(q)
             io_b, io_u = r.get("io_mb"), io_now.get(q)
             load_b, load_u = r.get("load", -1.0), load_now.get(q, -1.0)
             io_flat = (io_b is None or io_u is None or
                        io_u <= max(IO_BAND * io_b, io_b + IO_SLACK_MB))
             cpu_env = None
             if cpu_b is not None:
-                cpu_env = max(BAND * cpu_b, cpu_b + CPU_SLACK_UNITS,
-                              min(cpu_spread, SPREAD_CAP) * cpu_b)
+                cpu_env = max(BAND * cpu_b, cpu_b + CPU_SLACK_SEC,
+                              min(cpu_spread, CPU_SPREAD_CAP) * cpu_b)
             cpu_flat = cpu_b is not None and cpu_u is not None and cpu_u <= cpu_env
             if not io_flat:
                 fails.append(
@@ -224,19 +266,19 @@ def main() -> int:
                     f" — I/O volume regression, CPU evidence overruled]")
             elif cpu_flat:
                 noise.append(
-                    f"{line} — CPU flat ({cpu_u:.2f}u vs banked {cpu_b:.2f}u"
+                    f"{line} — CPU flat ({cpu_u:.2f}s vs banked {cpu_b:.2f}s"
                     f" spread {cpu_spread:.2f}, os_load {load_u:.1f})")
             elif (cpu_b is not None and cpu_u is not None and
                   load_u > 0 and host_cores > 0 and
                   load_u >= max(2.0 * max(load_b, 0.5), 0.6 * host_cores)):
                 contention.append(
-                    f"{line} — CPU out of its own spread ({cpu_u:.2f}u vs "
-                    f"banked {cpu_b:.2f}u spread {cpu_spread:.2f}) but "
+                    f"{line} — CPU out of its own spread ({cpu_u:.2f}s vs "
+                    f"banked {cpu_b:.2f}s spread {cpu_spread:.2f}) but "
                     f"os_load {load_u:.1f} vs banked {load_b:.1f} on "
                     f"{host_cores} cores: CPU moved with load, not code")
             else:
                 if cpu_b is not None and cpu_u is not None:
-                    line += (f" [cpu {cpu_u:.2f}u vs banked {cpu_b:.2f}u "
+                    line += (f" [cpu {cpu_u:.2f}s vs banked {cpu_b:.2f}s "
                              f"spread {cpu_spread:.2f}, os_load {load_u:.1f}]")
                 fails.append(line)
         elif u > BAND * b:
@@ -248,6 +290,7 @@ def main() -> int:
     for tag, rows in (("REGRESSION", fails),
                       ("HOST-NOISE (wall out of band, CPU+bytes flat)", noise),
                       ("CPU-CONTENTION (CPU moved with os_load)", contention),
+                      ("MEASURE-SKEW (one wall measure out, one in)", skew),
                       ("above-band (within slack)", warns),
                       ("improved", improved)):
         for r in rows:
@@ -312,9 +355,10 @@ def bank(base, paths) -> int:
             k: (max(1.0, rng[k]["max"] / rng[k]["min"])
                 if k in rng and rng[k].get("min") else 1.5)
             for k in units}
-        runs.append((units, spreads, cpu_units_of(b), io_mb_of(b),
+        runs.append((units, spreads, per_run(b, "cpu_sec"), io_mb_of(b),
                      {q: m.get("os_load", -1.0)
-                      for q, m in b.get("task_metrics", {}).items()}))
+                      for q, m in b.get("task_metrics", {}).items()},
+                     dict(b["queries"])))
     if not runs:
         print("[bench-regress] no usable captures — baseline unchanged")
         return 2
@@ -330,6 +374,13 @@ def bank(base, paths) -> int:
         # (emb_neardup_exact, round 13: 1.7004x vs stored 1.700)
         spread_up = math.ceil(spread * 1.001 * 1000) / 1000
         merged[q] = {"u": round(min(us), 4), "spread": spread_up}
+        # raw per-run seconds: the same-config wall measure calib
+        # drift cannot touch (in-run spread already folded into ranges)
+        ss = [r[5][q] for r in runs]
+        s_cross = max(ss) / min(ss) if min(ss) > 0 else 1.5
+        s_spread = max([r[1][q] for r in runs] + [s_cross])
+        merged[q]["s"] = round(min(ss), 4)
+        merged[q]["s_spread"] = math.ceil(s_spread * 1.001 * 1000) / 1000
         # CPU evidence: min across captures (steady-state CPU cost)
         # plus the cross-run spread — round 15: the old bank-the-max
         # policy let one contaminated capture widen the CPU gate with
@@ -337,7 +388,7 @@ def bank(base, paths) -> int:
         cpus = [r[2][q] for r in runs if q in r[2]]
         if cpus:
             cs = max(cpus) / min(cpus) if min(cpus) > 0 else 1.5
-            merged[q]["cpu_u"] = round(min(cpus), 4)
+            merged[q]["cpu_s"] = round(min(cpus), 4)
             merged[q]["cpu_spread"] = math.ceil(cs * 1.001 * 1000) / 1000
         ios = [r[3][q] for r in runs if q in r[3]]
         if ios:
