@@ -217,7 +217,16 @@ object Bench {
     // pathological query while leaving ~30× headroom over the slowest
     // healthy query's full best-of-N at sf0.1.
     val perQuerySec = Watchdog.timeoutSec(default = 300L)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to named queries —
+    // the regression gate's fresh-JVM RETRY lane (tools/preflight.sh):
+    // a rotating per-JVM degradation (real CPU growth on a random query
+    // subset, clean on immediate re-measurement) must be adjudicated by
+    // measuring again, not by arguing with one contaminated sample
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // best-of-N policy lives in SteadyState.bestOf (shared with
       // ScaleProbe, unit-tested in SteadyStateSpec): min over runs is
       // steady-state cost, a >2× disagreement triggers a tie-break run,

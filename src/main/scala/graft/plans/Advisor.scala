@@ -47,6 +47,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   *                      .registerAll`; if injected, check the sidecar
   *                      (pending ledger on every bucket? zone-less
   *                      files?).
+  *  - `topk_scan`     — a Limit(/Sort) over a WHOLE `graft` relation
+  *                      [[GraftTopK]] would file-prune, still unpruned
+  *                      in the optimized plan: missing injection, or
+  *                      the zones had nothing to exclude. Same fix as
+  *                      `meta_scan`.
   *  - `codegen_gap`   — (info) fraction of codegen-eligible operators
   *                      actually inside WholeStageCodegen spans.
   *  - `shuffles`      — (info) exchange count: each is a full
@@ -144,6 +149,18 @@ object Advisor {
             "so GraftMetaAggregate folds it from the zone sidecar; if " +
             "already injected, the sidecar had nothing to decide " +
             "(ledger on every bucket? zone-less files?)")
+      // topk_scan: a Limit(/Sort) over a WHOLE graft relation that
+      // GraftTopK would prune, still unpruned in the optimized plan
+      // (round 15 — teeth against a silent revert of the top-k/limit
+      // file pruning, the meta_scan precedent)
+      case lim: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+          if GraftTopK.prunableShape(lim) =>
+        warns += Advisory("warn", "topk_scan", lim.nodeName,
+          "ORDER BY+LIMIT (or bare LIMIT) over a graft table scans " +
+            "every file: register graft.GraftExtensions " +
+            "(Graft.registerAll) so GraftTopK folds the zones against " +
+            "the k-th bound; if already injected, the zones had " +
+            "nothing to exclude (unclustered sort column? tiny table?)")
       case _ => ()
     }
 

@@ -70,7 +70,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
 
   /** `Filter(cond, <graft relation>)` under `plan`, through pure
     * column-pruning Projects on either side of the Filter. */
-  private def filteredGraft(plan: LogicalPlan)
+  private[plans] def filteredGraft(plan: LogicalPlan)
       : Option[(Expression, LogicalRelation, GraftRelation)] = plan match {
     case Filter(cond, child) =>
       graftChild(child).map { case (lr, g) => (cond, lr, g) }
@@ -309,7 +309,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   /** Is every node of `e` inside the file-decidable algebra? The cheap
     * pre-check that keeps the metadata pass from running (and then
     * finding every file Boundary) on filters it can't decide. */
-  private def supportedExpr(e: Expression): Boolean = e match {
+  private[plans] def supportedExpr(e: Expression): Boolean = e match {
     case And(a, b) => supportedExpr(a) && supportedExpr(b)
     case Or(a, b) => supportedExpr(a) && supportedExpr(b)
     case IsNotNull(_: AttributeReference) => true
@@ -501,10 +501,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       case _ => v
     }
 
-  private sealed trait Decision
-  private case object FullyIn extends Decision
-  private case object FullyOut extends Decision
-  private case object Boundary extends Decision
+  private[plans] sealed trait Decision
+  private[plans] case object FullyIn extends Decision
+  private[plans] case object FullyOut extends Decision
+  private[plans] case object Boundary extends Decision
 
   /** Decide one condition against one file's zone. Soundness leans on
     * the zone contract: numeric bounds are EXACT values; string bounds
@@ -552,7 +552,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * FullyOut conjunct decides an And (no row can satisfy it —
     * null-valued rows satisfy neither, so "not FullyIn" never
     * over-counts). */
-  private def decideExpr(e: Expression, fz: Map[String, ZoneMaps.Zone]): Decision =
+  private[plans] def decideExpr(e: Expression, fz: Map[String, ZoneMaps.Zone]): Decision =
     e match {
       case And(a, b) => (decideExpr(a, fz), decideExpr(b, fz)) match {
         case (FullyOut, _) | (_, FullyOut) => FullyOut

@@ -3,7 +3,7 @@ package graft.plans
 import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Literal, NullsFirst, NullsLast, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, Expression, Literal, NullsFirst, NullsLast, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -32,11 +32,20 @@ import graft.sources.GraftRelation
   *    under a pending delete ledger (ledgered rows would overstate the
   *    prefix — overstating prunes too much, so it must never happen).
   *
-  *  - bare `LIMIT k` (no sort, no filter): any k rows satisfy the
-  *    contract, so serve the limit from the FEWEST files whose summed
-  *    row counts reach k (files in ledgered buckets never count toward
-  *    the quota — their physical rows may include deleted ones — but
-  *    deletes only shrink, so a quota met by clean files is final).
+  *  - bare `LIMIT k` (no sort): any k rows satisfy the contract, so
+  *    serve the limit from the FEWEST files whose summed row counts
+  *    reach k (files in ledgered buckets never count toward the quota
+  *    — their physical rows may include deleted ones — but deletes
+  *    only shrink, so a quota met by clean files is final).
+  *
+  * Both shapes COMPOSE with a WHERE inside the file-decidable algebra
+  * ([[GraftMetaAggregate.decideExpr]]'s FullyIn/FullyOut/Boundary
+  * lattice): FullyOut files leave the scan entirely, FullyIn files
+  * behave as in the unfiltered case (every row qualifies, so bounds
+  * and row counts count), Boundary files are always kept but never
+  * establish the threshold/quota — `WHERE lang = 'en' ORDER BY
+  * n_tokens DESC LIMIT 10` reads the English tail files only. The
+  * Filter stays above the subset scan, re-applied exactly.
   *
   * Strictly exactness-preserving, rewrite-or-leave: string zones are
   * truncated BOUNDS (stored-min ≤ true-min, stored-max ≥ true-max),
@@ -62,15 +71,18 @@ object GraftTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** One file's zone evidence for the sort column: row count, the
-    * column's zone (None = unusable), and whether the file sits in a
-    * bucket with pending merge-on-read deletes. */
+  /** One file's zone evidence: row count, the sort column's zone
+    * (None = unusable), the full zone map (the filter lattice's
+    * input), whether the file sits in a bucket with pending
+    * merge-on-read deletes, and the WHERE tree's per-file decision
+    * (FullyIn when there is no filter). */
   private final case class FileEv(
       rel: String, rows: Option[Long], zone: Option[ZoneMaps.Zone],
-      ledgered: Boolean)
+      ledgered: Boolean, dec: GraftMetaAggregate.Decision)
 
   private def evidence(
-      spark: SparkSession, rel: GraftRelation, col: String): Seq[FileEv] = {
+      spark: SparkSession, rel: GraftRelation, col: String,
+      condO: Option[Expression]): Seq[FileEv] = {
     val dvBuckets = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
       .map(_.bucket).toSet
     val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
@@ -80,8 +92,10 @@ object GraftTopK extends Rule[LogicalPlan] {
     val zones = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
     files.map { r =>
       val fz = zones.getOrElse(r, Map.empty[String, ZoneMaps.Zone])
-      FileEv(r, ZoneMaps.rowCount(fz), fz.get(col),
-        dvBuckets.contains(fileBucket(r)))
+      FileEv(r, ZoneMaps.rowCount(fz), if (col.isEmpty) None else fz.get(col),
+        dvBuckets.contains(fileBucket(r)),
+        condO.map(GraftMetaAggregate.decideExpr(_, fz))
+          .getOrElse(GraftMetaAggregate.FullyIn))
     }
   }
 
@@ -103,19 +117,28 @@ object GraftTopK extends Rule[LogicalPlan] {
     * when nothing can be excluded / the shape refuses. */
   private def topKKeep(
       spark: SparkSession, rel: GraftRelation, a: AttributeReference,
-      descending: Boolean, nullsFirst: Boolean, k: Int): Option[Seq[String]] = {
+      descending: Boolean, nullsFirst: Boolean, k: Int,
+      condO: Option[Expression]): Option[Seq[String]] = {
     val dt = a.dataType
-    val evs = evidence(spark, rel, a.name)
-    if (evs.isEmpty) return None
+    val all = evidence(spark, rel, a.name, condO)
+    // FullyOut files hold no qualifying row — out of the scan entirely
+    // (deletes only shrink, so ledgered FullyOut files stay out too)
+    val evs = all.filter(_.dec != GraftMetaAggregate.FullyOut)
+    if (evs.isEmpty)
+      return if (all.nonEmpty) Some(Seq.empty) else None
 
     // NULLS FIRST: the result's first positions are the null rows, so
-    // the non-null quota is k − (total nulls) — which must be EXACT:
-    // every file needs a trusted null count and no ledger may shrink
-    // it (overstating the prefix would over-prune).
+    // the non-null quota is k − (total QUALIFYING nulls) — which must
+    // be EXACT: every surviving file needs a trusted null count, must
+    // be FullyIn (a Boundary file's qualifying-null count is unknown)
+    // and no ledger may shrink it (overstating the prefix would
+    // over-prune).
     val kNonNull: Long =
       if (!nullsFirst) k.toLong
       else {
-        if (evs.exists(e => e.ledgered || e.zone.forall(_.nullCount < 0L)))
+        if (evs.exists(e => e.ledgered ||
+            e.dec != GraftMetaAggregate.FullyIn ||
+            e.zone.forall(_.nullCount < 0L)))
           return None
         k.toLong - evs.map(_.zone.get.nullCount).sum
       }
@@ -126,10 +149,12 @@ object GraftTopK extends Rule[LogicalPlan] {
     }
 
     // threshold accumulation: files whose every non-null row provably
-    // sits at-or-beyond their own bound, best bound first
+    // QUALIFIES (FullyIn) and sits at-or-beyond their own bound, best
+    // bound first — a Boundary file's qualifying-row count is unknown,
+    // so it can never establish the threshold (it stays kept below)
     final case class Acc(rel: String, bound: Any, nonNull: Long)
     val acc = evs.flatMap { e =>
-      if (e.ledgered) None // physical rows may include deleted ones
+      if (e.ledgered || e.dec != GraftMetaAggregate.FullyIn) None
       else for {
         rows <- e.rows
         z <- e.zone
@@ -171,22 +196,25 @@ object GraftTopK extends Rule[LogicalPlan] {
         }
       }
     }.map(_.rel)
-    if (kept.size < evs.size) Some(kept) else None
+    if (kept.size < all.size) Some(kept) else None
   }
 
   /** Kept rel-paths for a bare `LIMIT k`: the smallest sorted prefix of
-    * clean (un-ledgered, counted) files whose rows reach k, plus
-    * nothing else; None when the quota cannot be met from clean files
-    * alone. */
+    * clean (un-ledgered, counted, filter-FullyIn) files whose rows
+    * reach k, plus nothing else; None when the quota cannot be met
+    * from such files alone (Boundary files hold an UNKNOWN number of
+    * qualifying rows, so a quota they'd have to cover can't prune). */
   private def limitKeep(
-      spark: SparkSession, rel: GraftRelation, k: Int): Option[Seq[String]] = {
-    val evs = evidence(spark, rel, col = "")
+      spark: SparkSession, rel: GraftRelation, k: Int,
+      condO: Option[Expression]): Option[Seq[String]] = {
+    val evs = evidence(spark, rel, col = "", condO)
     var cum = 0L
     val kept = Seq.newBuilder[String]
     val it = evs.iterator
     while (it.hasNext && cum < k) {
       val e = it.next()
-      if (!e.ledgered && e.rows.isDefined) {
+      if (!e.ledgered && e.rows.isDefined &&
+          e.dec == GraftMetaAggregate.FullyIn) {
         kept += e.rel
         cum += e.rows.get
       }
@@ -210,18 +238,48 @@ object GraftTopK extends Rule[LogicalPlan] {
     }
   }
 
+  /** Is `plan` a Limit(/Sort) over a WHOLE (un-subset) graft relation
+    * THIS rule would attempt to prune? Structural only — no filesystem
+    * I/O — so [[Advisor]] can lint a top-k/limit shape that survived
+    * to execution unpruned: either the session never injected the
+    * rule, or the zones had nothing to exclude; both deserve a flag
+    * (the meta_scan precedent). */
+  private[graft] def prunableShape(plan: LogicalPlan): Boolean = plan match {
+    case GlobalLimit(Literal(k: Int, IntegerType),
+        LocalLimit(_, Sort(SortOrder(a: AttributeReference, _, _, _) +: _,
+          true, child, _))) =>
+      k > 0 && GraftMetaAggregate.isOrderedPrim(a.dataType) &&
+        target(child).exists { case (condO, _, _) =>
+          condO.forall(GraftMetaAggregate.supportedExpr) }
+    case GlobalLimit(Literal(k: Int, IntegerType), LocalLimit(_, child)) =>
+      k > 0 && target(child).exists { case (condO, _, _) =>
+        condO.forall(GraftMetaAggregate.supportedExpr) }
+    case _ => false
+  }
+
+  /** The graft relation under `plan` with its optional decidable
+    * filter, through pure projections. */
+  private def target(plan: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation, GraftRelation)] =
+    GraftMetaAggregate.filteredGraft(plan)
+      .map { case (c, lr, g) => (Option(c), lr, g) }
+      .orElse(graftChild(plan).map { case (lr, g) =>
+        (None: Option[Expression], lr, g) })
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // ORDER BY <col> LIMIT k — prune files the k-th bound excludes
+    // [WHERE …] ORDER BY <col> LIMIT k — prune files the k-th bound
+    // (and the filter lattice) excludes
     case gl @ GlobalLimit(Literal(k: Int, IntegerType),
         ll @ LocalLimit(_, s @ Sort(SortOrder(a: AttributeReference, dir,
           nullOrd, _) +: _, true, child, _)))
         if k > 0 && GraftMetaAggregate.isOrderedPrim(a.dataType) &&
-          graftChild(child).isDefined =>
-      val (lr, rel) = graftChild(child).get
-      Try {
+          target(child).isDefined =>
+      val (condO, lr, rel) = target(child).get
+      if (condO.exists(c => !GraftMetaAggregate.supportedExpr(c))) gl
+      else Try {
         val spark = SparkSession.active
         topKKeep(spark, rel, a, dir == Descending,
-          nullOrd == NullsFirst, k) match {
+          nullOrd == NullsFirst, k, condO) match {
           case Some(kept) =>
             gl.copy(child = ll.copy(child =
               s.copy(child = withSubset(child, lr, rel, kept))))
@@ -229,14 +287,15 @@ object GraftTopK extends Rule[LogicalPlan] {
         }
       }.getOrElse(gl)
 
-    // bare LIMIT k — serve from the fewest clean files
+    // [WHERE …] LIMIT k — serve from the fewest clean qualifying files
     case gl @ GlobalLimit(Literal(k: Int, IntegerType),
         ll @ LocalLimit(_, child))
-        if k > 0 && graftChild(child).isDefined =>
-      val (lr, rel) = graftChild(child).get
-      Try {
+        if k > 0 && target(child).isDefined =>
+      val (condO, lr, rel) = target(child).get
+      if (condO.exists(c => !GraftMetaAggregate.supportedExpr(c))) gl
+      else Try {
         val spark = SparkSession.active
-        limitKeep(spark, rel, k) match {
+        limitKeep(spark, rel, k, condO) match {
           case Some(kept) =>
             gl.copy(child = ll.copy(child = withSubset(child, lr, rel, kept)))
           case None => gl

@@ -2757,6 +2757,36 @@ object PipelineQueries {
       |SELECT doc_id, n_chars FROM merged
       |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin
 
+  /** FILTERED top-k ([[graft.plans.GraftTopK]] × the
+    * [[graft.plans.GraftMetaAggregate]] file-decision lattice, round
+    * 15): `WHERE range ORDER BY … DESC LIMIT 10` — FullyOut slabs
+    * leave the scan entirely, the k-th bound forms over FullyIn files
+    * only, Boundary files stay conservatively kept. The "biggest
+    * documents inside a slice" query a 100 TB corpus audit actually
+    * runs. */
+  private val docTopkFiltered: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClustered(s, d, "n_chars")
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("topk_filt_t")
+    s.sql(
+      """SELECT doc_id, n_chars FROM topk_filt_t
+        |WHERE n_chars >= 100 AND n_chars < 700
+        |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin)
+  }
+
+  private val docTopkFilteredSql =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id % 1000 FROM documents
+      |  WHERE doc_id % 10 = 1)
+      |SELECT doc_id, n_chars FROM merged
+      |WHERE n_chars >= 100 AND n_chars < 700
+      |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin
+
   /** LEDGER-AWARE aggregate pushdown ([[graft.plans
     * .GraftMetaAggregate]], round 14): COUNT(*) / COUNT(col) over the
     * [[IvmScaffold.dvSparseCorpus]] — a table with a LIVE three-key
@@ -4423,6 +4453,7 @@ object PipelineQueries {
     "doc_meta_sum_filtered" -> docMetaSumFiltered,
     "doc_meta_sum_by_lang" -> docMetaSumByLang,
     "doc_topk_pruned" -> docTopkPruned,
+    "doc_topk_filtered" -> docTopkFiltered,
     "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
     "doc_meta_distinct_sources" -> docMetaDistinctSources,
@@ -4553,6 +4584,7 @@ object PipelineQueries {
     "doc_meta_sum_filtered" -> docMetaSumFilteredSql,
     "doc_meta_sum_by_lang" -> docMetaSumByLangSql,
     "doc_topk_pruned" -> docTopkPrunedSql,
+    "doc_topk_filtered" -> docTopkFilteredSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,
     "doc_meta_distinct_sources" -> docMetaDistinctSourcesSql,

@@ -84,7 +84,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val dir = pathOf(parameters)
     new graft.streaming.GraftStreamSource(sqlContext, dir,
       keyOf(sqlContext.sparkSession, parameters, dir),
-      includeSnapshot = parameters.get("snapshot").forall(_.toBoolean))
+      includeSnapshot = parameters.get("snapshot").forall(_.toBoolean),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
   }
 
   override def createRelation(

@@ -35,7 +35,8 @@ import graft.pipeline.MergeTable
   */
 private[graft] class GraftStreamSource(
     sqlContext: SQLContext, dir: String, keyCol: String,
-    includeSnapshot: Boolean) extends Source
+    includeSnapshot: Boolean,
+    maxVersionsPerBatch: Option[Int] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -73,7 +74,16 @@ private[graft] class GraftStreamSource(
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val head = MergeTable.latestVersion(spark, dir).toLong
     val capped = availableNowCap.fold(head)(math.min(head, _))
-    if (capped < 1L) null else LongOffset(capped)
+    // admission control: bound how many VERSIONS one micro-batch may
+    // span (`maxVersionsPerBatch` option) — a long-down consumer
+    // catches up in bounded bites instead of one giant change join
+    val from = Option(start).map {
+      case l: LongOffset => l.offset
+      case o => o.json.trim.toLong
+    }.getOrElse(0L)
+    val lim = maxVersionsPerBatch
+      .fold(capped)(m => math.min(capped, from + math.max(1, m)))
+    if (lim < 1L) null else LongOffset(lim)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -110,4 +120,58 @@ private[graft] object GraftStreamSource {
       spark: org.apache.spark.sql.SparkSession, dir: String): StructType =
     StructType(StructField("_change", StringType, nullable = false) +:
       MergeTable.read(spark, dir).schema.fields)
+}
+
+/** Derived-table FOLLOWING built on the streaming source: replicate a
+  * source [[MergeTable]] into a destination MergeTable by MERGE-ing
+  * each micro-batch of the change feed — cross-table replication (or,
+  * with `transform`, a maintained derived table) without hand-polling
+  * `changesBetween`. Retried/replayed batches re-merge idempotently
+  * (upserts are content-idempotent, deletes of absent keys are no-ops)
+  * and a restart resumes from the checkpoint's committed version. */
+object FollowTable {
+
+  /** Start following `srcDir` into `dstDir`. `transform` maps each
+    * feed batch (schema `_change` + source columns) before the merge —
+    * it must preserve `_change` and the key column; default identity.
+    * The destination is created on the first batch with the source's
+    * merge key. Stop the returned query to pause following; the same
+    * checkpoint resumes it. */
+  def start(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, checkpoint: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      nBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val key = MergeTable.mergeKey(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$srcDir records no merge key — cannot follow"))
+    spark.readStream.format("graft").option("path", srcDir).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = transform(batch)
+        require(rows.columns.contains("_change") && rows.columns.contains(key),
+          s"transform must preserve _change and the key column '$key'")
+        val upserts = rows
+          .withColumn("_del", col("_change") === "delete").drop("_change")
+        val s2 = upserts.sparkSession
+        if (MergeTable.versions(s2, dstDir).isEmpty) {
+          // first batch: inserts seed the table, deletes (possible on
+          // a changes-only feed) have nothing to hit
+          val seed = upserts.filter(!col("_del")).drop("_del")
+          if (!seed.isEmpty) MergeTable.create(s2, dstDir, seed, key, nBuckets)
+        } else {
+          MergeTable.merge(s2, dstDir, upserts, key,
+            deleteCol = Some("_del"), validate = false)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -107,6 +107,36 @@ class AdvisorSpec extends SparkSpec {
       .contains("LocalRelation"))
   }
 
+  test("topk_scan: an unpruned graft top-k flags; the injected session's subset scan does not") {
+    val dir = Files.createTempDirectory("graft-advisor-topk").toString + "/t"
+    graft.pipeline.MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, i / 4)).toDF("id", "x"), "id",
+      nBuckets = 2)
+    val v = graft.pipeline.MergeTable.clusterBy(spark, dir, "x",
+      filesPerBucket = 6)
+
+    // a session WITHOUT the extension: the Limit(Sort) shape survives
+    // over the whole relation — every file scans for a top-10
+    val bare = spark.newSession()
+    val offender = bare.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .orderBy(col("x").desc).limit(10)
+    assert(rules(offender).contains("topk_scan"),
+      s"an unpruned top-k must flag: ${Advisor.advise(offender)}")
+    val bareLimit = bare.read.format("graft")
+      .option("path", dir).option("version", v.toString).load().limit(10)
+    assert(rules(bareLimit).contains("topk_scan"))
+
+    // the injected session prunes to a subset relation — no flag
+    val injected = spark.newSession()
+    Graft.registerAll(injected)
+    val pruned = injected.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .orderBy(col("x").desc).limit(10)
+    assert(!rules(pruned).contains("topk_scan"),
+      "a pruned top-k must not flag")
+  }
+
   test("registry lint: structural warnings fire ONLY on documented exceptions") {
     // `broadcastable` is size-dependent (at sf0.001 every side is under
     // the threshold and AQE broadcasts at runtime) and `unpushed_scan`

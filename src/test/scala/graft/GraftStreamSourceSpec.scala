@@ -122,6 +122,70 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"only the post-start delta may arrive: ${sink.asScala.toSeq}")
   }
 
+  test("FollowTable replicates an independently-written source, restart-safe, deletes included") {
+    val root = tmpDir()
+    val src = s"$root/src"; val dst = s"$root/dst"; val ckpt = s"$root/ckpt"
+    MergeTable.create(spark, src,
+      (0L until 200L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 4)
+    def follow(): Unit = {
+      val q = graft.streaming.FollowTable.start(spark, src, dst, ckpt)
+      q.awaitTermination(120000L); ()
+    }
+    follow()
+    def asMap(dir: String): Map[Long, String] =
+      MergeTable.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(asMap(dst) == asMap(src), "the follower must equal the source")
+
+    // two independent commits while the follower is DOWN — one drain
+    // catches up, delete included
+    MergeTable.merge(spark, src,
+      Seq((3L, "updated", false), (7L, "x", true), (900L, "new", false))
+        .toDF("id", "name", "_del"),
+      "id", deleteCol = Some("_del"), validate = false)
+    MergeTable.deleteKeys(spark, src, Seq(5L).toDF("id"), "id")
+    follow()
+    assert(asMap(dst) == asMap(src),
+      "the follower must track updates, inserts and both delete forms")
+
+    // idempotence: following an unchanged source commits nothing
+    val v = MergeTable.latestVersion(spark, dst)
+    follow()
+    assert(MergeTable.latestVersion(spark, dst) == v,
+      "an unchanged source must not advance the follower")
+  }
+
+  test("maxVersionsPerBatch bounds catch-up batches by version count") {
+    val root = tmpDir()
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    MergeTable.create(spark, src,
+      (0L until 20L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 2)
+    (1 to 4).foreach { i =>
+      MergeTable.merge(spark, src,
+        Seq((i.toLong, s"v$i")).toDF("id", "name"), "id")
+    }
+    // 5 versions behind; cap at 2 versions per batch → ≥3 batches
+    var batches = 0
+    val sink = new ConcurrentLinkedQueue[(String, Long, String)]()
+    val q = spark.readStream.format("graft").option("path", src)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += 1
+        b.collect().foreach { r: Row =>
+          sink.add((r.getString(0), r.getLong(1), r.getString(2))) }
+        ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert(batches >= 3, s"5 versions at cap 2 must take >=3 batches: $batches")
+    // replayed state still exact
+    val got = replay(sink.asScala.toSeq)
+    val want = MergeTable.read(spark, src).as[(Long, String)].collect().toMap
+    assert(got == want, "bounded catch-up must deliver the same state")
+  }
+
   test("the declared source schema is _change + the table's columns") {
     val dir = tmpDir() + "/t"
     MergeTable.create(spark, dir,

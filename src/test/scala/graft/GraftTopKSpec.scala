@@ -121,6 +121,50 @@ class GraftTopKSpec extends SparkSpec {
     assert(sorted == Seq((3999L, 99L), (3998L, 98L), (3997L, 97L)))
   }
 
+  test("WHERE + ORDER BY LIMIT compose: the filter lattice and the k-th bound prune together") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map { i =>
+        val lang = if (i % 3 == 0) "en" else "fr"
+        (i, i / 4, lang)
+      }.toDF("id", "x", "lang"), "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 6)
+    val n = filesOf(dir, v)
+
+    // range filter + top-k: FullyOut slabs leave the scan, the
+    // threshold forms over FullyIn files only
+    val q = rel(dir, v).where($"x" >= 100 && $"x" < 800)
+      .orderBy($"x".desc, $"id").limit(10)
+    val got = q.as[(Long, Long, String)].collect().toSeq
+    val want = MergeTable.read(spark, dir, v)
+      .where($"x" >= 100 && $"x" < 800).orderBy($"x".desc, $"id").limit(10)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == want, "filtered top-k must equal the full evaluation")
+    val (_, total) = graft.sources.GraftRelation.lastPruned
+    assert(total < n, s"filtered top-k must scan a subset ($total of $n)")
+
+    // a filter on ANOTHER column (boundary everywhere at this layout):
+    // result stays exact, files conservatively kept
+    val q2 = rel(dir, v).where($"lang" === "en")
+      .orderBy($"x".desc, $"id").limit(5)
+    assert(q2.as[(Long, Long, String)].collect().toSeq ==
+      MergeTable.read(spark, dir, v).where($"lang" === "en")
+        .orderBy($"x".desc, $"id").limit(5)
+        .as[(Long, Long, String)].collect().toSeq)
+
+    // filtered bare LIMIT: the quota forms over FullyIn files only
+    val q3 = rel(dir, v).where($"x" >= 200 && $"x" < 900).limit(20)
+    assert(q3.count() == 20L)
+    assert(q3.collect().forall { r =>
+      val x = r.getLong(1); x >= 200 && x < 900 })
+    val (_, total3) = graft.sources.GraftRelation.lastPruned
+    assert(total3 < n, s"filtered limit must scan a subset ($total3 of $n)")
+
+    // an all-out filter under a limit yields zero rows, zero files
+    assert(rel(dir, v).where($"x" > 99999).orderBy($"x".desc).limit(3)
+      .count() == 0L)
+  }
+
   test("ties at the k-th bound survive: strict exclusion only") {
     val dir = tmpDir()
     // heavy duplication: x has long runs of equal values, so the k-th

@@ -583,6 +583,18 @@ class MetaAggregatePushdownSpec extends SparkSpec {
         count(lit(1)).as("n"))
       .orderBy($"lang").as[(String, Long, Double, Long)].collect().toSeq
     assert(gotG == wantG, s"grouped sums: $gotG vs $wantG")
+
+    // a pending merge-on-read ledger: sums ride the same ledgered-
+    // bucket Boundary forcing as counts — deleted rows' sums never
+    // leak in from the sidecar
+    MergeTable.deleteKeys(spark, dir, Seq(10L, 3500L).toDF("id"), "id")
+    val lq = spark.read.format("graft").option("path", dir).load()
+      .agg(sum($"x").as("sx"), avg($"x").as("ax"), count(lit(1)).as("n"))
+    val gotL = lq.as[(Long, Double, Long)].head()
+    val wantL = MergeTable.read(spark, dir)
+      .agg(sum($"x"), avg($"x"), count(lit(1)))
+      .as[(Long, Double, Long)].head()
+    assert(gotL == wantL, s"ledgered sums: $gotL vs $wantL")
   }
 
   test("degrade: a sidecar without sum lines (pre-format-4) falls back to the scan") {
