@@ -61,13 +61,15 @@ Policy:
   * Improvements are reported so a speedup can be banked with --update.
 
 Banking accepts MULTIPLE cold-run captures (round-12 ask #1). Each
-query banks u = min across runs (steady-state cost), spread = max of
-in-run spreads and the cross-run max/min ratio, cpu_u = MIN across
-runs with its own cross-run cpu_spread (round-15 ask #6 — a single
-max let contaminated captures widen the CPU gate), io_mb = max across
-runs (an honest upper bound for byte-growth detection), load = max
-capture-time os_load. Captures must agree on `env.cpus`; a calibration
-outlier (>40% off the median) is excluded loudly.
+query banks its MEDIAN across captures (round 15: min-banking made
+every later run race the single luckiest capture — on a host whose
+wall AND CPU drift 1.5-2x across hours, the best-ever value is not a
+baseline, the typical value is), spread = max of in-run spreads and
+the cross-run max/median ratio, cpu_s likewise (median + spread),
+io_mb = max across runs (an honest upper bound for byte-growth
+detection), load = max capture-time os_load. Captures must agree on
+`env.cpus`; a calibration outlier (>40% off the median) is excluded
+loudly.
 
 Usage:
   python3 tools/bench_regress.py /tmp/preflight_bench.json            # gate
@@ -362,24 +364,27 @@ def bank(base, paths) -> int:
     if not runs:
         print("[bench-regress] no usable captures — baseline unchanged")
         return 2
+    import statistics
     every = sorted(set.intersection(*(set(r[0]) for r in runs)))
     merged = {}
     for q in every:
         us = [r[0][q] for r in runs]
-        cross = max(us) / min(us) if min(us) > 0 else 1.5
+        med_u = statistics.median(us)
+        cross = max(us) / med_u if med_u > 0 else 1.5
         spread = max([r[1][q] for r in runs] + [cross])
         # round the spread UP with 0.1% headroom: a banked capture
         # must never fail its own gate — round-to-nearest could
         # store a spread a hair below the true cross-run ratio
         # (emb_neardup_exact, round 13: 1.7004x vs stored 1.700)
         spread_up = math.ceil(spread * 1.001 * 1000) / 1000
-        merged[q] = {"u": round(min(us), 4), "spread": spread_up}
+        merged[q] = {"u": round(med_u, 4), "spread": spread_up}
         # raw per-run seconds: the same-config wall measure calib
         # drift cannot touch (in-run spread already folded into ranges)
         ss = [r[5][q] for r in runs]
-        s_cross = max(ss) / min(ss) if min(ss) > 0 else 1.5
+        med_s = statistics.median(ss)
+        s_cross = max(ss) / med_s if med_s > 0 else 1.5
         s_spread = max([r[1][q] for r in runs] + [s_cross])
-        merged[q]["s"] = round(min(ss), 4)
+        merged[q]["s"] = round(med_s, 4)
         merged[q]["s_spread"] = math.ceil(s_spread * 1.001 * 1000) / 1000
         # CPU evidence: min across captures (steady-state CPU cost)
         # plus the cross-run spread — round 15: the old bank-the-max
@@ -387,8 +392,9 @@ def bank(base, paths) -> int:
         # no record of how noisy CPU actually is run-to-run
         cpus = [r[2][q] for r in runs if q in r[2]]
         if cpus:
-            cs = max(cpus) / min(cpus) if min(cpus) > 0 else 1.5
-            merged[q]["cpu_s"] = round(min(cpus), 4)
+            med_c = statistics.median(cpus)
+            cs = max(cpus) / med_c if med_c > 0 else 1.5
+            merged[q]["cpu_s"] = round(med_c, 4)
             merged[q]["cpu_spread"] = math.ceil(cs * 1.001 * 1000) / 1000
         ios = [r[3][q] for r in runs if q in r[3]]
         if ios:
