@@ -320,14 +320,56 @@ object MergeTable {
       // name transitions (delete stale -> create fresh) ONLY while
       // holding it; a plain claimant racing that window just wins the
       // name and the reclaimer loses — still exactly one winner.
+      // Lock ownership is VERIFIABLE (round 16, ADVICE r15): each lock
+      // file carries its creator's UUID, re-read immediately before the
+      // marker transition and before the release delete. The round-15
+      // restore path had its own ABA/vacancy window — reclaimer B could
+      // rename away a lock reclaimer A just freshly created (B judged
+      // staleness from the OLD lock's mtime), and between B's rename
+      // and its restore the lock name was VACANT, so a third
+      // reclaimer's create succeeded while A still believed it held the
+      // lock: two critical-section holders. Two changes close it:
+      //  (1) any successful capture rename CONSUMES the lock — a
+      //      captured-fresh lock is never handed back (no restore, no
+      //      vacancy-then-restore confusion; the capturer just loses);
+      //  (2) the wronged holder detects the theft by the UUID check and
+      //      aborts BEFORE touching the marker, and never deletes a
+      //      lock that is no longer its own.
       val lock = new Path(s"$dir/._commit_v$v.reclaim")
-      var locked = createExclusive(lock)
+      val myLockId = java.util.UUID.randomUUID().toString
+      def createLockOwned(): Boolean = {
+        val q = f.makeQualified(lock).toUri
+        if (q.getScheme == null || q.getScheme == "file") {
+          val jf = new java.io.File(q.getPath)
+          if (!jf.createNewFile()) false
+          else {
+            java.nio.file.Files.write(
+              jf.toPath, myLockId.getBytes("UTF-8"))
+            true
+          }
+        } else {
+          try {
+            val os = f.create(lock, false)
+            os.write(myLockId.getBytes("UTF-8")); os.close(); true
+          } catch { case _: java.io.IOException => false }
+        }
+      }
+      def ownsLock(): Boolean =
+        try {
+          val in = f.open(lock)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(0, n), "UTF-8") == myLockId
+          } finally in.close()
+        } catch { case _: java.io.IOException => false }
+      var locked = createLockOwned()
       if (!locked && ageOf(lock) > StaleClaimMillis) {
-        // a CRASHED reclaimer's stale lock: capture by rename with an
-        // mtime guard — if the captured file turns out fresh (we stole
-        // a live reclaimer's lock in the same ABA window), hand it
-        // back and lose; the capture's staleness is judged from the
-        // tomb itself, whose mtime rename preserved
+        // a CRASHED reclaimer's stale lock: capture by rename, judge
+        // staleness from the tomb (rename preserves mtime), and CONSUME
+        // it either way — a fresh capture (we raced a live reclaimer in
+        // the ABA window) means both of us lose and the caller fails
+        // loudly; the live holder's ownership check keeps it safe
         val tomb = new Path(s"$dir/._commit_v$v.reclaim.dead." +
           java.util.UUID.randomUUID().toString.take(8))
         val won = try f.rename(lock, tomb)
@@ -337,26 +379,23 @@ object MergeTable {
             try System.currentTimeMillis() -
               f.getFileStatus(tomb).getModificationTime
             catch { case _: java.io.IOException => 0L } // gone: treat fresh
-          if (capAge > StaleClaimMillis) {
-            f.delete(tomb, false)
-            locked = createExclusive(lock)
-          } else {
-            try f.rename(tomb, lock)
-            catch { case _: java.io.IOException => () }
-            f.delete(tomb, false) // no-op when the restore won
-          }
+          f.delete(tomb, false)
+          if (capAge > StaleClaimMillis) locked = createLockOwned()
         }
       }
       if (locked) {
         try {
-          // re-verify UNDER the lock: a completed reclaim cycle may
-          // have already replaced the stale marker with a fresh claim
-          if (f.exists(marker) && !f.exists(manifestPath(dir, v)) &&
+          // re-verify UNDER the lock — and re-verify the lock is still
+          // OURS (a stale-capture racer may have consumed it; createLock
+          // and the mtime refresh are not one atomic step, so the name
+          // alone is not proof of ownership)
+          if (ownsLock() && f.exists(marker) &&
+              !f.exists(manifestPath(dir, v)) &&
               ageOf(marker) > StaleClaimMillis) {
             f.delete(marker, false)
             claimed = tryClaim()
           }
-        } finally { f.delete(lock, false); () }
+        } finally { if (ownsLock()) f.delete(lock, false); () }
       }
     }
     if (claimed && f.exists(manifestPath(dir, v))) {

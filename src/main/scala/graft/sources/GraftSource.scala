@@ -85,7 +85,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     new graft.streaming.GraftStreamSource(sqlContext, dir,
       keyOf(sqlContext.sparkSession, parameters, dir),
       includeSnapshot = parameters.get("snapshot").forall(_.toBoolean),
-      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt))
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch").map(_.toInt),
+      maxBytesPerBatch = parameters.get("maxBytesPerBatch").map(_.toLong),
+      // the engine-provided per-source checkpoint subdir: where the
+      // snapshot=false stream-start base version persists across
+      // restarts (recovery of an uncommitted batch 0 must see the
+      // ORIGINAL base, not a re-derived head — round-15 ADVICE)
+      metadataPath = Some(metadataPath))
   }
 
   override def createRelation(

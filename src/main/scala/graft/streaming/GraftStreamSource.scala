@@ -1,12 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.pipeline.MergeTable
+
+/** The stream's next version was vacuumed out of the table's retention
+  * horizon — replay is impossible and the failure must be NAMED, not a
+  * raw file-not-found (the Delta `retentionDurationCheck` shape). The
+  * operator either re-seeds the stream (new checkpoint, snapshot) or
+  * raises the table's vacuum `keepVersions`. */
+class GraftRetentionException(dir: String, needed: Int, retained: Seq[Int])
+    extends IllegalStateException(
+      s"stream over $dir needs version $needed, but the table retains " +
+        s"only ${if (retained.isEmpty) "none" else retained.mkString(",")} — " +
+        "a vacuum reclaimed versions the stream had not yet read. " +
+        "Re-seed the stream from a fresh checkpoint (snapshot) or vacuum " +
+        "with a larger keepVersions horizon.")
 
 /** STREAMING SOURCE over a [[MergeTable]] version chain —
   * `spark.readStream.format("graft").option("path", dir)` tails the
@@ -25,26 +39,45 @@ import graft.pipeline.MergeTable
   * a restarted query re-reads `changes(vCommitted, vHead)` and gets
   * the same rows — no dedup state needed. `option("snapshot", "false")`
   * skips the initial snapshot (changes-only from the version at
-  * stream start). The merge key defaults to the one recorded in the
-  * manifest chain; `option("key", …)` overrides.
+  * stream start); that start version is PERSISTED under the query's
+  * source metadata directory, because on recovery of an uncommitted
+  * batch 0 the engine replays `getBatch(None, loggedEnd)` — a base
+  * re-derived from the live head would be >= loggedEnd and the batch
+  * would silently resolve empty, losing `(base, loggedEnd]` forever
+  * (round-15 ADVICE, medium). The merge key defaults to the one
+  * recorded in the manifest chain; `option("key", …)` overrides.
   *
-  * Retention caveat (documented, loud): a vacuum that reclaims
-  * versions the stream has not yet read breaks replay — the same
-  * contract every lakehouse CDF stream has (Delta's
-  * `spark.databricks.delta.retentionDurationCheck`).
+  * Admission control: `maxVersionsPerBatch` bounds catch-up by VERSION
+  * count; `maxBytesPerBatch` bounds it by the bytes of data files a
+  * batch's versions newly reference (manifest metadata only — no scan),
+  * so one giant backfill version cannot pair with ten more in a single
+  * micro-batch. Both always admit at least one version (progress).
+  *
+  * Retention: a vacuum that reclaims versions the stream has not yet
+  * read breaks replay — that now fails with the NAMED
+  * [[GraftRetentionException]] before any file I/O, not a raw
+  * file-not-found mid-join (the same contract every lakehouse CDF
+  * stream has; Delta's `retentionDurationCheck`).
   */
 private[graft] class GraftStreamSource(
     sqlContext: SQLContext, dir: String, keyCol: String,
     includeSnapshot: Boolean,
-    maxVersionsPerBatch: Option[Int] = None) extends Source
+    maxVersionsPerBatch: Option[Int] = None,
+    maxBytesPerBatch: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
   /** The version the stream considers "already consumed" when the
-    * snapshot is skipped: the head at source construction. */
+    * snapshot is skipped. Derived from the table head ONCE — on the
+    * very first start — and persisted under the source's metadata
+    * directory; every restart reads it back, so a recovery replay of
+    * batch 0 sees the ORIGINAL base, not a head that moved past the
+    * logged end. */
   private val baseVersion: Int =
-    if (includeSnapshot) -1 else MergeTable.latestVersion(spark, dir)
+    if (includeSnapshot) -1
+    else GraftStreamSource.persistedBase(spark, metadataPath, dir)
 
   override val schema: StructType = GraftStreamSource.feedSchema(spark, dir)
 
@@ -75,14 +108,18 @@ private[graft] class GraftStreamSource(
     val head = MergeTable.latestVersion(spark, dir).toLong
     val capped = availableNowCap.fold(head)(math.min(head, _))
     // admission control: bound how many VERSIONS one micro-batch may
-    // span (`maxVersionsPerBatch` option) — a long-down consumer
+    // span (`maxVersionsPerBatch`) and how many fresh BYTES it may
+    // newly reference (`maxBytesPerBatch`) — a long-down consumer
     // catches up in bounded bites instead of one giant change join
     val from = Option(start).map {
       case l: LongOffset => l.offset
       case o => o.json.trim.toLong
     }.getOrElse(0L)
-    val lim = maxVersionsPerBatch
+    val byVersions = maxVersionsPerBatch
       .fold(capped)(m => math.min(capped, from + math.max(1, m)))
+    val lim = maxBytesPerBatch.fold(byVersions) { cap =>
+      GraftStreamSource.bytesBoundedEnd(spark, dir, from, byVersions, cap)
+    }
     if (lim < 1L) null else LongOffset(lim)
   }
 
@@ -92,6 +129,7 @@ private[graft] class GraftStreamSource(
         if (includeSnapshot) None else Some(baseVersion)) match {
       case None =>
         // initial snapshot at the batch's pinned end version
+        GraftStreamSource.requireRetained(spark, dir, to)
         val snap = MergeTable.read(spark, dir, to)
         snap.select(lit("insert").as("_change") +:
           snap.columns.map(col).toSeq: _*)
@@ -101,6 +139,10 @@ private[graft] class GraftStreamSource(
             schema.fieldNames.toSeq.drop(1).map(col): _*)
           .limit(0)
       case Some(from) =>
+        // the diff needs BOTH endpoint manifests — fail by NAME when a
+        // vacuum reclaimed them, before any file I/O
+        GraftStreamSource.requireRetained(spark, dir, from)
+        GraftStreamSource.requireRetained(spark, dir, to)
         MergeTable.changes(spark, dir, from, to, keyCol)
     }
     // align column order to the declared schema, then re-tag as a
@@ -120,6 +162,81 @@ private[graft] object GraftStreamSource {
       spark: org.apache.spark.sql.SparkSession, dir: String): StructType =
     StructType(StructField("_change", StringType, nullable = false) +:
       MergeTable.read(spark, dir).schema.fields)
+
+  /** Version `v` must still be committed-and-retained; a vacuumed gap
+    * fails with the named retention error. `v == 0` never names a
+    * manifest (pre-create emptiness) and passes. */
+  def requireRetained(spark: SparkSession, dir: String, v: Int): Unit =
+    if (v >= 1) {
+      val retained = MergeTable.versions(spark, dir)
+      if (!retained.contains(v))
+        throw new GraftRetentionException(dir, v, retained)
+    }
+
+  /** The snapshot=false stream-start base version, persisted once under
+    * the query's source metadata directory (`metadataPath/graft.base`)
+    * and read back on every restart. Without a metadata path (a
+    * directly-constructed source in tests) falls back to the live
+    * head — the pre-round-16 behavior, with its documented recovery
+    * caveat confined to that untracked mode. */
+  def persistedBase(
+      spark: SparkSession, metadataPath: Option[String], dir: String): Int =
+    metadataPath match {
+      case None => MergeTable.latestVersion(spark, dir)
+      case Some(mp) =>
+        val p = new Path(mp, "graft.base")
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        def readBack(): Int = {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        }
+        if (f.exists(p)) readBack()
+        else {
+          val v = MergeTable.latestVersion(spark, dir)
+          f.mkdirs(p.getParent)
+          val tmp = new Path(mp, ".graft.base.tmp")
+          val os = f.create(tmp, true)
+          try os.write(v.toString.getBytes("UTF-8")) finally os.close()
+          // rename-as-commit; a lost race (two restarts of the same
+          // query id) re-reads the winner — both computed from the same
+          // log-less state, but the FILE is the single source of truth
+          if (f.rename(tmp, p)) v else readBack()
+        }
+    }
+
+  /** Largest end version in `(from, byVersions]` whose cumulative
+    * newly-referenced data-file bytes stay within `cap` — always at
+    * least `from + 1` (progress guarantee). Metadata-only: walks
+    * manifest file lists version by version and sizes only files not
+    * referenced by the predecessor. */
+  def bytesBoundedEnd(
+      spark: SparkSession, dir: String, from: Long, byVersions: Long,
+      cap: Long): Long = {
+    if (byVersions <= from + 1) return byVersions
+    // a vacuumed `from` must fail by name here, not as a raw manifest
+    // read error mid-admission (retained versions are a contiguous
+    // suffix, so `from` retained implies everything after it is too)
+    requireRetained(spark, dir, from.toInt)
+    val f = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def filesOf(v: Int): Set[String] =
+      MergeTable.fileIndex(spark, dir, v).values.flatten.toSet
+    var prev = if (from >= 1) filesOf(from.toInt) else Set.empty[String]
+    var bytes = 0L
+    var end = from
+    var v = from + 1
+    while (v <= byVersions) {
+      val cur = filesOf(v.toInt)
+      val freshBytes = (cur -- prev).iterator.map { rel =>
+        try f.getFileStatus(new Path(s"$dir/$rel")).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      bytes += freshBytes
+      if (end == from || bytes <= cap) { end = v; prev = cur; v += 1 }
+      else return end
+    }
+    end
+  }
 }
 
 /** Derived-table FOLLOWING built on the streaming source: replicate a

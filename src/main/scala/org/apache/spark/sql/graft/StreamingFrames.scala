@@ -22,4 +22,21 @@ object StreamingFrames {
       : DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse re-tag, for the TEST harness only: a `Source.getBatch`
+    * result refuses batch execution (`UnsupportedOperationChecker`), so
+    * a spec that drives `getBatch` directly — outside
+    * `MicroBatchExecution` — unwraps the streaming `LogicalRDD` back
+    * into a batch frame to count/collect it. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(
+          l.rdd, df.schema, isStreaming = false)
+      case other => throw new IllegalArgumentException(
+        s"not a streaming-frame plan: ${other.getClass.getName}")
+    }
+  }
 }

@@ -248,6 +248,44 @@ class CommitProtocolSpec extends SparkSpec {
       "the winner holds the fresh claim marker")
   }
 
+  test("stale reclaim LOCK (crashed reclaimer) + stale marker: concurrent capture admits exactly one, no vacancy double-hold") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), "id", nBuckets = 2)
+    val past = System.currentTimeMillis() - 11 * 60 * 1000L
+    val stale = new java.io.File(dir, "._commit_v2")
+    assert(stale.createNewFile() && stale.setLastModified(past))
+    // a CRASHED reclaimer's leftover lock — every contender must go
+    // through the capture-by-rename path. The round-15 code restored a
+    // captured-fresh lock, leaving a vacancy window in which a third
+    // reclaimer's create succeeded while the first winner still held
+    // the (restored) lock — two critical-section holders, two claim
+    // winners. Round 16: captures CONSUME the lock and holders verify
+    // ownership by UUID before the marker transition.
+    val deadLock = new java.io.File(dir, "._commit_v2.reclaim")
+    assert(deadLock.createNewFile() && deadLock.setLastModified(past))
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val gate = new java.util.concurrent.CountDownLatch(8)
+    def contender(): Future[Boolean] = Future {
+      gate.countDown(); gate.await()
+      Try(MergeTable.claimVersion(conf, dir, 2)).isSuccess
+    }
+    val wins = Await.result(
+      Future.sequence((1 to 8).map(_ => contender())), 120.seconds)
+      .count(identity)
+    assert(wins <= 1, s"at most one reclaimer may win through a dead lock, got $wins")
+    // liveness: with contention gone, the (possibly consumed-by-racer)
+    // reclaim completes — either a racer already won the marker or a
+    // solo retry does now
+    val total = wins + (if (wins == 0)
+      (if (Try(MergeTable.claimVersion(conf, dir, 2)).isSuccess) 1 else 0)
+    else 0)
+    assert(total == 1, "the stale marker is reclaimed exactly once overall")
+    assert(new java.io.File(dir, "._commit_v2").exists(),
+      "the winner holds the fresh claim marker")
+  }
+
   test("object-store paths without atomic create refuse at claim time; the escape hatch is explicit") {
     val conf = new org.apache.hadoop.conf.Configuration(false)
     val e = intercept[UnsupportedOperationException] {

@@ -186,6 +186,101 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got == want, "bounded catch-up must deliver the same state")
   }
 
+  test("maxBytesPerBatch bounds catch-up batches by newly-referenced bytes; at least one version always admits") {
+    val root = tmpDir()
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    MergeTable.create(spark, src,
+      (0L until 20L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 2)
+    (1 to 4).foreach { i =>
+      MergeTable.merge(spark, src,
+        Seq((i.toLong, s"v$i")).toDF("id", "name"), "id")
+    }
+    // 5 versions behind; a 1-byte cap forces one version per batch —
+    // and proves the progress guarantee (every version's fresh bytes
+    // exceed the cap, yet each batch still admits one)
+    var batches = 0
+    val sink = new ConcurrentLinkedQueue[(String, Long, String)]()
+    val q = spark.readStream.format("graft").option("path", src)
+      .option("maxBytesPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += 1
+        b.collect().foreach { r: Row =>
+          sink.add((r.getString(0), r.getLong(1), r.getString(2))) }
+        ()
+      }.start()
+    q.awaitTermination(120000L)
+    assert(batches >= 5, s"5 versions over a 1-byte cap must take >=5 batches: $batches")
+    val got = replay(sink.asScala.toSeq)
+    val want = MergeTable.read(spark, src).as[(Long, String)].collect().toMap
+    assert(got == want, "byte-bounded catch-up must deliver the same state")
+  }
+
+  test("a vacuumed gap fails with the NAMED retention error; a re-seeded stream recovers") {
+    val root = tmpDir()
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    val sink = new ConcurrentLinkedQueue[(String, Long, String)]()
+    MergeTable.create(spark, src,
+      (0L until 20L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 2)
+    drain(src, ckpt, sink) // consumed through v1
+    // two commits while down, then a vacuum that keeps only the head —
+    // the stream's next diff needs v1, which is gone
+    MergeTable.merge(spark, src, Seq((1L, "a")).toDF("id", "name"), "id")
+    MergeTable.merge(spark, src, Seq((2L, "b")).toDF("id", "name"), "id")
+    MergeTable.vacuum(spark, src, keepVersions = 1)
+    val e = intercept[Exception] {
+      drain(src, ckpt, sink)
+      // AvailableNow surfaces the failure on awaitTermination via the
+      // foreachBatch query — but drain swallows the timeout path, so
+      // probe the source contract directly if the drain "succeeded"
+      graft.streaming.GraftStreamSource.requireRetained(spark, src, 1)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[graft.streaming.GraftRetentionException]),
+      s"the failure must be the NAMED retention error, got: $e")
+    // re-seed: a FRESH checkpoint snapshots the live head and resumes
+    val sink2 = new ConcurrentLinkedQueue[(String, Long, String)]()
+    drain(src, s"$root/ckpt2", sink2)
+    val got = replay(sink2.asScala.toSeq)
+    val want = MergeTable.read(spark, src).as[(Long, String)].collect().toMap
+    assert(got == want, "a re-seeded stream must rebuild the exact state")
+  }
+
+  test("snapshot=false persists the stream-start base: a batch-0 recovery replay sees the ORIGINAL base, not the moved head") {
+    val root = tmpDir()
+    val dir = s"$root/t"
+    MergeTable.create(spark, dir,
+      (0L until 10L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 2)
+    val provider = new graft.sources.GraftSource()
+    val mp = s"$root/ckpt/sources/0" // the engine-shaped metadata path
+    def mkSource() = provider.createSource(spark.sqlContext, mp, None,
+      "graft", Map("path" -> dir, "snapshot" -> "false"))
+
+    // first start at head=1: base persists under the metadata path
+    mkSource()
+    assert(graft.streaming.GraftStreamSource
+      .persistedBase(spark, Some(mp), dir) == 1)
+
+    // the table advances while batch 0 is UNCOMMITTED (the engine wrote
+    // offset end=2 to its log, then crashed before committing)
+    MergeTable.merge(spark, dir, Seq((3L, "x")).toDF("id", "name"), "id")
+
+    // recovery replays getBatch(None, loggedEnd=2). A base re-derived
+    // from the live head would be 2 >= 2 → the empty branch → the
+    // (1, 2] changes silently lost (round-15 ADVICE). The persisted
+    // base makes the replay return exactly those changes.
+    val replayed = mkSource().getBatch(None,
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L))
+    val rows = org.apache.spark.sql.graft.StreamingFrames.asBatch(replayed)
+    assert(rows.count() == 1L,
+      "the batch-0 recovery replay must deliver the (base, loggedEnd] changes")
+  }
+
   test("the declared source schema is _change + the table's columns") {
     val dir = tmpDir() + "/t"
     MergeTable.create(spark, dir,
