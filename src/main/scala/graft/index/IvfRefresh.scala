@@ -197,8 +197,14 @@ object IvfRefresh {
       fromVersion: Int, toVersion: Int,
       keyCol: String = "vec_id", embCol: String = "embedding"): (Seq[Int], Long, Long) = {
     recover(spark, indexPath)
-    val centers = VectorIndex.loadIvf(spark, indexPath).centers
-    val ch = MergeTable.changes(spark, corpusDir, fromVersion, toVersion, keyCol)
+    // delta-sized shuffles in an isolated session — see
+    // [[graft.ops.SizedSession]] (round-16 ask #3). Embedding rows are
+    // wide (1024-d arrays), but the fan-out is 1:1, so the refresh rpp
+    // still errs safe: 8 Ki rows × ~4 KB ≈ 32 MB per partition.
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
+    val centers = VectorIndex.loadIvf(s, indexPath).centers
+    val ch = MergeTable.changes(s, corpusDir, fromVersion, toVersion, keyCol)
       .persist()
     try {
       if (ch.isEmpty) (Seq.empty, 0L, 0L)
@@ -209,7 +215,7 @@ object IvfRefresh {
         val changedKeys = ch.select(keyCol).distinct().persist()
         try {
         val oldAssigned = assignToCenters(
-          MergeTable.readForKeys(spark, corpusDir, changedKeys, keyCol, fromVersion)
+          MergeTable.readForKeys(s, corpusDir, changedKeys, keyCol, fromVersion)
             .select(col(keyCol), col(embCol)), centers, embCol)
         val newAssigned = assignToCenters(
           ch.filter(col("_change") =!= "delete").select(col(keyCol), col(embCol)),
@@ -225,7 +231,7 @@ object IvfRefresh {
           val cellsPath = indexPath + "/cells"
           val stagePath = indexPath + "/cells_stage"
           val fs = new org.apache.hadoop.fs.Path(cellsPath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
           // a direct overwrite would read and write the same path
           // (rejected by Spark, and unsafe anyway) — stage the affected
           // partitions, then swap directories under a pending-marker
@@ -249,11 +255,11 @@ object IvfRefresh {
           // emptied (ADVICE r8)
           val retained =
             (if (presentDirs.isEmpty)
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 newAssigned.schema)
             else
-              spark.read.option("basePath", cellsPath).parquet(presentDirs: _*))
+              s.read.option("basePath", cellsPath).parquet(presentDirs: _*))
               .join(changedKeys, Seq(keyCol), "left_anti")
           val out = retained.unionByName(
             newAssigned.select(retained.columns.map(col): _*))

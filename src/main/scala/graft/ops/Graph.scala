@@ -81,19 +81,21 @@ object Graph {
     // partitioning is NOT re-coalesced by AQE under the default
     // canChangeCachedPlanOutputPartitioning=false, so without this the
     // cache itself re-injects the wide layout into every round).
-    val confKey = "spark.sql.shuffle.partitions"
-    val sessionParts = spark.conf.getOption(confKey).map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
-    val p = math.max(1L, math.min(sessionParts.toLong,
-      (m + RowsPerPartition - 1) / RowsPerPartition)).toInt
-    val saved = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, p.toString)
-    // conf scope: every Checkpointing.truncate below is EAGER, so all
-    // iteration shuffles execute inside this scope; the finally puts
-    // the session default back before returning (values are unaffected
-    // — partitioning never changes ranks, asserted by the oracle).
-    try {
-      val e = eRaw.repartition(p, col("src")).persist()
+    //
+    // The clamped width lives in an ISOLATED session (round-15 ADVICE:
+    // the r14 try/finally conf mutation made any CONCURRENT query on
+    // the same session plan at the clamped width) — the edge frame is
+    // re-bound into it, the caller's conf is never touched, and the
+    // returned ranks frame belongs to the sized session (same
+    // SparkContext; collect/write/joins against caller-session frames
+    // re-bind the same way).
+    val p = SizedSession.widthFor(spark, m, RowsPerPartition)
+    val sized = SizedSession.forRows(spark, Some(m), RowsPerPartition)
+    val eSized: DataFrame =
+      if (sized eq spark) eRaw
+      else org.apache.spark.sql.graft.PlanPorts.inSession(sized, eRaw)
+    locally {
+      val e = eSized.repartition(p, col("src")).persist()
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
@@ -132,11 +134,6 @@ object Graph {
       // can be released before returning
       e.unpersist(); nodes.unpersist(); deg.unpersist()
       ranks.select(col("node"), col("r").as("rank_fp"))
-    } finally {
-      saved match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None    => spark.conf.unset(confKey)
-      }
     }
   }
 }

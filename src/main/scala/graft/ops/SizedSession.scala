@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Delta-sized shuffle widths WITHOUT session-conf mutation (round-16
+  * verdict ask #3 + the round-15 ADVICE on pageRank's conf scope).
+  *
+  * The IVM refresh family's unit of work is a version transition whose
+  * row volume is known (or metadata-boundable) up front, yet every
+  * `groupBy`/`join` exchange inside it plans at the SESSION's
+  * `spark.sql.shuffle.partitions` — at sf0.1 that schedules ~1,000
+  * near-empty tasks per refresh (32 partitions × ~30 small jobs), and
+  * on a 2,000-partition production session a micro-commit refresh
+  * would schedule millions. Tasks must scale with data, not with the
+  * session a query happens to run on.
+  *
+  * pageRank (round 14) solved this by mutating the session conf inside
+  * a try/finally — correct for the bench's single-writer sessions, but
+  * a CONCURRENT query on the same session during the scope plans at
+  * the clamped width (round-15 ADVICE). This helper instead hands back
+  * an ISOLATED session (`newSession`: same SparkContext, same shared
+  * state — caches carry — fresh conf) with the width pre-set, so the
+  * caller's session is never touched.
+  *
+  * Carried vs not: optimizer/planner EXTENSIONS carry into a new
+  * session (they live on the SparkSession constructor); SQL-REGISTERED
+  * functions do not (fresh `FunctionRegistry`) — sized bodies must
+  * stay on the Column/`functions._`/`expr` built-in surface, which the
+  * whole refresh family does.
+  */
+object SizedSession {
+
+  /** Rows one shuffle partition of narrow derived rows comfortably
+    * holds. Sized for the refresh family's worst explode factor (a
+    * document row fans out into up to ~10^3 trigram/posting rows of
+    * tens of bytes): 8 Ki input rows ≈ ≤8 M derived rows ≈ a few
+    * hundred MB per partition. [[graft.ops.Graph.RowsPerPartition]]
+    * stays separate (4 Mi) — edge rows don't explode. */
+  val RefreshRowsPerPartition: Long = 8L * 1024
+
+  /** The width `rows` rows deserve on this session: ceil(rows/rpp),
+    * clamped to [1, session default] — a genuinely large delta keeps
+    * full parallelism, a micro-commit gets 1. */
+  def widthFor(spark: SparkSession, rows: Long, rowsPerPartition: Long): Int = {
+    val sessionParts = sessionWidth(spark)
+    math.max(1L, math.min(sessionParts.toLong,
+      (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
+  }
+
+  private def sessionWidth(spark: SparkSession): Int =
+    spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
+  /** An isolated session whose shuffle width is sized for `rows`.
+    * Returns the CALLER's session unchanged when the sized width
+    * already equals the session width (no isolation overhead), or when
+    * `rows` is unknown (None — legacy sidecars without row counts):
+    * unknown volume must never silently under-parallelize. */
+  def forRows(
+      spark: SparkSession, rows: Option[Long],
+      rowsPerPartition: Long = RefreshRowsPerPartition): SparkSession =
+    rows match {
+      case None => spark
+      case Some(r) =>
+        val p = widthFor(spark, r, rowsPerPartition)
+        if (p >= sessionWidth(spark)) spark
+        else {
+          val s = spark.newSession()
+          s.conf.set("spark.sql.shuffle.partitions", p.toString)
+          s
+        }
+    }
+
+  /** [[forRows]] sized by the metadata-only changed-bucket row bound
+    * of a MergeTable version transition — the refresh family's
+    * standard entry point: zero data I/O to size, caller session
+    * untouched. */
+  def forDelta(
+      spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
+      rowsPerPartition: Long = RefreshRowsPerPartition): SparkSession =
+    forRows(spark,
+      graft.pipeline.MergeTable.changedRowsBound(
+        spark, dir, fromVersion, toVersion),
+      rowsPerPartition)
+}

@@ -59,8 +59,12 @@ object FingerprintsRefresh {
       spark: SparkSession, corpusDir: String, fpDir: String,
       fromVersion: Int, toVersion: Int, textCol: String = "text",
       k: Int = 16, w: Int = 8): Int = {
+    // delta-sized shuffles in an isolated session — see
+    // [[graft.ops.SizedSession]] (round-16 ask #3)
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
     val deltas = MergeTable.rowDeltas(
-      spark, corpusDir, fromVersion, toVersion, "doc_id")
+      s, corpusDir, fromVersion, toVersion, "doc_id")
     val newF = shaped(Winnow.fingerprintsScan(
       deltas.filter(col("_sign") === 1).drop("_sign"), textCol, "doc_id", k, w))
     val oldF = shaped(Winnow.fingerprintsScan(
@@ -71,7 +75,7 @@ object FingerprintsRefresh {
     // pk is unique per side by construction (fingerprintsScan emits a
     // distinct fp set per document) and the delete side is anti-joined
     // against the upsert side, so the batch needs no uniqueness pre-check
-    MergeTable.merge(spark, fpDir, ups.unionByName(dels), "pk",
+    MergeTable.merge(s, fpDir, ups.unionByName(dels), "pk",
       deleteCol = Some("_del"), validate = false)
   }
 }

@@ -1030,6 +1030,33 @@ object MergeTable {
     changedBuckets(mOld, mNew)
   }
 
+  /** Metadata-only upper bound on the rows a `fromVersion`→`toVersion`
+    * changed-bucket diff reads: zone-sidecar per-file row counts summed
+    * over the files the changed buckets reference on EITHER side (the
+    * diff join's actual input). None when a sidecar or any involved
+    * file's `#rows` line is missing (legacy formats) — callers must
+    * fall back to full-width planning, never silently clamp unknown
+    * volume. Cost: two manifest reads + two sidecar reads, no data I/O.
+    * Drives [[graft.ops.SizedSession]]'s delta-sized shuffle widths. */
+  def changedRowsBound(
+      spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Int): Option[Long] = {
+    val mOld = readManifest(spark, dir, fromVersion)
+    val mNew = readManifest(spark, dir, toVersion)
+    val changed = changedBuckets(mOld, mNew).toSet
+    def side(m: Manifest, v: Int): Option[Long] = {
+      val files = m.entries.collect {
+        case (b, ps) if changed.contains(b) => ps
+      }.flatten.toSeq
+      if (files.isEmpty) Some(0L)
+      else ZoneMaps.read(spark, dir, v).flatMap { zones =>
+        val counts = files.map(f => zones.get(f).flatMap(ZoneMaps.rowCount))
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      }
+    }
+    for (a <- side(mOld, fromVersion); b <- side(mNew, toVersion)) yield a + b
+  }
+
   private def dvByBucket(m: Manifest): Map[Int, Seq[String]] =
     m.dv.groupBy(_.bucket).map { case (b, ds) => b -> ds.map(_.rel).sorted }
 

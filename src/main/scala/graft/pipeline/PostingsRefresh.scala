@@ -53,8 +53,15 @@ object PostingsRefresh {
   def refresh(
       spark: SparkSession, corpusDir: String, postingsDir: String,
       fromVersion: Int, toVersion: Int, textCol: String = "text"): Int = {
+    // delta-sized shuffles (round-16 ask #3, the pageRank treatment):
+    // every exchange below plans at a width sized by the transition's
+    // metadata row bound, in an ISOLATED session so the caller's conf
+    // is untouched — a micro-commit refresh stops scheduling ~1,000
+    // session-width tasks
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
     val deltas = MergeTable.rowDeltas(
-      spark, corpusDir, fromVersion, toVersion, "doc_id")
+      s, corpusDir, fromVersion, toVersion, "doc_id")
     val newP = shaped(TextSearch.postings(
       deltas.filter(col("_sign") === 1).drop("_sign"), textCol))
     val oldP = shaped(TextSearch.postings(
@@ -65,7 +72,7 @@ object PostingsRefresh {
     // pk is unique per side by construction (postings groups by
     // (doc, term)) and the delete side is anti-joined against the
     // upsert side, so the batch needs no uniqueness pre-check
-    MergeTable.merge(spark, postingsDir, ups.unionByName(dels), "pk",
+    MergeTable.merge(s, postingsDir, ups.unionByName(dels), "pk",
       deleteCol = Some("_del"), validate = false)
   }
 }

@@ -81,8 +81,12 @@ object TrigramRefresh {
   def refresh(
       spark: SparkSession, corpusDir: String, tgDir: String,
       fromVersion: Int, toVersion: Int, textCol: String = "text"): Int = {
+    // delta-sized shuffles in an isolated session — see
+    // [[graft.ops.SizedSession]] (round-16 ask #3)
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
     val deltas = MergeTable.rowDeltas(
-      spark, corpusDir, fromVersion, toVersion, "doc_id")
+      s, corpusDir, fromVersion, toVersion, "doc_id")
     val newT = shaped(TextSearch.trigramPostings(
       deltas.filter(col("_sign") === 1).drop("_sign"), textCol))
     val oldT = shaped(TextSearch.trigramPostings(
@@ -90,7 +94,7 @@ object TrigramRefresh {
     val dels = oldT.join(newT.select("pk"), Seq("pk"), "left_anti")
       .select(Cols.map(col) :+ lit(true).as("_del"): _*)
     val ups = newT.select(Cols.map(col) :+ lit(false).as("_del"): _*)
-    MergeTable.merge(spark, tgDir, ups.unionByName(dels), "pk",
+    MergeTable.merge(s, tgDir, ups.unionByName(dels), "pk",
       deleteCol = Some("_del"), validate = false)
   }
 }
