@@ -32,6 +32,14 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GraftTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftTopK
+    // the engine writes timestamps as INT64 MICROS, not Spark's legacy
+    // INT96 default (round 16): INT96 is deprecated, carries NO usable
+    // footer statistics (Binary blobs), and would leave every
+    // event-time column outside the zone sidecar — MIN(ts)/MAX(ts)
+    // pushdown, ts-range file pruning and ORDER BY ts LIMIT k all need
+    // the micros stats. registerAll IS the engine's session setup; a
+    // caller who needs INT96 interop can set it back afterwards.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark
   }
 

@@ -51,7 +51,9 @@ object Plans {
     "doc_meta_sum" -> "SUM/AVG pushdown (round 15): the whole query collapsed to a LocalRelation answered from the sidecar's format-4 exact per-file sum lines — zero scan nodes",
     "doc_meta_sum_filtered" -> "filtered SUM/AVG hybrid (round 15): FullyIn files fold their exact sum lines into literals; only the range-straddling boundary files scan, AVG merges as (sum_meta+sum_scan)/(count_meta+count_scan)",
     "doc_meta_sum_by_lang" -> "grouped SUM/AVG (round 15): lang-constant files attribute their exact sum lines per group; run-boundary files scan and one Union re-aggregation SUMs the partial sums",
-    "doc_topk_pruned" -> "zone-pruned global top-k (round 15): ORDER BY n_chars DESC LIMIT 10 scans only the files the running 10th bound admits; TakeOrderedAndProject over the subset, no full-corpus sort")
+    "doc_topk_pruned" -> "zone-pruned global top-k (round 15): ORDER BY n_chars DESC LIMIT 10 scans only the files the running 10th bound admits; TakeOrderedAndProject over the subset, no full-corpus sort",
+    "events_meta_ts_minmax" -> "timestamp metadata ladder (round 16): MIN(ts)/MAX(ts)/COUNT over the ts-clustered events table collapse to a LocalRelation — epoch-micros zones answer the span audit with zero scan, unix_micros wrappers evaluated in the rewrite",
+    "events_topk_recent" -> "ts-ordered top-k (round 16): ORDER BY ts DESC LIMIT 10 reads only the files whose ts-zone max reaches the 10th bound — the recency query touches the tail slab, not the table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -212,6 +212,13 @@ object ZoneMaps {
         val accS = scala.collection.mutable.LinkedHashMap
           .empty[String, (String, String, Boolean, Boolean, Long)]
         val poisoned = scala.collection.mutable.HashSet.empty[String]
+        // files written under the LEGACY (Julian) datetime rebase carry
+        // footer stats in the rebased calendar while Spark reads
+        // proleptic-Gregorian values — their date/timestamp stats must
+        // never become zones (ancient dates would mis-prune). Spark
+        // marks such files explicitly.
+        val legacyRebase = r.getFooter.getFileMetaData.getKeyValueMetaData
+          .containsKey("org.apache.spark.legacyDateTime")
         var fileRows = 0L
         r.getFooter.getBlocks.asScala.foreach { blk =>
           fileRows += blk.getRowCount
@@ -230,15 +237,49 @@ object ZoneMaps {
                     .IntLogicalTypeAnnotation => i.isSigned
               case _ => false
             })
+            // DATE and TIMESTAMP(MILLIS|MICROS) zones (round 16): their
+            // physical stats ARE the epoch numbers Spark's internal
+            // values use (INT32 days; INT64 instants), so the column
+            // harvests as an ordinary "long" zone — normalized to
+            // MICROS (Spark's internal timestamp unit; millis scale
+            // exactly ×1000). NANOS stays poisoned: flooring to micros
+            // would turn an exact value into a bound, and the
+            // MIN/MAX-from-metadata contract needs exact values.
+            // INT96 timestamps (Spark's legacy default) carry Binary
+            // stats and fall through to poison as before — the engine
+            // writes MICROS (see Graft.registerAll).
+            val tsScale: Long = logical match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .TimestampLogicalTypeAnnotation => t.getUnit match {
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.MILLIS => 1000L
+                case org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimeUnit.MICROS => 1L
+                case _ => 0L // NANOS: poison
+              }
+              case _ => 1L
+            }
+            val isDate = logical.isInstanceOf[org.apache.parquet.schema
+              .LogicalTypeAnnotation.DateLogicalTypeAnnotation]
             val kind = cc.getPrimitiveType.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
                   if plainSignedInt => "long"
+              case PrimitiveTypeName.INT32 if isDate && !legacyRebase => "long"
+              case PrimitiveTypeName.INT64
+                  if logical.isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+                    tsScale > 0L && !legacyRebase => "long"
               case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
               case PrimitiveTypeName.BINARY
                   if logical.isInstanceOf[org.apache.parquet.schema
                     .LogicalTypeAnnotation.StringLogicalTypeAnnotation] => "str"
               case _ => null
             }
+            val numScale: BigDecimal =
+              if (logical.isInstanceOf[org.apache.parquet.schema
+                .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+                tsScale > 0L) BigDecimal(tsScale)
+              else BigDecimal(1)
             val st = cc.getStatistics
             val name = if (cc.getPath == null) null else cc.getPath.toDotString
             if (kind == null && name != null) poisoned += name
@@ -308,8 +349,8 @@ object ZoneMaps {
                   else None
                 }
                 else
-                  try Some((BigDecimal(st.genericGetMin.toString),
-                    BigDecimal(st.genericGetMax.toString)))
+                  try Some((BigDecimal(st.genericGetMin.toString) * numScale,
+                    BigDecimal(st.genericGetMax.toString) * numScale))
                   catch { case _: NumberFormatException => None }
               parsed match {
                 case None => poisoned += name

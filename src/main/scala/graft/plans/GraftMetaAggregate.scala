@@ -1,6 +1,7 @@
 package graft.plans
 
 import scala.util.Try
+import scala.util.chaining._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -128,6 +129,28 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Every AggregateExpression inside an alias child, each with its
+    * metadata shape — plus the guarantee that the SURROUNDING scalar
+    * structure is deterministic, so the rewrite can reproduce it by
+    * substituting the computed aggregate values and evaluating (or, on
+    * the hybrid path, by grafting the merged expressions back in).
+    * Round 16: the optimizer collapses projections INTO the aggregate,
+    * so `SELECT unix_micros(MIN(ts))` or `MAX(n) - MIN(n)` reach this
+    * rule as wrapped aliases — requiring a bare Alias(Min(..)) missed
+    * them and the whole query fell back to a scan. None when the alias
+    * holds no aggregate at all or any inner aggregate is out of the
+    * metadata algebra. */
+  private def metaSlots(e: Expression)
+      : Option[Seq[(AggregateExpression, MetaAgg)]] = {
+    val aes = e.collect { case ae: AggregateExpression => ae }
+    if (aes.isEmpty || !e.deterministic) None
+    else {
+      val shapes = aes.map(metaOf)
+      if (shapes.forall(_.isDefined)) Some(aes.zip(shapes.map(_.get)))
+      else None
+    }
+  }
+
   /** The single `COUNT(DISTINCT col)` shape (round 14 — the next
     * stats-ladder rung): Some((attr)) when the whole aggregate list is
     * one distinct count over a bare ordered-primitive column. DISTINCT
@@ -183,8 +206,11 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   private[plans] def internal(dt: DataType, s: String): Any =
     if (s == null) null
     else dt match {
-      case LongType => BigDecimal(s).toLongExact
-      case IntegerType => BigDecimal(s).toIntExact
+      case LongType | TimestampType | TimestampNTZType =>
+        // timestamps: zones store the epoch-micros long — Spark's own
+        // internal value for both the UTC-adjusted and NTZ flavors
+        BigDecimal(s).toLongExact
+      case IntegerType | DateType => BigDecimal(s).toIntExact
       case ShortType => BigDecimal(s).toShortExact
       case ByteType => BigDecimal(s).toByteExact
       case DoubleType => BigDecimal(s).toDouble
@@ -210,6 +236,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
   private[plans] def isOrderedPrim(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType |
          DoubleType | FloatType | StringType => true
+    // date/timestamp (round 16): internal values are epoch numbers
+    // (days Int; micros Long) and zones store exactly those — the
+    // whole range/top-k/min-max lattice composes over event time
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -217,8 +247,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * in code-point order — the order zones, parquet stats and Spark's
     * UTF8String share. */
   private[plans] def cmpVals(dt: DataType, a: Any, b: Any): Int = dt match {
-    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
     case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
     case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
     case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
@@ -326,10 +358,14 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
 
   /** dt is a type whose zone min/max round-trips exactly through
     * [[internal]] — the MIN/MAX-from-metadata precondition (string
-    * zones are truncated BOUNDS, never exact values). */
+    * zones are truncated BOUNDS, never exact values). Date/timestamp
+    * qualify since round 16: their zones carry the exact epoch numbers
+    * (days / micros — the harvest normalizes millis and poisons nanos
+    * and INT96, so a "long" zone on these columns is always exact). */
   private def isNumericMeta(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType |
          DoubleType | FloatType => true
+    case DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -633,18 +669,32 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         agg.aggregateExpressions.nonEmpty &&
         graftTarget(agg.child).isDefined &&
         agg.aggregateExpressions.forall {
-          case Alias(e, _) => metaOf(e).exists {
-            case RowCount | NonNull(_) => true
-            case MinOf(_, dt) => isNumericMeta(dt)
-            case MaxOf(_, dt) => isNumericMeta(dt)
-            case SumOf(_, dt) => isIntegralMeta(dt)
-            case AvgOf(_, dt) => isIntegralMeta(dt)
-          }
+          case Alias(e, _) => metaSlots(e).exists(_.forall {
+            case (_, RowCount | NonNull(_)) => true
+            case (_, MinOf(_, dt)) => isNumericMeta(dt)
+            case (_, MaxOf(_, dt)) => isNumericMeta(dt)
+            case (_, SumOf(_, dt)) => isIntegralMeta(dt)
+            case (_, AvgOf(_, dt)) => isIntegralMeta(dt)
+          })
           case _ => false
         } =>
       graftTarget(agg.child).get._1.forall(supportedExpr)
     case _ => false
   }
+
+
+  /** Rewrite-or-leave with a visible trace: a sidecar I/O error must
+    * degrade to the ORIGINAL plan (correctness first), but silently —
+    * round-15 verdict — is one notch too quiet; the swallowed
+    * exception gets a debug line so an operator chasing a missing
+    * pushdown can see why (the Advisor lints are the loud backstop). */
+  private def orLeave(plan: LogicalPlan)(t: Try[LogicalPlan]): LogicalPlan =
+    t match {
+      case scala.util.Success(p) => p
+      case scala.util.Failure(e) =>
+        logDebug(s"GraftMetaAggregate: metadata rewrite degraded to the original plan: $e")
+        plan
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // GROUPED metadata counts: COUNT(*) / COUNT(col) GROUP BY one
@@ -852,7 +902,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           }
           Aggregate(uo.take(nG), finalExprs, union): LogicalPlan
         }
-      }.getOrElse(agg)
+      }.pipe(orLeave(agg))
 
     // COUNT(DISTINCT col) — the distinct-values stats rung: CONSTANT
     // files (stored min == max) contribute their single value, only
@@ -921,27 +971,52 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               .toAggregateExpression(isDistinct = true),
             orig.name)(exprId = orig.exprId)), union): LogicalPlan
         }
-      }.getOrElse(agg)
+      }.pipe(orLeave(agg))
 
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
         graftTarget(agg.child).isDefined &&
         agg.aggregateExpressions.forall {
-          case Alias(e, _) => metaOf(e).exists {
-            case RowCount | NonNull(_) => true
-            case MinOf(_, dt) => isNumericMeta(dt)
-            case MaxOf(_, dt) => isNumericMeta(dt)
-            case SumOf(_, dt) => isIntegralMeta(dt)
-            case AvgOf(_, dt) => isIntegralMeta(dt)
-          }
+          case Alias(e, _) => metaSlots(e).exists(_.forall {
+            case (_, RowCount | NonNull(_)) => true
+            case (_, MinOf(_, dt)) => isNumericMeta(dt)
+            case (_, MaxOf(_, dt)) => isNumericMeta(dt)
+            case (_, SumOf(_, dt)) => isIntegralMeta(dt)
+            case (_, AvgOf(_, dt)) => isIntegralMeta(dt)
+          })
           case _ => false
         } =>
       val (condO, lr, rel) = graftTarget(agg.child).get
       if (condO.exists(c => !supportedExpr(c))) agg
       else Try {
           val spark = SparkSession.active
-          val shapes = agg.aggregateExpressions.map {
-            case Alias(e, _) => metaOf(e).get
+          // one alias may wrap SEVERAL aggregates in deterministic
+          // scalar structure (unix_micros(MIN(ts)), MAX(n) - MIN(n)):
+          // slots flatten in order, and each reconstruction path grafts
+          // its per-slot results back through the alias expression
+          val aliasSlots: Seq[(Alias, Seq[(AggregateExpression, MetaAgg)])] =
+            agg.aggregateExpressions.map {
+              case al: Alias => al -> metaSlots(al.child).get
+              case other => throw new IllegalStateException(
+                s"non-alias aggregate slot: $other")
+            }
+          val shapes: Seq[MetaAgg] = aliasSlots.flatMap(_._2.map(_._2))
+          /** The output row: substitute slot i's computed value (in the
+            * aggregate's OWN type domain) for its AggregateExpression
+            * inside each alias, then evaluate the folded wrapper. */
+          def evalRow(valueAt: Int => Any): Seq[Any] = {
+            var off = -1
+            aliasSlots.map { case (al, slots) =>
+              val repl: Map[Expression, Expression] = slots.map {
+                case (ae, _) =>
+                  off += 1
+                  (ae: Expression) -> (Literal(valueAt(off), ae.dataType)
+                    : Expression)
+              }.toMap
+              al.child.transform {
+                case ae: AggregateExpression => repl(ae)
+              }.eval(null)
+            }
           }
           // SUM/AVG need the per-file sum lines, which metaAggregate's
           // column summary does not carry — route them through the
@@ -979,7 +1054,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               case SumOf(_, _) | AvgOf(_, _) => // routed to hybrid above
                 throw new IllegalStateException("sum slot in zero-scan path")
             }
-            LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+            LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(evalRow(values))))
               : LogicalPlan
           } else {
             // HYBRID (Iceberg inclusive-metrics): decide each file —
@@ -1038,7 +1114,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               slotFinal(shapes(i), metaCnt(i), metaVal(i))
             if (partial.isEmpty)
               LocalRelation(agg.output,
-                Seq(InternalRow.fromSeq(shapes.indices.map(slotVal))))
+                Seq(InternalRow.fromSeq(evalRow(slotVal))))
                 : LogicalPlan
             else {
               // boundary files scan exactly through a subset-scoped copy
@@ -1055,65 +1131,76 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
               // AVG decomposes to (SUM, COUNT) inner slots so the
               // metadata partial can merge before the divide; every
-              // other slot reuses the original aggregate expression
+              // other slot reuses its original aggregate expression.
+              // Slots are FLAT (one alias may carry several — wrapped
+              // aliases, round 16); the final projection grafts each
+              // slot's merged expression back into its alias wrapper.
+              val flatSlots: Seq[(AggregateExpression, MetaAgg)] =
+                aliasSlots.flatMap(_._2)
               val innerAliases: Seq[Seq[Alias]] =
-                agg.aggregateExpressions.zipWithIndex.map {
-                  case (a: Alias, i) => shapes(i) match {
-                    case AvgOf(_, _) =>
-                      val ch = a.child.asInstanceOf[AggregateExpression]
-                        .aggregateFunction.asInstanceOf[Average].child
-                      Seq(
-                        Alias(Sum(ch).toAggregateExpression(),
-                          s"__graft_boundary_sum$i")(),
-                        Alias(Count(Seq(ch)).toAggregateExpression(),
-                          s"__graft_boundary_n$i")())
-                    case _ =>
-                      Seq(Alias(a.child, s"__graft_boundary_count$i")())
-                  }
-                  case (other, _) => throw new IllegalStateException(
-                    s"non-alias aggregate slot: $other")
+                flatSlots.zipWithIndex.map {
+                  case ((ae, AvgOf(_, _)), i) =>
+                    val ch = ae.aggregateFunction
+                      .asInstanceOf[Average].child
+                    Seq(
+                      Alias(Sum(ch).toAggregateExpression(),
+                        s"__graft_boundary_sum$i")(),
+                      Alias(Count(Seq(ch)).toAggregateExpression(),
+                        s"__graft_boundary_n$i")())
+                  case ((ae, _), i) =>
+                    Seq(Alias(ae, s"__graft_boundary_count$i")())
                 }
               val inner = Aggregate(Nil, innerAliases.flatten, filtered)
-              Project(
-                agg.aggregateExpressions.zip(innerAliases).zipWithIndex.map {
-                  case ((a: Alias, ias), i) =>
-                    // the boundary SUM merges null-aware: null iff
-                    // NEITHER side holds a non-null value (SQL SUM), via
-                    // Coalesce(inner + meta, meta) — Add propagates an
-                    // all-null boundary to the metadata partial
-                    def mergedSum: Expression = {
-                      val ia = ias.head.toAttribute
-                      if (metaVal(i) == null) ia
-                      else {
-                        val ms = Literal(exactLong(metaVal(i)), LongType)
-                        Coalesce(Seq(Add(ia, ms), ms))
-                      }
-                    }
-                    val merged = shapes(i) match {
-                      case RowCount | NonNull(_) =>
-                        Add(ias.head.toAttribute, Literal(metaCnt(i), LongType))
-                      case MinOf(_, dt) =>
-                        // Least/Greatest skip nulls with the same NaN-
-                        // largest ordering Min/Max use, so combining the
-                        // boundary scan's exact extreme with the
-                        // metadata fold preserves SQL semantics
-                        Least(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
-                      case MaxOf(_, dt) =>
-                        Greatest(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
-                      case SumOf(_, _) => mergedSum
-                      case AvgOf(_, _) =>
-                        val totCnt = Add(ias(1).toAttribute,
-                          Literal(metaCnt(i), LongType))
-                        If(EqualTo(totCnt, Literal(0L, LongType)),
-                          Literal(null, DoubleType),
-                          Divide(Cast(mergedSum, DoubleType),
-                            Cast(totCnt, DoubleType)))
-                    }
-                    Alias(merged, a.name)(exprId = a.exprId)
-                  case _ => throw new IllegalStateException("non-alias slot")
-                }, inner): LogicalPlan
+              // per-slot merged expression (boundary ⊕ metadata)
+              def mergedOf(i: Int): Expression = {
+                val ias = innerAliases(i)
+                // the boundary SUM merges null-aware: null iff NEITHER
+                // side holds a non-null value (SQL SUM), via
+                // Coalesce(inner + meta, meta) — Add propagates an
+                // all-null boundary to the metadata partial
+                def mergedSum: Expression = {
+                  val ia = ias.head.toAttribute
+                  if (metaVal(i) == null) ia
+                  else {
+                    val ms = Literal(exactLong(metaVal(i)), LongType)
+                    Coalesce(Seq(Add(ia, ms), ms))
+                  }
+                }
+                shapes(i) match {
+                  case RowCount | NonNull(_) =>
+                    Add(ias.head.toAttribute, Literal(metaCnt(i), LongType))
+                  case MinOf(_, dt) =>
+                    // Least/Greatest skip nulls with the same NaN-
+                    // largest ordering Min/Max use, so combining the
+                    // boundary scan's exact extreme with the
+                    // metadata fold preserves SQL semantics
+                    Least(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
+                  case MaxOf(_, dt) =>
+                    Greatest(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
+                  case SumOf(_, _) => mergedSum
+                  case AvgOf(_, _) =>
+                    val totCnt = Add(ias(1).toAttribute,
+                      Literal(metaCnt(i), LongType))
+                    If(EqualTo(totCnt, Literal(0L, LongType)),
+                      Literal(null, DoubleType),
+                      Divide(Cast(mergedSum, DoubleType),
+                        Cast(totCnt, DoubleType)))
+                }
+              }
+              var off = -1
+              val finalExprs = aliasSlots.map { case (al, slots) =>
+                val repl: Map[Expression, Expression] = slots.map {
+                  case (ae, _) =>
+                    off += 1
+                    (ae: Expression) -> mergedOf(off)
+                }.toMap
+                Alias(al.child.transform {
+                  case ae: AggregateExpression => repl(ae)
+                }, al.name)(exprId = al.exprId)
+              }
+              Project(finalExprs, inner): LogicalPlan
             }
           }
-        }.getOrElse(agg)
+        }.pipe(orLeave(agg))
   }
 }

@@ -179,6 +179,26 @@ object IvmScaffold {
       (dir, v)
     }
 
+  /** EVENT-TIME-clustered MergeTable over the events table (round 16):
+    * keyed by event_id, `clusterBy(ts)` so event-time zones form
+    * disjoint runs — the layout the date/timestamp metadata ladder
+    * (`MIN(ts)/MAX(ts)` zero-scan, ts-range hybrid counts) and
+    * ts-ordered top-k pruning exercise. Requires the engine's
+    * TIMESTAMP_MICROS write default ([[graft.Graft.registerAll]]) so
+    * footer stats carry the epoch values. */
+  def eventsByTime(s: SparkSession, d: String): (String, Int) =
+    synchronized {
+      val dir = once(d, "events_ts") { dir =>
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        graft.pipeline.MergeTable.create(s, dir, ev, "event_id", nBuckets = 4)
+        ()
+      }
+      val v = memoVersions.getOrElseUpdate(s"$dir#cluster#ts",
+        graft.pipeline.MergeTable.clusterBy(s, dir, "ts", filesPerBucket = 4))
+      (dir, v)
+    }
+
   /** The merge-on-read corpus: (doc_id, lang, n_chars) created at v1,
     * upserted at v2 (n_chars+1000 on doc_id%10==4), then
     * ledger-deleted at v3 ([[graft.pipeline.MergeTable.deleteKeys]],
@@ -587,7 +607,12 @@ object IvmScaffold {
       "recluster_corpus" -> (() => reclusterCorpus(s, d)),
       "maintain_corpus" -> (() => maintainCorpus(s, d)),
       "stats_clustered" -> (() => {
-        statsClustered(s, d, "lang"); statsClustered(s, d, "n_chars") }))
+        statsClustered(s, d, "lang"); statsClustered(s, d, "n_chars")
+        statsClusteredCols(s, d, Seq("lang", "source"))
+        statsClusteredCols(s, d, Seq("lang", "n_chars")) }),
+      // round 16: the event-time-clustered table the date/timestamp
+      // metadata ladder and ts-ordered top-k queries read through
+      "events_ts" -> (() => eventsByTime(s, d)))
 
   def prebuild(s: SparkSession, d: String): Seq[(String, Double)] =
     prebuildChecked(s, d).map { p =>

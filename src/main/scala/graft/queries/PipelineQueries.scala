@@ -2787,6 +2787,103 @@ object PipelineQueries {
       |WHERE n_chars >= 100 AND n_chars < 700
       |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin
 
+  /** MULTI-KEY lexicographic top-k ([[graft.plans.GraftTopK]]
+    * `topKKeepMulti`, round 16): `ORDER BY lang, n_chars DESC LIMIT`
+    * over the (lang, n_chars) lexicographically clustered corpus — the
+    * single-key fold can only exclude other languages (every first-run
+    * file ties its threshold), while the tuple fold also excludes the
+    * first language's files whose n_chars runs sit past the k-th
+    * bound. "The biggest documents of the first language" — per-group
+    * peeking without a corpus pass. doc_id tiebreak keeps the row set
+    * unique for the exact compare. */
+  private val docTopkMultikey: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.statsClusteredCols(s, d, Seq("lang", "n_chars"))
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("topk_mk_t")
+    s.sql(
+      """SELECT doc_id, lang, n_chars FROM topk_mk_t
+        |ORDER BY lang, n_chars DESC, doc_id LIMIT 10""".stripMargin)
+  }
+
+  private val docTopkMultikeySql =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 5 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'xx', doc_id % 1000 FROM documents
+      |  WHERE doc_id % 10 = 1)
+      |SELECT doc_id, lang, n_chars FROM merged
+      |ORDER BY lang, n_chars DESC, doc_id LIMIT 10""".stripMargin
+
+  /** DATE/TIMESTAMP metadata ladder, unfiltered rung ([[graft.plans
+    * .GraftMetaAggregate]], round 16): the event-time span audit —
+    * `MIN(ts)/MAX(ts)/COUNT(*)` over the ts-clustered events
+    * MergeTable answers from the zone sidecar's epoch-micros lines
+    * with ZERO data scan (the plan collapses to a LocalRelation), and
+    * the `unix_micros` projections the cross-engine compare needs ride
+    * the round-16 wrapped-alias rewrite (the optimizer collapses them
+    * INTO the aggregate). At 100 TB "what time range does this corpus
+    * cover?" is a manifest+sidecar read. Oracle: DuckDB recomputes the
+    * span over the raw events parquet. */
+  private val eventsMetaTsMinmax: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_ts_t")
+    s.sql(
+      """SELECT unix_micros(MIN(ts)) AS min_ts_us,
+        |  unix_micros(MAX(ts)) AS max_ts_us, COUNT(*) AS n
+        |FROM ev_ts_t""".stripMargin)
+  }
+
+  private val eventsMetaTsMinmaxSql =
+    """SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+      |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events""".stripMargin
+
+  /** DATE/TIMESTAMP ladder, filtered rung (round 16): an event-time
+    * cut over the ts-clustered layout rides the WHERE-range lattice —
+    * files wholly inside the cut count from metadata, wholly-before
+    * files leave the plan, only the boundary slab scans. The
+    * "everything since T" retention/freshness audit. */
+  private val eventsMetaTsRange: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_ts_range_t")
+    s.sql(
+      """SELECT COUNT(*) AS n, unix_micros(MIN(ts)) AS first_us
+        |FROM ev_ts_range_t
+        |WHERE ts >= TIMESTAMP'2024-01-15 00:00:00'""".stripMargin)
+  }
+
+  private val eventsMetaTsRangeSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS first_us
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+
+  /** TS-ORDERED TOP-K over zones ([[graft.plans.GraftTopK]] on the
+    * round-16 timestamp lattice): `ORDER BY ts DESC LIMIT 10` over the
+    * ts-clustered events table prunes to the files whose ts-zone max
+    * reaches the running 10th bound — "the most recent events" reads
+    * the tail slab, not the table. event_id tiebreak keeps the row set
+    * unique for the exact compare. */
+  private val eventsTopkRecent: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_topk_t")
+    s.sql(
+      """SELECT event_id, unix_micros(ts) AS ts_us FROM ev_topk_t
+        |ORDER BY ts DESC, event_id LIMIT 10""".stripMargin)
+  }
+
+  private val eventsTopkRecentSql =
+    """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |FROM events
+      |ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 10""".stripMargin
+
   /** LEDGER-AWARE aggregate pushdown ([[graft.plans
     * .GraftMetaAggregate]], round 14): COUNT(*) / COUNT(col) over the
     * [[IvmScaffold.dvSparseCorpus]] — a table with a LIVE three-key
@@ -4454,6 +4551,10 @@ object PipelineQueries {
     "doc_meta_sum_by_lang" -> docMetaSumByLang,
     "doc_topk_pruned" -> docTopkPruned,
     "doc_topk_filtered" -> docTopkFiltered,
+    "doc_topk_multikey" -> docTopkMultikey,
+    "events_meta_ts_minmax" -> eventsMetaTsMinmax,
+    "events_meta_ts_range" -> eventsMetaTsRange,
+    "events_topk_recent" -> eventsTopkRecent,
     "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
     "doc_meta_distinct_sources" -> docMetaDistinctSources,
@@ -4585,6 +4686,10 @@ object PipelineQueries {
     "doc_meta_sum_by_lang" -> docMetaSumByLangSql,
     "doc_topk_pruned" -> docTopkPrunedSql,
     "doc_topk_filtered" -> docTopkFilteredSql,
+    "doc_topk_multikey" -> docTopkMultikeySql,
+    "events_meta_ts_minmax" -> eventsMetaTsMinmaxSql,
+    "events_meta_ts_range" -> eventsMetaTsRangeSql,
+    "events_topk_recent" -> eventsTopkRecentSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,
     "doc_meta_distinct_sources" -> docMetaDistinctSourcesSql,

@@ -195,4 +195,79 @@ class GraftTopKSpec extends SparkSpec {
       .limit(8).select($"id").as[Long].collect().toSeq
     assert(got == want, "string top-k must be scan-exact under truncation")
   }
+
+  test("multi-key fold: ORDER BY lang, n on a clusterByCols layout prunes strictly below the single-key fold (round 16)") {
+    val dir = tmpDir()
+    // four long first-key runs: the single-key fold can only exclude
+    // OTHER languages (every 'aa' file ties the threshold), while the
+    // lexicographic tuple fold also excludes the 'aa' files whose
+    // second-key runs sit past the k-th bound
+    val langs = Seq("aa", "bb", "cc", "dd")
+    MergeTable.create(spark, dir,
+      (0L until 4000L).map(i => (i, langs((i / 1000L).toInt), i % 1000))
+        .toDF("id", "lang", "n"),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterByCols(spark, dir, Seq("lang", "n"),
+      filesPerBucket = 16)
+    val nFiles = filesOf(dir, v)
+    val perLang = nFiles / langs.size
+
+    val q = rel(dir, v).orderBy($"lang".asc, $"n".asc, $"id").limit(10)
+    val got = q.as[(Long, String, Long)].collect().toSeq
+    val want = MergeTable.read(spark, dir, v)
+      .orderBy($"lang".asc, $"n".asc, $"id").limit(10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want, "multi-key pruned top-k must equal the full sort")
+    val (_, total) = graft.sources.GraftRelation.lastPruned
+    assert(total < perLang,
+      s"the tuple fold must beat the single-key fold's floor of one " +
+        s"whole first-key run ($total vs $perLang of $nFiles)")
+
+    // mixed directions stay exact too
+    val mixed = rel(dir, v).orderBy($"lang".desc, $"n".asc, $"id").limit(10)
+      .as[(Long, String, Long)].collect().toSeq
+    val mixedWant = MergeTable.read(spark, dir, v)
+      .orderBy($"lang".desc, $"n".asc, $"id").limit(10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(mixed == mixedWant, "mixed-direction multi-key must be scan-exact")
+  }
+
+  test("timestamp sort column: ORDER BY ts DESC LIMIT prunes to the tail slab (round 16)") {
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      spark.range(0, 4000).select(col("id"),
+        expr("timestamp_micros(1704067200000000L + id * 60000000L)").as("ts")),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 6)
+    val n = filesOf(dir, v)
+    val q = rel(dir, v).orderBy($"ts".desc, $"id").limit(10)
+    val got = q.select($"id").as[Long].collect().toSeq
+    val want = MergeTable.read(spark, dir, v).orderBy($"ts".desc, $"id")
+      .limit(10).select($"id").as[Long].collect().toSeq
+    assert(got == want, "ts top-k must be scan-exact")
+    val (_, total) = graft.sources.GraftRelation.lastPruned
+    assert(total < n, s"ts top-k must scan a file subset ($total of $n)")
+  }
+
+  test("a LocalLimit below the GlobalLimit refuses the rewrite (round-15 ADVICE)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 2000L).map(i => (i, i / 2)).toDF("id", "x"), "id",
+      nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "x", filesPerBucket = 5)
+    val base = rel(dir, v).queryExecution.analyzed
+    // GlobalLimit(10, LocalLimit(3, …)): the unpruned plan returns
+    // min(10, Σ per-partition min(3, rows)) rows — pruning to the
+    // fewest files reaching 10 could return different rows. Refuse.
+    val short = GlobalLimit(Literal(10), LocalLimit(Literal(3), base))
+    assert(graft.plans.GraftTopK(short) == short,
+      "m < k must leave the plan unchanged")
+    assert(!graft.plans.GraftTopK.prunableShape(short))
+    // the covered shape (m == k) still rewrites on the same table
+    val covered = GlobalLimit(Literal(10), LocalLimit(Literal(10), base))
+    assert(graft.plans.GraftTopK(covered) != covered,
+      "m == k must still prune")
+  }
 }

@@ -647,6 +647,63 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       "only the ledgered bucket's files may scan")
   }
 
+  test("MIN/MAX over timestamp and date columns answer from metadata; wrapped aliases push down (round 16)") {
+    val dir = tmpDir()
+    // engine session default (registerAll above): parquet timestamps
+    // write as INT64 MICROS, so footer stats are the epoch values
+    val base = spark.range(0, 600).select(
+      col("id"),
+      expr("timestamp_micros(1704067200000000L + id * 3600000000L)").as("ts"),
+      expr("date_add(DATE'2024-01-01', cast(id % 200 as int))").as("d"),
+      // every 10th ts is null: the fold must skip nulls like SQL
+      expr("case when id % 10 = 0 then null else " +
+        "timestamp_micros(1704067200000000L + id * 60000000L) end").as("ts2"))
+    MergeTable.create(spark, dir, base, "id", nBuckets = 4)
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("mts")
+
+    val q = spark.sql(
+      """SELECT MIN(ts) AS mn, MAX(ts) AS mx, MIN(d) AS dmn, MAX(d) AS dmx,
+        |       MIN(ts2) AS t2mn, MAX(ts2) AS t2mx, COUNT(ts2) AS nts2
+        |FROM mts""".stripMargin)
+    assert(!hasScan(q), "date/timestamp MIN/MAX must answer from metadata:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    val scan = MergeTable.read(spark, dir).agg(
+      min($"ts"), max($"ts"), min($"d"), max($"d"),
+      min($"ts2"), max($"ts2"), count($"ts2"))
+    assert(q.collect().toSeq == scan.collect().toSeq,
+      "the metadata answer must equal the scan answer")
+
+    // the epoch-projection form REAL queries use — the optimizer
+    // collapses unix_micros INTO the aggregate, so the rewrite must see
+    // through deterministic wrappers (round 16)
+    val wrapped = spark.sql(
+      """SELECT unix_micros(MIN(ts)) AS mn_us, unix_micros(MAX(ts)) AS mx_us,
+        |       MAX(id) - MIN(id) AS spread
+        |FROM mts""".stripMargin)
+    assert(!hasScan(wrapped), "wrapped aggregates must still push down:\n" +
+      wrapped.queryExecution.executedPlan)
+    val (mnUs, mxUs, spread) = wrapped.as[(Long, Long, Long)].head()
+    assert(mnUs == 1704067200000000L && spread == 599L)
+    assert(mxUs == 1704067200000000L + 599L * 3600000000L)
+
+    // ts-range WHERE lattice: a cut inside the range leaves only
+    // boundary files scanning, and values stay exact
+    val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 4)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("mts2")
+    val cut = spark.sql(
+      """SELECT COUNT(*) AS n FROM mts2
+        |WHERE ts >= TIMESTAMP'2024-01-11 00:00:00'""".stripMargin)
+    assert(cut.as[Long].head() == 600L - 240L,
+      "the ts-range hybrid count must be exact")
+    val nFiles = MergeTable.fileIndex(spark, dir, v).values.flatten.size
+    assert(graft.sources.GraftRelation.lastPruned._2 < nFiles,
+      "only ts-boundary files may scan under the clustered layout")
+  }
+
   test("time travel: the pushed answer comes from the relation's pinned version") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,

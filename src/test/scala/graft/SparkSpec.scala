@@ -11,6 +11,12 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's write default (Graft.registerAll sets the same):
+      // INT64 MICROS timestamps, whose footer stats feed the zone
+      // sidecar — suites that skip registerAll must not silently write
+      // stat-less INT96 (round 16). Deterministic here because the
+      // session is shared across suites in one JVM.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -334,10 +334,12 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
-  test("logically-annotated int columns (decimal/date/timestamp) are poisoned, never zoned") {
-    // parquet stores DECIMAL-backed INT32/64 stats as raw UNSCALED values
-    // and DATE/TIMESTAMP as raw physical numbers; zones speak LOGICAL
-    // values, so harvest must refuse these columns rather than mis-prune
+  test("annotated int columns: decimal poisoned; date/timestamp zoned as exact epoch values (round 16)") {
+    // parquet stores DECIMAL-backed INT32/64 stats as raw UNSCALED
+    // values — zones speak LOGICAL values, so harvest refuses those.
+    // DATE/TIMESTAMP(MICROS) physical stats ARE the logical epoch
+    // numbers Spark's internal values use, so since round 16 they zone
+    // as exact "long" lines (millis scale ×1000; nanos/INT96 poison).
     val dir = s"${Files.createTempDirectory("graft-zones-log")}/t"
     val df = (1L to 100L).toDF("id")
       .withColumn("dec", (col("id") * 7).cast("decimal(10,2)"))
@@ -347,21 +349,35 @@ class ZoneMapSpec extends SparkSpec {
       .withColumn("f", col("id").cast("double") / 3.0)
     MergeTable.create(spark, dir, df, "id", nBuckets = 2)
     val zones = ZoneMaps.read(spark, dir, 1).get
+    val daysBase = java.time.LocalDate.of(2026, 1, 1).toEpochDay
     zones.foreach { case (rel, cols) =>
       assert(cols.contains("id") && cols.contains("f"),
         s"$rel: plain long + double must stay zoned: ${cols.keySet}")
-      Seq("dec", "dt", "ts").foreach(c =>
-        assert(!cols.contains(c), s"$rel: annotated column $c must be poisoned"))
+      assert(!cols.contains("dec"), s"$rel: decimal column must be poisoned")
+      // date zones carry epoch DAYS, timestamp zones epoch MICROS —
+      // exact and inside the generated range
+      val dz = cols("dt"); val tz = cols("ts")
+      assert(dz.kind == "long" && tz.kind == "long")
+      assert(dz.min.toLong >= daysBase + 1 && dz.max.toLong <= daysBase + 100,
+        s"$rel: date zone must hold epoch days: ${dz.min}..${dz.max}")
+      assert(tz.min.toLong == dz.min.toLong * 86400000000L,
+        s"$rel: midnight ts zone must be its date's epoch micros")
     }
     // unzoned columns are never skipped on — the scan stays exact
     val got = MergeTable.readWhere(spark, dir, "dec",
       BigDecimal(70), BigDecimal(140)).select("id").as[Long].collect().toSet
     assert(got == (10L to 20L).toSet)
-    // and metadata aggregates refuse them loudly instead of reporting
-    // raw unscaled numbers
+    // decimal metadata aggregates still refuse loudly instead of
+    // reporting raw unscaled numbers
     intercept[IllegalArgumentException] {
       MergeTable.metaAggregate(spark, dir, Seq("dec")).collect()
     }
+    // date/timestamp metadata aggregates now ANSWER (round 16)
+    val ma = MergeTable.metaAggregate(spark, dir, Seq("dt", "ts")).collect()
+      .map(r => r.getString(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(ma("dt")._1.toLong == daysBase + 1 &&
+      ma("dt")._2.toLong == daysBase + 100)
+    assert(ma("ts")._1.toLong == (daysBase + 1) * 86400000000L)
   }
 
   test("double zones prune against the doubles the filter actually compares (ULP boundary)") {
