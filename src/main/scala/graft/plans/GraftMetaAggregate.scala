@@ -5,7 +5,7 @@ import scala.util.chaining._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Greatest, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, IsNull, KnownNotNull, Least, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Greatest, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, IsNull, KnownNotNull, Least, LessThan, LessThanOrEqual, Literal, Or, TruncDate, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -410,27 +410,125 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => mval
   }
 
+  /** A grouping key the metadata pass can decide per file: a bare
+    * ordered-primitive attribute, or (round 16) a MONOTONIC time
+    * truncation of one — `CAST(ts AS DATE)`, `date_trunc(unit, ts)`,
+    * `trunc(date, fmt)`. Monotonicity is the correctness hinge: a
+    * non-decreasing g makes g(zone.min) == g(zone.max) PROVE g is
+    * constant across the whole file, which is false for cyclic
+    * extractors (hour(), month() wrap daily/yearly and would silently
+    * mis-group a file spanning one cycle) — so only structural floors
+    * qualify. Key values are computed by substituting the zone
+    * endpoint into the ORIGINAL expression and evaluating it, so the
+    * rewrite reproduces Spark's own session-zone semantics exactly
+    * ("events per day" over a time-clustered table answers from
+    * zones). */
+  private final case class GroupKey(expr: Expression, src: AttributeReference)
+
+  private def groupKeyOf(e: Expression): Option[GroupKey] = {
+    // a CHAIN of monotone floors over one temporal attribute —
+    // compositions of monotones are monotone, so
+    // CAST(date_trunc('week', ts) AS DATE) qualifies too
+    def mono(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference
+          if a.dataType == TimestampType ||
+            a.dataType == TimestampNTZType || a.dataType == DateType =>
+        Some(a)
+      case Cast(inner, DateType, _, _)
+          if inner.dataType == TimestampType ||
+            inner.dataType == TimestampNTZType => mono(inner)
+      case t: TruncTimestamp => (t.format, t.timestamp) match {
+        case (Literal(_, StringType), inner) => mono(inner)
+        case _ => None
+      }
+      case t: TruncDate => (t.date, t.format) match {
+        case (inner, Literal(_, StringType)) => mono(inner)
+        case _ => None
+      }
+      case _ => None
+    }
+    e match {
+      case a: AttributeReference if isOrderedPrim(a.dataType) =>
+        Some(GroupKey(a, a))
+      case _ => mono(e).map(a => GroupKey(e, a))
+    }
+  }
+
+  /** The key's value with `v` (the zone endpoint, internal form)
+    * substituted for the source attribute — an invalid trunc unit
+    * yields null for EVERY input, which folds as the null group,
+    * still exact. */
+  private def evalKey(k: GroupKey, v: Any): Any =
+    k.expr.transform {
+      case a: AttributeReference if a.exprId == k.src.exprId =>
+        Literal(v, k.src.dataType)
+    }.eval(null)
+
+  /** [[groupOf]] lifted to derived keys: a bare attribute needs the
+    * zone CONSTANT; a monotonic truncation needs only the truncated
+    * ENDPOINTS equal. */
+  private def groupOfKey(
+      k: GroupKey, fz: Map[String, ZoneMaps.Zone]): Option[Option[Any]] =
+    if (k.expr eq k.src) groupOf(k.src.dataType, fz.get(k.src.name))
+    else fz.get(k.src.name) match {
+      case None => None
+      case Some(z) if z.allNull => Some(None)
+      case Some(z) if z.nullCount == 0L &&
+          (z.kind == "long" || z.kind == "double") =>
+        Try {
+          val gLo = evalKey(k, internal(k.src.dataType, z.min))
+          val gHi = evalKey(k, internal(k.src.dataType, z.max))
+          if (gLo == gHi) Some(Option(gLo)) else None
+        }.toOption.flatten
+      case _ => None
+    }
+
+  /** The analyzer EXTRACTS complex grouping expressions into a child
+    * Project (`… AS _groupingexpression#N`), so `GROUP BY CAST(ts AS
+    * DATE)` reaches this rule as a bare attribute over an impure
+    * Project. When every extracted alias is a monotone key chain, hand
+    * back the substitution map (alias exprId → its chain) and the plan
+    * BELOW the extraction — the graft-relation walk continues from
+    * there; otherwise the child passes through untouched. */
+  private def groupedTarget(agg: Aggregate)
+      : (Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+        LogicalPlan) =
+    agg.child match {
+      case Project(pl, inner) if pl.exists(_.isInstanceOf[Alias]) &&
+          pl.forall {
+            case _: AttributeReference => true
+            case al: Alias => groupKeyOf(al.child).isDefined
+            case _ => false
+          } =>
+        (pl.collect { case al: Alias => al.exprId -> al.child }.toMap, inner)
+      case other => (Map.empty, other)
+    }
+
   /** One output slot of a grouped metadata aggregate: a group key
-    * (Left(i) = index into the grouping columns), or a
+    * (Left(i) = index into the grouping keys), or a
     * metadata-answerable shape (counts, and — round 14 — numeric
     * MIN/MAX, exact on group-constant files because a file's zone
     * min/max IS that group's min/max when every row is the group).
     * Round 14: ANY number of grouping columns — a file decides when it
-    * is constant in EVERY group column (the [[MergeTable
+    * is constant in EVERY group key (the [[MergeTable
     * .clusterByCols]] lexicographic layout makes that most files). */
-  private def groupedShapes(agg: Aggregate): Option[Seq[Either[Int, MetaAgg]]] = {
-    val gAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference if isOrderedPrim(a.dataType) => a
-      case _ => return None
+  private def groupedShapes(agg: Aggregate)
+      : Option[(Seq[GroupKey], Seq[Either[Int, MetaAgg]])] = {
+    val (defs, _) = groupedTarget(agg)
+    def resolve(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
     }
-    if (gAttrs.isEmpty) return None
+    val keys = agg.groupingExpressions.map { e =>
+      groupKeyOf(resolve(e)).getOrElse(return None)
+    }
+    if (keys.isEmpty) return None
     val slots = agg.aggregateExpressions.map {
       case a: AttributeReference =>
-        val i = gAttrs.indexWhere(_.exprId == a.exprId)
+        val ra = resolve(a)
+        val i = keys.indexWhere(_.expr.semanticEquals(ra))
         if (i >= 0) Some(Left(i)) else None
-      case Alias(a: AttributeReference, _)
-          if gAttrs.exists(_.exprId == a.exprId) =>
-        Some(Left(gAttrs.indexWhere(_.exprId == a.exprId)))
+      case Alias(e, _) if keys.exists(_.expr.semanticEquals(resolve(e))) =>
+        Some(Left(keys.indexWhere(_.expr.semanticEquals(resolve(e)))))
       case Alias(e, _) => metaOf(e).collect {
         case m @ (RowCount | NonNull(_)) => Right(m)
         case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
@@ -441,7 +539,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       case _ => None
     }
     if (slots.forall(_.isDefined) && slots.flatten.exists(_.isRight))
-      Some(slots.flatten)
+      Some((keys, slots.flatten))
     else None
   }
 
@@ -660,8 +758,9 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * sidecar with nothing to decide, and both deserve a flag. */
   private[graft] def answerableShape(plan: LogicalPlan): Boolean = plan match {
     case agg: Aggregate if agg.groupingExpressions.nonEmpty &&
-        groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
-      graftTarget(agg.child).get._1.forall(supportedExpr)
+        groupedShapes(agg).isDefined &&
+        graftTarget(groupedTarget(agg)._2).isDefined =>
+      graftTarget(groupedTarget(agg)._2).get._1.forall(supportedExpr)
     case agg: Aggregate if agg.groupingExpressions.isEmpty &&
         distinctCountOf(agg).isDefined && graftTarget(agg.child).isDefined =>
       graftTarget(agg.child).get._1.forall(supportedExpr)
@@ -706,12 +805,11 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     // with the metadata groups. On a lang-clustered corpus the
     // language histogram touches only the run-boundary files.
     case agg: Aggregate if agg.groupingExpressions.nonEmpty &&
-        groupedShapes(agg).isDefined && graftTarget(agg.child).isDefined =>
-      val gAttrs = agg.groupingExpressions
-        .map(_.asInstanceOf[AttributeReference])
-      val nG = gAttrs.size
-      val shapes = groupedShapes(agg).get
-      val (condO, lr, rel) = graftTarget(agg.child).get
+        groupedShapes(agg).isDefined &&
+        graftTarget(groupedTarget(agg)._2).isDefined =>
+      val (keys, shapes) = groupedShapes(agg).get
+      val nG = keys.size
+      val (condO, lr, rel) = graftTarget(groupedTarget(agg)._2).get
       if (condO.exists(c => !supportedExpr(c))) agg
       else Try {
         val spark = SparkSession.active
@@ -730,7 +828,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           case (b, fs) => fs.map(_ -> b) }.toMap
         val files = byBucket.values.flatten.toSeq.sorted
         val first = ZoneMaps.forVersion(spark, rel.dir, rel.v, files)
-        val cols = (condO.toSeq.flatMap(attrsOf) ++ gAttrs.map(_.name) ++
+        val cols = (condO.toSeq.flatMap(attrsOf) ++ keys.map(_.src.name) ++
           aggs.collect {
             case NonNull(c) => c
             case MinOf(c, _) => c
@@ -756,11 +854,12 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           else if (fdec != FullyIn || dvBuckets.contains(fileBucket(r)))
             boundary += r
           else {
-            // the file decides only when EVERY group column is
+            // the file decides only when EVERY group key is
             // file-constant (or provably all-null) — then the whole
             // file is ONE group tuple and per-file stats are exact
-            // per-group contributions
-            val gvs = gAttrs.map(g => groupOf(g.dataType, fz.get(g.name)))
+            // per-group contributions. Derived time keys need only the
+            // truncated ENDPOINTS equal (monotone floors).
+            val gvs = keys.map(k => groupOfKey(k, fz))
             if (gvs.exists(_.isEmpty)) boundary += r
             else {
               val key = gvs.map(_.get)
@@ -784,7 +883,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             mval: Array[Any]): Seq[Any] = {
           var ci = -1
           shapes.map {
-            case Left(i) => catalystVal(gAttrs(i).dataType, gv(i).orNull)
+            case Left(i) => catalystVal(keys(i).expr.dataType, gv(i).orNull)
             case Right(m) =>
               ci += 1
               slotFinal(m, cnt(ci), mval(ci))
@@ -827,13 +926,21 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
             case (_, i) =>
               Seq(Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
           }
-          val inner = Aggregate(gAttrs, gAttrs ++ aggAliases, filtered)
+          // grouping by the key EXPRESSIONS (bare attributes stay
+          // bare; a derived time key re-evaluates exactly over the
+          // boundary subset), aliased so the Union side has stable
+          // output attributes
+          val innerKeys = keys.zipWithIndex.map { case (k, i) =>
+            Alias(k.expr, s"__graft_g$i")()
+          }
+          val inner = Aggregate(keys.map(_.expr),
+            (innerKeys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) ++ aggAliases, filtered)
           // meta rows as a second Union branch: (g1..gn, a0, a1, …) —
           // count slots are LongType, min/max slots the column's type,
           // sum slots LongType (exact fold), avg slots (sum, count)
-          val gMeta = gAttrs.zipWithIndex.map { case (g, i) =>
-            AttributeReference(g.name, g.dataType,
-              nullable = g.nullable ||
+          val gMeta = keys.zipWithIndex.map { case (k, i) =>
+            AttributeReference(s"__graft_g$i", k.expr.dataType,
+              nullable = k.expr.nullable ||
                 metaGroups.keys.exists(_(i).isEmpty))()
           }
           val mAttrs = aggs.zipWithIndex.flatMap {
@@ -867,15 +974,15 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
                 case (_, i) => Seq(mval(i))
               }
               InternalRow.fromSeq(
-                gAttrs.zipWithIndex.map { case (g, i) =>
-                  catalystVal(g.dataType, gv(i).orNull) } ++ slotVals)
+                keys.zipWithIndex.map { case (k, i) =>
+                  catalystVal(k.expr.dataType, gv(i).orNull) } ++ slotVals)
             })
           val union = Union(Seq(inner, metaRel))
           val uo = union.output // (g1..gn, a0, a1, …)
           var off = nG
           val finalExprs = shapes.zip(agg.aggregateExpressions).map {
             case (Left(i), orig) =>
-              Alias(uo(i), gAttrs(i).name)(exprId = orig.exprId)
+              Alias(uo(i), orig.name)(exprId = orig.exprId)
             case (Right(m), orig) =>
               val base = off
               off += widthOf(m)

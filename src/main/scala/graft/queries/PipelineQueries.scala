@@ -2864,6 +2864,31 @@ object PipelineQueries {
       |FROM events
       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
 
+  /** TIME-DERIVED GROUPED metadata aggregate (round 16): "events per
+    * week" — `GROUP BY CAST(date_trunc('week', ts) AS DATE)` over the
+    * ts-clustered events table. The group key is a MONOTONE floor
+    * chain of ts, so a file whose ts-zone ENDPOINTS truncate to the
+    * same week is group-constant even though ts varies inside it —
+    * only week-straddling files scan, and at 100 TB the weekly volume
+    * report reads boundary files, not the corpus. (Cyclic extractors
+    * like hour()/month() are structurally refused: endpoint equality
+    * would not prove constancy across a cycle.) Oracle: DuckDB
+    * recomputes the ISO-week histogram over the raw events parquet. */
+  private val eventsMetaPerWeek: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_week_t")
+    s.sql(
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  COUNT(*) AS n, COUNT(value) AS n_val
+        |FROM ev_week_t GROUP BY 1 ORDER BY week""".stripMargin)
+  }
+
+  private val eventsMetaPerWeekSql =
+    """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(value) AS BIGINT) AS n_val
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
   /** TS-ORDERED TOP-K over zones ([[graft.plans.GraftTopK]] on the
     * round-16 timestamp lattice): `ORDER BY ts DESC LIMIT 10` over the
     * ts-clustered events table prunes to the files whose ts-zone max
@@ -4554,6 +4579,7 @@ object PipelineQueries {
     "doc_topk_multikey" -> docTopkMultikey,
     "events_meta_ts_minmax" -> eventsMetaTsMinmax,
     "events_meta_ts_range" -> eventsMetaTsRange,
+    "events_meta_per_week" -> eventsMetaPerWeek,
     "events_topk_recent" -> eventsTopkRecent,
     "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
@@ -4689,6 +4715,7 @@ object PipelineQueries {
     "doc_topk_multikey" -> docTopkMultikeySql,
     "events_meta_ts_minmax" -> eventsMetaTsMinmaxSql,
     "events_meta_ts_range" -> eventsMetaTsRangeSql,
+    "events_meta_per_week" -> eventsMetaPerWeekSql,
     "events_topk_recent" -> eventsTopkRecentSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,

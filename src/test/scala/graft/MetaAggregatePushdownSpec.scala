@@ -704,6 +704,60 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       "only ts-boundary files may scan under the clustered layout")
   }
 
+  test("time-derived grouped pushdown: GROUP BY day/week truncations decide from endpoint zones; cyclic extractors refuse (round 16)") {
+    val dir = tmpDir()
+    // 40 days of hourly rows, ts-clustered: files span ~3 days, so
+    // CAST(ts AS DATE) groups straddle but date_trunc('week') runs are
+    // mostly file-constant
+    MergeTable.create(spark, dir,
+      spark.range(0, 960).select(col("id"),
+        expr("timestamp_micros(1704067200000000L + id * 3600000000L)").as("ts"),
+        (col("id") % 7).as("x")),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 6)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("gday")
+
+    val byDay = spark.sql(
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, MIN(x) AS mnx
+        |FROM gday GROUP BY 1 ORDER BY day""".stripMargin)
+    val byDayScan = MergeTable.read(spark, dir, v)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), min($"x").as("mnx")).orderBy("day")
+    assert(byDay.collect().toSeq == byDayScan.collect().toSeq,
+      "grouped-by-day must equal the scan")
+
+    val byWeek = spark.sql(
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, COUNT(*) AS n
+        |FROM gday GROUP BY 1 ORDER BY week""".stripMargin)
+    assert(byWeek.queryExecution.optimizedPlan.toString
+      .contains("__graft_meta_gcnt") ||
+      byWeek.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "the weekly histogram must carry a metadata branch:\n" +
+        byWeek.queryExecution.optimizedPlan)
+    val byWeekScan = MergeTable.read(spark, dir, v)
+      .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(count(lit(1)).as("n")).orderBy("week")
+    assert(byWeek.collect().toSeq == byWeekScan.collect().toSeq,
+      "grouped-by-week must equal the scan")
+    // only week-straddling files scan
+    val nFiles = MergeTable.fileIndex(spark, dir, v).values.flatten.size
+    assert(graft.sources.GraftRelation.lastPruned._2 < nFiles,
+      "only week-boundary files may scan")
+
+    // CYCLIC extractor: hour(ts) endpoint equality would NOT prove
+    // constancy (a file spanning 24h has equal endpoint hours) — the
+    // shape must refuse the metadata path and stay scan-exact
+    val byHour = spark.sql(
+      """SELECT hour(ts) AS h, COUNT(*) AS n FROM gday
+        |GROUP BY 1 ORDER BY h""".stripMargin)
+    assert(!byHour.queryExecution.optimizedPlan.toString
+      .contains("__graft_meta_gcnt"),
+      "cyclic extractors must never take the metadata path")
+    assert(byHour.count() == 24)
+  }
+
   test("time travel: the pushed answer comes from the relation's pinned version") {
     val dir = tmpDir()
     MergeTable.create(spark, dir,
