@@ -195,6 +195,15 @@ object Bench {
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val taskm   = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val loads   = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query JIT compile-time delta (round 16): the degraded-JVM
+    // state appeared WITHOUT code-cache exhaustion (152 MB of 512 MB at
+    // run end) but with 400+ s of cumulative JIT time — the revised
+    // suspect is recompilation churn (deopt storms / profile
+    // pollution). A degraded query burning compile seconds mid-run is
+    // the direct evidence; flat jit with inflated CPU points elsewhere.
+    val jits    = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def jitNow: Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).fold(-1L)(_.getTotalCompilationTime)
     // 1-minute OS load average: the direct evidence for the one cause
     // per-task metrics CANNOT show — ANOTHER process competing for the
     // host's cores (wall inflates uniformly while task CPU seconds stay
@@ -233,6 +242,7 @@ object Bench {
       // and per-query (min,max,runs) makes any stall visible in the
       // artifact itself rather than masquerading as a regression.
       val before = listener.snapshot
+      val jitBefore = jitNow
       Watchdog.bounded(spark, s"bench-$name", perQuerySec) {
         SteadyState.bestOf(() => SteadyState.timeOnce(fn(spark, sfDir)), () => withinBudget)
       } match {
@@ -241,6 +251,7 @@ object Bench {
           ranges(name) = (mn, mx, n)
           taskm(name) = listener.snapshot.zip(before).map { case (a, b) => a - b }
           loads(name) = osLoad
+          jits(name) = jitNow - jitBefore
         case Left(err) =>
           errors(name) = err
       }
@@ -257,7 +268,8 @@ object Bench {
       s""""${esc(k)}":{"task_sec":${run / 1e3},"cpu_sec":${cpu / 1e9},""" +
         s""""gc_sec":${gc / 1e3},"input_mb":${in / 1048576.0},""" +
         s""""shuffle_mb":${sh / 1048576.0},"spill_mb":${sp / 1048576.0},""" +
-        s""""tasks":$n,"os_load":${loads.getOrElse(k, -1.0)}}"""
+        s""""tasks":$n,"os_load":${loads.getOrElse(k, -1.0)},""" +
+        s""""jit_ms":${jits.getOrElse(k, -1L)}}"""
     }.mkString("{", ",", "}")
     val pb = prebuilt.map { p =>
       s""""${esc(p.family)}":{"sec":${p.sec},"ok":${p.err.isEmpty}""" +
