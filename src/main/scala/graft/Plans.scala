@@ -53,7 +53,9 @@ object Plans {
     "doc_meta_sum_by_lang" -> "grouped SUM/AVG (round 15): lang-constant files attribute their exact sum lines per group; run-boundary files scan and one Union re-aggregation SUMs the partial sums",
     "doc_topk_pruned" -> "zone-pruned global top-k (round 15): ORDER BY n_chars DESC LIMIT 10 scans only the files the running 10th bound admits; TakeOrderedAndProject over the subset, no full-corpus sort",
     "events_meta_ts_minmax" -> "timestamp metadata ladder (round 16): MIN(ts)/MAX(ts)/COUNT over the ts-clustered events table collapse to a LocalRelation — epoch-micros zones answer the span audit with zero scan, unix_micros wrappers evaluated in the rewrite",
-    "events_topk_recent" -> "ts-ordered top-k (round 16): ORDER BY ts DESC LIMIT 10 reads only the files whose ts-zone max reaches the 10th bound — the recency query touches the tail slab, not the table")
+    "events_topk_recent" -> "ts-ordered top-k (round 16): ORDER BY ts DESC LIMIT 10 reads only the files whose ts-zone max reaches the 10th bound — the recency query touches the tail slab, not the table",
+    "events_meta_per_week" -> "time-derived grouped pushdown (round 16): GROUP BY CAST(date_trunc('week', ts) AS DATE) — week-constant files contribute counts from the sidecar (monotone floors make endpoint equality prove constancy), only week-straddling files scan through the Union's boundary branch",
+    "doc_topk_multikey" -> "multi-key lexicographic top-k (round 16): ORDER BY lang, n_chars DESC LIMIT 10 composes BOTH columns' zones on the (lang, n_chars) clusterByCols layout — the tuple fold excludes first-language files past the k-th bound that the single-key fold must keep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
