@@ -113,4 +113,48 @@ class MetaCountFuzzSpec extends SparkSpec {
         s"grouped trial $trial diverged on GROUP BY $gcol, predicate $p")
     }
   }
+
+  test("time-derived grouping fuzz: day/week/month/hour truncations ≡ exact scan over hostile ts layouts (round 16)") {
+    val rnd = new Random(461)
+    // hostile shape: irregular gaps (bursts + quiet stretches), exact
+    // midnight boundary values, a null stripe, rows out of ts order
+    // before clustering
+    for (trial <- 1 to 6) {
+      val dir = tmpDir()
+      val n = 1500 + rnd.nextInt(1000)
+      val gapScale = 1 + rnd.nextInt(5)
+      val base = spark.range(0, n).select(
+        col("id"),
+        expr(s"""case when id % 97 = 0 then null else
+          timestamp_micros(1704067200000000L
+            + (id * id % 977) * ${gapScale}L * 3600000000L
+            + (id % 24) * 3600000000L) end""").as("ts"),
+        (col("id") % 13).as("x"))
+      MergeTable.create(spark, dir, base, "id", nBuckets = 2)
+      val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 5)
+      spark.read.format("graft")
+        .option("path", dir).option("version", v.toString).load()
+        .createOrReplaceTempView("tsfz")
+      // day/week/month/year are monotone (may push); hour/minute are
+      // CYCLIC extractors (must refuse the metadata path) — both sides
+      // must equal the raw-engine answer either way
+      val shapes = Seq(
+        "CAST(ts AS DATE)",
+        "CAST(date_trunc('week', ts) AS DATE)",
+        "date_trunc('month', ts)",
+        "date_trunc('hour', ts)",
+        "hour(ts)")
+      val g = shapes(rnd.nextInt(shapes.size))
+      val got = spark.sql(
+        s"""SELECT $g AS gk, COUNT(*) AS n, COUNT(x) AS nx, MIN(x) AS mnx
+           |FROM tsfz GROUP BY 1 ORDER BY gk""".stripMargin)
+        .collect().toSeq
+      MergeTable.read(spark, dir, v).createOrReplaceTempView("tsfz_raw")
+      val want = spark.sql(
+        s"""SELECT $g AS gk, COUNT(*) AS n, COUNT(x) AS nx, MIN(x) AS mnx
+           |FROM tsfz_raw GROUP BY 1 ORDER BY gk""".stripMargin)
+        .collect().toSeq
+      assert(got == want, s"ts-grouping trial $trial diverged on GROUP BY $g")
+    }
+  }
 }
