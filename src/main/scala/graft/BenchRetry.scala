@@ -30,6 +30,29 @@ object BenchRetry {
 
   private val RegressionRe = "REGRESSION: ([A-Za-z0-9_]+)".r
 
+  /** A wall measurement that left its band but was adjudicated
+    * non-FAIL from CPU/byte/load evidence, with the raw-seconds pair
+    * the gate prints (`[raw NOWs vs BANKEDs]`). Round-16 verdict ask
+    * #2: when such a row's wall is >= [[WalloutRetryRatio]]x its
+    * banked seconds, the artifact must PROVE the host-noise story with
+    * one fresh-JVM re-measurement instead of arguing from flat CPU —
+    * HOST-NOISE rows never hit the REGRESSION retry lane, so a 2.5x
+    * wall-out could ship unretried (r16's `doc_topk_filtered`). */
+  private val WalloutRe =
+    ("(?:HOST-NOISE|CPU-CONTENTION|MEASURE-SKEW)[^:]*: ([A-Za-z0-9_]+): " +
+      ".*?\\[raw ([0-9.]+)s vs ([0-9.]+)s\\]").r
+
+  private val WalloutRetryRatio = 2.0
+
+  /** Queries whose non-FAIL wall adjudication still left them at
+    * >= `ratio`x their banked raw seconds. */
+  private def walloutsOf(gateOut: String, ratio: Double): Seq[String] =
+    WalloutRe.findAllMatchIn(gateOut).flatMap { m =>
+      val (q, now, banked) =
+        (m.group(1), m.group(2).toDouble, m.group(3).toDouble)
+      if (banked > 0 && now / banked >= ratio) Some(q) else None
+    }.toSeq.distinct
+
   /** Run a command, return (exitCode, combined stdout+stderr),
     * bounded; `-1` exit means the bound was hit and the process was
     * killed. */
@@ -91,27 +114,39 @@ object BenchRetry {
           !new File("tools/bench_baseline.json").exists())
         return s""""gate":{"checked":false,"reason":"no-baseline-or-gate-script"}"""
 
-      val firstFile = "/tmp/graft_bench_self_first.json"
+      // per-process temp paths: two bench JVMs on one host must never
+      // adjudicate against each other's artifact (round-16 ADVICE —
+      // the retry fork's file path is handed down via env, so only
+      // these two parent-side names needed de-fixing)
+      val firstFile = Files.createTempFile("graft_bench_self_first", ".json")
+        .toString
       Files.write(Paths.get(firstFile),
         (baseLine + "\n").getBytes(StandardCharsets.UTF_8))
       val (_, gateOut) = gateOnce(firstFile)
       gateOut.linesIterator.foreach(l => System.err.println(s"[self-gate] $l"))
       if (gateOut.contains("ENV-MISMATCH"))
         return s""""gate":{"checked":false,"reason":"env-mismatch"}"""
-      val failing = RegressionRe.findAllMatchIn(gateOut)
+      val regressions = RegressionRe.findAllMatchIn(gateOut)
         .map(_.group(1)).toSeq.distinct
+      val wallouts = walloutsOf(gateOut, WalloutRetryRatio)
+        .filterNot(regressions.contains)
+      val failing = regressions ++ wallouts
       if (failing.isEmpty)
         return s""""gate":{"checked":true,"verdict":"PASS"}"""
 
       // ---- fork ONE fresh JVM over exactly the failing queries,
       // inheriting this JVM's flags (add-opens, heap, code cache) and
       // bench env; SPARK_GRAFT_BENCH_RETRY=0 stops recursion
-      System.err.println(s"[self-gate] fresh-JVM retry of: ${failing.mkString(",")}")
+      System.err.println(s"[self-gate] fresh-JVM retry of: ${failing.mkString(",")}" +
+        (if (wallouts.nonEmpty)
+          s" (wall-out >=${WalloutRetryRatio}x, non-FAIL adjudicated: ${wallouts.mkString(",")})"
+        else ""))
       import scala.jdk.CollectionConverters._
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      val retryFile = "/tmp/graft_bench_self_retry.json"
+      val retryFile = Files.createTempFile("graft_bench_self_retry", ".json")
+        .toString
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
       val (rc, retryOut) = run(cmd, Map(
@@ -121,7 +156,9 @@ object BenchRetry {
         "SPARK_GRAFT_BENCH_FILE" -> retryFile,
         "SPARK_GRAFT_BENCH_RETRY" -> "0",
         "LC_ALL" -> "C.UTF-8"), 1500L)
-      if (rc != 0 || !new File(retryFile).exists()) {
+      // createTempFile pre-creates an EMPTY file — require content, not
+      // existence, or a crashed fork would adjudicate against nothing
+      if (rc != 0 || new File(retryFile).length() == 0L) {
         System.err.println(
           s"[self-gate] retry fork failed rc=$rc: ${retryOut.takeRight(500)}")
         return s""""gate":{"checked":true,"verdict":"FAIL",""" +
@@ -134,8 +171,14 @@ object BenchRetry {
       val (_, retryGateOut) = gateOnce(retryFile)
       retryGateOut.linesIterator
         .foreach(l => System.err.println(s"[self-gate retry] $l"))
-      val stillFailing = RegressionRe.findAllMatchIn(retryGateOut)
+      val stillRegressed = RegressionRe.findAllMatchIn(retryGateOut)
         .map(_.group(1)).toSet
+      // a wall-out row "clears" only if the fresh JVM left it neither
+      // regression-shaped NOR >=2x-wall again — reproducing at 2x with
+      // flat CPU means the banked wall is stale, which the artifact
+      // should show, not hide behind the first run's noise verdict
+      val stillWalledOut =
+        walloutsOf(retryGateOut, WalloutRetryRatio).toSet ++ stillRegressed
 
       val first = measurements(baseLine)
       val retry = measurements(retryJson)
@@ -144,11 +187,15 @@ object BenchRetry {
         val (ts, tc) = retry.getOrElse(q, (-1.0, -1.0))
         s""""${esc(q)}":{"first_sec":$fs,"first_cpu_sec":$fc,""" +
           s""""retry_sec":$ts,"retry_cpu_sec":$tc,""" +
-          s""""in_band":${!stillFailing.contains(q)}}"""
+          s""""in_band":${!stillWalledOut.contains(q)}}"""
       }.mkString("{", ",", "}")
-      val verdict = if (stillFailing.isEmpty) "PASS_AFTER_RETRY" else "FAIL"
+      // only a reproduced REGRESSION fails the gate; a reproduced
+      // wall-out ships loudly in the retries block for re-banking
+      val verdict =
+        if (stillRegressed.nonEmpty) "FAIL" else "PASS_AFTER_RETRY"
       s""""gate":{"checked":true,"verdict":"$verdict",""" +
-        s""""first_regressions":[${failing.map(q => s""""${esc(q)}"""").mkString(",")}]},""" +
+        s""""first_regressions":[${regressions.map(q => s""""${esc(q)}"""").mkString(",")}],""" +
+        s""""first_wallouts":[${wallouts.map(q => s""""${esc(q)}"""").mkString(",")}]},""" +
         s""""retries":$rows"""
     }
     result.recover { case e: Throwable =>

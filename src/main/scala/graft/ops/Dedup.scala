@@ -404,12 +404,16 @@ object Dedup {
     * resolution chains, link graphs — use
     * [[connectedComponentsAlternating]], which converges in O(log n)
     * rounds regardless of diameter. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 15,
+      maxDriverEdges: Long = DriverCcMaxEdges): DataFrame = {
     // materialize the edge list once — `pairs` may be an expensive LSH
     // plan, and the loop would otherwise recompute it every iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    val driverCc = driverUnionFind(edges, maxDriverEdges)
+    if (driverCc.isDefined) return driverCc.get
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -418,9 +422,11 @@ object Dedup {
     while (changed && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
+      // lazy: the change-detection count materializes the checkpoint
+      // in the same job (see the alternating variant below)
       val next = labels.unionAll(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.join(labels.withColumnRenamed("comp", "old_comp"), "id")
         .filter(col("comp") =!= col("old_comp"))
         .limit(1).count() > 0
@@ -432,6 +438,81 @@ object Dedup {
         "graph's diameter exceeds the cap; raise maxIter or use " +
         "connectedComponentsAlternating (O(log n) rounds at any diameter)")
     labels
+  }
+
+  /** Edge-count bound under which connected components folds on the
+    * DRIVER instead of iterating distributed rounds. 4 Mi edges ≈
+    * ≤ 128 MB of boxed endpoints — the bounded-sidecar collect budget
+    * [[graft.pipeline.OverlapStats.overlapPairs]] and the IVF
+    * codebooks already use. The distributed fixpoint costs 6–8
+    * SEQUENTIAL shuffle stages PER ROUND for O(log n) rounds — tens of
+    * scheduler round-trips that dwarf the compute when the pair graph
+    * is small. And the pair graph IS small by construction at every
+    * scale: banded LSH emits near-dup candidates (a bounded fraction
+    * of the corpus), and the IVM refresh path localizes to affected
+    * components. A 100 TB corpus whose DEDUP PAIR GRAPH exceeds 4 Mi
+    * edges genuinely needs the distributed rounds — that path is
+    * unchanged. */
+  private[graft] val DriverCcMaxEdges: Long = 4L * 1024 * 1024
+
+  /** Driver union-find over a materialized (src, dst) edge list, if it
+    * is within [[DriverCcMaxEdges]] (`edges` MUST be checkpointed —
+    * the count and collect would otherwise recompute the pair plan
+    * twice). Returns the same `(id, comp = min member id)` frame as
+    * the distributed fixpoints: one row per node appearing in any
+    * edge, component representative = minimum id under the id type's
+    * natural order (the `least`/`min` order the distributed paths
+    * use). Path-compressed + size-united: O(E α(E)). */
+  private def driverUnionFind(
+      edges: DataFrame, maxEdges: Long): Option[DataFrame] = {
+    if (edges.count() > maxEdges) return None
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    // dense int ids for the union-find arrays; ids stay comparable via
+    // their natural (Comparable) order — Long, String, … all qualify
+    val index = new java.util.HashMap[Any, Int]()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int =
+      if (index.containsKey(v)) index.get(v)
+      else { index.put(v, vals.length); vals += v; vals.length - 1 }
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rank = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (idx(r.get(0)), idx(r.get(1)))
+      while (parent.length < vals.length) {
+        parent += parent.length; rank += 0
+      }
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // component representative = MIN member value (not the union-find
+    // root, which is rank-chosen)
+    val minOf = new java.util.HashMap[Int, Any]()
+    vals.indices.foreach { i =>
+      val root = find(i)
+      val cur = minOf.get(root)
+      if (cur == null || cmp(vals(i), cur) < 0) minOf.put(root, vals(i))
+    }
+    val idType = edges.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("comp", idType, nullable = true)))
+    val out = vals.indices.map { i =>
+      org.apache.spark.sql.Row(vals(i), minOf.get(find(i)))
+    }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema))
   }
 
   /** Connected components by ALTERNATING star contraction (Kiveris et
@@ -449,7 +530,9 @@ object Dedup {
     * component rooted at its minimum id; output matches
     * [[connectedComponents]] row-for-row (`DedupClusterSpec` pins
     * equality on random graphs and the chain case). */
-  def connectedComponentsAlternating(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def connectedComponentsAlternating(
+      pairs: DataFrame, maxRounds: Int = 40,
+      maxDriverEdges: Long = DriverCcMaxEdges): DataFrame = {
     def star(edges: DataFrame, large: Boolean): DataFrame = {
       // closed-neighborhood minimum per node, then re-hang the chosen
       // side of the neighborhood onto it
@@ -472,10 +555,18 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    val driverCc = driverUnionFind(edges, maxDriverEdges)
+    if (driverCc.isDefined) return driverCc.get
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      // LAZY checkpoint: the convergence count below is the round's
+      // only action, so it materializes (and caches) `next` in the
+      // same job — an eager checkpoint here doubled the round's job
+      // count, and the fixpoint's wall is sequential-job-bound, not
+      // task-bound (round-16 ask #1 plan audit)
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(eager = false)
       // fixpoint: the (canonicalized) edge set stopped changing
       converged = next.exceptAll(edges).unionAll(edges.exceptAll(next))
         .limit(1).count() == 0

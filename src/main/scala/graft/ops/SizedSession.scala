@@ -66,10 +66,29 @@ object SizedSession {
         if (p >= sessionWidth(spark)) spark
         else {
           val s = spark.newSession()
+          // `newSession` means a FRESH SessionState: the caller's
+          // runtime confs don't carry, so a sized refresh writing
+          // timestamps would silently revert to INT96 output and
+          // ANSI/timezone-sensitive expressions could diverge from the
+          // caller's semantics (round-16 ADVICE). Copy the semantic
+          // confs the engine sets or depends on before clamping width.
+          CarriedConfs.foreach { k =>
+            spark.conf.getOption(k).foreach(v => s.conf.set(k, v))
+          }
           s.conf.set("spark.sql.shuffle.partitions", p.toString)
           s
         }
     }
+
+  /** Runtime confs that change QUERY SEMANTICS or OUTPUT ENCODING and
+    * must follow the caller into a sized session. Width confs are
+    * deliberately excluded — overriding them is the whole point. */
+  private val CarriedConfs = Seq(
+    "spark.sql.parquet.outputTimestampType",
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.parquet.compression.codec")
 
   /** [[forRows]] sized by the metadata-only changed-bucket row bound
     * of a MergeTable version transition — the refresh family's

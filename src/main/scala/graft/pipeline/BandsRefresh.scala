@@ -91,8 +91,15 @@ object BandsRefresh {
       fromVersion: Int, toVersion: Int, textCol: String = "text",
       n: Int = 3, bands: Int = defaultBands,
       rowsPerBand: Int = defaultRowsPerBand): Int = {
+    // delta-sized shuffles (round-16 ask #1, the PostingsRefresh
+    // treatment): shingling/signing ∝ changed documents, so every
+    // exchange — the per-doc repartition barrier, the anti-join, the
+    // index merge — plans at the transition's metadata row bound in an
+    // ISOLATED session, not at whatever width the caller's session has
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
     val deltas = MergeTable.rowDeltas(
-      spark, corpusDir, fromVersion, toVersion, "doc_id")
+      s, corpusDir, fromVersion, toVersion, "doc_id")
     val newB = bandsOf(
       deltas.filter(col("_sign") === 1).drop("_sign"),
       textCol, "doc_id", n, bands, rowsPerBand)
@@ -104,7 +111,7 @@ object BandsRefresh {
     val ups = newB.select(Cols.map(col) :+ lit(false).as("_del"): _*)
     // pk is unique per side by construction (one row per (doc, band))
     // and the delete side is anti-joined against the upsert side
-    MergeTable.merge(spark, bandsDir, ups.unionByName(dels), "pk",
+    MergeTable.merge(s, bandsDir, ups.unionByName(dels), "pk",
       deleteCol = Some("_del"), validate = false)
   }
 

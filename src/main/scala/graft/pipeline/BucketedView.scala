@@ -54,10 +54,20 @@ object BucketedView {
     val changed = MergeTable.changedBucketIds(spark, dir, fromVersion, toVersion)
     if (changed.isEmpty) oldView
     else {
-      val fresh = derive(MergeTable.readBuckets(spark, dir, changed, toVersion))
+      // delta-sized shuffles (round-16 verdict ask #1, the postings/
+      // trigram/IVF treatment): the fresh partials' exchange plans at
+      // a width sized by the transition's metadata row bound, in an
+      // ISOLATED session — a micro-commit refresh of a 2,000-partition
+      // production session stops scheduling session-width near-empty
+      // tasks. The sized frame is the UNION'S LEFT side: a combined
+      // Dataset plans on its left operand's session, so downstream
+      // consumers (finalize aggs) inherit the sized width too, while
+      // the caller's own session stays untouched.
+      val s = graft.ops.SizedSession.forDelta(spark, dir, fromVersion, toVersion)
+      val fresh = derive(MergeTable.readBuckets(s, dir, changed, toVersion))
         .groupBy(col("bucket"), col(groupCol))
         .agg(partials.head, partials.tail: _*)
-      oldView.filter(!col("bucket").isin(changed: _*)).unionByName(fresh)
+      fresh.unionByName(oldView.filter(!col("bucket").isin(changed: _*)))
     }
   }
 

@@ -94,13 +94,27 @@ object ClassifierRefresh {
   def model(
       features: DataFrame, priors: DataFrame,
       buckets: Int = QualityClassifier.defaultBuckets): QualityClassifier.NbModel = {
+    // ONE collect job for both bounded finalizes (round-16 ask #6 —
+    // this used to be two sequential jobs whose plans each re-derived
+    // their view): tag-union the feature profile with the two prior
+    // cells and split driver-side. Both sides are cell-state aggs
+    // (≤ buckets + 2 rows), so the union costs nothing and the two
+    // subplans execute concurrently inside the single job.
     val prof = BucketedView.finalizeView(features, "fbucket",
         Seq(sum("cnt_pos").as("cnt_pos"), sum("cnt_neg").as("cnt_neg")))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .select(lit(true).as("is_feat"), col("fbucket").cast("long").as("k"),
+        col("cnt_pos").cast("long").as("a"), col("cnt_neg").cast("long").as("b"))
     val pri = BucketedView.finalizeView(priors, "is_pos",
         Seq(sum("n_docs").as("n")))
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    QualityClassifier.fromCounts(prof,
-      pri.getOrElse(true, 0L), pri.getOrElse(false, 0L), buckets)
+      .select(lit(false).as("is_feat"),
+        when(col("is_pos"), 1L).otherwise(0L).as("k"),
+        col("n").cast("long").as("a"), lit(0L).as("b"))
+    val all = prof.unionByName(pri).collect()
+    val profile = all.toSeq.filter(_.getBoolean(0))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val priorN = all.filterNot(_.getBoolean(0))
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    QualityClassifier.fromCounts(profile,
+      priorN.getOrElse(1L, 0L), priorN.getOrElse(0L, 0L), buckets)
   }
 }

@@ -141,14 +141,24 @@ object ClustersRefresh {
   def refresh(
       spark: SparkSession, corpusDir: String, clustersDir: String,
       fromVersion: Int, toVersion: Int, threshold: Double = 0.2): Unit = {
-    val oldAssign = readAssign(spark, clustersDir, fromVersion)
-    val oldEdges = readEdges(spark, clustersDir, fromVersion)
+    // delta-sized shuffles (round-16 ask #1): refresh cost ∝ changed
+    // docs + affected components, so every exchange below — shingle
+    // join, edge anti-joins, the localized CC fixpoint's iterations —
+    // plans at a width sized by the transition's metadata row bound in
+    // an ISOLATED session. The shingle join's corpus-side probe also
+    // rides this width; that is safe exactly because restrictedPairs
+    // is the exact-pair twin — the 100 TB path swaps in the maintained
+    // band index as the candidate source (class doc, step 2).
+    val s = graft.ops.SizedSession.forDelta(
+      spark, corpusDir, fromVersion, toVersion)
+    val oldAssign = readAssign(s, clustersDir, fromVersion)
+    val oldEdges = readEdges(s, clustersDir, fromVersion)
     val changedIds = MergeTable
-      .rowDeltas(spark, corpusDir, fromVersion, toVersion, "doc_id")
+      .rowDeltas(s, corpusDir, fromVersion, toVersion, "doc_id")
       .select("doc_id").distinct()
       .localCheckpoint() // used by three joins below; the delta join is not free
 
-    val corpus2 = MergeTable.read(spark, corpusDir, toVersion)
+    val corpus2 = MergeTable.read(s, corpusDir, toVersion)
     val newPairs = restrictedPairs(corpus2, changedIds, threshold)
       .localCheckpoint() // reused thrice below; the plan is expensive
 
@@ -181,7 +191,7 @@ object ClustersRefresh {
     val subAssign = Dedup.connectedComponentsAlternating(subEdges)
 
     val carried = oldAssign.join(affected, Seq("comp"), "left_anti")
-    writeVersion(spark, clustersDir, toVersion,
+    writeVersion(s, clustersDir, toVersion,
       carried.unionByName(subAssign), edges2)
   }
 

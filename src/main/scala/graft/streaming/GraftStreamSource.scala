@@ -111,10 +111,16 @@ private[graft] class GraftStreamSource(
     // span (`maxVersionsPerBatch`) and how many fresh BYTES it may
     // newly reference (`maxBytesPerBatch`) — a long-down consumer
     // catches up in bounded bites instead of one giant change join
-    val from = Option(start).map {
+    // a null start with snapshot=false must resume from the stream's
+    // PERSISTED base, not version 0: with capped admission a from=0
+    // fallback caps the first offsets BELOW base, batch 0 resolves
+    // empty (from >= to), and later batches replay pre-base versions
+    // the consumer opted out of. baseVersion is -1 in snapshot mode,
+    // so the clamp is a no-op there.
+    val from = math.max(Option(start).map {
       case l: LongOffset => l.offset
       case o => o.json.trim.toLong
-    }.getOrElse(0L)
+    }.getOrElse(0L), baseVersion.toLong)
     val byVersions = maxVersionsPerBatch
       .fold(capped)(m => math.min(capped, from + math.max(1, m)))
     val lim = maxBytesPerBatch.fold(byVersions) { cap =>
@@ -138,12 +144,22 @@ private[graft] class GraftStreamSource(
           .select(lit("x").as("_change") +:
             schema.fieldNames.toSeq.drop(1).map(col): _*)
           .limit(0)
-      case Some(from) =>
-        // the diff needs BOTH endpoint manifests — fail by NAME when a
-        // vacuum reclaimed them, before any file I/O
-        GraftStreamSource.requireRetained(spark, dir, from)
-        GraftStreamSource.requireRetained(spark, dir, to)
-        MergeTable.changes(spark, dir, from, to, keyCol)
+      case Some(rawFrom) =>
+        // defensively re-clamp to base: an offset log written before
+        // the latestOffset clamp existed may carry a below-base start
+        val from = math.max(rawFrom, baseVersion)
+        if (from >= to)
+          MergeTable.read(spark, dir, to).limit(0)
+            .select(lit("x").as("_change") +:
+              schema.fieldNames.toSeq.drop(1).map(col): _*)
+            .limit(0)
+        else {
+          // the diff needs BOTH endpoint manifests — fail by NAME when
+          // a vacuum reclaimed them, before any file I/O
+          GraftStreamSource.requireRetained(spark, dir, from)
+          GraftStreamSource.requireRetained(spark, dir, to)
+          MergeTable.changes(spark, dir, from, to, keyCol)
+        }
     }
     // align column order to the declared schema, then re-tag as a
     // streaming frame (MicroBatchExecution rejects a batch-tagged one)

@@ -60,26 +60,41 @@ class DedupClusterSpec extends SparkSpec {
       def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
         df.select(col("id").cast("long"), col("comp").cast("long"))
           .as[(Long, Long)].collect().toMap
-      val lp = labels(Dedup.connectedComponents(pairs, maxIter = 60))
-      val alt = labels(Dedup.connectedComponentsAlternating(pairs))
+      // force the DISTRIBUTED paths (maxDriverEdges = 0) and compare
+      // against the driver union-find default — three formulations,
+      // one labeling
+      val lp = labels(
+        Dedup.connectedComponents(pairs, maxIter = 60, maxDriverEdges = 0))
+      val alt = labels(
+        Dedup.connectedComponentsAlternating(pairs, maxDriverEdges = 0))
+      val drv = labels(Dedup.connectedComponents(pairs))
       assert(alt == lp, s"round $round: alternating != label propagation")
+      assert(drv == lp, s"round $round: driver union-find != label propagation")
     }
   }
 
   test("beyond-cap diameter: label propagation fails LOUDLY, star contraction converges") {
-    // a 60-node chain has diameter 59 — label propagation at the
-    // default 15-round cap cannot finish, and silently under-merged
-    // components would be the worst outcome; the guard must throw.
+    // a 60-node chain has diameter 59 — DISTRIBUTED label propagation
+    // (forced by maxDriverEdges = 0) at the default 15-round cap
+    // cannot finish, and silently under-merged components would be
+    // the worst outcome; the guard must throw.
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException](
-      Dedup.connectedComponents(chain).collect())
+      Dedup.connectedComponents(chain, maxDriverEdges = 0).collect())
     assert(e.getMessage.contains("did not converge"))
     // the O(log n) alternating form finishes well under its cap and
     // labels the whole chain as one component rooted at 1
-    val alt = Dedup.connectedComponentsAlternating(chain)
+    val alt = Dedup.connectedComponentsAlternating(chain, maxDriverEdges = 0)
       .select(col("id").cast("long"), col("comp").cast("long"))
       .as[(Long, Long)].collect().toMap
     assert(alt == (1L to 60L).map(_ -> 1L).toMap)
+    // the small-graph driver union-find (the default path at this
+    // size) agrees with the distributed contraction exactly — chains
+    // are its worst case for naive approaches, so pin it here too
+    val drv = Dedup.connectedComponents(chain)
+      .select(col("id").cast("long"), col("comp").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(drv == alt, "driver union-find must equal the distributed fixpoint")
   }
 
   test("dropExactDups convenience") {

@@ -281,6 +281,47 @@ class GraftStreamSourceSpec extends SparkSpec {
       "the batch-0 recovery replay must deliver the (base, loggedEnd] changes")
   }
 
+  test("snapshot=false + capped admission never replays pre-base versions") {
+    // round-16 ADVICE (medium): with snapshot=false AND
+    // maxVersionsPerBatch, a null-start latestOffset that fell back to
+    // from=0 capped the first offsets BELOW the stream-start base —
+    // batch 0 resolved empty and later batches emitted changes for
+    // versions BEFORE the stream's declared start (pre-base CDC rows
+    // the consumer opted out of). The clamp resumes from the base.
+    val root = tmpDir()
+    val dir = s"$root/t"; val ckpt = s"$root/ckpt"
+    MergeTable.create(spark, dir,
+      (0L until 20L).map(i => (i, s"n$i")).toDF("id", "name"), "id",
+      nBuckets = 2)
+    MergeTable.merge(spark, dir, Seq((1L, "pre1")).toDF("id", "name"), "id")
+    MergeTable.merge(spark, dir, Seq((2L, "pre2")).toDF("id", "name"), "id")
+    // head = 3; stream starts here with snapshot disabled and a
+    // 1-version admission cap
+    val sink = new ConcurrentLinkedQueue[(String, Long, String)]()
+    def drainCapped(): Unit = {
+      val q = spark.readStream.format("graft").option("path", dir)
+        .option("snapshot", "false").option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r: Row =>
+            sink.add((r.getString(0), r.getLong(1), r.getString(2))) }
+          ()
+        }.start()
+      q.awaitTermination(120000L)
+      ()
+    }
+    drainCapped()
+    assert(sink.isEmpty,
+      s"pre-base versions must never replay: ${sink.asScala.toSeq}")
+    // only post-start deltas arrive, the cap still batching by version
+    MergeTable.merge(spark, dir, Seq((6L, "post")).toDF("id", "name"), "id")
+    drainCapped()
+    assert(sink.asScala.toSet == Set(("update", 6L, "post")),
+      s"only the post-start delta may arrive: ${sink.asScala.toSeq}")
+  }
+
   test("the declared source schema is _change + the table's columns") {
     val dir = tmpDir() + "/t"
     MergeTable.create(spark, dir,
