@@ -1144,6 +1144,10 @@ object MergeTable {
   def rowDeltas(
       spark: SparkSession, dir: String, fromVersion: Int, toVersion: Int,
       keyCol: String): DataFrame = {
+    // the refresh family's standard entry: flag a caller about to plan
+    // this delta's exchanges at ≥10x the width its row bound deserves
+    // (skipped SizedSession.forDelta) — info-level, never a failure
+    graft.plans.Advisor.lintRefreshWidth(spark, dir, fromVersion, toVersion)
     val (j, template) = changedJoin(spark, dir, fromVersion, toVersion, keyCol)
     val differs = col("_old").isNotNull && col("_new").isNotNull &&
       !(col("_old") === col("_new"))

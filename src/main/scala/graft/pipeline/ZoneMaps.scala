@@ -62,7 +62,8 @@ object ZoneMaps {
     * footer re-harvest, never a wrong answer. */
   final case class Zone(
       kind: String, min: String, max: String, hasNulls: Boolean,
-      nullCount: Long = -1L) {
+      nullCount: Long = -1L,
+      minExact: Boolean = true, maxExact: Boolean = true) {
     def allNull: Boolean = if (kind == "str") min == null else min.isEmpty
     /** Could a row of this file satisfy `col ∈ [lo, hi]`? */
     def mightIntersect(lo: BigDecimal, hi: BigDecimal): Boolean =
@@ -97,8 +98,25 @@ object ZoneMaps {
     * query). Old-format sidecars simply carry no sum lines, so their
     * files degrade to the boundary scan, never a wrong answer — the
     * same trust ladder as formats 1→3 (nothing to DISTRUST here: a
-    * line that cannot exist needs no dropping). */
-  val FormatVersion = 4
+    * line that cannot exist needs no dropping).
+    *
+    * 5 = str zone lines carry per-bound EXACTNESS markers (an 8th
+    * field `me` of two 0/1 flags, min then max): a bound is exact when
+    * the harvest's own [[StrBoundCp]] truncation did NOT fire, i.e.
+    * the stored string IS a value the file holds — the precondition
+    * for MIN(strcol)/MAX(strcol) aggregate pushdown (a truncated
+    * prefix is a valid PRUNING bound but not a value; folding it into
+    * a MIN would fabricate an answer). Str lines from format ≤ 4
+    * sidecars read back with both flags FALSE — the bound stays
+    * usable for pruning, the aggregate degrades to the boundary scan,
+    * never a wrong answer. Trust boundary: parquet footer statistics
+    * are exact under the default writer config
+    * (`parquet.statistics.truncate.length` = MAX_INT; oversized
+    * binary stats are DROPPED, not truncated, which poisons the
+    * column here) — a writer explicitly configured to truncate footer
+    * stats is outside this format's claims, like any foreign-written
+    * file. */
+  val FormatVersion = 5
 
   /** Sidecar key of column `c`'s exact per-file sum — `#` cannot
     * appear in a parquet column path (the [[RowsKey]] precedent), so
@@ -378,9 +396,16 @@ object ZoneMaps {
         }
         val strCols = (accS -- poisoned).toMap.map {
           case (c, (mn, mx, nulls, nonNull, nc)) =>
+            // a bound is EXACT when our truncation did not fire — the
+            // stored string is then a value the file holds, so it may
+            // fold into a MIN/MAX aggregate, not just prune
             c -> Zone("str",
               if (nonNull) truncLower(mn) else null,
-              if (nonNull) truncUpper(mx).orNull else null, nulls, nc)
+              if (nonNull) truncUpper(mx).orNull else null, nulls, nc,
+              minExact =
+                nonNull && mn.codePointCount(0, mn.length) <= StrBoundCp,
+              maxExact =
+                nonNull && mx.codePointCount(0, mx.length) <= StrBoundCp)
         }
         rel -> (cols ++ strCols + (RowsKey ->
           Zone("count", fileRows.toString, fileRows.toString, false, 0L)))
@@ -466,12 +491,14 @@ object ZoneMaps {
     val body = (s"#format\t$FormatVersion" +:
       all.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
         cols.toSeq.sortBy(_._1).map { case (c, z) =>
-          val (mn, mx) =
-            if (z.kind == "str")
-              (if (z.min == null) StrNone else esc(z.min),
-                if (z.max == null) StrInf else esc(z.max))
-            else (z.min, z.max)
-          s"$rel\t$c\t${z.kind}\t$mn\t$mx\t${z.hasNulls}\t${z.nullCount}"
+          if (z.kind == "str") {
+            val mn = if (z.min == null) StrNone else esc(z.min)
+            val mx = if (z.max == null) StrInf else esc(z.max)
+            val me = (if (z.minExact) "1" else "0") +
+              (if (z.maxExact) "1" else "0")
+            s"$rel\t$c\t${z.kind}\t$mn\t$mx\t${z.hasNulls}\t${z.nullCount}\t$me"
+          } else
+            s"$rel\t$c\t${z.kind}\t${z.min}\t${z.max}\t${z.hasNulls}\t${z.nullCount}"
         }
       }).mkString("", "\n", "\n")
     // temp + rename: the sidecar's PRESENCE is a completeness signal
@@ -516,15 +543,21 @@ object ZoneMaps {
       val zoneLines = lines.filterNot(_.startsWith("#format\t"))
       Some(zoneLines.map { l =>
         val a = l.split("\t", -1)
-        require(a.length == 6 || a.length == 7, s"corrupt zones line: $l")
+        require(a.length >= 6 && a.length <= 8, s"corrupt zones line: $l")
         // 6 fields = legacy (pre-nullCount) sidecar → nullCount unknown
-        val nc = if (a.length == 7) a(6).toLong else -1L
-        val (mn, mx) =
-          if (a(2) == "str")
-            (if (a(3) == StrNone) null else unesc(a(3)),
-              if (a(4) == StrInf || a(4) == StrNone) null else unesc(a(4)))
-          else (a(3), a(4))
-        (a(0), a(1), Zone(a(2), mn, mx, a(5).toBoolean, nc))
+        val nc = if (a.length >= 7) a(6).toLong else -1L
+        if (a(2) == "str") {
+          val mn = if (a(3) == StrNone) null else unesc(a(3))
+          val mx = if (a(4) == StrInf || a(4) == StrNone) null else unesc(a(4))
+          // format 5 str lines carry the exactness pair; older formats
+          // read back inexact (pruning unaffected, min/max pushdown
+          // degrades to the boundary scan)
+          val (me, xe) =
+            if (a.length == 8 && fmt >= 5) (a(7)(0) == '1', a(7)(1) == '1')
+            else (false, false)
+          (a(0), a(1), Zone(a(2), mn, mx, a(5).toBoolean, nc, me, xe))
+        } else
+          (a(0), a(1), Zone(a(2), a(3), a(4), a(5).toBoolean, nc))
       }.filterNot(r => fmt < 2 && r._3.kind == "long")
         // format < 3: all-null claims predate the proven-absence
         // harvest (NaN-bearing double blocks / oversized-binary str

@@ -66,6 +66,61 @@ object Advisor {
 
   final case class Advisory(level: String, rule: String, node: String, message: String)
 
+  // ---- runtime advisories --------------------------------------------
+  // Some smells are visible only WHILE library code runs, not in a
+  // returned DataFrame's plan — the IVM refresh family executes its
+  // exchanges as a side effect inside a refresh call, so a per-plan
+  // advise() never sees them. Those checks record here (bounded ring,
+  // newest last) and log, so a spec — or an operator's REPL — can ask
+  // "what did the engine notice while that ran".
+  private val runtime = new java.util.ArrayDeque[Advisory]()
+
+  private[graft] def record(a: Advisory): Unit = synchronized {
+    runtime.addLast(a)
+    while (runtime.size > 64) { runtime.removeFirst(); () }
+  }
+
+  /** The most recent runtime advisories (newest last, ≤ 64 kept). */
+  def recentRuntime: Seq[Advisory] = synchronized {
+    import scala.jdk.CollectionConverters._
+    runtime.iterator().asScala.toSeq
+  }
+
+  /** Clear the runtime ring (test isolation). */
+  private[graft] def clearRuntime(): Unit = synchronized { runtime.clear() }
+
+  /** `wide_refresh` (round-17 verdict ask #5): a maintained-view
+    * refresh about to run its exchanges at a session width ≥ 10× what
+    * the transition's metadata row bound deserves — the smell every
+    * refresher that skips [[graft.ops.SizedSession]] exhibits (~1,000
+    * near-empty tasks per micro-commit at session width; millions on a
+    * 2,000-partition production session). Called from
+    * [[graft.pipeline.MergeTable.rowDeltas]] — the refresh family's
+    * standard delta feed — so a future refresher cannot silently plan
+    * wide. Metadata-only (manifest + sidecar row bound); silent when
+    * the bound is unknown. */
+  private[graft] def lintRefreshWidth(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): Unit =
+    scala.util.Try {
+      graft.pipeline.MergeTable
+        .changedRowsBound(spark, dir, fromVersion, toVersion)
+        .foreach { rows =>
+          val sized = graft.ops.SizedSession.widthFor(
+            spark, rows, graft.ops.SizedSession.RefreshRowsPerPartition)
+          val session = spark.conf
+            .getOption("spark.sql.shuffle.partitions").map(_.toInt)
+            .getOrElse(spark.sparkContext.defaultParallelism)
+          if (session >= 10 * math.max(sized, 1))
+            record(Advisory("info", "wide_refresh", s"rowDeltas($dir)",
+              s"refresh v$fromVersion->v$toVersion bounds at ~$rows rows " +
+                s"(sized width $sized) but the executing session plans " +
+                s"$session shuffle partitions — wrap the refresh in " +
+                "SizedSession.forDelta so task counts scale with the " +
+                "delta, not the session"))
+        }
+    }.getOrElse(())
+
   /** Advisories for `df`'s physical plan, severity-ordered
     * (warn before info). */
   def advise(df: Dataset[_]): Seq[Advisory] = {

@@ -369,6 +369,16 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Types whose per-file min/max can fold into a MIN/MAX aggregate:
+    * the numeric/temporal lattice (zone endpoints are exact), plus
+    * (round 17) STRINGS — whose zone bounds are exact only when the
+    * harvest's truncation did not fire, so each file's contribution
+    * additionally checks the format-5 exactness markers
+    * ([[ZoneMaps.Zone.minExact]]/`maxExact`); an inexact bound makes
+    * that file Boundary (scan), never a fabricated value. */
+  private def isMinMaxMeta(dt: DataType): Boolean =
+    isNumericMeta(dt) || dt == StringType
+
   /** Types whose per-file sums fold EXACTLY (BigDecimal addition of
     * integer sums) — the SUM/AVG pushdown precondition. Float/double
     * are out: fp addition is non-associative, so a metadata fold could
@@ -450,9 +460,28 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     e match {
       case a: AttributeReference if isOrderedPrim(a.dataType) =>
         Some(GroupKey(a, a))
-      case _ => mono(e).map(a => GroupKey(e, a))
+      case _ => mono(e).flatMap { a =>
+        // session-ZONED timestamps truncate through instant→local
+        // conversion, which is monotone only when the session zone has
+        // no backward transitions (a rollback crossing a truncation
+        // boundary — e.g. a historical midnight fall-back — maps later
+        // instants into an EARLIER group, so equal truncated endpoints
+        // would no longer prove file-constancy). Fixed-offset zones
+        // (UTC, GMT±X) are transition-free; DateType/TimestampNTZType
+        // sources have no zone dependence at all (round-16 ADVICE).
+        if (a.dataType == TimestampType && !sessionZoneIsFixedOffset) None
+        else Some(GroupKey(e, a))
+      }
     }
   }
+
+  /** Is the session time zone fixed-offset (no DST/historical
+    * transitions)? The admission gate for time-derived grouping keys
+    * over session-zoned timestamps. */
+  private def sessionZoneIsFixedOffset: Boolean =
+    Try(java.time.ZoneId
+      .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      .getRules.isFixedOffset).getOrElse(false)
 
   /** The key's value with `v` (the zone endpoint, internal form)
     * substituted for the source attribute — an invalid trunc unit
@@ -512,8 +541,24 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
     * Round 14: ANY number of grouping columns — a file decides when it
     * is constant in EVERY group key (the [[MergeTable
     * .clusterByCols]] lexicographic layout makes that most files). */
+  /** One grouped output column: Left(i) = the i-th grouping key, or
+    * Right((alias, slots)) = an aggregate-bearing alias with its FLAT
+    * inner slots — (round 17) the same wrapped-alias admission as the
+    * ungrouped path, so `unix_micros(MAX(ts))` or `MAX(n) - MIN(n)`
+    * per group push down too; each reconstruction path substitutes the
+    * per-slot results back through the alias's scalar structure. */
+  private type GroupedSlot = Either[Int, (Alias, Seq[(AggregateExpression, MetaAgg)])]
+
+  private def shapeOk(m: MetaAgg): Boolean = m match {
+    case RowCount | NonNull(_) => true
+    case MinOf(_, dt) => isMinMaxMeta(dt)
+    case MaxOf(_, dt) => isMinMaxMeta(dt)
+    case SumOf(_, dt) => isIntegralMeta(dt)
+    case AvgOf(_, dt) => isIntegralMeta(dt)
+  }
+
   private def groupedShapes(agg: Aggregate)
-      : Option[(Seq[GroupKey], Seq[Either[Int, MetaAgg]])] = {
+      : Option[(Seq[GroupKey], Seq[GroupedSlot])] = {
     val (defs, _) = groupedTarget(agg)
     def resolve(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
@@ -522,23 +567,23 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       groupKeyOf(resolve(e)).getOrElse(return None)
     }
     if (keys.isEmpty) return None
-    val slots = agg.aggregateExpressions.map {
+    val slots: Seq[Option[GroupedSlot]] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         val ra = resolve(a)
         val i = keys.indexWhere(_.expr.semanticEquals(ra))
         if (i >= 0) Some(Left(i)) else None
-      case Alias(e, _) if keys.exists(_.expr.semanticEquals(resolve(e))) =>
-        Some(Left(keys.indexWhere(_.expr.semanticEquals(resolve(e)))))
-      case Alias(e, _) => metaOf(e).collect {
-        case m @ (RowCount | NonNull(_)) => Right(m)
-        case m @ MinOf(_, dt) if isNumericMeta(dt) => Right(m)
-        case m @ MaxOf(_, dt) if isNumericMeta(dt) => Right(m)
-        case m @ SumOf(_, dt) if isIntegralMeta(dt) => Right(m)
-        case m @ AvgOf(_, dt) if isIntegralMeta(dt) => Right(m)
-      }
+      case al @ Alias(e, _) =>
+        val ki = keys.indexWhere(_.expr.semanticEquals(resolve(e)))
+        if (ki >= 0) Some(Left(ki))
+        else metaSlots(e) match {
+          case Some(ss) if ss.forall(s => shapeOk(s._2)) =>
+            Some(Right((al, ss)))
+          case _ => None
+        }
       case _ => None
     }
-    if (slots.forall(_.isDefined) && slots.flatten.exists(_.isRight))
+    if (slots.forall(_.isDefined) &&
+        slots.flatten.exists(_.isRight))
       Some((keys, slots.flatten))
     else None
   }
@@ -558,16 +603,23 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
       }
       case SumOf(c, _) => sumContrib(c, fz, rows)
       case AvgOf(c, _) => sumContrib(c, fz, rows)
-      case MinOf(_, dt) if !isNumericMeta(dt) => None
-      case MaxOf(_, dt) if !isNumericMeta(dt) => None
+      case MinOf(_, dt) if !isMinMaxMeta(dt) => None
+      case MaxOf(_, dt) if !isMinMaxMeta(dt) => None
       case MinOf(c, dt) => fz.get(c) match {
         case Some(z) if z.allNull => Some(Right(null))
+        // string zone mins fold only when EXACT (the stored string IS
+        // a value the file holds — format-5 marker); a truncated
+        // prefix is a pruning bound, not an answer -> Boundary
+        case Some(z) if z.kind == "str" =>
+          if (dt == StringType && z.minExact) Some(Right(z.min)) else None
         case Some(z) if z.kind == "long" || z.kind == "double" =>
           Try(internal(dt, z.min)).toOption.map(Right(_))
         case _ => None
       }
       case MaxOf(c, dt) => fz.get(c) match {
         case Some(z) if z.allNull => Some(Right(null))
+        case Some(z) if z.kind == "str" =>
+          if (dt == StringType && z.maxExact) Some(Right(z.max)) else None
         case Some(z) if z.kind == "long" || z.kind == "double" =>
           Try(internal(dt, z.max)).toOption.map(Right(_))
         case _ => None
@@ -770,8 +822,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         agg.aggregateExpressions.forall {
           case Alias(e, _) => metaSlots(e).exists(_.forall {
             case (_, RowCount | NonNull(_)) => true
-            case (_, MinOf(_, dt)) => isNumericMeta(dt)
-            case (_, MaxOf(_, dt)) => isNumericMeta(dt)
+            case (_, MinOf(_, dt)) => isMinMaxMeta(dt)
+            case (_, MaxOf(_, dt)) => isMinMaxMeta(dt)
             case (_, SumOf(_, dt)) => isIntegralMeta(dt)
             case (_, AvgOf(_, dt)) => isIntegralMeta(dt)
           })
@@ -822,7 +874,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         // are provably untouched.
         val dvBuckets = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
           .map(_.bucket).toSet
-        val aggs = shapes.collect { case Right(m) => m }
+        val aliasSlots = shapes.collect { case Right(x) => x }
+        val flatSlots: Seq[(AggregateExpression, MetaAgg)] =
+          aliasSlots.flatMap(_._2)
+        val aggs = flatSlots.map(_._2)
         val byBucket = MergeTable.fileIndex(spark, rel.dir, rel.v)
         val fileBucket: Map[String, Int] = byBucket.toSeq.flatMap {
           case (b, fs) => fs.map(_ -> b) }.toMap
@@ -884,9 +939,20 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           var ci = -1
           shapes.map {
             case Left(i) => catalystVal(keys(i).expr.dataType, gv(i).orNull)
-            case Right(m) =>
-              ci += 1
-              slotFinal(m, cnt(ci), mval(ci))
+            case Right((al, ss)) =>
+              // substitute each inner slot's computed value (internal
+              // form — string slots fold as java Strings) and evaluate
+              // the alias's scalar wrapper, the ungrouped evalRow move
+              val repl: Map[Expression, Expression] = ss.map {
+                case (ae, _) =>
+                  ci += 1
+                  val v = slotFinal(aggs(ci), cnt(ci), mval(ci))
+                  (ae: Expression) -> (Literal(
+                    catalystVal(ae.dataType, v), ae.dataType): Expression)
+              }.toMap
+              al.child.transform {
+                case ae: AggregateExpression => repl(ae)
+              }.eval(null)
           }
         }
         if (partial.isEmpty)
@@ -903,9 +969,6 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           val pruned = Project(
             subset.output.filter(a => cols.contains(a.name)), subset)
           val filtered = condO.fold(pruned: LogicalPlan)(Filter(_, pruned))
-          val origAggs = agg.aggregateExpressions.collect {
-            case Alias(e, _) if metaOf(e).isDefined => e
-          }
           // AVG carries TWO partial columns through the Union — (sum,
           // count), the decomposition Spark's own partial aggregation
           // uses — so the final merge can divide totals; every other
@@ -916,7 +979,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           }
           val aggAliases = aggs.zipWithIndex.flatMap {
             case (AvgOf(_, _), i) =>
-              val ch = origAggs(i).asInstanceOf[AggregateExpression]
+              val ch = flatSlots(i)._1
                 .aggregateFunction.asInstanceOf[Average].child
               Seq(
                 Alias(Sum(ch).toAggregateExpression(),
@@ -924,7 +987,7 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
                 Alias(Count(Seq(ch)).toAggregateExpression(),
                   s"__graft_boundary_gn$i")())
             case (_, i) =>
-              Seq(Alias(origAggs(i), s"__graft_boundary_gcnt$i")())
+              Seq(Alias(flatSlots(i)._1, s"__graft_boundary_gcnt$i")())
           }
           // grouping by the key EXPRESSIONS (bare attributes stay
           // bare; a derived time key re-evaluates exactly over the
@@ -971,6 +1034,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
                 case (AvgOf(_, _), i) => Seq(
                   if (mval(i) == null) null else exactLong(mval(i)): Any,
                   cnt(i): Any)
+                case (MinOf(_, dt), i) => Seq(catalystVal(dt, mval(i)))
+                case (MaxOf(_, dt), i) => Seq(catalystVal(dt, mval(i)))
                 case (_, i) => Seq(mval(i))
               }
               InternalRow.fromSeq(
@@ -980,32 +1045,49 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           val union = Union(Seq(inner, metaRel))
           val uo = union.output // (g1..gn, a0, a1, …)
           var off = nG
+          var fi = -1
+          /** The merged (boundary ⊕ metadata) aggregate of flat slot
+            * `i` over the union's columns. */
+          def mergedOf(i: Int, base: Int): Expression = aggs(i) match {
+            case RowCount | NonNull(_) =>
+              KnownNotNull(Coalesce(Seq(
+                Sum(uo(base)).toAggregateExpression(),
+                Literal(0L, LongType))))
+            case MinOf(_, _) => Min(uo(base)).toAggregateExpression()
+            case MaxOf(_, _) => Max(uo(base)).toAggregateExpression()
+            // Sum of the per-branch partial sums: null-skipping and
+            // null iff every partial is null — exactly SQL SUM
+            case SumOf(_, _) => Sum(uo(base)).toAggregateExpression()
+            case AvgOf(_, _) =>
+              val totSum = Sum(uo(base)).toAggregateExpression()
+              val totCnt = Coalesce(Seq(
+                Sum(uo(base + 1)).toAggregateExpression(),
+                Literal(0L, LongType)))
+              If(EqualTo(totCnt, Literal(0L, LongType)),
+                Literal(null, DoubleType),
+                Divide(Cast(totSum, DoubleType), Cast(totCnt, DoubleType)))
+          }
           val finalExprs = shapes.zip(agg.aggregateExpressions).map {
             case (Left(i), orig) =>
               Alias(uo(i), orig.name)(exprId = orig.exprId)
-            case (Right(m), orig) =>
-              val base = off
-              off += widthOf(m)
-              val merged = m match {
-                case RowCount | NonNull(_) =>
-                  KnownNotNull(Coalesce(Seq(
-                    Sum(uo(base)).toAggregateExpression(),
-                    Literal(0L, LongType))))
-                case MinOf(_, _) => Min(uo(base)).toAggregateExpression()
-                case MaxOf(_, _) => Max(uo(base)).toAggregateExpression()
-                // Sum of the per-branch partial sums: null-skipping and
-                // null iff every partial is null — exactly SQL SUM
-                case SumOf(_, _) => Sum(uo(base)).toAggregateExpression()
-                case AvgOf(_, _) =>
-                  val totSum = Sum(uo(base)).toAggregateExpression()
-                  val totCnt = Coalesce(Seq(
-                    Sum(uo(base + 1)).toAggregateExpression(),
-                    Literal(0L, LongType)))
-                  If(EqualTo(totCnt, Literal(0L, LongType)),
-                    Literal(null, DoubleType),
-                    Divide(Cast(totSum, DoubleType), Cast(totCnt, DoubleType)))
-              }
-              Alias(merged, orig.name)(exprId = orig.exprId)
+            case (Right((al, ss)), orig) =>
+              // graft each inner slot's merged aggregate back through
+              // the alias's scalar wrapper (round 17 — the ungrouped
+              // hybrid's reconstruction, now per group)
+              val repl: Map[Expression, Expression] = ss.map {
+                case (ae, _) =>
+                  fi += 1
+                  val base = off
+                  off += widthOf(aggs(fi))
+                  (ae: Expression) -> mergedOf(fi, base)
+              }.toMap
+              // the guard matters: transform recurses INTO each
+              // replacement, whose merged expression itself contains
+              // aggregates (Sum/Min over the union) — an unguarded
+              // match would look those up and miss
+              Alias(al.child.transform {
+                case ae: AggregateExpression if repl.contains(ae) => repl(ae)
+              }, orig.name)(exprId = orig.exprId)
           }
           Aggregate(uo.take(nG), finalExprs, union): LogicalPlan
         }
@@ -1086,8 +1168,8 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
         agg.aggregateExpressions.forall {
           case Alias(e, _) => metaSlots(e).exists(_.forall {
             case (_, RowCount | NonNull(_)) => true
-            case (_, MinOf(_, dt)) => isNumericMeta(dt)
-            case (_, MaxOf(_, dt)) => isNumericMeta(dt)
+            case (_, MinOf(_, dt)) => isMinMaxMeta(dt)
+            case (_, MaxOf(_, dt)) => isMinMaxMeta(dt)
             case (_, SumOf(_, dt)) => isIntegralMeta(dt)
             case (_, AvgOf(_, dt)) => isIntegralMeta(dt)
           })
@@ -1117,7 +1199,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
               val repl: Map[Expression, Expression] = slots.map {
                 case (ae, _) =>
                   off += 1
-                  (ae: Expression) -> (Literal(valueAt(off), ae.dataType)
+                  // catalystVal: string slot values fold as java
+                  // Strings but Literal/eval work on internal values
+                  (ae: Expression) -> (Literal(
+                    catalystVal(ae.dataType, valueAt(off)), ae.dataType)
                     : Expression)
               }.toMap
               al.child.transform {
@@ -1132,6 +1217,10 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
           // has a format-4 sum line)
           val needsSums = shapes.exists {
             case SumOf(_, _) | AvgOf(_, _) => true
+            // string min/max need the PER-FILE zones (their exactness
+            // markers decide which files may fold); the column-summary
+            // zero-scan path below has no per-file view
+            case MinOf(_, StringType) | MaxOf(_, StringType) => true
             case _ => false
           }
           val dv = MergeTable.pendingDeletes(spark, rel.dir, rel.v)
@@ -1281,9 +1370,11 @@ object GraftMetaAggregate extends Rule[LogicalPlan] {
                     // largest ordering Min/Max use, so combining the
                     // boundary scan's exact extreme with the
                     // metadata fold preserves SQL semantics
-                    Least(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
+                    Least(Seq(ias.head.toAttribute,
+                      Literal(catalystVal(dt, metaVal(i)), dt)))
                   case MaxOf(_, dt) =>
-                    Greatest(Seq(ias.head.toAttribute, Literal(metaVal(i), dt)))
+                    Greatest(Seq(ias.head.toAttribute,
+                      Literal(catalystVal(dt, metaVal(i)), dt)))
                   case SumOf(_, _) => mergedSum
                   case AvgOf(_, _) =>
                     val totCnt = Add(ias(1).toAttribute,

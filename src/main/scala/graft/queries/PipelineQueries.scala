@@ -2889,6 +2889,57 @@ object PipelineQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(value) AS BIGINT) AS n_val
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** STRING MIN/MAX metadata pushdown ([[graft.plans
+    * .GraftMetaAggregate]], round 17): `MIN/MAX(event_type)` over the
+    * events MergeTable answers from the format-5 str zone lines with
+    * ZERO data scan — a bound folds only when its exactness marker
+    * says the harvest's 16-codepoint truncation did not fire (a
+    * truncated prefix prunes but never fabricates an answer; inexact
+    * files would ride the boundary-scan hybrid). `MIN(url)/MAX(lang)`
+    * over a clustered corpus is routine corpus accounting at 100 TB.
+    * Oracle: DuckDB recomputes over the raw events parquet — ASCII
+    * values, so code-point and binary collation agree. */
+  private val eventsMetaStrMinmax: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_str_t")
+    s.sql(
+      """SELECT MIN(event_type) AS mn_et, MAX(event_type) AS mx_et,
+        |  COUNT(event_type) AS n_et
+        |FROM ev_str_t""".stripMargin)
+  }
+
+  private val eventsMetaStrMinmaxSql =
+    """SELECT MIN(event_type) AS mn_et, MAX(event_type) AS mx_et,
+      |  CAST(COUNT(event_type) AS BIGINT) AS n_et
+      |FROM events""".stripMargin
+
+  /** TIME-DERIVED GROUPED SUM/MAX (round 17, the round-16 follow-on):
+    * "per week, total volume and latest event" — the weekly grouping
+    * key composes with the SUM slot (format-4 exact sum lines) and a
+    * WRAPPED `unix_micros(MAX(ts))` slot (the grouped path now grafts
+    * scalar wrappers like the ungrouped one). Week-constant files
+    * contribute sums and extremes from the sidecar; only
+    * week-straddling files scan. Oracle: DuckDB recomputes the weekly
+    * totals over the raw events parquet. */
+  private val eventsMetaSumPerWeek: Q = (s, d) => {
+    val (dir, v) = IvmScaffold.eventsByTime(s, d)
+    s.read.format("graft").option("path", dir).option("version", v.toString)
+      .load().createOrReplaceTempView("ev_sumweek_t")
+    s.sql(
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  SUM(user_id) AS sum_uid, unix_micros(MAX(ts)) AS max_ts_us,
+        |  COUNT(*) AS n
+        |FROM ev_sumweek_t GROUP BY 1 ORDER BY week""".stripMargin)
+  }
+
+  private val eventsMetaSumPerWeekSql =
+    """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
   /** TS-ORDERED TOP-K over zones ([[graft.plans.GraftTopK]] on the
     * round-16 timestamp lattice): `ORDER BY ts DESC LIMIT 10` over the
     * ts-clustered events table prunes to the files whose ts-zone max
@@ -4580,6 +4631,8 @@ object PipelineQueries {
     "events_meta_ts_minmax" -> eventsMetaTsMinmax,
     "events_meta_ts_range" -> eventsMetaTsRange,
     "events_meta_per_week" -> eventsMetaPerWeek,
+    "events_meta_str_minmax" -> eventsMetaStrMinmax,
+    "events_meta_sum_per_week" -> eventsMetaSumPerWeek,
     "events_topk_recent" -> eventsTopkRecent,
     "doc_meta_count_ledger" -> docMetaCountLedger,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSource,
@@ -4716,6 +4769,8 @@ object PipelineQueries {
     "events_meta_ts_minmax" -> eventsMetaTsMinmaxSql,
     "events_meta_ts_range" -> eventsMetaTsRangeSql,
     "events_meta_per_week" -> eventsMetaPerWeekSql,
+    "events_meta_str_minmax" -> eventsMetaStrMinmaxSql,
+    "events_meta_sum_per_week" -> eventsMetaSumPerWeekSql,
     "events_topk_recent" -> eventsTopkRecentSql,
     "doc_meta_count_ledger" -> docMetaCountLedgerSql,
     "doc_meta_count_by_lang_source" -> docMetaCountByLangSourceSql,

@@ -173,6 +173,32 @@ class AdvisorSpec extends SparkSpec {
     assert(offenders.isEmpty, s"undocumented plan smells: $offenders")
   }
 
+  test("wide_refresh: a session-width refresh over a micro-delta flags; the SizedSession path stays silent (round 17)") {
+    import graft.pipeline.MergeTable
+    val dir = s"${Files.createTempDirectory("graft-widerf")}/t"
+    MergeTable.create(spark, dir,
+      (0L until 500L).map(i => (i, s"v$i")).toDF("id", "s"), "id",
+      nBuckets = 2)
+    MergeTable.merge(spark, dir, Seq((3L, "x")).toDF("id", "s"), "id")
+
+    // offender: a refresher that skips SizedSession — rowDeltas runs
+    // on a 64-partition session over a ~handful-of-rows delta
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "64")
+    Advisor.clearRuntime()
+    MergeTable.rowDeltas(wide, dir, 1, 2, "id").count()
+    assert(Advisor.recentRuntime.exists(_.rule == "wide_refresh"),
+      s"a 64-wide micro-delta refresh must flag: ${Advisor.recentRuntime}")
+
+    // clean twin: the compliant entry — forDelta hands back a sized
+    // session, so the same delta plans at its bound and stays silent
+    Advisor.clearRuntime()
+    val sized = graft.ops.SizedSession.forDelta(wide, dir, 1, 2)
+    MergeTable.rowDeltas(sized, dir, 1, 2, "id").count()
+    assert(!Advisor.recentRuntime.exists(_.rule == "wide_refresh"),
+      s"the delta-sized path must stay silent: ${Advisor.recentRuntime}")
+  }
+
   test("clean aggregation carries no warnings, info lines report shuffles + codegen") {
     val clean = fact.groupBy("k").agg(sum("id").as("s"))
     val advs = Advisor.advise(clean)

@@ -77,8 +77,10 @@ class MetaAggregatePushdownSpec extends SparkSpec {
     val distinct = spark.sql("SELECT COUNT(DISTINCT x) AS n FROM magg2")
     assert(distinct.as[Long].head() == 7)
 
+    // short string values → exact zone bounds (format 5) → the string
+    // MIN pushes down too now (round 17); the dedicated string test
+    // covers the truncated/boundary cases
     val str = spark.sql("SELECT MIN(name) AS mn FROM magg2")
-    assert(hasScan(str), "string min/max must scan (truncated zones)")
     assert(str.as[String].head() == "s0")
 
     val expr = spark.sql("SELECT COUNT(*) + 1 AS n FROM magg2")
@@ -756,6 +758,134 @@ class MetaAggregatePushdownSpec extends SparkSpec {
       .contains("__graft_meta_gcnt"),
       "cyclic extractors must never take the metadata path")
     assert(byHour.count() == 24)
+  }
+
+  test("string MIN/MAX: exact zone bounds answer from metadata; truncated bounds force the boundary scan (round 17)") {
+    // short values everywhere: every file's str zone stores the value
+    // itself (exactness markers set) → zero-scan LocalRelation
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      (0L until 500L).map(i => (i, f"u$i%03d", if (i % 9 == 0) null else s"l${i % 5}"))
+        .toDF("id", "url", "lang"),
+      "id", nBuckets = 4)
+    spark.read.format("graft").option("path", dir).load()
+      .createOrReplaceTempView("mstr")
+    val q = spark.sql(
+      "SELECT MIN(url) AS mnu, MAX(url) AS mxu, MIN(lang) AS mnl, MAX(lang) AS mxl FROM mstr")
+    assert(!hasScan(q), "exact string zones must answer from metadata:\n" +
+      q.queryExecution.executedPlan)
+    assert(q.as[(String, String, String, String)].head() ==
+      (("u000", "u499", "l0", "l4")))
+
+    // long values (> the 16-codepoint zone bound) in SOME files: those
+    // files' bounds are inexact → they scan, short-value files still
+    // fold, and the merged answer equals the full scan
+    val dir2 = tmpDir()
+    MergeTable.create(spark, dir2,
+      (0L until 600L).map { i =>
+        val s = if (i >= 580) s"zzzz-long-value-${"x" * 30}-$i"
+          else f"v$i%03d"
+        (i, s)
+      }.toDF("id", "s"),
+      "id", nBuckets = 2)
+    val v2 = MergeTable.clusterBy(spark, dir2, "id", filesPerBucket = 4)
+    spark.read.format("graft")
+      .option("path", dir2).option("version", v2.toString).load()
+      .createOrReplaceTempView("mstr2")
+    val q2 = spark.sql("SELECT MIN(s) AS mn, MAX(s) AS mx FROM mstr2")
+    val want = MergeTable.read(spark, dir2, v2)
+      .agg(min($"s"), max($"s")).as[(String, String)].head()
+    assert(q2.as[(String, String)].head() == want,
+      "the hybrid string answer must equal the scan")
+    assert(want._2.startsWith("zzzz-long-value-"),
+      "the true max must be one of the truncation-length values")
+    if (hasScan(q2)) {
+      val nFiles = MergeTable.fileIndex(spark, dir2, v2).values.flatten.size
+      assert(graft.sources.GraftRelation.lastPruned._2 < nFiles,
+        "only inexact-bound files may scan")
+    }
+
+    // grouped: MIN/MAX(url) per lang over a lang-clustered layout
+    val dir3 = tmpDir()
+    MergeTable.create(spark, dir3,
+      (0L until 600L).map { i =>
+        val lang = if (i < 200) "de" else if (i < 400) "en" else "fr"
+        (i, lang, f"u$i%03d")
+      }.toDF("id", "lang", "url"),
+      "id", nBuckets = 2)
+    val v3 = MergeTable.clusterBy(spark, dir3, "lang", filesPerBucket = 3)
+    spark.read.format("graft")
+      .option("path", dir3).option("version", v3.toString).load()
+      .createOrReplaceTempView("mstr3")
+    val g = spark.sql(
+      "SELECT lang, MIN(url) AS mn, MAX(url) AS mx, COUNT(*) AS n FROM mstr3 GROUP BY lang")
+    val gWant = MergeTable.read(spark, dir3, v3)
+      .groupBy($"lang").agg(min($"url").as("mn"), max($"url").as("mx"),
+        count(lit(1)).as("n"))
+    assert(g.collect().toSet == gWant.collect().toSet,
+      "grouped string extremes must equal the scan")
+  }
+
+  test("grouped wrapped aliases: per-week SUM/MAX(ts) pushes through scalar wrappers (round 17)") {
+    val dir = tmpDir()
+    // 40 days hourly, ts-clustered — the events_meta_sum_per_week shape:
+    // GROUP BY a monotone week floor, slots carry unix_micros(MAX(ts))
+    // and a SUM, both inside scalar wrappers the optimizer collapsed
+    MergeTable.create(spark, dir,
+      spark.range(0, 960).select(col("id"),
+        expr("timestamp_micros(1704067200000000L + id * 3600000000L)").as("ts"),
+        (col("id") % 11).as("w")),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 6)
+    spark.read.format("graft")
+      .option("path", dir).option("version", v.toString).load()
+      .createOrReplaceTempView("gweek")
+    val q = spark.sql(
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  SUM(w) AS sw, unix_micros(MAX(ts)) AS mx_us,
+        |  MAX(id) - MIN(id) AS spread
+        |FROM gweek GROUP BY 1 ORDER BY week""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.toString.contains("__graft_meta_g") ||
+      q.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "the wrapped grouped aggregate must carry a metadata branch:\n" +
+        q.queryExecution.optimizedPlan)
+    val want = MergeTable.read(spark, dir, v)
+      .groupBy(date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(sum($"w").as("sw"), unix_micros(max($"ts")).as("mx_us"),
+        (max($"id") - min($"id")).as("spread"))
+      .orderBy("week")
+    assert(q.collect().toSeq == want.collect().toSeq,
+      "wrapped grouped metadata answers must equal the scan")
+  }
+
+  test("time-derived keys over session-zoned timestamps refuse non-fixed-offset zones (round 17)") {
+    // a zone with DST transitions makes instant->local truncation
+    // non-monotone (a historical midnight rollback maps later instants
+    // into an earlier day), so equal truncated endpoints no longer
+    // prove file-constancy — the metadata path must refuse and the
+    // answer must come from the (session-zone-correct) scan
+    val dir = tmpDir()
+    MergeTable.create(spark, dir,
+      spark.range(0, 480).select(col("id"),
+        expr("timestamp_micros(1704067200000000L + id * 3600000000L)").as("ts")),
+      "id", nBuckets = 2)
+    val v = MergeTable.clusterBy(spark, dir, "ts", filesPerBucket = 6)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+      spark.read.format("graft")
+        .option("path", dir).option("version", v.toString).load()
+        .createOrReplaceTempView("gtz")
+      val q = spark.sql(
+        """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+          |FROM gtz GROUP BY 1 ORDER BY day""".stripMargin)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__graft_meta_g"),
+        "derived keys over session-zoned ts must refuse a transition-ful zone")
+      val want = MergeTable.read(spark, dir, v)
+        .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+        .orderBy("day")
+      assert(q.collect().toSeq == want.collect().toSeq)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("time travel: the pushed answer comes from the relation's pinned version") {

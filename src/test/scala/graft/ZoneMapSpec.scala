@@ -81,6 +81,54 @@ class ZoneMapSpec extends SparkSpec {
     assert(got == Set(42L))
   }
 
+  test("format-5 string exactness markers: short values exact, truncated bounds marked inexact, sidecar round-trips, old formats degrade") {
+    val dir = s"${Files.createTempDirectory("graft-strex")}/t"
+    // > StrBoundCp code points → truncation fires; sorts ABOVE every
+    // w-prefixed value so it is the file's MAX, not its min
+    val long = "z" * 40
+    MergeTable.create(spark, dir,
+      (0L until 100L).map(i =>
+        (i, f"v$i%03d", if (i == 99) long else f"w$i%03d"))
+        .toDF("id", "short", "mixed"),
+      "id", nBuckets = 1)
+    val files = MergeTable.fileIndex(spark, dir, 1).values.flatten.toSeq
+    val zones = ZoneMaps.read(spark, dir, 1).get
+    files.foreach { rel =>
+      val zShort = zones(rel)("short")
+      assert(zShort.minExact && zShort.maxExact,
+        s"short string bounds are the values themselves: $zShort")
+      val zMixed = zones(rel)("mixed")
+      assert(zMixed.minExact, "the min (w000) fits: exact")
+      assert(!zMixed.maxExact,
+        s"the 40-cp max truncates: marked inexact: $zMixed")
+      assert(zMixed.max.length < long.length,
+        "the stored bound is the incremented prefix, not the value")
+      // and the fresh in-memory harvest agrees with the sidecar read
+      val h = ZoneMaps.harvest(spark, dir, Seq(rel))(rel)("mixed")
+      assert(h.minExact == zMixed.minExact && h.maxExact == zMixed.maxExact)
+    }
+    // an old-format sidecar (strip the format-5 field, stamp format 4)
+    // reads back with BOTH flags false — pruning keeps working, the
+    // min/max pushdown degrades to the scan, never a fabricated answer
+    val sidecar = new java.io.File(dir, "_v1.zones")
+    val downgraded = scala.io.Source.fromFile(sidecar).getLines().map { l =>
+      if (l.startsWith("#format")) "#format\t4"
+      else {
+        val a = l.split("\t", -1)
+        if (a(2) == "str") a.take(7).mkString("\t") else l
+      }
+    }.mkString("", "\n", "\n")
+    Files.write(sidecar.toPath, downgraded.getBytes("UTF-8"))
+    new java.io.File(dir, "._v1.zones.crc").delete()
+    val old = ZoneMaps.read(spark, dir, 1).get
+    files.foreach { rel =>
+      val z = old(rel)("short")
+      assert(!z.minExact && !z.maxExact,
+        s"pre-format-5 str bounds must read back inexact: $z")
+      assert(z.min != null && z.max != null, "bounds themselves survive")
+    }
+  }
+
   test("metaAggregate: exact counts/min/max incl. planted nulls, vs a real scan") {
     val dir = s"${Files.createTempDirectory("graft-meta")}/t"
     // nulls planted on ~1/3 of score; one value pushed to a long > 2^53
@@ -491,8 +539,9 @@ class ZoneMapSpec extends SparkSpec {
       s"re-harvest must restore exact stats: $agg")
 
     // a FRESH sidecar (format 3+) trusts its own proven all-null
-    // zones; format 4 only ADDS sum lines, the trust ladder is intact
-    assert(ZoneMaps.FormatVersion == 4)
+    // zones; formats 4 (sum lines) and 5 (str exactness markers) only
+    // ADD information, the trust ladder is intact
+    assert(ZoneMaps.FormatVersion == 5)
   }
 
   test("randomized reference: zone-pruned scans equal plain filters under random layouts and bounds") {
