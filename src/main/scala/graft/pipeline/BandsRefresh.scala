@@ -117,8 +117,9 @@ object BandsRefresh {
 
   /** Matching-slot counts between two band-hash columns of the SAME
     * band_idx — the per-band contribution to est-Jaccard, recovered
-    * from the stored slot values. */
-  private def bandMatches(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    * from the stored slot values (shared with [[PairsRefresh]], whose
+    * delta re-score must be bit-identical to [[scoredPairs]]). */
+  private[pipeline] def bandMatches(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(
       zip_with(split(a, ","), split(b, ","),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -133,8 +134,8 @@ object BandsRefresh {
   def scoredPairs(
       spark: SparkSession, bandsDir: String, threshold: Double = 0.5,
       bands: Int = defaultBands,
-      rowsPerBand: Int = defaultRowsPerBand): DataFrame = {
-    val idx = MergeTable.read(spark, bandsDir)
+      rowsPerBand: Int = defaultRowsPerBand, version: Int = -1): DataFrame = {
+    val idx = MergeTable.read(spark, bandsDir, version)
       .select("doc_id", "band_idx", "band_hash")
     val a = idx.toDF("id_a", "band_idx", "band_hash")
     val b = idx.toDF("id_b", "band_idx", "band_hash")

@@ -376,6 +376,51 @@ object IvmScaffold {
     }
   }
 
+  /** The MICRO-DELTA text corpus: the [[textCorpus]] shape at ~1%
+    * churn (doc_id % 97 instead of % 10) — the transition profile an
+    * incremental COMMIT actually has, and the case delta-localized
+    * maintenance exists for. The % 10 transition rewrites 30% of the
+    * corpus and injects a 10%-of-corpus IDENTICAL-text clique, so its
+    * changed neighborhood IS the bulk of the near-dup pair graph —
+    * the honest STRESS twin, kept as `doc_neardup_incremental`. */
+  def textMicroCorpus(s: SparkSession, d: String): String =
+    once(d, "textmicro") { dir =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      graft.pipeline.MergeTable.create(s, dir, docs, "doc_id", nBuckets = 16)
+      val updates = docs
+        .filter(col("doc_id") % 97 === 3 || col("doc_id") % 97 === 7)
+        .select(col("doc_id"),
+          concat(lit("updated:"), col("lang")).as("text"), col("lang"),
+          (col("doc_id") % 97 === 7).as("_del"))
+      val inserts = docs.filter(col("doc_id") % 97 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("freshly injected arrival of shared boilerplate").as("text"),
+          lit("xx").as("lang"), lit(false).as("_del"))
+      graft.pipeline.MergeTable.merge(s, dir, updates.unionAll(inserts),
+        "doc_id", deleteCol = Some("_del"), validate = false)
+      ()
+    }
+
+  /** Band index over [[textMicroCorpus]] v1. */
+  def bandsMicroV1(s: SparkSession, d: String): String = {
+    val corpus = textMicroCorpus(s, d)
+    once(d, "bandsmicro") { dir =>
+      graft.pipeline.BandsRefresh.build(s, corpus, dir, version = 1)
+    }
+  }
+
+  /** Standing SCORED near-dup pairs ([[graft.pipeline.PairsRefresh]])
+    * built from the [[bandsMicroV1]] index PINNED at version 1 — the
+    * shared band index advances to corpus v2 inside the pairs query,
+    * so the build must name the version it reflects. */
+  def pairsV1(s: SparkSession, d: String): String = {
+    val bands = bandsMicroV1(s, d)
+    once(d, "pairs") { dir =>
+      graft.pipeline.PairsRefresh.build(
+        s, bands, dir, threshold = 0.2, bandsVersion = 1)
+    }
+  }
+
   /** A v1 view's cell state frozen to parquet (tiny: #buckets×#groups
     * rows), so refresh executions read it back instead of re-scanning
     * corpus v1 to rebuild it. */
@@ -587,6 +632,7 @@ object IvmScaffold {
       "postings_v1" -> (() => postingsV1(s, d)),
       "fingerprints_v1" -> (() => fingerprintsV1(s, d)),
       "bands_v1" -> (() => bandsV1(s, d)),
+      "pairs_v1" -> (() => pairsV1(s, d)),
       "stats_view1" -> (() => statsView1(s, d)),
       "clf_views1" -> (() => { classifierF1(s, d); classifierP1(s, d) }),
       "hll_view1" -> (() => hllView1(s, d)),

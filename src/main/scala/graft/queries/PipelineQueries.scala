@@ -4044,6 +4044,42 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental SCORED-PAIR maintenance ([[graft.pipeline
+    * .PairsRefresh]]): the near-dup pair set itself as a standing
+    * MergeTable, maintained through the corpus transition — stale
+    * pairs (≥1 changed endpoint) delete by key in one pass over the
+    * PAIRS table, fresh pairs re-score only the changed docs' band
+    * rows probed against the refreshed index (∝ delta, the
+    * admission-gate join shape), and every pair between two unchanged
+    * docs carries forward untouched. Closes the last O(index) hole in
+    * the refresh family: `doc_neardup_incremental` still re-joins the
+    * whole index per query (its oracle twin); this one's measured body
+    * is bands refresh + pairs refresh + a table read. The oracle
+    * recomputes the full signature/band/score algebra over the
+    * logically-merged corpus in DuckDB — maintained pairs == full
+    * rebuild cross-engine, deletes/rewrites/inserted clones included. */
+  private val docNeardupPairsIncremental: Q = (s, d) => {
+    val corpus = IvmScaffold.textMicroCorpus(s, d)
+    val index = IvmScaffold.bandsMicroV1(s, d)
+    val pairs = IvmScaffold.pairsV1(s, d)
+    graft.pipeline.BandsRefresh.refresh(s, corpus, index, 1, 2)
+    graft.pipeline.PairsRefresh.refresh(
+      s, corpus, index, pairs, 1, 2, threshold = 0.2)
+    graft.pipeline.MergeTable.read(s, pairs)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[docNeardupIncrementalSql]]'s algebra over the MICRO transition
+    * (% 97 churn — see [[IvmScaffold.textMicroCorpus]]). Lazy: the
+    * base SQL val is defined LATER in this object, so an eager init
+    * here would read null. */
+  private lazy val docNeardupPairsIncrementalSql: String =
+    docNeardupIncrementalSql
+      .replace("% 10 <> 7", "% 97 <> 7")
+      .replace("% 10 = 3", "% 97 = 3")
+      .replace("% 10 = 1", "% 97 = 1")
+
   /** The [[dedupMinhashLshSql]] algebra replayed over the logically
     * merged (v2) corpus of the IvmScaffold text transition. */
   private val docNeardupIncrementalSql: String = {
@@ -4673,6 +4709,7 @@ object PipelineQueries {
     "doc_postings_incremental" -> docPostingsIncremental,
     "doc_fingerprints_incremental" -> docFingerprintsIncremental,
     "doc_neardup_incremental" -> docNeardupIncremental,
+    "doc_neardup_pairs_incremental" -> docNeardupPairsIncremental,
     "emb_label_centroids" -> embLabelCentroids,
     "doc_split_assign" -> docSplitAssign,
     "doc_split_cluster_aware" -> docSplitClusterAware,
@@ -4811,6 +4848,7 @@ object PipelineQueries {
     "doc_postings_incremental" -> docPostingsIncrementalSql,
     "doc_fingerprints_incremental" -> docFingerprintsIncrementalSql,
     "doc_neardup_incremental" -> docNeardupIncrementalSql,
+    "doc_neardup_pairs_incremental" -> docNeardupPairsIncrementalSql,
     "emb_label_centroids" -> embLabelCentroidsSql,
     "doc_split_assign" -> docSplitAssignSql,
     "doc_split_cluster_aware" -> docSplitClusterAwareSql,
