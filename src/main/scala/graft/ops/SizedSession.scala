@@ -38,6 +38,16 @@ object SizedSession {
     * stays separate (4 Mi) — edge rows don't explode. */
   val RefreshRowsPerPartition: Long = 8L * 1024
 
+  /** Rows per partition for CPU-HEAVY derives (minhash signing ≈ 32
+    * hash passes over every shingle; winnowing ≈ a rolling-hash scan
+    * of the whole text): width must track COMPUTE, not shuffle volume,
+    * or a medium delta runs its dominant stage on 2 of 32 cores
+    * (measured round 17: the 8 Ki volume sizing halved BandsRefresh
+    * throughput at 4 cores). 512 rows/partition keeps a ~10 Ki-row
+    * delta at ~20-way parallelism while a true micro-commit still
+    * collapses to one task. */
+  val CpuHeavyRowsPerPartition: Long = 512L
+
   /** The width `rows` rows deserve on this session: ceil(rows/rpp),
     * clamped to [1, session default] — a genuinely large delta keeps
     * full parallelism, a micro-commit gets 1. */

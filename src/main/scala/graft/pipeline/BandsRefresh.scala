@@ -97,7 +97,10 @@ object BandsRefresh {
     // index merge — plans at the transition's metadata row bound in an
     // ISOLATED session, not at whatever width the caller's session has
     val s = graft.ops.SizedSession.forDelta(
-      spark, corpusDir, fromVersion, toVersion)
+      spark, corpusDir, fromVersion, toVersion,
+      // CPU-heavy derive (per-doc hashing scans): size by compute,
+      // not shuffle volume, or the dominant stage under-parallelizes
+      graft.ops.SizedSession.CpuHeavyRowsPerPartition)
     val deltas = MergeTable.rowDeltas(
       s, corpusDir, fromVersion, toVersion, "doc_id")
     val newB = bandsOf(

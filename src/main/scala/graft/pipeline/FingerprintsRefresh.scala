@@ -62,7 +62,10 @@ object FingerprintsRefresh {
     // delta-sized shuffles in an isolated session — see
     // [[graft.ops.SizedSession]] (round-16 ask #3)
     val s = graft.ops.SizedSession.forDelta(
-      spark, corpusDir, fromVersion, toVersion)
+      spark, corpusDir, fromVersion, toVersion,
+      // CPU-heavy derive (per-doc hashing scans): size by compute,
+      // not shuffle volume, or the dominant stage under-parallelizes
+      graft.ops.SizedSession.CpuHeavyRowsPerPartition)
     val deltas = MergeTable.rowDeltas(
       s, corpusDir, fromVersion, toVersion, "doc_id")
     val newF = shaped(Winnow.fingerprintsScan(
