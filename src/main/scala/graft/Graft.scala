@@ -32,6 +32,18 @@ object Graft {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GraftTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftTopK
+    // MergeTable reads hand Spark EXPLICIT file lists (manifest-named,
+    // typically 16-64 paths). Below this threshold Spark stats the
+    // paths on the driver; above it, it schedules a distributed
+    // file-listing JOB whose scheduling latency (~100-300 ms) dwarfs
+    // the per-path getFileStatus (~0.1 ms local, ~1-5 ms object store)
+    // at these counts. 128 keeps every manifest-sized read driver-side
+    // while genuinely large directory trees (1000s of paths — e.g. a
+    // user pointing spark.read at a raw lake prefix) still distribute.
+    // registerAll IS the engine's session setup (as with
+    // outputTimestampType below) — a caller can set it back afterwards.
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
     // the engine writes timestamps as INT64 MICROS, not Spark's legacy
     // INT96 default (round 16): INT96 is deprecated, carries NO usable
     // footer statistics (Binary blobs), and would leave every

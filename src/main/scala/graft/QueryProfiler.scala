@@ -25,9 +25,13 @@ object QueryProfiler {
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     private val stageToJob = mutable.HashMap.empty[Int, Int]
     override def onJobStart(e: SparkListenerJobStart): Unit = {
-      val desc = Option(e.properties)
+      val props = Option(e.properties)
+      val desc = props
         .flatMap(p => Option(p.getProperty("spark.job.description")))
-        .getOrElse("")
+        .orElse(props.flatMap(p => Option(p.getProperty("callSite.short"))))
+        .filter(_.nonEmpty)
+        // stage names carry the action's callsite ("parquet at X.scala:N")
+        .getOrElse(e.stageInfos.map(_.name).distinct.mkString(" | "))
       jobs(e.jobId) = Job(e.jobId, desc, e.time)
       e.stageIds.foreach(s => stageToJob(s) = e.jobId)
     }

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star
   * surface): language identification, quality scoring, token counting,
-  * document fingerprinting. All pure Column expressions — codegen'd,
-  * whole-stage-friendly, no UDFs on the hot path.
+  * document fingerprinting. Column expressions where those codegen;
+  * typed JIT'd UDFs where the expression form would run interpreted
+  * higher-order lambdas per element (langId, the trigram slides — the
+  * measured ~10× trap documented at [[Dedup.minhashSignature]]).
   */
 object TextAnalysis {
 
@@ -22,18 +24,54 @@ object TextAnalysis {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
 
-  /** Per-language stopword hit count; predicted language = argmax.
-    * Returns a struct `(lang STRING, score DOUBLE)` — score is the hit
-    * ratio of the winning language's stopwords over total tokens. */
+  /** Result row of [[langId]] — a named case class so the UDF's struct
+    * carries the (lang, score) field names callers `getField` on. */
+  private case class LangScore(lang: String, score: Double)
+
+  /** Per-language stopword hit count; predicted language = argmax (ties
+    * break to the lexicographically larger code, matching the previous
+    * `greatest(struct(score, lang))` form). Returns a struct
+    * `(lang STRING, score DOUBLE)` — score is the hit ratio of the
+    * winning language's stopwords over total tokens.
+    *
+    * Typed UDF with one JIT'd tokenize + one hash probe per token — the
+    * pure-expression form re-evaluated the interpreted
+    * `filter(split(lower(text)))` chain once PER LANGUAGE plus once for
+    * the total (≈6 interpreted tokenizations and ~50 `isin` string
+    * compares per document; measured as one 11 s single-core task at
+    * sf0.1 — the same interpreted-HOF trap as Dedup.minhashSignature).
+    * Tokenization matches [[tokens]] exactly: Spark's own
+    * `UTF8String.toLowerCase`, the same split regex, empties dropped. */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val total = greatest(size(toks), lit(1)).cast("double")
-    val scored = StopwordSets.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
-      struct((hits.cast("double") / total).as("score"), lit(lang).as("lang"))
+    val byLang = StopwordSets.toSeq.sortBy(_._1)
+      .map { case (l, ws) => (l, ws.toSet) }
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else {
+        // identical lowercase to the expression form (Lower delegates
+        // to UTF8String.toLowerCase), then the same split + non-empty
+        val lowered = org.apache.spark.unsafe.types.UTF8String
+          .fromString(text).toLowerCase.toString
+        val toks = lowered.split("[^\\p{L}\\p{N}']+").filter(_.nonEmpty)
+        val total = math.max(toks.length, 1).toDouble
+        var bestLang: String = null
+        var bestScore = -1.0
+        byLang.foreach { case (lang, words) =>
+          var hits = 0
+          var i = 0
+          while (i < toks.length) {
+            if (words.contains(toks(i))) hits += 1
+            i += 1
+          }
+          val score = hits / total
+          // strictly >=: later (lexicographically larger) lang wins
+          // ties, as greatest(struct(score, lang)) did
+          if (score >= bestScore) { bestScore = score; bestLang = lang }
+        }
+        LangScore(bestLang, bestScore)
+      }
     }
-    val best = greatest(scored: _*)
-    struct(best.getField("lang").as("lang"), best.getField("score").as("score"))
+    f(c)
   }
 
   /** Whitespace token count. */
@@ -265,9 +303,20 @@ object TextAnalysis {
       if (s == null || s.length < 3) Seq.empty[String]
       else (0 to s.length - 3).map(i => s.substring(i, i + 3))
     }
-    val tri = df.select(col(idCol).as("id"), col(langCol).as("lang"),
-      explode(triList(Dedup.normalizedText(col(textCol)))).as("tri"))
+    // widen (conditional): the trigram explode + partial agg are
+    // CPU-dense and run at scan parallelism — one split at report scale
+    val base = ScanWidth.widen(
+      df.select(col(idCol).as("id"), col(langCol).as("lang"),
+        col(textCol).as("__text")), col("id"))
+    val tri = base.select(col("id"), col("lang"),
+      explode(triList(Dedup.normalizedText(col("__text")))).as("tri"))
+    // triCounts feeds BOTH the per-language profile and the scoring
+    // join; without a barrier each consumer re-runs the explode+agg
+    // (measured as repeated ~2 s single-task jobs). localCheckpoint
+    // materializes it once per execution — per-run state, nothing
+    // persists across runs.
     val triCounts = tri.groupBy("id", "lang", "tri").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val profile = triCounts.groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
     val langTot = profile.groupBy("lang").agg(sum(col("cnt")).as("tot"))
     val vocabDf = profile.agg(countDistinct(col("tri")).as("vv"))

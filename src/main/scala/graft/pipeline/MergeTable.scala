@@ -550,15 +550,53 @@ object MergeTable {
   private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
     val key = files.sorted
     val schema = fileSchemaCache.computeIfAbsent(key, _ =>
-      spark.read
-        .option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true")
-        .parquet(files: _*).schema)
+      driverFooterSchema(spark, files).getOrElse(
+        spark.read
+          .option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet(files: _*).schema))
     spark.read
       .option("recursiveFileLookup", "true")
       .schema(schema)
       .parquet(files: _*)
   }
+
+  /** Driver-side schema for a SMALL file list whose footers all embed
+    * the IDENTICAL Spark schema: every file this table writes carries
+    * the writer's `StructType` JSON in its footer key-value metadata
+    * (`org.apache.spark.sql.parquet.row.metadata`), so when all files
+    * agree byte-for-byte the `mergeSchema` union IS that schema — no
+    * distributed inference job needed (on a cache miss that job ran on
+    * EVERY fresh version's first read; each merge produces a fresh
+    * file list, so refresh queries paid it every execution). Any
+    * missing/unparseable metadata or any disagreement (schema
+    * evolution mid-list, foreign writers) returns None and the caller
+    * falls back to the distributed `mergeSchema` path — this fast path
+    * can only ever return exactly what that union would. Bounded at 64
+    * files: footers are KB-scale metadata I/O (the same class the
+    * driver already does for manifests); larger lists stay distributed. */
+  private def driverFooterSchema(
+      spark: SparkSession, files: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (files.isEmpty || files.size > 64) None
+    else try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      var json: String = null
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val j =
+          try r.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata")
+          finally r.close()
+        if (j == null) return None
+        if (json == null) json = j
+        else if (json != j) return None // evolution: let mergeSchema decide
+      }
+      Option(org.apache.spark.sql.types.DataType.fromJson(json))
+        .collect { case s: org.apache.spark.sql.types.StructType => s }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One writer task per bucket (hash-partitioned on the bucket value),
     * so each bucket directory gets a bounded file count. */

@@ -206,15 +206,37 @@ object ZoneMaps {
 
   private def zonesPath(dir: String, v: Int) = new Path(s"$dir/_v$v.zones")
 
-  /** Harvest footer stats for `relPaths` of `dir` — distributed, one
-    * footer open per file, numeric leaf columns only. */
+  /** Commits touching at most this many files harvest their footers on
+    * the DRIVER thread instead of scheduling a distributed job: a
+    * footer is a few KB of metadata I/O (the same class of work as the
+    * manifest read the driver already does — Delta/Iceberg read commit
+    * stats driver-side too), and at micro-commit scale the job's
+    * scheduling latency (~100-300 ms) dwarfs the reads. Larger commits
+    * keep the distributed path — cost stays ∝ delta either way. */
+  private val DriverHarvestMaxFiles = 32
+
+  /** Harvest footer stats for `relPaths` of `dir` — one footer open
+    * per file, numeric leaf columns only; driver-local under
+    * [[DriverHarvestMaxFiles]], distributed beyond. */
   def harvest(
       spark: SparkSession, dir: String, relPaths: Seq[String])
       : Map[String, Map[String, Zone]] = {
     if (relPaths.isEmpty) return Map.empty
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val tasks = math.max(1, math.min(relPaths.size, 64))
-    spark.sparkContext.parallelize(relPaths, tasks).map { rel =>
+    if (relPaths.size <= DriverHarvestMaxFiles)
+      relPaths.map(rel => harvestOne(dir, rel, conf)).toMap
+    else {
+      val tasks = math.max(1, math.min(relPaths.size, 64))
+      spark.sparkContext.parallelize(relPaths, tasks)
+        .map(rel => harvestOne(dir, rel, conf)).collect().toMap
+    }
+  }
+
+  /** The per-file footer fold shared by the driver-local and
+    * distributed harvest paths (serializable: called inside an RDD map). */
+  private def harvestOne(
+      dir: String, rel: String, conf: SerializableConfiguration)
+      : (String, Map[String, Zone]) = {
       val in = HadoopInputFile.fromPath(
         new Path(MergeTable.absPath(dir, rel)), conf.value)
       val r = ParquetFileReader.open(in)
@@ -410,7 +432,6 @@ object ZoneMaps {
         rel -> (cols ++ strCols + (RowsKey ->
           Zone("count", fileRows.toString, fileRows.toString, false, 0L)))
       } finally r.close()
-    }.collect().toMap
   }
 
   /** EXACT per-file sums of the top-level INTEGRAL columns of

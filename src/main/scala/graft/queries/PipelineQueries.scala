@@ -521,13 +521,18 @@ object PipelineQueries {
 
   private val embNearDupExact: Q = (s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = e.toDF("id_a", "e_a")
+    // the probe side of the all-pairs nested-loop join runs at SCAN
+    // parallelism — one split for the small file, serializing the whole
+    // O(n²) cosine pass on one core; widen it (conditional — a big scan
+    // is already wide). The broadcast side stays as-is.
+    val a = graft.ops.ScanWidth.widen(e.toDF("id_a", "e_a"), col("id_a"))
     val b = e.toDF("id_b", "e_b")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", round(VectorIndex.cosine(col("e_a"), col("e_b")), 4))
-      .filter(col("score") >= 0.4)
-      .select("id_a", "id_b", "score")
-      .orderBy("id_a", "id_b")
+    graft.ops.TotalSort.small(
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("score", round(VectorIndex.cosine(col("e_a"), col("e_b")), 4))
+        .filter(col("score") >= 0.4)
+        .select("id_a", "id_b", "score"),
+      "id_a", "id_b")
   }
 
   private val embNearDupExactSql =
@@ -609,9 +614,8 @@ object PipelineQueries {
   private val dedupClusterSurvivors: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
-    Dedup.dropNearDups(docs, pairs)
-      .select("doc_id")
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      Dedup.dropNearDups(docs, pairs).select("doc_id"), "doc_id")
   }
 
   private val dedupClusterSurvivorsSql =
@@ -655,9 +659,8 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
       .withColumn("n_uniq", size(array_distinct(toks(col("text")))).cast("long"))
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
-    Dedup.dropNearDupsBy(docs, pairs, "n_uniq")
-      .select("doc_id")
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      Dedup.dropNearDupsBy(docs, pairs, "n_uniq").select("doc_id"), "doc_id")
   }
 
   private val dedupSurvivorQualitySql =
@@ -702,12 +705,13 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
     val comps = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
-    emb.select(col("vec_id"))
-      .join(comps, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("comp"), col("vec_id")).as("rep"),
-        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("survives"))
-      .orderBy("vec_id")
+    graft.ops.TotalSort.small(
+      emb.select(col("vec_id"))
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("rep"),
+          (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("survives")),
+      "vec_id")
   }
 
   private val embSemanticDedupSql =
@@ -804,7 +808,8 @@ object PipelineQueries {
     * naturally (small vocabulary), so `n_shared` is non-trivially
     * populated without planting. */
   private val docDupPassages: Q = (s, d) =>
-    graft.ops.Winnow.dupPassageStats(Tables.documents(s, d)).orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      graft.ops.Winnow.dupPassageStats(Tables.documents(s, d)), "doc_id")
 
   /** Scan-local twin of `doc_dup_passages` ([[graft.ops.Winnow
     * .fingerprintsScan]]): identical fingerprint set via a typed O(L)
@@ -813,8 +818,9 @@ object PipelineQueries {
     * Shares the window variant's DuckDB oracle verbatim (same result
     * by construction; equality also pinned in `WinnowSpec`). */
   private val docDupPassagesScan: Q = (s, d) =>
-    graft.ops.Winnow.dupPassageStats(Tables.documents(s, d), scanLocal = true)
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      graft.ops.Winnow.dupPassageStats(Tables.documents(s, d), scanLocal = true),
+      "doc_id")
 
   private val docDupPassagesSql: String = {
     // identical fold to Winnow.fingerprints' gram aggregate, unrolled for DuckDB
@@ -1534,11 +1540,12 @@ object PipelineQueries {
     * deterministic tie-break). */
   private val docLangId: Q = (s, d) => {
     val pred = TextAnalysis.langId(col("text"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang").as("labeled_lang"),
-        pred.getField("lang").as("pred_lang"),
-        round(pred.getField("score"), 4).as("pred_score"))
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          pred.getField("lang").as("pred_lang"),
+          round(pred.getField("score"), 4).as("pred_score")),
+      "doc_id")
   }
 
   private val docLangIdSql: String = {
@@ -1760,9 +1767,10 @@ object PipelineQueries {
     * oracle replays the segmentation, the distinct-doc frequency and
     * the ordered reassembly exactly. */
   private val docPassageDedup: Q = (s, d) =>
-    Dedup.stripDuplicatePassages(Tables.documents(s, d),
-      segTokens = 10, maxDocs = 2)
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      Dedup.stripDuplicatePassages(Tables.documents(s, d),
+        segTokens = 10, maxDocs = 2),
+      "doc_id")
 
   private val docPassageDedupSql =
     """WITH d AS (SELECT doc_id,
@@ -1819,8 +1827,8 @@ object PipelineQueries {
     * from the corpus itself, per language; add-one smoothing over the
     * global trigram vocabulary). */
   private val docTrigramLm: Q = (s, d) =>
-    TextAnalysis.charTrigramLm(Tables.documents(s, d))
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      TextAnalysis.charTrigramLm(Tables.documents(s, d)), "doc_id")
 
   private val docTrigramLmSql =
     """WITH d AS (SELECT doc_id, lang,
@@ -3690,7 +3698,8 @@ object PipelineQueries {
       .filter(col("lang").isin("en", "fr"))
     val exact = Dedup.dropExactDups(gated)
     val pairs = Dedup.ngramJaccardPairs(exact, threshold = 0.2)
-    Dedup.dropNearDups(exact, pairs).select("doc_id").orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      Dedup.dropNearDups(exact, pairs).select("doc_id"), "doc_id")
   }
 
   private val docCurateE2eSql =
@@ -4176,9 +4185,10 @@ object PipelineQueries {
   private val dedupSimhashPairs: Q = (s, d) => {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-    Dedup.fingerprintPairs64(fp, "doc_id", "simhash", maxHamming = 7)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy("id_a", "id_b")
+    graft.ops.TotalSort.small(
+      Dedup.fingerprintPairs64(fp, "doc_id", "simhash", maxHamming = 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming")),
+      "id_a", "id_b")
   }
 
   private val dedupSimhashPairsSql =
@@ -4264,10 +4274,13 @@ object PipelineQueries {
     * sign. The oracle replays the bucket models, the decomposed
     * smoothing constant AND the document prior step-for-step. */
   private val docQualityClassifier: Q = (s, d) =>
-    graft.ops.QualityClassifier.trainScore(
-        Tables.documents(s, d),
-        col("source").isin("src0", "src1", "src2", "src3"))
-      .orderBy("doc_id")
+    graft.ops.TotalSort.small(
+      graft.ops.QualityClassifier.trainScore(
+        // the hashed-gram derive is CPU-dense and the scan is one
+        // split — widen (conditional) so train and score parallelize
+        graft.ops.ScanWidth.widen(Tables.documents(s, d), col("doc_id")),
+        col("source").isin("src0", "src1", "src2", "src3")),
+      "doc_id")
 
   private val docQualityClassifierSql = {
     val pows = (1 to 13).map(j => s"($j, ${BigInt(16).pow(13 - j)})").mkString(", ")
@@ -4385,7 +4398,9 @@ object PipelineQueries {
     * the bucket models, the decomposed smoothing constant and the
     * md5-seeded Gumbel perturbation exactly. */
   private val docDsirSample: Q = (s, d) =>
-    ImportanceSampling.sample(Tables.documents(s, d),
+    ImportanceSampling.sample(
+      // hashed-gram derive over a one-split scan — widen (conditional)
+      graft.ops.ScanWidth.widen(Tables.documents(s, d), col("doc_id")),
       col("lang") === "en", k = 100)
 
   private val docDsirSampleSql = {

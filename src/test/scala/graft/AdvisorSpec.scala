@@ -155,8 +155,9 @@ class AdvisorSpec extends SparkSpec {
       // per element, or driver-side pipeline steps — each documented
       "chunk_stats", "dedup_contamination", "dedup_contamination_bloom",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_simhash_pairs", "doc_repetition", "doc_trigram_lm",
-      "knn_ivf_top5", "knn_pq_rerank_top5", "ragas_testset_candidates")
+      "dedup_simhash_pairs", "doc_langid", "doc_repetition",
+      "doc_trigram_lm", "knn_ivf_top5", "knn_pq_rerank_top5",
+      "ragas_testset_candidates")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         Advisor.advise(fn(spark, sf0001))
